@@ -1,0 +1,210 @@
+"""C01–C07 — CDC envelope queries (SURVEY.md §2.4).
+
+These exercise the reference's entire data plane in batch form: the
+F3–F7 filter chain, envelope projection (P1), db/table routing
+(Q4/F1/F2), and latest-by-key compaction (Q3 order + K1–K4 upsert
+semantics). Reference: ``DebeziumEngineRecordHandler.java:154-184``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.cdc.compaction import latest_by_key
+from graal_cdc_spark.cdc.envelope import (
+    build_cdc_events,
+    cdc_events_cte,
+    cdc_parsed_cte,
+    parse_envelope,
+)
+from graal_cdc_spark.cdc.filters import drop_ddl, drop_malformed, drop_tombstones
+from graal_cdc_spark.queries import QuerySpec, register
+from graal_cdc_spark.session import configure
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return parse_envelope(build_cdc_events(spark, sf_dir))
+
+
+def _c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    df = build_cdc_events(spark, sf_dir)
+    df = drop_malformed(drop_tombstones(df))
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+register(
+    QuerySpec(
+        name="c01_tombstone_malformed_filter",
+        category="cdc",
+        description="F3 tombstone + F4 malformed-envelope filters",
+        spark=_c01,
+        oracle=cdc_events_cte()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM cdc_events
+WHERE value IS NOT NULL
+  AND json_extract(value, '$.payload') IS NOT NULL
+""",
+        reference="DebeziumEngineRecordHandler.java:156-163",
+    )
+)
+
+
+def _c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    df = drop_ddl(build_cdc_events(spark, sf_dir))
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+register(
+    QuerySpec(
+        name="c02_ddl_filter",
+        category="cdc",
+        description="F5 DDL/schema-change filter",
+        spark=_c02,
+        oracle=cdc_events_cte()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM cdc_events
+WHERE json_extract(value, '$.payload.ddl') IS NULL
+""",
+        reference="DebeziumEngineRecordHandler.java:164-167",
+    )
+)
+
+
+def _c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed(spark, sf_dir)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("op")
+    )
+
+
+register(
+    QuerySpec(
+        name="c03_opcode_predicate",
+        category="cdc",
+        description="F6 op-code predicate + count by op",
+        spark=_c03,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT op, CAST(count(*) AS BIGINT) AS c
+FROM cdc_parsed
+WHERE op IN ('c','u','d','r')
+GROUP BY op ORDER BY op
+""",
+        reference="DebeziumEngineRecordHandler.java:168-172",
+    )
+)
+
+
+def _c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed(spark, sf_dir)
+        .select("db", "tbl", "op", "event_id")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        name="c04_envelope_projection",
+        category="cdc",
+        description="P1 envelope field projection",
+        spark=_c04,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT db, tbl, op, event_id
+FROM cdc_parsed
+ORDER BY event_id
+LIMIT 100
+""",
+        reference="DebeziumEngineRecordHandler.java:160,168,177-179",
+    )
+)
+
+
+def _c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _parsed(spark, sf_dir)
+        .filter((F.col("db") == "appdb") & F.col("tbl").isin("users", "orders"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+register(
+    QuerySpec(
+        name="c05_db_table_routing",
+        category="cdc",
+        description="Q4/F1/F2 per-pipeline db/table routing",
+        spark=_c05,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM cdc_parsed
+WHERE db = 'appdb' AND tbl IN ('users','orders')
+""",
+        reference="DebeziumEngineManager.java:71-90; DebeziumEngineRecordHandler.java:61-69",
+    )
+)
+
+
+def _c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = latest_by_key(_parsed(spark, sf_dir), ["key"], "seq")
+    return (
+        latest.filter(F.col("op") != "d").select("key", "op", "seq").orderBy("key")
+    )
+
+
+register(
+    QuerySpec(
+        name="c06_latest_by_key_compaction",
+        category="cdc",
+        description="Q3 ordered replay + K1/K2 upsert → latest-by-key materialization",
+        spark=_c06,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT key, op, seq
+FROM (
+  SELECT key, op, seq,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM cdc_parsed
+) t
+WHERE rn = 1 AND op <> 'd'
+ORDER BY key
+""",
+        reference="DebeziumEngineRecordHandler.java:97-148; ElasticsearchUtils.java:145-152",
+    )
+)
+
+
+def _c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = latest_by_key(_parsed(spark, sf_dir), ["key"], "seq")
+    return latest.filter(F.col("op") == "d").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+register(
+    QuerySpec(
+        name="c07_delete_propagation",
+        category="cdc",
+        description="K3/K4 delete propagation — keys whose final op is a delete",
+        spark=_c07,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT key, op,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM cdc_parsed
+) t
+WHERE rn = 1 AND op = 'd'
+""",
+        reference="ElasticsearchUtils.java:156-176",
+    )
+)

@@ -1,0 +1,66 @@
+"""Batch parquet sources for the test star schema.
+
+The reference's only sources are CDC scans (S1/S2,
+``DebeziumEngineManager.java:40-136``); Spark gives us file scans for
+free with predicate pushdown + column pruning at the parquet reader
+(check ``.explain``: PushedFilters / ReadSchema).
+
+Scale note: at 100 TB these reads are partitioned parquet directories;
+nothing here collects to the driver, and every query projects columns
+so the scan schema stays minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.session import configure
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as TIMESTAMP(NANOS) in parquet — Spark reads them as
+# long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+# TimestampType here. Values are µs-aligned (verified), so lossless.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; returns the DataFrames.
+
+    Also (re)applies runtime session confs — the driver may hand us a
+    session with a non-UTC timezone, and the determinism protocol
+    (FIXTURES.md §4) requires UTC.
+    """
+    configure(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+from graal_cdc_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="graal-cdc-spark-tests", master="local[8]",
+                      shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
