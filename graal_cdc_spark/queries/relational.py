@@ -1,6 +1,865 @@
-"""R01–R22 — relational operator surface (SURVEY.md §2.4).
+"""R01–R24 — relational operator surface (SURVEY.md §2.4).
 
-Filled in incrementally; see SURVEY.md §2.2 — the reference has no
-joins/aggregates/windows, so these declare the standard surface the
-new engine must expose, all built on Spark's DataFrame API.
+The reference has no joins/aggregates/windows/sorts/set-ops
+(SURVEY.md §2.2); these queries declare the standard relational
+surface of the new engine. All DataFrame-API (Catalyst-optimized);
+R21 uses spark.sql to exercise the SQL entry point.
+
+Determinism protocol (FIXTURES.md §4): UTC, decimal-cast before SUM,
+total ORDER BY before LIMIT, aliases identical to the oracle SQL.
+
+Scale notes are per-query; the common rules: filters/projections sit
+directly on the parquet scan (pushdown), small dims are broadcast,
+aggregates are partial (map-side) before the shuffle, windows shuffle
+once on their partition key.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graal_cdc_spark.queries import QuerySpec, register
+from graal_cdc_spark.sources.tables import load_table, register_views
+
+
+def _r(name: str, description: str, spark_fn, oracle: str, ref: str = "") -> None:
+    register(
+        QuerySpec(
+            name=name,
+            category="relational",
+            description=description,
+            spark=spark_fn,
+            oracle=oracle,
+            reference=ref,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R01 — parquet scan + projection + predicate (pushdown visible in .explain)
+# ---------------------------------------------------------------------------
+
+
+def _r01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+        )
+        .orderBy("l_orderkey", "l_quantity", "l_partkey", "l_suppkey", "l_linenumber")
+        .select("l_orderkey", "l_quantity")
+        .limit(1000)
+    )
+
+
+_r(
+    "r01_scan_filter_project",
+    "parquet scan + projection + predicate pushdown",
+    _r01,
+    """
+SELECT l_orderkey, l_quantity FROM (
+  SELECT l_orderkey, l_quantity, l_partkey, l_suppkey, l_linenumber
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07
+  ORDER BY l_orderkey, l_quantity, l_partkey, l_suppkey, l_linenumber
+  LIMIT 1000
+) t
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R02 — multi-measure hash aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def _r02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Decimal-first: money/rate columns are 2-decimal values, so casting
+    # each FACTOR to decimal is exact, and decimal × decimal is engine-
+    # independent — unlike casting a double triple-product, whose
+    # boundary rounding differs between engines.
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("string").alias("sum_base_price"),
+            F.sum((price_d * disc_f).cast("decimal(18,4)")).cast("string").alias("sum_disc_price"),
+            F.sum((price_d * disc_f * tax_f).cast("decimal(18,6)")).cast("string").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_r(
+    "r02_hash_aggregate_q1",
+    "multi-measure hash aggregate, decimal-exact (TPC-H Q1 shape)",
+    _r02,
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS STRING) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2)) AS DECIMAL(18,6))) AS STRING) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R03 — inner equi-join + aggregate (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+def _r03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "MACHINERY")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).alias("rev")
+    top = (
+        joined.groupBy("l_orderkey")
+        .agg(revenue)
+        .orderBy(F.col("rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return top.select("l_orderkey", F.col("rev").cast("string").alias("revenue"))
+
+
+_r(
+    "r03_join_agg_topk",
+    "customer ⋈ orders ⋈ lineitem revenue top-10 (TPC-H Q3 shape)",
+    _r03,
+    """
+SELECT l_orderkey, CAST(rev AS STRING) AS revenue FROM (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'MACHINERY'
+  GROUP BY l_orderkey
+  ORDER BY rev DESC, l_orderkey
+  LIMIT 10
+) t
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R04 — broadcast join over small dims
+# ---------------------------------------------------------------------------
+
+
+def _r04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    dim = F.broadcast(
+        t["nation"].join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        t["customer"]
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_name")
+    )
+
+
+_r(
+    "r04_broadcast_join",
+    "broadcast join: customer ⋈ nation ⋈ region, count by region",
+    _r04,
+    """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R05 — left outer join + null handling
+# ---------------------------------------------------------------------------
+
+
+def _r05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_r(
+    "r05_left_outer_join",
+    "customers with zero orders via LEFT JOIN ... IS NULL",
+    _r05,
+    """
+SELECT c_custkey, c_name
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IS NULL
+ORDER BY c_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R06 / R07 — left semi / left anti joins
+# ---------------------------------------------------------------------------
+
+
+def _r06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_r(
+    "r06_left_semi_join",
+    "left semi join: customers having an order > 100000",
+    _r06,
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+""",
+)
+
+
+def _r07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_r(
+    "r07_left_anti_join",
+    "left anti join: customers with NO order > 100000 (null-safe NOT EXISTS)",
+    _r07,
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R08 — range/theta join (equi prefix + inequality)
+# ---------------------------------------------------------------------------
+
+
+def _r08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    # Equi key carries the join; the inequality is a post-join predicate,
+    # so this stays a hash/broadcast join, not a cartesian.
+    return (
+        t["part"]
+        .join(
+            t["lineitem"],
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+_r(
+    "r08_range_join",
+    "range/theta join: lineitem quantity above part size",
+    _r08,
+    """
+SELECT p_partkey, CAST(count(*) AS BIGINT) AS cnt
+FROM part p JOIN lineitem l
+  ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+GROUP BY p_partkey
+ORDER BY cnt DESC, p_partkey
+LIMIT 20
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R09 — as-of (event-time backward) join
+# ---------------------------------------------------------------------------
+
+
+def _r09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'purchase' event, the most recent strictly-prior 'error'
+    event of the same user — windowed as-of formulation (single shuffle
+    on user_id; see operators/asof.py for the two-table generalization).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    return (
+        ev.withColumn("last_error_id", F.last(err_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_error_id")
+        .orderBy("event_id")
+    )
+
+
+_r(
+    "r09_asof_join",
+    "as-of backward join: last prior error per purchase event",
+    _r09,
+    """
+SELECT event_id, user_id, last_error_id FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_id
+  FROM events
+  WHERE event_type IN ('purchase','error')
+) t
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R10 — rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def _r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_r(
+    "r10_rollup",
+    "GROUP BY ROLLUP(status, priority)",
+    _r10,
+    """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R11 — exact distinct count
+# ---------------------------------------------------------------------------
+
+
+def _r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return t["orders"].agg(F.countDistinct("o_custkey").alias("n_custkeys"))
+
+
+_r(
+    "r11_count_distinct",
+    "exact COUNT(DISTINCT); approx twin in operators (not gated)",
+    _r11,
+    "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys FROM orders",
+)
+
+# ---------------------------------------------------------------------------
+# R12 — ranking window (top-3 orders per customer)
+# ---------------------------------------------------------------------------
+
+
+def _r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_r(
+    "r12_ranking_window",
+    "row_number/rank/dense_rank top-3 per customer",
+    _r12,
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         rank()       OVER w AS rnk,
+         dense_rank() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R13 — analytic window + frame (running sum, lag)
+# ---------------------------------------------------------------------------
+
+
+def _r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_frame = w_order.rowsBetween(-2, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            # decimal-cast BEFORE the windowed sum: sliding-frame double
+            # sums accumulate error differently per engine; decimal is exact.
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w_frame)
+            .cast("string")
+            .alias("run_sum"),
+            F.lag("value").over(w_order).alias("prev_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_r(
+    "r13_analytic_window_frame",
+    "SUM over ROWS 2 PRECEDING frame + LAG",
+    _r13,
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS run_sum,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+ORDER BY user_id, event_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R14 — global top-k (sort + limit → TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+def _r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+_r(
+    "r14_global_topk",
+    "global ORDER BY ... LIMIT (TakeOrderedAndProject, no full sort)",
+    _r14,
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R15 — set operations
+# ---------------------------------------------------------------------------
+
+
+def _r15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+_r(
+    "r15_intersect",
+    "INTERSECT of customer/supplier nation keys",
+    _r15,
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+
+
+def _r15b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct()).orderBy("nationkey")
+
+
+_r(
+    "r15b_except",
+    "EXCEPT: nations with customers but no suppliers",
+    _r15b,
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+
+
+def _r15c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("nationkey")
+    )
+
+
+_r(
+    "r15c_union_all_count",
+    "UNION ALL + count by key",
+    _r15c,
+    """
+SELECT nationkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) t
+GROUP BY nationkey
+ORDER BY nationkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R16 — string function library
+# ---------------------------------------------------------------------------
+
+
+def _r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 1, 5).alias("sub5"),
+            F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+            F.trim(F.col("p_name")).alias("trimmed"),
+            F.replace(F.col("p_name"), F.lit("a"), F.lit("X")).alias("repl"),
+            F.length("p_name").alias("len"),
+            F.col("p_name").like("%green%").alias("has_green"),
+            F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_r(
+    "r16_string_functions",
+    "upper/lower/substr/concat/trim/replace/like/length/split",
+    _r16,
+    """
+SELECT p_partkey,
+       upper(p_name) AS up,
+       lower(p_brand) AS lo,
+       substring(p_name, 1, 5) AS sub5,
+       p_brand || '-' || p_type AS brand_type,
+       trim(p_name) AS trimmed,
+       replace(p_name, 'a', 'X') AS repl,
+       CAST(length(p_name) AS INT) AS len,
+       p_name LIKE '%green%' AS has_green,
+       string_split(p_name, ' ')[1] AS first_word
+FROM part
+ORDER BY p_partkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R17 — date/time functions
+# ---------------------------------------------------------------------------
+
+
+def _r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since"),
+        )
+        .groupBy("yr", "mo", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("days_since").alias("min_days"),
+            F.max("days_since").alias("max_days"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+_r(
+    "r17_datetime_functions",
+    "year/month/date_trunc/datediff histogram by month",
+    _r17,
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS min_days,
+       CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS max_days
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY yr, mo
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R18 — math / conditional functions
+# ---------------------------------------------------------------------------
+
+
+def _r18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.col("l_extendedprice"), 1).alias("rounded"),
+            F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+            F.floor(F.col("l_extendedprice")).cast("bigint").alias("flr"),
+            F.ceil(F.col("l_extendedprice")).cast("bigint").alias("cl"),
+            F.when(F.col("l_discount") > 0.05, F.lit("HIGH"))
+            .when(F.col("l_discount") > 0.02, F.lit("MID"))
+            .otherwise(F.lit("LOW"))
+            .alias("disc_band"),
+            F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("flag_or_none"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .limit(2000)
+    )
+
+
+_r(
+    "r18_math_conditional",
+    "round/abs/floor/ceil/CASE WHEN/coalesce/nullif",
+    _r18,
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice, 1) AS rounded,
+       abs(l_quantity - 25) AS abs_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+       CASE WHEN l_discount > 0.05 THEN 'HIGH'
+            WHEN l_discount > 0.02 THEN 'MID'
+            ELSE 'LOW' END AS disc_band,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_partkey
+LIMIT 2000
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R19 — array functions
+# ---------------------------------------------------------------------------
+
+
+def _r19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    arr = F.array_sort(F.collect_list("o_orderkey"))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.slice(arr, 1, 5), ",").alias("first5"),
+            F.cardinality(arr).cast("int").alias("n_orders"),
+            F.array_contains(arr, 42).alias("contains_42"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_r(
+    "r19_array_functions",
+    "array_agg(ORDER BY)/slice/cardinality/contains",
+    _r19,
+    """
+SELECT o_custkey,
+       array_to_string(list_slice(array_agg(o_orderkey ORDER BY o_orderkey), 1, 5), ',') AS first5,
+       CAST(len(array_agg(o_orderkey)) AS INT) AS n_orders,
+       list_contains(array_agg(o_orderkey), 42) AS contains_42
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R20 — map / JSON functions
+# ---------------------------------------------------------------------------
+
+
+def _r20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(F.lit("type"), F.col("event_type"))
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+            F.element_at(m, "type").alias("type_val"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+_r(
+    "r20_map_json_functions",
+    "json_extract from props; map build + element_at",
+    _r20,
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       event_type AS type_val
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R21 — correlated scalar subquery (via spark.sql / Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+
+def _r21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # Catalyst decorrelates this into an aggregate + join — verify with
+    # .explain(): no per-row subquery execution at scale.
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+_r(
+    "r21_correlated_subquery",
+    "correlated scalar subquery (decorrelated by Catalyst)",
+    _r21,
+    """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT avg(c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+ORDER BY c_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R22 — UDF parity (vectorized pandas_udf — the Arrow fast path)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.IntegerType())
+def _double_plus_one(q):  # pandas Series -> pandas Series, Arrow-batched
+    return (q * 2 + 1).astype("int32")
+
+
+def _r22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            _double_plus_one(F.col("l_quantity")).alias("q2"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .limit(2000)
+    )
+
+
+_r(
+    "r22_udf_parity",
+    "registered vectorized UDF (GraalJS per-record script analog, U1)",
+    _r22,
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(l_quantity * 2 + 1 AS INT) AS q2
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_partkey
+LIMIT 2000
+""",
+    ref="ScriptExecutor.java:167-199",
+)
