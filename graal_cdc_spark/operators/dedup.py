@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, from exact to fuzzy:
+
+- exact (hash-groupBy / dropDuplicates)
+- content-fingerprint (md5) clusters
+- n-gram (shingle) Jaccard — exact pairwise, oracle-checkable
+- MinHash + LSH — the scale path for near-dup (band/bucket join)
+- SimHash — Hamming-ball near-dup on a 64-bit sketch
+
+Scale notes: the exact-Jaccard pair join is quadratic in the document
+frequency of each shingle — fine at gate SF, ruinous at 100 TB. The
+production path is :func:`minhash_lsh_candidates`: candidate pairs
+come from equality joins on (band, bucket), which shuffle-partition
+evenly, and only candidates get the exact verify. Ultra-frequent
+shingles (stopword-grams) are droppable via ``max_doc_freq_frac``
+without hurting recall — they carry no discriminative signal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.operators.text import char_shingles
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact dedup on the given columns (hash shuffle on those cols)."""
+    return df.dropDuplicates(list(cols))
+
+
+def fingerprint_clusters(
+    df: DataFrame, id_col: str, text_col: str, min_size: int = 2
+) -> DataFrame:
+    """Group documents by content hash; return clusters of exact dups."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("cluster_size") >= min_size)
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq_frac: float | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity ≥ threshold.
+
+    intersection via shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    ``max_doc_freq_frac`` (scale path) drops shingles present in more
+    than that fraction of documents before pairing — set None for the
+    oracle-exact form.
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    if max_doc_freq_frac is not None:
+        n_docs = df.count()
+        cap = int(n_docs * max_doc_freq_frac)
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("__df") <= cap)), "shingle")
+            .drop("__df")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
+
+    shingle → xxhash64 under ``num_hashes`` seeds → per-doc min per
+    seed (one aggregation) → group signature into ``bands`` bands →
+    equality join on (band, band-hash). All shuffles are equality-key
+    hash shuffles; no quadratic blowup. Candidates should be verified
+    with exact Jaccard (cheap: candidate set is tiny).
+    """
+    rows = num_hashes // bands
+    sh = char_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(num_hashes)]
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    x = stacked.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    y = stacked.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
+
+    Per document: for each bit position, sum ±1 weighted by the token
+    hash's bit → sign becomes the sketch bit. Near-dups have small
+    Hamming distance. Implemented with explode + bitwise expressions —
+    no UDF, one aggregation shuffle on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    sketch = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(0)
+                for b in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return sketch
+
+
+def simhash_neardup_pairs(
+    sketches: DataFrame, id_col: str, max_hamming: int = 3, block_bits: int = 16
+) -> DataFrame:
+    """Hamming-ball pairing on SimHash sketches via block-LSH.
+
+    Split the 64-bit sketch into ``64/block_bits`` blocks; by pigeonhole
+    any pair within ``max_hamming`` (< number of blocks) shares at
+    least one exact block → equality join per block, then exact
+    Hamming verify with ``bit_count``.
+    """
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = sketches.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("b.blk"), F.col("b.bval"))
+    a = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "blk", "bval"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "blk", "bval"
+    )
+    return (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Exact brute-force cosine top-k as the oracle-checkable baseline, and
+an LSH-bucketed approximate variant as the scale path.
+
+Scale notes: the exact path broadcasts the (small) query set and
+scans the corpus once — a map-only stage plus a per-query top-k
+aggregate; it is O(|corpus|·|queries|·d) but never shuffles the
+corpus. The dot products run as Catalyst ``aggregate``/``zip_with``
+higher-order functions (JVM codegen, no Python). The LSH path buckets
+by random-projection signs so each query only scans its bucket —
+the classic recall/cost tradeoff, with ``n_probes`` to widen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order
+    (matches DuckDB's list_dot_product order for oracle parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan corpus once.
+
+    Output: (qid, neighbor_id, sim, rank), rank 1..k per query,
+    deterministic tiebreak on neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("neighbor_id"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("sim_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "neighbor_id",
+            (F.round(F.col("sim_raw"), 4) + F.lit(0.0)).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+
+    Exact quadratic form for gate SF; at scale, pre-bucket with
+    :func:`rp_bucketed_topk`'s projection signs and only compare
+    within buckets.
+    """
+    a = emb.select(
+        F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("sim_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim_raw") >= threshold)
+        .select("doc_a", "doc_b", (F.round("sim_raw", 4) + F.lit(0.0)).alias("sim"))
+    )
+
+
+def _projection_vectors(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy
+    dependency at plan-build time)."""
+    vecs: list[list[float]] = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64* PRNG, mapped to [-1, 1)
+            state ^= (state >> 12) & 0xFFFFFFFFFFFFFFFF
+            state = (state ^ (state << 25)) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 27
+            r = ((state * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) >> 11
+            v.append(r / float(1 << 53) * 2.0 - 1.0)
+        vecs.append(v)
+    return vecs
+
+
+def rp_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via random-projection sign buckets
+    (IVF/LSH-style scale path; not oracle-gated).
+
+    Bucket id = sign bits of ``n_planes`` fixed hyperplane projections.
+    Queries join only their own bucket — corpus scan work drops by
+    ~2^n_planes at some recall cost. Deterministic (fixed seeded
+    hyperplanes), so results are stable run-to-run.
+    """
+    planes = _projection_vectors(dim, n_planes)
+
+    def bucket_of(vec: Column) -> Column:
+        bits = []
+        for i, p in enumerate(planes):
+            proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+            bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", bucket_of(F.col("cv")))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("bucket", bucket_of(F.col("qv")))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("sim_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label centroid of each dimension: posexplode + grouped avg —
+    one shuffle on (label, dim), partial aggregation map-side."""
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(_as_double(F.col(vec_col)))
+    ).toDF(label_col, "dim", "val")
+    return (
+        exploded.groupBy(label_col, "dim")
+        # +0.0 normalizes IEEE -0.0 (round can produce it) to +0.0 so
+        # output hashing is engine-independent.
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"))
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (split / regexp / aggregate) — no Python
+in the hot path; these run inside whole-stage codegen and scale
+linearly with a single map stage (no shuffle except the final
+aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny multilingual-ish stopword list used for quality scoring.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer shape, simplified to what both regex engines
+# support identically).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_count(text: Column) -> Column:
+    """Number of whitespace tokens that are stopwords."""
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def vowel_ratio(text: Column) -> Column:
+    """Fraction of characters that are vowels — the n-gram-style signal
+    used by the language-ID heuristic."""
+    vowels = F.length(F.regexp_replace(text, "[^aeiou]", ""))
+    return vowels / F.length(text)
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Deterministic character-statistics language guess.
+
+    A stand-in for a real n-gram language model (fasttext-style);
+    the *plumbing* — per-document scoring via codegen'd expressions,
+    no UDF — is the scale-relevant part.
+    """
+    vr = vowel_ratio(text)
+    return (
+        F.when(vr > 0.40, F.lit("es"))
+        .when(vr > 0.35, F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token counts, average word length,
+    stopword ratio — the classic pre-training quality filters."""
+    t = F.col(text_col)
+    n_words = token_count(t)
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("int"),
+            "avg_word_len": (
+                (F.length(t) - n_words + 1) / n_words
+            ),  # total non-space chars / words (single-space-separated text)
+            "stopword_ratio": stopword_count(t) / n_words,
+            "bpe_tokens": bpe_token_count(t).cast("int"),
+        }
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 hex).
+
+    The rolling-hash fingerprint of the reference pipeline world maps
+    to a content hash here; md5 is computed identically by Spark and
+    DuckDB which makes it oracle-checkable.
+    """
+    return F.md5(text)
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per document.
+
+    Explodes ``length-n+1`` substrings per doc — a map-side explode
+    (no shuffle) followed by a distinct (one shuffle on (id, shingle)).
+    """
+    idx = F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .filter(F.length(text_col) >= n)
+        .select(F.col(id_col), F.col(text_col), idx.alias("__i"))
+        .select(
+            F.col(id_col),
+            F.col(text_col).substr(F.col("__i"), F.lit(n)).alias("shingle"),
+        )
+        .distinct()
+    )

@@ -1,4 +1,455 @@
-"""L01–L05 + training-data pipeline extensions (SURVEY.md §2.4).
+"""L01+ — LLM-training-data pipeline queries (SURVEY.md §2.4 L* set
+plus the extension operators: dedup families, similarity search,
+text analysis, multimodal plumbing).
 
-Filled in incrementally.
+Gated queries have exact DuckDB twins; approximate/scale-path
+operators (MinHash-LSH, SimHash, RP-bucketed ANN) and Pandas-UDF
+stubs are registered without an oracle → driver records the weaker
+rows-only check.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.operators import dedup as D
+from graal_cdc_spark.operators import multimodal as MM
+from graal_cdc_spark.operators import similarity as S
+from graal_cdc_spark.operators import text as TX
+from graal_cdc_spark.queries import QuerySpec, register
+from graal_cdc_spark.sources.tables import load_table
+
+
+def _l(name: str, description: str, spark_fn, oracle: str | None, ref: str = "") -> None:
+    register(
+        QuerySpec(
+            name=name,
+            category="llm",
+            description=description,
+            spark=spark_fn,
+            oracle=oracle,
+            reference=ref,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L01 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _l01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs.select("text"), ["text"])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_l(
+    "l01_exact_dedup",
+    "exact dedup: distinct document texts",
+    _l01,
+    "SELECT CAST(count(*) AS BIGINT) AS cnt FROM (SELECT DISTINCT text FROM documents) t",
+)
+
+# ---------------------------------------------------------------------------
+# L02 — near-dup candidates: exact 5-gram shingle Jaccard (MinHash twin)
+# ---------------------------------------------------------------------------
+
+
+def _l02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_l(
+    "l02_shingle_jaccard_neardup",
+    "near-dup pairs: exact 5-gram char-shingle Jaccard >= 0.8",
+    _l02,
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(u AS INT), 5) AS shingle
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS u
+    FROM documents WHERE length(text) >= 5
+  ) t
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(icnt * 1.0 / (sa.n_sh + sb.n_sh - icnt), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE icnt * 1.0 / (sa.n_sh + sb.n_sh - icnt) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L03 — token counts (word frequency top-50)
+# ---------------------------------------------------------------------------
+
+
+def _l03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+_l(
+    "l03_token_counts",
+    "word frequency: explode(split) + count, top-50",
+    _l03,
+    """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 50
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L04 — similarity search: exact cosine top-5 for query vectors
+# ---------------------------------------------------------------------------
+
+
+def _l04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        S.cosine_topk_exact(emb, q, k=5)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    )
+
+
+_l(
+    "l04_cosine_topk",
+    "exact cosine top-5 neighbors for vec_id < 10 (broadcast q × corpus scan)",
+    _l04,
+    """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sims AS (
+  SELECT qid, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim_raw
+  FROM q, c
+  WHERE qid <> neighbor_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, sim_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, neighbor_id) AS rnk
+  FROM sims
+)
+SELECT qid, neighbor_id, round(sim_raw, 4) + 0 AS sim, CAST(rnk AS INT) AS rank
+FROM ranked
+WHERE rnk <= 5
+ORDER BY qid, rank
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L05 — embedding aggregation: per-label centroids
+# ---------------------------------------------------------------------------
+
+
+def _l05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.centroids(emb)
+        .withColumn("dim", F.col("dim").cast("int"))
+        .orderBy("label", "dim")
+    )
+
+
+_l(
+    "l05_embedding_centroids",
+    "per-label centroid of each of 64 dims (posexplode + grouped avg)",
+    _l05,
+    """
+SELECT label, CAST(dim AS INT) AS dim, round(avg(val), 4) + 0 AS centroid
+FROM (
+  SELECT label,
+         unnest(generate_series(0, 63)) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+) t
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L06/L07 — scale-path near-dup (MinHash-LSH, SimHash) — rows-only checks
+# ---------------------------------------------------------------------------
+
+
+def _l06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=5, num_hashes=32, bands=8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_l(
+    "l06_minhash_lsh_candidates",
+    "MinHash+banded-LSH near-dup candidate pairs (scale path; approximate)",
+    _l06,
+    None,
+)
+
+
+def _l07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sk = D.simhash64(docs, "doc_id", "text")
+    return D.simhash_neardup_pairs(sk, "doc_id", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_l(
+    "l07_simhash_neardup",
+    "SimHash64 sketch + block-LSH Hamming<=3 near-dup pairs (scale path)",
+    _l07,
+    None,
+)
+
+# ---------------------------------------------------------------------------
+# L08 — embedding-cosine near-dup pairs (exact, gated)
+# ---------------------------------------------------------------------------
+
+
+def _l08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_l(
+    "l08_embedding_neardup_pairs",
+    "embedding near-dup: all pairs with cosine >= 0.8",
+    _l08,
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) + 0 AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L09 — text quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _l09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = TX.token_count(t)
+    chars = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    # floor-truncation instead of round: Spark rounds the double's
+    # shortest decimal repr (4.475 -> 4.48) while DuckDB rounds the true
+    # binary value (-> 4.47); floor of the scaled quotient is identical
+    # in both engines.
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("int").alias("n_words"),
+            (F.floor(chars * 100.0 / n_words) / 100.0).alias("avg_word_len"),
+            (F.floor(TX.stopword_count(t) * 10000.0 / n_words) / 10000.0).alias(
+                "stopword_ratio"
+            ),
+            TX.bpe_token_count(t).cast("int").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l09_text_quality",
+    "quality features: words, avg word length, stopword ratio, BPE-ish tokens",
+    _l09,
+    f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       floor(length(replace(text, ' ', '')) * 100.0 / len(string_split(text, ' '))) / 100.0 AS avg_word_len,
+       floor(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','on'))) * 10000.0
+             / len(string_split(text, ' '))) / 10000.0 AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS INT) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L10 — document fingerprinting: exact-dup clusters via content hash
+# ---------------------------------------------------------------------------
+
+
+def _l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.fingerprint_clusters(docs, "doc_id", "text", min_size=2).orderBy("fp")
+
+
+_l(
+    "l10_fingerprint_clusters",
+    "md5 content-fingerprint exact-dup clusters (size >= 2)",
+    _l10,
+    """
+SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS cluster_size,
+       min(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) >= 2
+ORDER BY fp
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L11 — language-ID heuristic vs labeled lang
+# ---------------------------------------------------------------------------
+
+
+def _l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.langid_heuristic(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_l(
+    "l11_langid_heuristic",
+    "character-statistics language-ID confusion counts",
+    _l11,
+    """
+SELECT lang,
+       CASE WHEN length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0 / length(text) > 0.40 THEN 'es'
+            WHEN length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0 / length(text) > 0.35 THEN 'de'
+            ELSE 'zh' END AS predicted,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, predicted
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L12 — approximate ANN scale path (random-projection buckets) — rows-only
+# ---------------------------------------------------------------------------
+
+
+def _l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.rp_bucketed_topk(emb, q, k=5, n_planes=4).orderBy("qid", "rank")
+
+
+_l(
+    "l12_ann_rp_bucketed",
+    "approximate cosine top-k via random-projection sign buckets (scale path)",
+    _l12,
+    None,
+)
+
+# ---------------------------------------------------------------------------
+# MM — multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+def _mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return (
+        media.select(
+            "media_id",
+            "media_type",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.sha256").alias("sha256"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_l(
+    "mm01_media_metadata",
+    "binary payload column + typed metadata (octet_length, sha256)",
+    _mm01,
+    """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+ORDER BY media_id
+""",
+)
+
+
+def _mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media, fake=True)
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.size("feature").alias("n_feat"),
+            F.round(F.element_at("feature", 1), 4).alias("f0"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_l(
+    "mm02_feature_extract_stub",
+    "mapInPandas Arrow-batched feature extraction (deterministic decode stub)",
+    _mm02,
+    None,
+)
+
+
+def _mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return (
+        MM.frame_sample(media, every_n=10)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+_l(
+    "mm03_frame_sample_stub",
+    "mapInPandas 1→N frame sampling shape (video stub)",
+    _mm03,
+    None,
+)
