@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's query suite at a scale factor.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <suite seconds>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Query set: every oracle-gated query except the deliberately quadratic
+exact shingle-Jaccard (l02 — its pair join materializes ~1.5e9 rows at
+sf0.1 by construction; the scale path for near-dup is MinHash-LSH,
+which IS benched as l06), plus the scale-path rows-only operators
+(l06/l07/l12, mm02/mm03).
+
+Results are materialized with the noop sink — full execution, no
+driver-side collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="graal-cdc-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    skip = {"l02_shingle_jaccard_neardup"}  # quadratic by construction
+    names = [n for n in sorted(specs) if n not in skip]
+
+    # JVM/codegen warmup (not timed).
+    specs["r14_global_topk"].spark(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name in names:
+        t0 = time.time()
+        df = specs[name].spark(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
