@@ -61,6 +61,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from graal_cdc_spark.queries import cdc, relational, llm  # noqa: F401
+    from graal_cdc_spark.queries import cdc, relational, llm, streaming  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,137 @@
+"""ST1–ST3 — event-time windowed aggregations (SURVEY.md §2.4).
+
+The reference has NO event-time semantics (arrival-order processing
+only, ``DebeziumEngineRecordHandler.java:130-146``); these queries are
+the declared idiomatic-Spark extension: tumbling / sliding / session
+windows with watermark support.
+
+Gated here in batch form over ``events`` — the *same* transform
+functions (``graal_cdc_spark.streaming.windows``) run on ``readStream``
+in the golden streaming tests (``tests/test_streaming.py``), so the
+oracle gate covers the shared window logic while the streaming tests
+cover watermark/late-data behavior.
+
+Window starts are epoch-aligned in both engines (DuckDB ``time_bucket``
+origin 2000-01-03 is a whole multiple of 5/10 minutes past the epoch,
+so its buckets coincide with Spark's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graal_cdc_spark.queries import QuerySpec, register
+from graal_cdc_spark.session import configure
+from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_events(spark, sf_dir)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+register(
+    QuerySpec(
+        name="st1_tumbling_window",
+        category="streaming",
+        description="tumbling 10-min window counts per event_type "
+        "(batch twin of the streaming query)",
+        spark=_st1,
+        oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        reference="SURVEY.md §2.2 (extension; reference has no event time)",
+    )
+)
+
+
+def _st2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(_events(spark, sf_dir)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+register(
+    QuerySpec(
+        name="st2_sliding_window",
+        category="streaming",
+        description="sliding 10-min/5-min window counts per event_type",
+        spark=_st2,
+        oracle="""
+WITH k AS (SELECT 0 AS i UNION ALL SELECT 1),
+s AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - i * INTERVAL '5 minutes' AS ws,
+         event_type
+  FROM events CROSS JOIN k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM s
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        reference="SURVEY.md §2.2 (extension)",
+    )
+)
+
+
+def _st3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(_events(spark, sf_dir)).orderBy(
+        "user_id", "session_start"
+    )
+
+
+register(
+    QuerySpec(
+        name="st3_session_window",
+        category="streaming",
+        description="session windows per user (1-hour inactivity gap); "
+        "end = last event + gap, Spark session_window semantics",
+        spark=_st3,
+        # Gaps-and-islands twin of Spark's session_window: a new session
+        # starts when the gap since the previous event is >= 1 hour
+        # (sessions are half-open [start, last+gap), adjacency splits).
+        oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n
+FROM g
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+        reference="SURVEY.md §2.2 (extension)",
+    )
+)

@@ -1,0 +1,98 @@
+"""Event-time windowed aggregations (ST1–ST3).
+
+The reference processes events in arrival (log) order with no event-time
+semantics at all (``DebeziumEngineRecordHandler.java:130-146`` — see
+SURVEY.md §2.2 "streaming watermarks: none"). These operators are the
+idiomatic-Spark upgrade: event-time windows + watermark-bounded state.
+
+Unified batch/stream: each function takes any DataFrame with a ``ts``
+timestamp column. In batch mode (watermark=None) the same expressions
+compute the gated oracle twins; on a ``readStream`` DataFrame with a
+watermark they run incrementally with bounded state.
+
+Scale notes:
+- ``window()``/``session_window()`` aggregation is one hash shuffle on
+  (window, keys) with map-side partial aggregation — the minimum for
+  this semantics. State size is bounded by (watermark horizon ×
+  distinct keys), not stream length.
+- Window starts are epoch-aligned, so outputs are deterministic and
+  partition-stable across any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _with_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    return df.withWatermark("ts", watermark) if watermark else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST1 — tumbling-window event counts per event_type.
+
+    Output: (window_start STRING, event_type, n) — window start
+    formatted as UTC 'yyyy-MM-dd HH:mm:ss' so batch/stream/oracle
+    compare byte-identically.
+    """
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST2 — sliding-window counts (each event lands in window/slide
+    overlapping windows; 10m/5m ⇒ 2 windows per event)."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST3 — session windows per user: a session closes after ``gap``
+    of inactivity. Session end follows Spark's definition:
+    last-event-ts + gap (the oracle twin mirrors it as max(ts)+gap).
+
+    Output: (user_id, session_start STRING, session_end STRING, n).
+    """
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n",
+        )
+    )

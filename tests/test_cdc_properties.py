@@ -1,0 +1,92 @@
+"""Property-based CDC tests (SURVEY.md §5.2.5).
+
+Invariant: for ANY event log — random ops c/u/d/r, random keys,
+interleaved tombstones / DDL / malformed / non-row noise — the
+engine's filter chain + latest-by-key compaction equals a naive
+sequential replay of the log (the reference's semantics: per-key
+ordered apply with id-keyed upsert/delete,
+``DebeziumEngineRecordHandler.java:130-146`` +
+``ElasticsearchUtils.java:131-177``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graal_cdc_spark.cdc.compaction import compact_cdc
+from graal_cdc_spark.cdc.envelope import parse_envelope
+
+_KEYS = [str(k) for k in range(6)]
+
+
+def _envelope(op: str, key: str, seq: int) -> str:
+    after = "null" if op == "d" else json.dumps({"k": key, "v": seq})
+    return (
+        '{"payload":{"op":"%s","before":null,"after":%s,'
+        '"source":{"db":"appdb","table":"t"}}}' % (op, after)
+    )
+
+
+_event = st.one_of(
+    # row-level events (the signal)
+    st.tuples(st.sampled_from("cudr"), st.sampled_from(_KEYS)),
+    # noise the filter chain must drop
+    st.just(("tombstone", None)),
+    st.just(("ddl", None)),
+    st.just(("malformed", None)),
+    st.just(("nonrow", None)),
+)
+
+
+def _value(kind: str, key: str | None, seq: int) -> tuple[int, str | None, str | None]:
+    if kind == "tombstone":
+        return (seq, "0", None)
+    if kind == "ddl":
+        return (seq, "0", '{"payload":{"ddl":"ALTER TABLE t ADD c INT","source":{"db":"appdb","table":"t"}}}')
+    if kind == "malformed":
+        return (seq, "0", '{"noPayload":true}')
+    if kind == "nonrow":
+        return (seq, "0", '{"payload":{"op":"m","after":{},"source":{"db":"appdb","table":"t"}}}')
+    return (seq, key, _envelope(kind, key, seq))
+
+
+def _naive_replay(log: list[tuple[int, str | None, str | None]]) -> dict[str, tuple]:
+    """Reference semantics, row at a time: upsert on c/u/r, delete on d;
+    drop all noise. Returns key -> (op, seq) of the live rows."""
+    state: dict[str, tuple] = {}
+    for seq, key, value in sorted(log):
+        if value is None:
+            continue
+        payload = json.loads(value).get("payload")
+        if payload is None or "ddl" in payload or "after" not in payload:
+            continue
+        op = payload.get("op")
+        if op not in ("c", "u", "r", "d"):
+            continue
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = (op, seq)
+    return state
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_event, min_size=0, max_size=60))
+def test_compaction_equals_sequential_replay(spark, events):
+    log = [_value(kind, key, seq * 10) for seq, (kind, key) in enumerate(events)]
+    expected = _naive_replay(log)
+
+    df = spark.createDataFrame(
+        log or [(0, "0", None)], "seq BIGINT, key STRING, value STRING"
+    )
+    compacted = compact_cdc(parse_envelope(df))
+    got = {r["key"]: (r["op"], r["seq"]) for r in compacted.collect()}
+    assert got == expected

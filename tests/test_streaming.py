@@ -1,0 +1,194 @@
+"""Streaming golden tests (SURVEY.md §5.2.4/6).
+
+Three properties of the Structured Streaming surface:
+
+1. Batch/stream unification — the ST window transforms produce the
+   same result on ``readStream`` (complete mode, AvailableNow) as on
+   the batch DataFrame (the oracle-gated twin).
+2. Watermark semantics — late events beyond the watermark are dropped;
+   append mode emits only finalized windows.
+3. CDC compaction stream — the end-to-end streaming pipeline converges
+   to the batch compaction result, resumes from its checkpoint
+   (tailer-cursor semantics), and is idempotent under full replay
+   (at-least-once + idempotent upsert, SURVEY.md §2.3.3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from graal_cdc_spark.cdc.compaction import compact_cdc
+from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.streaming import (
+    append_chunk,
+    read_file_stream,
+    run_cdc_compaction_stream,
+    run_to_memory,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _rows(spark, df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# 1. unification: stream (complete mode) == batch twin
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.coalesce(4), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+    got = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    want = tumbling_counts(events)
+    assert _rows(spark, got) == _rows(spark, want)
+
+
+# ---------------------------------------------------------------------------
+# 2. watermark: late data dropped, append emits finalized windows only
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(spark, rows):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    data = [
+        (i, t0 + dt.timedelta(minutes=m), 1, et, 1.0, "{}")
+        for i, (m, et) in enumerate(rows)
+    ]
+    # One file per chunk ⇒ one micro-batch per chunk under
+    # maxFilesPerTrigger=1, so batch boundaries are deterministic.
+    return spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    replay = str(tmp_path / "replay")
+    # The watermark effective DURING batch N is max-event-time through
+    # batch N-2 minus delay (it is computed at batch end and applied
+    # one batch later), so the late event arrives two chunks after the
+    # event that advances the clock.
+    # chunk 1: three events in [10:00,10:10)
+    append_chunk(_mk_events(spark, [(1, "a"), (2, "a"), (9, "b")]), replay)
+    # chunk 2: 10:30 advances max event time ⇒ watermark 10:20
+    append_chunk(_mk_events(spark, [(30, "a")]), replay)
+    # chunk 3: filler batch so 10:20 becomes effective next batch
+    append_chunk(_mk_events(spark, [(31, "b")]), replay)
+    # chunk 4: a late event at 10:05 (window end 10:10 <= effective
+    # watermark 10:20 ⇒ dropped) and a fresh one at 10:35.
+    append_chunk(_mk_events(spark, [(5, "a"), (35, "b")]), replay)
+
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    got = run_to_memory(
+        tumbling_counts(stream, watermark="10 minutes"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # Only the finalized window, with chunk-1 counts — the late 10:05
+    # event did NOT bump 'a' to 3; open windows (10:30/10:35) unemitted.
+    assert _rows(spark, got) == [
+        ("2024-01-01 10:00:00", "a", 2),
+        ("2024-01-01 10:00:00", "b", 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# 3. CDC compaction stream: convergence, resume, idempotence
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cdc_chunks(spark, sf_dir):
+    """The synthetic envelope log split into two arrival chunks by seq
+    (log order), as the reference's hourly-rolled segments would be."""
+    cdc = build_cdc_events(spark, sf_dir)
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    return (
+        cdc.filter(F.col("seq") <= mid),
+        cdc.filter(F.col("seq") > mid),
+        compact_cdc(parse_envelope(cdc)),
+    )
+
+
+def test_compaction_stream_converges_and_resumes(spark, tmp_path, cdc_chunks):
+    first, second, want = cdc_chunks
+    replay = str(tmp_path / "replay")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: only the first half of the log has arrived
+    append_chunk(first.coalesce(2), replay)
+    sink = run_cdc_compaction_stream(spark, replay, state, ckpt)
+    partial = _rows(spark, sink.current_table())
+    want_partial = _rows(spark, compact_cdc(parse_envelope(first)))
+    assert partial == want_partial
+
+    # run 2: rest arrives; same checkpoint ⇒ resumes from the cursor,
+    # processing only the new files
+    append_chunk(second.coalesce(2), replay)
+    sink = run_cdc_compaction_stream(spark, replay, state, ckpt)
+    assert _rows(spark, sink.current_table()) == _rows(spark, want)
+
+
+def test_compaction_replay_is_idempotent(spark, tmp_path, cdc_chunks):
+    first, second, want = cdc_chunks
+    replay = str(tmp_path / "replay")
+    state = str(tmp_path / "state")
+
+    append_chunk(first.coalesce(2), replay)
+    append_chunk(second.coalesce(2), replay)
+    run_cdc_compaction_stream(spark, replay, state, str(tmp_path / "ckpt1"))
+    once = _rows(spark, spark.read.parquet(state))
+
+    # Lose the checkpoint (cursor) but keep the state: full replay over
+    # existing state must converge to the same table — the reference's
+    # at-least-once + id-keyed-upsert contract.
+    run_cdc_compaction_stream(spark, replay, state, str(tmp_path / "ckpt2"))
+    assert _rows(spark, spark.read.parquet(state)) == once
+    assert _rows(spark, spark.read.parquet(state)) == _rows(
+        spark, compact_cdc(parse_envelope(first.unionByName(second)), False)
+    )
+
+
+def test_compaction_stream_multibatch_order(spark, tmp_path, cdc_chunks):
+    """maxFilesPerTrigger=1 ⇒ many small ordered batches; the merge
+    must still converge (per-key latest wins across batches)."""
+    first, second, want = cdc_chunks
+    replay = str(tmp_path / "replay")
+    append_chunk(first.coalesce(2), replay)
+    append_chunk(second.coalesce(2), replay)
+    sink = run_cdc_compaction_stream(
+        spark,
+        replay,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert _rows(spark, sink.current_table()) == _rows(spark, want)
