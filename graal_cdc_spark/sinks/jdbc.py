@@ -1,0 +1,175 @@
+"""JDBC sink — keyed upsert via dialect MERGE in ``foreachBatch``.
+
+The reference README claims "built-in Elasticsearch and JDBC sinks"
+(``README.md:10``) but contains no JDBC code (SURVEY.md §2.2); this
+module honors the claim Spark-first:
+
+- append/overwrite loads: plain ``df.write.jdbc`` (built-in, parallel
+  per partition).
+- upsert (the CDC materialization case): Spark's JDBC writer cannot
+  MERGE, so ``write_jdbc_batch`` stages the micro-batch into a temp
+  table with ``df.write.jdbc`` and issues one dialect-specific
+  merge statement — the standard ``foreachBatch`` upsert recipe.
+
+``merge_statement`` is a pure function (unit-tested without a
+database); execution requires a JDBC driver jar on the cluster and is
+exercised only when a ``jdbc_url`` is configured.
+
+Scale notes: the stage-write is executor-parallel; the single MERGE
+runs in the database (set-based, index-backed), not in Spark. Task
+retries re-stage into a fresh temp table, and MERGE is idempotent on
+the key — at-least-once + idempotent sink, same contract as the ES
+sink (SURVEY.md §2.3.3).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class JdbcSinkConfig:
+    url: str  # jdbc:postgresql://... | jdbc:mysql://...
+    table: str
+    key_cols: tuple[str, ...]
+    user: str = ""
+    password: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.url.startswith("jdbc:"):
+            raise ValueError(f"jdbc sink: url must start with 'jdbc:': {self.url!r}")
+        if not self.table.strip():
+            raise ValueError("jdbc sink: table is required")
+        if not self.key_cols:
+            raise ValueError("jdbc sink: key_cols is required")
+
+    @property
+    def dialect(self) -> str:
+        return self.url.split(":", 2)[1]
+
+
+def merge_statement(
+    dialect: str,
+    table: str,
+    staging: str,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> str:
+    """Upsert-from-staging SQL for the target dialect.
+
+    postgresql → ``INSERT .. ON CONFLICT (keys) DO UPDATE``
+    mysql      → ``INSERT .. ON DUPLICATE KEY UPDATE``
+    (the two source databases the reference captures from,
+    ``DbType.java:12-13``; generic → ANSI ``MERGE INTO``)
+    """
+    all_cols = list(key_cols) + [c for c in value_cols if c not in key_cols]
+    cols = ", ".join(all_cols)
+    if dialect == "postgresql":
+        updates = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in all_cols if c not in key_cols
+        )
+        conflict = ", ".join(key_cols)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+        )
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"{c} = VALUES({c})" for c in all_cols if c not in key_cols
+        )
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    updates = ", ".join(f"t.{c} = s.{c}" for c in all_cols if c not in key_cols)
+    inserts = ", ".join(f"s.{c}" for c in all_cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {updates} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({inserts})"
+    )
+
+
+def delete_statement(
+    table: str, staging: str, key_cols: Sequence[str]
+) -> str:
+    """Propagate CDC deletes: remove target rows whose key appears in
+    the staging table (K3/K4 analog for JDBC)."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"DELETE FROM {table} t WHERE EXISTS "
+        f"(SELECT 1 FROM {staging} s WHERE {on})"
+    )
+
+
+def write_jdbc_batch(
+    batch_df: DataFrame,
+    cfg: JdbcSinkConfig,
+    batch_id: int | None = None,
+    op_col: str | None = None,
+    run_sql=None,
+) -> dict[str, str]:
+    """``foreachBatch`` body: stage the batch, MERGE upserts, DELETE
+    tombstones. Returns the statements it ran (for observability).
+
+    ``run_sql(sql)`` executes a statement on the target database; by
+    default it uses the JVM DriverManager via the active SparkContext
+    (requires the JDBC driver jar, cluster-only).
+    """
+    staging = f"{cfg.table}_stage_{uuid.uuid4().hex[:8]}"
+    props = {"user": cfg.user, "password": cfg.password}
+
+    upserts = batch_df
+    deletes = None
+    if op_col is not None and op_col in batch_df.columns:
+        deletes = batch_df.filter(batch_df[op_col] == "d").drop(op_col)
+        upserts = batch_df.filter(batch_df[op_col] != "d").drop(op_col)
+
+    value_cols = [c for c in upserts.columns if c not in cfg.key_cols]
+    stmts: dict[str, str] = {
+        "merge": merge_statement(
+            cfg.dialect, cfg.table, staging, cfg.key_cols, value_cols
+        )
+    }
+    if deletes is not None:
+        stmts["delete"] = delete_statement(cfg.table, f"{staging}_del", cfg.key_cols)
+
+    if run_sql is None:
+        run_sql = _jvm_run_sql(batch_df, cfg)
+    upserts.write.jdbc(cfg.url, staging, mode="overwrite", properties=props)
+    try:
+        run_sql(stmts["merge"])
+    finally:
+        run_sql(f"DROP TABLE IF EXISTS {staging}")
+    if deletes is not None:
+        deletes.select(*cfg.key_cols).write.jdbc(
+            cfg.url, f"{staging}_del", mode="overwrite", properties=props
+        )
+        try:
+            run_sql(stmts["delete"])
+        finally:
+            run_sql(f"DROP TABLE IF EXISTS {staging}_del")
+    return stmts
+
+
+def _jvm_run_sql(df: DataFrame, cfg: JdbcSinkConfig):
+    """Statement runner over the JVM's DriverManager (needs driver jar)."""
+
+    def run(sql: str) -> None:
+        jvm = df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(
+            cfg.url, cfg.user, cfg.password
+        )
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    return run

@@ -1,0 +1,148 @@
+"""Pipeline registry tests (SURVEY.md §5.2.3 "registry reload
+semantics") — discovery layout, config validation, identity dedup,
+mtime-versioned hot reload, unregister-on-delete, and routing."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+from graal_cdc_spark.pipelines import PipelineRegistry, discover_pipeline_files
+
+PIPE = textwrap.dedent(
+    """
+    def config():
+        return {"name": %(name)r, "db": "appdb", "tables": ("users",)}
+
+    def transform(df):
+        from pyspark.sql import functions as F
+        return df.groupBy("op").agg(F.count(F.lit(1)).alias(%(alias)r))
+    """
+)
+
+
+def _write(path, name="p1", alias="n"):
+    path.write_text(PIPE % {"name": name, "alias": alias})
+    return path
+
+
+# -- discovery (C2: *.py or subdir/index.py) --------------------------------
+
+
+def test_discovery_layout(tmp_path):
+    _write(tmp_path / "a.py")
+    (tmp_path / "pkg").mkdir()
+    _write(tmp_path / "pkg" / "index.py", name="p2")
+    (tmp_path / "pkg" / "helper.py").write_text("")  # not an entry point
+    (tmp_path / "_private.py").write_text("")
+    (tmp_path / "notes.txt").write_text("")
+    (tmp_path / "empty_dir").mkdir()
+
+    found = [p.relative_to(tmp_path).as_posix() for p in discover_pipeline_files(tmp_path)]
+    assert found == ["a.py", "pkg/index.py"]
+
+
+# -- validation --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "body,match",
+    [
+        ("def transform(df): return df", "must define config"),
+        ("def config(): return {'name': 'x'}", "must define transform"),
+        ("def config(): return []\ndef transform(df): return df", "must return a dict"),
+        ("def config(): return {}\ndef transform(df): return df", "'name'"),
+        (
+            "def config(): return {'name': 'x', 'tables': ['', 'u']}\n"
+            "def transform(df): return df",
+            "tables",
+        ),
+    ],
+)
+def test_invalid_pipelines_rejected(tmp_path, body, match):
+    p = tmp_path / "bad.py"
+    p.write_text(body)
+    with pytest.raises(ValueError, match=match):
+        PipelineRegistry().register(p)
+
+
+# -- identity dedup (C1) + duplicate names ----------------------------------
+
+
+def test_register_is_idempotent(tmp_path):
+    reg = PipelineRegistry()
+    p = _write(tmp_path / "a.py")
+    first = reg.register(p)
+    assert reg.register(p) is first  # same path+version → same object
+
+
+def test_duplicate_name_across_paths_rejected(tmp_path):
+    reg = PipelineRegistry()
+    reg.register(_write(tmp_path / "a.py"))
+    with pytest.raises(ValueError, match="duplicate pipeline name"):
+        reg.register(_write(tmp_path / "b.py"))  # same name "p1"
+
+
+# -- hot reload (C3/U3) ------------------------------------------------------
+
+
+def test_refresh_add_reload_remove(tmp_path):
+    reg = PipelineRegistry()
+    a = _write(tmp_path / "a.py")
+    assert reg.refresh(tmp_path) == {
+        "added": ["p1"], "reloaded": [], "removed": [], "failed": []
+    }
+    # no change → no-op tick
+    assert reg.refresh(tmp_path)["reloaded"] == []
+
+    # touch with new content → version bump → reload picks up new logic
+    _write(a, alias="n2")
+    os.utime(a, (os.path.getmtime(a) + 5,) * 2)
+    assert reg.refresh(tmp_path)["reloaded"] == ["p1"]
+    assert reg.pipelines()["p1"].version == os.path.getmtime(a)
+
+    # delete → unregister
+    a.unlink()
+    assert reg.refresh(tmp_path)["removed"] == ["p1"]
+    assert reg.pipelines() == {}
+
+
+def test_broken_script_does_not_kill_others(tmp_path):
+    reg = PipelineRegistry()
+    _write(tmp_path / "a.py")
+    (tmp_path / "boom.py").write_text("raise RuntimeError('boom')")
+    res = reg.refresh(tmp_path)
+    assert res["added"] == ["p1"]
+    assert len(res["failed"]) == 1 and "boom" in res["failed"][0]
+
+
+# -- routing + transform over real envelope data -----------------------------
+
+
+def test_route_and_apply(spark, sf_dir, tmp_path):
+    reg = PipelineRegistry()
+    pipe = reg.register(_write(tmp_path / "a.py"))
+    parsed = parse_envelope(build_cdc_events(spark, sf_dir))
+
+    routed = pipe.route(parsed)
+    assert routed.filter((F.col("db") != "appdb") | (F.col("tbl") != "users")).count() == 0
+
+    got = {r["op"]: r["n"] for r in pipe.apply(parsed).collect()}
+    want = {
+        r["op"]: r["n"]
+        for r in parsed.filter("db = 'appdb' AND tbl = 'users'")
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == {"c", "u", "d", "r"}
+
+    # reload changes the transform that apply() uses (U3 semantics)
+    _write(tmp_path / "a.py", alias="renamed")
+    os.utime(tmp_path / "a.py", (os.path.getmtime(tmp_path / "a.py") + 5,) * 2)
+    reg.refresh(tmp_path)
+    assert "renamed" in reg.pipelines()["p1"].apply(parsed).columns

@@ -1,0 +1,192 @@
+"""Sink unit tests (SURVEY.md §5.2.3) — request construction mirrors
+``ElasticsearchUtils.java:104-177``: single vs bulk dispatch, NDJSON
+body bytes, auth header, empty no-op, delete propagation; JDBC merge
+statement generation per dialect."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pytest
+
+from graal_cdc_spark.cdc.compaction import compact_cdc
+from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+from graal_cdc_spark.sinks import (
+    EsSinkConfig,
+    JdbcSinkConfig,
+    merge_statement,
+    requests_for,
+    write_cdc_dataframe,
+)
+from graal_cdc_spark.sinks.elasticsearch import FileRecordingTransport
+from graal_cdc_spark.sinks.jdbc import delete_statement
+
+CFG = EsSinkConfig(url="http://es:9200/idx", username="u", password="p", id_key="id")
+
+
+# ---------------------------------------------------------------------------
+# K6 — validation + auth
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("field", ["url", "username", "password", "id_key"])
+def test_blank_params_rejected(field):
+    kwargs = dict(url="http://x", username="u", password="p", id_key="id")
+    kwargs[field] = "  "
+    with pytest.raises(ValueError, match=field):
+        EsSinkConfig(**kwargs)
+
+
+def test_auth_header_url_encodes_credentials():
+    cfg = EsSinkConfig(url="http://x", username="u@ser", password="p:ss/w", id_key="id")
+    creds = base64.b64decode(cfg.auth_header.split(" ", 1)[1]).decode()
+    # URL-encoded before base64, as the reference does (:122-123)
+    assert creds == "u%40ser:p%3Ass%2Fw"
+
+
+def test_empty_records_noop():
+    assert requests_for(CFG, [], "index") == []
+    assert requests_for(CFG, [], "delete") == []
+
+
+def test_missing_id_key_rejected():
+    with pytest.raises(ValueError, match="missing id key"):
+        requests_for(CFG, [{"x": 1}], "index")
+
+
+# ---------------------------------------------------------------------------
+# K1/K3 — single-record dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_single_upsert_is_put_doc():
+    [(method, url, headers, body)] = requests_for(CFG, [{"id": 7, "v": "a"}], "index")
+    assert (method, url) == ("PUT", "http://es:9200/idx/_doc/7")
+    assert headers["Authorization"].startswith("Basic ")
+    assert headers["Content-Type"] == "application/json"
+    assert json.loads(body) == {"id": 7, "v": "a"}
+
+
+def test_single_delete_is_delete_doc():
+    [(method, url, _, body)] = requests_for(CFG, [{"id": "k 1"}], "delete")
+    assert (method, url) == ("DELETE", "http://es:9200/idx/_doc/k%201")
+    assert body is None
+
+
+# ---------------------------------------------------------------------------
+# K2/K4 — bulk NDJSON (correct /_bulk endpoint, not the /_bluk typo)
+# ---------------------------------------------------------------------------
+
+
+def test_bulk_upsert_ndjson_bytes():
+    recs = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    [(method, url, headers, body)] = requests_for(CFG, recs, "index")
+    assert (method, url) == ("POST", "http://es:9200/idx/_bulk")
+    assert headers["Content-Type"] == "application/x-ndjson"
+    assert body == (
+        '{"index":{"_id":"1"}}\n{"id":1,"v":"a"}\n'
+        '{"index":{"_id":"2"}}\n{"id":2,"v":"b"}\n'
+    )
+
+
+def test_bulk_delete_ndjson_bytes():
+    recs = [{"id": 1}, {"id": 2}]
+    [(_, url, _, body)] = requests_for(CFG, recs, "delete")
+    assert url.endswith("/_bulk")
+    assert body == '{"delete":{"_id":"1"}}\n{"delete":{"_id":"2"}}\n'
+
+
+def test_bulk_chunking():
+    cfg = EsSinkConfig(
+        url="http://x", username="u", password="p", id_key="id", bulk_chunk_size=2
+    )
+    reqs = requests_for(cfg, [{"id": i} for i in range(5)], "index")
+    assert [r[0] for r in reqs] == ["POST"] * 3
+    sizes = [r[3].count('{"index"') for r in reqs]
+    assert sizes == [2, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: CDC compaction → ES sink via foreachPartition
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_write_upserts_and_deletes(spark, sf_dir, tmp_path):
+    outdir = str(tmp_path / "reqs")
+    os.makedirs(outdir)
+    cfg = EsSinkConfig(
+        url="http://es:9200/idx", username="u", password="p", id_key="key"
+    )
+
+    latest = compact_cdc(
+        parse_envelope(build_cdc_events(spark, sf_dir)), drop_deletes=False
+    ).select("key", "op", "seq")
+    write_cdc_dataframe(
+        latest, cfg, transport_factory=lambda: FileRecordingTransport(outdir)
+    )
+
+    upserted, deleted = set(), set()
+    for name in os.listdir(outdir):
+        req = json.load(open(os.path.join(outdir, name)))
+        assert req["method"] in ("PUT", "DELETE", "POST")
+        if req["method"] == "PUT":
+            upserted.add(json.loads(req["body"])["key"])
+        elif req["method"] == "DELETE":
+            deleted.add(req["url"].rsplit("/", 1)[1])
+        else:
+            for line in req["body"].splitlines():
+                obj = json.loads(line)
+                if "index" in obj:
+                    upserted.add(obj["index"]["_id"])
+                elif "delete" in obj:
+                    deleted.add(obj["delete"]["_id"])
+
+    want = {(r["key"], r["op"]) for r in latest.collect()}
+    assert upserted == {k for k, op in want if op != "d"}
+    assert deleted == {k for k, op in want if op == "d"}
+    assert upserted.isdisjoint(deleted)
+
+
+# ---------------------------------------------------------------------------
+# JDBC sink — dialect merge statements
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_config_validation():
+    with pytest.raises(ValueError, match="jdbc:"):
+        JdbcSinkConfig(url="http://x", table="t", key_cols=("k",))
+    with pytest.raises(ValueError, match="key_cols"):
+        JdbcSinkConfig(url="jdbc:postgresql://x/db", table="t", key_cols=())
+    assert JdbcSinkConfig(url="jdbc:mysql://x/db", table="t", key_cols=("k",)).dialect == "mysql"
+
+
+def test_merge_statement_postgresql():
+    sql = merge_statement("postgresql", "tgt", "stg", ["k"], ["a", "b"])
+    assert sql == (
+        "INSERT INTO tgt (k, a, b) SELECT k, a, b FROM stg "
+        "ON CONFLICT (k) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b"
+    )
+
+
+def test_merge_statement_mysql():
+    sql = merge_statement("mysql", "tgt", "stg", ["k"], ["a"])
+    assert sql == (
+        "INSERT INTO tgt (k, a) SELECT k, a FROM stg "
+        "ON DUPLICATE KEY UPDATE a = VALUES(a)"
+    )
+
+
+def test_merge_statement_ansi():
+    sql = merge_statement("oracle", "tgt", "stg", ["k1", "k2"], ["v"])
+    assert sql.startswith("MERGE INTO tgt t USING stg s ON (t.k1 = s.k1 AND t.k2 = s.k2)")
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (k1, k2, v) VALUES (s.k1, s.k2, s.v)" in sql
+
+
+def test_delete_statement():
+    sql = delete_statement("tgt", "stg", ["k"])
+    assert sql == (
+        "DELETE FROM tgt t WHERE EXISTS (SELECT 1 FROM stg s WHERE t.k = s.k)"
+    )
