@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graal_cdc_spark.cdc.filters import row_event_filter_chain
+from graal_cdc_spark.cdc.filters import ROW_OPS
 from graal_cdc_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -80,50 +80,58 @@ def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"source":{"db":"appdb","table":"'), F.col("tbl"), F.lit('"}')
     )
 
-    main_rows = base.select(
-        (F.col("event_id") * 10).alias("seq"),
-        F.col("key"),
-        F.concat(
-            F.lit('{"payload":{"op":"'),
-            F.col("op"),
-            F.lit('","before":null,"after":'),
-            after_json,
-            F.lit(","),
-            source_json,
-            F.lit("}}"),
-        ).alias("value"),
+    main_value = F.concat(
+        F.lit('{"payload":{"op":"'),
+        F.col("op"),
+        F.lit('","before":null,"after":'),
+        after_json,
+        F.lit(","),
+        source_json,
+        F.lit("}}"),
+    )
+    ddl_value = F.concat(
+        F.lit('{"payload":{"ddl":"ALTER TABLE '),
+        F.col("tbl"),
+        F.lit(' ADD COLUMN c INT",'),
+        source_json,
+        F.lit("}}"),
+    )
+    nonrow_value = F.concat(
+        F.lit('{"payload":{"op":"m","after":{},'), source_json, F.lit("}}")
     )
 
-    tombstones = base.filter(F.col("event_id") % 97 == 0).select(
-        (F.col("event_id") * 10 + 1).alias("seq"),
-        F.col("key"),
-        F.lit(None).cast("string").alias("value"),
+    # Single scan, single pass: emit every row kind from one array +
+    # explode instead of 5 unioned re-scans of the source. `keep`
+    # gates the deterministic noise rows; Catalyst folds the whole
+    # construction into one codegen stage over one parquet read.
+    def _row(offset: int, value, keep):
+        return F.struct(
+            (F.col("event_id") * 10 + offset).alias("seq"),
+            F.col("key").alias("key"),
+            value.alias("value"),
+            keep.alias("keep"),
+        )
+
+    rows = F.array(
+        _row(0, main_value, F.lit(True)),
+        _row(1, F.lit(None).cast("string"), F.col("event_id") % 97 == 0),
+        _row(2, ddl_value, F.col("event_id") % 101 == 0),
+        _row(3, F.lit('{"noPayload":true}'), F.col("event_id") % 103 == 0),
+        _row(4, nonrow_value, F.col("event_id") % 107 == 0),
     )
-    ddl_rows = base.filter(F.col("event_id") % 101 == 0).select(
-        (F.col("event_id") * 10 + 2).alias("seq"),
-        F.col("key"),
-        F.concat(
-            F.lit('{"payload":{"ddl":"ALTER TABLE '),
-            F.col("tbl"),
-            F.lit(' ADD COLUMN c INT",'),
-            source_json,
-            F.lit("}}"),
-        ).alias("value"),
-    )
-    malformed = base.filter(F.col("event_id") % 103 == 0).select(
-        (F.col("event_id") * 10 + 3).alias("seq"),
-        F.col("key"),
-        F.lit('{"noPayload":true}').alias("value"),
-    )
-    nonrow = base.filter(F.col("event_id") % 107 == 0).select(
-        (F.col("event_id") * 10 + 4).alias("seq"),
-        F.col("key"),
-        F.concat(
-            F.lit('{"payload":{"op":"m","after":{},'), source_json, F.lit("}}")
-        ).alias("value"),
+    return (
+        base.select(F.explode(F.filter(rows, lambda r: r["keep"])).alias("r"))
+        .select("r.seq", "r.key", "r.value")
     )
 
-    return main_rows.unionAll(tombstones).unionAll(ddl_rows).unionAll(malformed).unionAll(nonrow)
+
+# Typed envelope schema for the fused parse. ``after`` is read
+# separately (its raw JSON is surfaced, and F7 is a key-presence test
+# that a typed schema cannot express).
+ENVELOPE_SCHEMA = (
+    "STRUCT<payload: STRUCT<op: STRING, ddl: STRING, "
+    "source: STRUCT<db: STRING, `table`: STRING>>>"
+)
 
 
 def parse_envelope(cdc_events: DataFrame) -> DataFrame:
@@ -132,16 +140,33 @@ def parse_envelope(cdc_events: DataFrame) -> DataFrame:
     Mirrors the reference hot path
     (``DebeziumEngineRecordHandler.java:154-179``): filters first, then
     projection of op / source.db / source.table.
+
+    Hot-path form: ONE ``from_json`` parse per row feeds F4–F6 and the
+    projection (the composable per-filter API in
+    ``graal_cdc_spark.cdc.filters`` re-parses per predicate and stays
+    available for à-la-carte use; semantics are identical — see the
+    truth-table test). F3 is a null test and F7 a substring test on
+    the raw value; neither needs the parse.
     """
-    filtered = row_event_filter_chain(cdc_events)
-    return filtered.select(
-        F.col("seq"),
-        F.floor(F.col("seq") / 10).cast("bigint").alias("event_id"),
-        F.col("key"),
-        F.get_json_object("value", "$.payload.op").alias("op"),
-        F.get_json_object("value", "$.payload.source.db").alias("db"),
-        F.get_json_object("value", "$.payload.source.table").alias("tbl"),
-        F.get_json_object("value", "$.payload.after").alias("after_json"),
+    p = F.from_json(F.col("value"), ENVELOPE_SCHEMA)["payload"]
+    return (
+        cdc_events.withColumn("__p", p)
+        .filter(
+            F.col("value").isNotNull()  # F3 tombstone
+            & F.col("__p").isNotNull()  # F4 malformed (no payload object)
+            & F.col("__p")["ddl"].isNull()  # F5 schema change
+            & F.col("__p")["op"].isin(*ROW_OPS)  # F6 non-row op
+            & F.col("value").like('%"after"%')  # F7 after-key presence
+        )
+        .select(
+            F.col("seq"),
+            F.floor(F.col("seq") / 10).cast("bigint").alias("event_id"),
+            F.col("key"),
+            F.col("__p")["op"].alias("op"),
+            F.col("__p")["source"]["db"].alias("db"),
+            F.col("__p")["source"]["table"].alias("tbl"),
+            F.get_json_object("value", "$.payload.after").alias("after_json"),
+        )
     )
 
 

@@ -113,10 +113,15 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     sh = char_shingles(df, id_col, text_col, n)
-    hashed = sh.select(
+    # Hash each variable-length shingle string ONCE, then derive the
+    # per-seed family by re-hashing the fixed-width 64-bit value
+    # (universal-hashing minhash trick; affine multiply would trip
+    # ANSI-mode overflow, so the rehash is xxhash64 over the long).
+    with_base = sh.withColumn("__h0", F.xxhash64(F.col("shingle")))
+    hashed = with_base.select(
         F.col(id_col),
         *[
-            F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}")
+            F.xxhash64(F.col("__h0"), F.lit(seed)).alias(f"h{seed}")
             for seed in range(num_hashes)
         ],
     )

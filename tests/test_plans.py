@@ -1,0 +1,116 @@
+"""Physical-plan audits — the 100 TB regression guards.
+
+Correctness tests prove the small-SF answer; these prove the PLAN
+shape survives scale: filters reach the parquet scan, scans are
+column-pruned, small dims broadcast (no sort-merge of a dim table,
+no accidental cartesian), aggregations combine map-side, and no
+row-at-a-time Python sneaks into any hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graal_cdc_spark.plans import audit
+from graal_cdc_spark.queries import all_specs
+
+SF = "/root/testdata/sf0.01"
+
+
+def _audit(spark, name):
+    return audit(all_specs()[name].spark(spark, SF))
+
+
+# ---------------------------------------------------------------------------
+# every query: no row-at-a-time Python, no cartesian product
+# ---------------------------------------------------------------------------
+
+# Deliberate nested-loop joins: tiny broadcast side by construction
+# (l04/l12 broadcast the query set; l08 joins a ~16-row block table).
+_BNLJ_OK = {
+    "l04_cosine_topk",
+    "l08_embedding_neardup_pairs",
+    "l12_ann_rp_bucketed",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_no_slow_paths(spark, name):
+    a = _audit(spark, name)
+    assert a.python_evals == 0, f"{name}: row-at-a-time Python UDF in plan"
+    assert not a.has("CartesianProduct"), f"{name}: cartesian product"
+    if name not in _BNLJ_OK:
+        assert not a.has("BroadcastNestedLoopJoin"), (
+            f"{name}: unexpected nested-loop join"
+        )
+
+
+# ---------------------------------------------------------------------------
+# scan-level: pushdown + pruning
+# ---------------------------------------------------------------------------
+
+
+def test_r01_filters_reach_parquet_scan(spark):
+    a = _audit(spark, "r01_scan_filter_project")
+    pushed = " ".join(a.pushed_filters())
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert a.shuffles == 0  # scan → sort/limit, no exchange before TakeOrdered
+    # projection pruning: a 3-column output must not read all 16 cols
+    assert len(a.scan_columns()) <= 7
+
+
+def test_r02_scan_pruned_to_needed_columns(spark):
+    a = _audit(spark, "r02_hash_aggregate_q1")
+    assert a.scan_columns() <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    assert "l_shipdate" in " ".join(a.pushed_filters())
+
+
+# ---------------------------------------------------------------------------
+# join strategies: dims broadcast, no sort-merge on small sides
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        ("r03_join_agg_topk", 2),   # customer/orders broadcast into lineitem
+        ("r04_broadcast_join", 2),  # region ⋈ nation ⋈ customer
+        ("r08_range_join", 1),      # part broadcast, theta-condition post-filter
+        ("r06_left_semi_join", 1),
+        ("r07_left_anti_join", 1),
+    ],
+)
+def test_dimension_joins_broadcast(spark, name, min_bhj):
+    a = _audit(spark, name)
+    assert a.broadcast_joins >= min_bhj, f"{name}: expected broadcast join"
+    assert a.sortmerge_joins == 0, f"{name}: sort-merge where broadcast expected"
+
+
+# ---------------------------------------------------------------------------
+# aggregation: map-side partials, bounded shuffles
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("r02_hash_aggregate_q1", 2),        # agg + output sort
+        ("c06_latest_by_key_compaction", 2),  # key window + output sort
+        ("l01_exact_dedup", 2),               # distinct partial+final
+        ("st1_tumbling_window", 2),           # window agg + output sort
+        ("r12_ranking_window", 2),            # per-key window + output sort
+    ],
+)
+def test_single_data_shuffle(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["r02_hash_aggregate_q1", "l01_exact_dedup", "st1_tumbling_window"]
+)
+def test_map_side_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
