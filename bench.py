@@ -47,10 +47,21 @@ def main() -> None:
     skip = {"l02_shingle_jaccard_neardup"}  # quadratic by construction
     names = [n for n in sorted(specs) if n not in skip]
 
-    # JVM/codegen warmup (not timed).
+    # Warmup (not timed): first-query JVM/codegen spin-up, the
+    # envelope-synthesis codegen path, and the Python worker pool
+    # (first pandas/mapInPandas query otherwise pays ~4 s of
+    # interpreter+numpy startup across 32 workers).
     specs["r14_global_topk"].spark(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    specs["c02_ddl_filter"].spark(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    import pandas as _pd
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (_pd.DataFrame({"x": [len(p)] }) for p in it), "x long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     t_suite = time.time()
