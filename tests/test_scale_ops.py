@@ -1,0 +1,152 @@
+"""Scale-path operators: CDC Kafka source assembly, stateful
+latest-by-key change feed, salted aggregation/join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.cdc.compaction import latest_by_key
+from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+from graal_cdc_spark.operators.skew import salted_aggregate, salted_join
+from graal_cdc_spark.sources.cdc import CdcSubscription, normalize_kafka_frame
+from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.streaming import append_chunk, read_file_stream, run_to_memory
+from graal_cdc_spark.streaming.stateful import running_latest_by_key
+
+
+# ---------------------------------------------------------------------------
+# CDC source (S1/S2): subscription → Kafka reader options
+# ---------------------------------------------------------------------------
+
+
+def test_subscription_validation_and_identity():
+    with pytest.raises(ValueError, match="db_type"):
+        CdcSubscription(name="a", db_type="oracle", bootstrap_servers="k:9092")
+    sub = CdcSubscription(name="appdb", db_type="mysql", bootstrap_servers="k:9092")
+    assert sub.unique_key == "mysql:k:9092#appdb"  # C1 dedup key
+
+
+def test_table_filter_becomes_topic_selection():
+    sub = CdcSubscription(
+        name="cdc1", db_type="mysql", bootstrap_servers="k:9092",
+        tables=("appdb.users", "appdb.orders"),
+    )
+    opts = sub.kafka_options()
+    assert opts["subscribe"] == "cdc1.appdb.users,cdc1.appdb.orders"  # F1
+    assert "subscribePattern" not in opts
+
+
+def test_database_filter_becomes_topic_pattern():
+    sub = CdcSubscription(
+        name="cdc1", db_type="postgresql", bootstrap_servers="k:9092",
+        databases=("appdb", "auditdb"), max_offsets_per_trigger=10000,
+    )
+    opts = sub.kafka_options()
+    assert opts["subscribePattern"] == r"cdc1\.(appdb|auditdb)\..+"  # F2
+    assert opts["maxOffsetsPerTrigger"] == "10000"  # backpressure bound
+
+
+def test_kafka_frame_normalizes_to_envelope_and_parses(spark):
+    # a Kafka-schema batch frame: offsets become seq, NULL value
+    # (tombstone) survives normalization for F3 to drop
+    rows = [
+        (0, 0, b"1", b'{"payload":{"op":"c","before":null,"after":{"x":1},'
+                     b'"source":{"db":"appdb","table":"users"}}}'),
+        (1, 0, b"1", None),  # tombstone
+        (2, 0, b"2", b'{"payload":{"ddl":"ALTER","source":{"db":"appdb","table":"users"}}}'),
+    ]
+    kafka = spark.createDataFrame(
+        rows, "offset BIGINT, partition INT, key BINARY, value BINARY"
+    )
+    parsed = parse_envelope(normalize_kafka_frame(kafka))
+    got = [(r["key"], r["op"], r["seq"]) for r in parsed.collect()]
+    assert got == [("1", "c", 0)]
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: running latest-by-key change feed
+# ---------------------------------------------------------------------------
+
+
+def test_running_latest_by_key_change_feed(spark, sf_dir, tmp_path):
+    cdc = build_cdc_events(spark, sf_dir)
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    replay = str(tmp_path / "replay")
+    append_chunk(cdc.filter(F.col("seq") <= mid).coalesce(1), replay)
+    append_chunk(cdc.filter(F.col("seq") > mid).coalesce(1), replay)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    stream = read_file_stream(spark, replay, schema, max_files_per_trigger=1)
+    feed = run_to_memory(
+        running_latest_by_key(parse_envelope(stream)),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # the LAST emission per key == batch latest-by-key (incl. deletes)
+    final = {
+        r["key"]: (r["seq"], r["op"])
+        for r in latest_by_key(feed, ["key"], "seq").collect()
+    }
+    want = {
+        r["key"]: (r["seq"], r["op"])
+        for r in latest_by_key(parse_envelope(cdc), ["key"], "seq").collect()
+    }
+    assert final == want
+    # and the feed is monotonic per key (no regressions emitted)
+    emitted = feed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx")
+    )
+    assert emitted.filter(F.col("n") < 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# skew: salted forms equal unsalted results
+# ---------------------------------------------------------------------------
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # sum over DECIMAL so the two-phase reduction is order-insensitive
+    # (double addition is not associative; same protocol as the gated
+    # queries, FIXTURES.md §4)
+    ev = ev.withColumn("value", F.col("value").cast("decimal(18,4)"))
+    got = salted_aggregate(
+        ev,
+        ["user_id"],
+        {"n": ("count", "event_id"), "total": ("sum", "value"),
+         "first_seen": ("min", "event_id"), "last_seen": ("max", "event_id")},
+        n_salts=8,
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("event_id").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("event_id").alias("first_seen"),
+        F.max("event_id").alias("last_seen"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_aggregate_rejects_nondecomposable():
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_aggregate(None, ["k"], {"a": ("avg", "x")})
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain(spark, sf_dir, how):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    left = orders.withColumnRenamed("o_custkey", "c_custkey")
+    got = salted_join(left, customer, ["c_custkey"], how=how, n_salts=4)
+    want = left.join(customer, ["c_custkey"], how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
