@@ -112,7 +112,9 @@ def minhash_lsh_candidates(
     with exact Jaccard (cheap: candidate set is tiny).
     """
     rows = num_hashes // bands
-    sh = char_shingles(df, id_col, text_col, n)
+    # distinct=False: min-hash is duplicate-insensitive, so the
+    # (id, shingle) dedup shuffle is pure waste here.
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
     # Hash each variable-length shingle string ONCE, then derive the
     # per-seed family by re-hashing the fixed-width 64-bit value
     # (universal-hashing minhash trick; affine multiply would trip

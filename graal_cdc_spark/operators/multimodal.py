@@ -114,6 +114,40 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_stub(media: DataFrame, target: int = 64) -> DataFrame:
+    """Image-resize stub: payload → (media_id, width, height, payload_out).
+
+    Real resize needs PIL/cv2 (absent here); the deterministic fake
+    derives "dimensions" from payload length and truncates the payload,
+    preserving the real operator's shape: binary-in/binary-out
+    mapInPandas with bounded Arrow batches — the 1→1 heavy-byte
+    transform pattern (decode → transform → re-encode).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [target] * len(pdf),
+                    "height": [target] * len(pdf),
+                    "payload_out": [p[: target * target // 16] for p in pdf["payload"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload_out", T.BinaryType()),
+        ]
+    )
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits (media_id, frame_no) rows for
     every ``every_n``-th synthetic frame — exercises the 1→N explode

@@ -89,14 +89,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per document.
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Character n-gram shingles per document.
 
     Explodes ``length-n+1`` substrings per doc — a map-side explode
-    (no shuffle) followed by a distinct (one shuffle on (id, shingle)).
+    (no shuffle). ``distinct=True`` adds one (id, shingle) shuffle for
+    set semantics (required by exact Jaccard); minhash-style consumers
+    pass ``distinct=False`` because ``min`` is idempotent to
+    duplicates, skipping that shuffle entirely.
     """
     idx = F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)) - (n - 1)))
-    return (
+    sh = (
         df.select(F.col(id_col), F.col(text_col))
         .filter(F.length(text_col) >= n)
         .select(F.col(id_col), F.col(text_col), idx.alias("__i"))
@@ -104,5 +109,5 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
             F.col(id_col),
             F.col(text_col).substr(F.col("__i"), F.lit(n)).alias("shingle"),
         )
-        .distinct()
     )
+    return sh.distinct() if distinct else sh

@@ -453,3 +453,26 @@ _l(
     _mm03,
     None,
 )
+
+
+def _mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return (
+        MM.resize_stub(media, target=64)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.octet_length("payload_out").alias("out_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_l(
+    "mm04_resize_stub",
+    "mapInPandas binary-in/binary-out resize shape (image stub)",
+    _mm04,
+    None,
+)

@@ -1,4 +1,4 @@
-"""R01–R24 — relational operator surface (SURVEY.md §2.4).
+"""R01–R25 — relational operator surface (SURVEY.md §2.4).
 
 The reference has no joins/aggregates/windows/sorts/set-ops
 (SURVEY.md §2.2); these queries declare the standard relational
@@ -862,4 +862,128 @@ ORDER BY l_orderkey, l_linenumber, l_partkey
 LIMIT 2000
 """,
     ref="ScriptExecutor.java:167-199",
+)
+
+# ---------------------------------------------------------------------------
+# R23 — pivot (conditional cross-tab aggregation)
+# ---------------------------------------------------------------------------
+
+
+def _r23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    # Spark's pivot with explicit values (no extra distinct-values job;
+    # at scale the value list must always be declared).
+    piv = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        piv.select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"cnt_{c.lower()}") for c in ("F", "O", "P")],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_r(
+    "r23_pivot",
+    "pivot / cross-tab: order counts by priority x status",
+    _r23,
+    """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R24 — exact percentiles (median / p90)
+# ---------------------------------------------------------------------------
+
+
+def _r24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    # exact interpolated percentile (both engines: linear interpolation
+    # over the sorted values); floor-truncation for cross-engine float
+    # stability, same trick as L09
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.floor(F.percentile("o_totalprice", F.lit(0.5)) * 100) / 100).alias("p50"),
+            (F.floor(F.percentile("o_totalprice", F.lit(0.9)) * 100) / 100).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_r(
+    "r24_percentiles",
+    "exact interpolated percentiles per group (median, p90)",
+    _r24,
+    """
+SELECT o_orderpriority,
+       floor(quantile_cont(o_totalprice, 0.5) * 100) / 100 AS p50,
+       floor(quantile_cont(o_totalprice, 0.9) * 100) / 100 AS p90,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R25 — value-range window frame (rolling 30-day sum per customer)
+# ---------------------------------------------------------------------------
+
+
+def _r25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("days")
+        .rangeBetween(-30, 0)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            days.cast("bigint").alias("days"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .withColumn("rolling_30d", F.sum("price").over(w))
+        .select("o_custkey", "o_orderkey", "days", "rolling_30d")
+        .orderBy("o_custkey", "days", "o_orderkey")
+        .limit(2000)
+    )
+
+
+_r(
+    "r25_range_frame",
+    "RANGE window frame: rolling 30-day spend per customer",
+    _r25,
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, days,
+       SUM(price) OVER (PARTITION BY o_custkey ORDER BY days
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rolling_30d
+FROM o
+ORDER BY o_custkey, days, o_orderkey
+LIMIT 2000
+""",
 )
