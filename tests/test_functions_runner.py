@@ -130,3 +130,54 @@ def test_runner_end_to_end(spark, sf_dir, tmp_path):
 
     runner.stop_all()
     assert runner._running == {}
+
+
+def test_runner_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Tailer-cursor semantics: a restarted pipeline processes only
+    data that arrived after its last completed run."""
+    from pyspark.sql import functions as F
+
+    pipe_file = tmp_path / "users_latest.py"
+    pipe_file.write_text(RUNNER_PIPE)
+    pipe = PipelineRegistry().register(pipe_file)
+
+    cdc = build_cdc_events(spark, sf_dir)
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    replay = str(tmp_path / "replay")
+    append_chunk(cdc.filter(F.col("seq") <= mid).coalesce(1), replay)
+
+    seen_batches: list[int] = []
+    rows_per_run: list[int] = []
+
+    class CountingSink:
+        def __call__(self, batch_df, batch_id):
+            seen_batches.append(batch_id)
+            rows_per_run.append(batch_df.count())
+
+    runner = PipelineRunner(spark, replay, str(tmp_path / "ckpt"))
+    runner.start(pipe, CountingSink())
+    runner.await_all()
+    first_batches = list(seen_batches)
+    assert rows_per_run and sum(rows_per_run) > 0
+
+    # nothing new → restart runs no data batches with new rows
+    runner2 = PipelineRunner(spark, replay, str(tmp_path / "ckpt"))
+    runner2.start(pipe, CountingSink())
+    runner2.await_all()
+    assert sum(rows_per_run[len(first_batches):]) == 0
+
+    # new chunk → only its rows are processed on the next start
+    before = sum(rows_per_run)
+    append_chunk(cdc.filter(F.col("seq") > mid).coalesce(1), replay)
+    runner3 = PipelineRunner(spark, replay, str(tmp_path / "ckpt"))
+    runner3.start(pipe, CountingSink())
+    runner3.await_all()
+    new_rows = sum(rows_per_run) - before
+    routed_total = pipe.route(
+        parse_envelope(build_cdc_events(spark, sf_dir))
+    ).count()
+    routed_first = pipe.route(
+        parse_envelope(cdc.filter(F.col("seq") <= mid))
+    ).count()
+    # transform output is latest-per-key of the routed NEW batch only
+    assert 0 < new_rows <= routed_total - routed_first

@@ -192,3 +192,25 @@ def test_compaction_stream_multibatch_order(spark, tmp_path, cdc_chunks):
         max_files_per_trigger=1,
     )
     assert _rows(spark, sink.current_table()) == _rows(spark, want)
+
+
+def test_sliding_and_session_stream_match_batch(spark, sf_dir, tmp_path):
+    """ST2/ST3 unification: the same transforms on readStream
+    (complete mode, AvailableNow) equal the oracle-gated batch twins."""
+    from graal_cdc_spark.streaming import session_counts, sliding_counts
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.coalesce(2), replay)
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+
+    got_sl = run_to_memory(sliding_counts(stream), output_mode="complete")
+    assert _rows(spark, got_sl) == _rows(spark, sliding_counts(events))
+
+    stream2 = read_file_stream(spark, replay, EVENTS_SCHEMA)
+    got_se = run_to_memory(
+        session_counts(stream2, watermark="1 hour"),
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt_se"),
+    )
+    assert _rows(spark, got_se) == _rows(spark, session_counts(events))
