@@ -71,6 +71,15 @@ def shingle_jaccard_pairs(
             sh.join(F.broadcast(freq.filter(F.col("__df") <= cap)), "shingle")
             .drop("__df")
         )
+    return jaccard_pairs_from_shingles(sh, id_col, threshold)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Pairwise Jaccard over a (id, shingle) set table: intersection
+    via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Shared tail of the
+    char-shingle and token-n-gram exact dedup operators."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -93,6 +102,30 @@ def shingle_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def token_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over token (word) n-grams — the
+    word-level twin of :func:`shingle_jaccard_pairs`. Same plan shape:
+    map-side n-gram construction, one distinct shuffle, equality join
+    on the n-gram."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    sh = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
 
 def minhash_lsh_candidates(

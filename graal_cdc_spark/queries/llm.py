@@ -476,3 +476,61 @@ _l(
     _mm04,
     None,
 )
+
+
+def _l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.token_ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+_l(
+    "l13_token_ngram_jaccard",
+    "exact word-3-gram Jaccard near-dup pairs (>= 0.5)",
+    _l13,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+
+
+def _l14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate sketch (HLL++); deterministic for fixed input but not
+    # SQL-oracle-expressible -> rows-only gate, with the exact twin
+    # gated as R11.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct_texts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_l(
+    "l14_approx_distinct_sketch",
+    "approx_count_distinct (HLL++) smoke over documents (exact twin: R11/L01)",
+    _l14,
+    None,
+)

@@ -987,3 +987,37 @@ ORDER BY o_custkey, days, o_orderkey
 LIMIT 2000
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R26 — lateral view / positional explode
+# ---------------------------------------------------------------------------
+
+
+def _r26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", F.posexplode(parts).alias("pos", "word"))
+        .orderBy("o_orderkey", "pos")
+    )
+
+
+_r(
+    "r26_lateral_posexplode",
+    "posexplode / lateral unnest with ordinality",
+    _r26,
+    """
+WITH s AS (
+  SELECT o_orderkey, string_split(o_orderpriority, '-') AS ss
+  FROM orders WHERE o_orderkey <= 4000
+),
+e AS (
+  SELECT o_orderkey, ss, unnest(generate_series(1, len(ss))) AS i FROM s
+)
+SELECT o_orderkey, CAST(i - 1 AS INT) AS pos, ss[i] AS word
+FROM e
+ORDER BY o_orderkey, pos
+""",
+)

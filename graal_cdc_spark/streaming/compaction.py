@@ -69,6 +69,10 @@ class CompactionStateSink:
         return self.spark.read.parquet(self.state_dir)
 
     def merge(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        # Empty micro-batches (no-data triggers, watermark-only ticks)
+        # must not rewrite the state table.
+        if batch_df.isEmpty():
+            return
         # Pre-compact the incoming batch: only the newest row per key
         # can change state, so drop the rest before the state join.
         compact_batch = latest_by_key(batch_df, self.key_cols, self.order_col)
