@@ -37,9 +37,23 @@ TABLES: tuple[str, ...] = (
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# Loaded-DataFrame memo: a DataFrame is an immutable logical plan, so
+# reusing it across queries is safe and skips the parquet footer/schema
+# read (~100 ms each) that otherwise recurs once per table per query.
+# Keyed by Spark application id so a new session never sees stale plans.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# Which sf_dir the session's temp views currently point at.
+_VIEWS_FOR: dict[str, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
@@ -47,6 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
             )
+    _CACHE[key] = df
     return df
 
 
@@ -58,9 +73,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     (FIXTURES.md §4) requires UTC.
     """
     configure(spark)
+    app = spark.sparkContext.applicationId
+    # Re-register only when the views currently point at a different
+    # sf_dir (or none); view registration costs ~1 s for the 10 tables.
+    views_fresh = _VIEWS_FOR.get(app) == sf_dir
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if not views_fresh:
+            df.createOrReplaceTempView(name)
         out[name] = df
+    _VIEWS_FOR[app] = sf_dir
     return out
