@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Empirical scale probe: do the heavy operators scale linearly?
+
+Builds a deterministic 10x replica of sf0.1 under /tmp/graal_scale10
+(keys shifted per replica so group/join cardinality scales; document
+texts vowel-rotated and embedding dimensions rolled per replica so
+similarity structure scales instead of exploding quadratically across
+identical clones), then times the scale-sensitive operators at 1x and
+10x and prints the observed scaling factor per operator.
+
+A factor near 10 (or below, where fixed overhead dominates at 1x)
+means the plan scales linearly; a factor far above 10 flags a
+quadratic term that 100 TB would amplify. Results are recorded in
+BASELINE.md.
+
+Usage: python scripts/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.queries import all_specs
+from graal_cdc_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/graal_scale10"
+
+PROBES = [
+    "c06_latest_by_key_compaction",
+    "r02_hash_aggregate_q1",
+    "r03_join_agg_topk",
+    "r12_ranking_window",
+    "l06_minhash_lsh_candidates",
+    "l08_embedding_neardup_pairs",
+    "st1_tumbling_window",
+]
+
+VOWELS = "aeiou"
+
+
+def build(spark, replicas: int) -> None:
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+
+    def replicate(name, id_shifts, text_col=None, vec_col=None):
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for k in range(replicas):
+            df = base
+            for col, span in id_shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(k * span))
+            if text_col is not None and k:
+                # rotate vowels per replica: texts stay word-shaped but
+                # become textually distinct across replicas
+                rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+                df = df.withColumn(text_col, F.translate(F.col(text_col), VOWELS, rot))
+            if vec_col is not None and k:
+                # roll dimensions: preserves norms and within-replica
+                # similarity exactly, decorrelates across replicas
+                r = k % 64
+                df = df.withColumn(
+                    vec_col,
+                    F.concat(
+                        F.slice(F.col(vec_col), r + 1, 64 - r),
+                        F.slice(F.col(vec_col), 1, r),
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+    replicate("events", {"event_id": 100_000_000, "user_id": 1_000_000})
+    replicate("lineitem", {"l_orderkey": 100_000_000})
+    replicate("orders", {"o_orderkey": 100_000_000, "o_custkey": 10_000_000})
+    replicate("customer", {"c_custkey": 10_000_000})
+    replicate("documents", {"doc_id": 10_000_000}, text_col="text")
+    replicate("embeddings", {"vec_id": 10_000_000}, vec_col="embedding")
+    for name in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+
+
+def time_spec(spark, name, sf_dir) -> float:
+    t0 = time.time()
+    all_specs()[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"building {replicas}x replica at {DST} ...", file=sys.stderr)
+    build(spark, replicas)
+
+    # warmup both paths
+    time_spec(spark, "r14_global_topk", SRC)
+    time_spec(spark, "l08_embedding_neardup_pairs", SRC)
+
+    print(f"{'operator':40s} {'1x':>8s} {'10x':>8s} {'factor':>7s}")
+    for name in PROBES:
+        t1 = time_spec(spark, name, SRC)
+        t10 = time_spec(spark, name, DST)
+        print(f"{name:40s} {t1:8.2f} {t10:8.2f} {t10 / t1:7.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
