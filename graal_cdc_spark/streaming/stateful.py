@@ -49,6 +49,24 @@ def _update_latest(
         yield pd.DataFrame({"key": [key[0]], "seq": [best_seq], "op": [best_op]})
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — keep the first occurrence of each key.
+
+    ``dropDuplicatesWithinWatermark`` bounds the seen-keys state to the
+    watermark horizon (keys older than the watermark are evicted), the
+    correct streaming analog of batch ``dropDuplicates`` for sources
+    that can re-deliver (at-least-once transports, S1/S2): a redelivery
+    within the horizon is suppressed, and horizon width = the
+    transport's max redelivery lag.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_latest_by_key(parsed: DataFrame) -> DataFrame:
     """Streaming change feed of latest (seq, op) per key.
 
