@@ -534,3 +534,51 @@ _l(
     _l14,
     None,
 )
+
+
+def _l15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas) with full oracle parity —
+    the vectorized-python analog of the JVM-expression L05. Raw means
+    come back from numpy; rounding stays Spark-side for parity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        m = v.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(v.shape[1], dtype=np.int32),
+                "centroid_raw": m,
+            }
+        )
+
+    out = emb.groupBy("label").applyInPandas(
+        centroid, "label INT, dim INT, centroid_raw DOUBLE"
+    )
+    return out.select(
+        "label",
+        "dim",
+        (F.round("centroid_raw", 4) + F.lit(0.0)).alias("centroid"),
+    ).orderBy("label", "dim")
+
+
+_l(
+    "l15_centroids_pandas_grouped",
+    "applyInPandas grouped-map centroids (UDF-path twin of L05)",
+    _l15,
+    """
+SELECT label, CAST(dim AS INT) AS dim, round(avg(val), 4) + 0 AS centroid
+FROM (
+  SELECT label,
+         unnest(generate_series(0, 63)) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+) t
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)

@@ -214,3 +214,30 @@ def test_sliding_and_session_stream_match_batch(spark, sf_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt_se"),
     )
     assert _rows(spark, got_se) == _rows(spark, session_counts(events))
+
+
+def test_session_window_append_finalizes_on_watermark(spark, tmp_path):
+    """Append-mode sessionization: a session is emitted once the
+    watermark passes its end (last event + gap); open sessions stay in
+    state. Same two-batch watermark lag as the tumbling test."""
+    from graal_cdc_spark.streaming import session_counts
+
+    replay = str(tmp_path / "replay")
+    # one session for user 1: events 10:00 and 10:20 → end 11:20
+    append_chunk(_mk_events(spark, [(0, "a"), (20, "a")]), replay)
+    # clock jump to 13:00 ⇒ watermark 12:50 > 11:20 (after it becomes
+    # effective two batches later)
+    append_chunk(_mk_events(spark, [(180, "a")]), replay)
+    append_chunk(_mk_events(spark, [(185, "a")]), replay)  # same 2nd session
+    append_chunk(_mk_events(spark, [(190, "a")]), replay)  # filler batch
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        session_counts(stream, gap="1 hour", watermark="10 minutes"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # only the finalized first session; the 13:00+ session is open
+    assert _rows(spark, got) == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:20:00", 2)
+    ]
