@@ -89,6 +89,24 @@ def fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def rolling_fingerprint(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) over the characters.
+
+    Pure Catalyst fold — ``aggregate(transform(split(..)))`` — so it
+    runs in codegen with no Python; per-step modulo keeps the
+    accumulator < base·mod, inside long range under ANSI mode. The
+    same fold is exactly expressible in DuckDB (``list_reduce``),
+    making it oracle-checkable, unlike seeded non-cryptographic
+    hashes whose implementations differ per engine.
+    """
+    codes = F.transform(F.split(text, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * base + c, F.lit(mod)),
+    )
+
+
 def char_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, distinct: bool = True
 ) -> DataFrame:

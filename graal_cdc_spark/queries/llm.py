@@ -582,3 +582,42 @@ GROUP BY label, dim
 ORDER BY label, dim
 """,
 )
+
+
+def _l16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            TX.rolling_fingerprint(F.col("text")).alias("fp"), F.col("doc_id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("fp")
+    )
+
+
+_l(
+    "l16_rolling_hash_clusters",
+    "Rabin-Karp rolling-hash fingerprint dup clusters (fold expressible in both engines)",
+    _l16,
+    """
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           [CAST(0 AS BIGINT)] ||
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+           (acc, c) -> (acc * 31 + c) % 1000000007
+         ) AS fp
+  FROM documents
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size, min(doc_id) AS keeper_id
+FROM fp
+GROUP BY fp
+HAVING count(*) >= 2
+ORDER BY fp
+""",
+)

@@ -241,3 +241,50 @@ def test_session_window_append_finalizes_on_watermark(spark, tmp_path):
     assert _rows(spark, got) == [
         (1, "2024-01-01 10:00:00", "2024-01-01 11:20:00", 2)
     ]
+
+
+def test_kill_and_restart_mid_stream_converges(spark, tmp_path, cdc_chunks):
+    """SURVEY §5.2.6: kill a running streaming query mid-stream, then
+    restart from the same checkpoint — final state equals the
+    single-run state (at-least-once replay + idempotent merge; a batch
+    interrupted by stop() is simply replayed)."""
+    import time as _time
+
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    first, second, want = cdc_chunks
+    replay = str(tmp_path / "replay")
+    # many small files ⇒ many micro-batches to interrupt between
+    append_chunk(first.repartition(6), replay)
+    append_chunk(second.repartition(6), replay)
+
+    schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    sink = CompactionStateSink(spark, str(tmp_path / "state"))
+    raw = read_file_stream(spark, replay, schema, max_files_per_trigger=1)
+    q = (
+        parse_envelope(raw)
+        .writeStream.foreachBatch(sink.merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # let it get partway through, then kill it mid-stream
+    deadline = _time.time() + 60
+    while _time.time() < deadline and not sink._state():
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    # resume from the same checkpoint; drain the rest
+    run_cdc_compaction_stream(
+        spark, replay, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    got = _rows(spark, CompactionStateSink(spark, str(tmp_path / "state")).current_table())
+    assert got == _rows(spark, want)
