@@ -203,25 +203,40 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
-    bit_sums = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(64)
-        ]
+
+    # Packed bit counting: per token, bit b contributes 2 if set else 0
+    # (biased so lane partial sums are non-negative — no borrow between
+    # lanes); 4 16-bit lanes per long ⇒ 16 packed sum columns + a token
+    # count instead of 64 separate ones. Lane capacity 2·n_tokens <
+    # 2^16 for documents up to ~32k tokens (shard longer docs first).
+    # Bit decision below: ones_b > n/2  ⟺  sum(±1) > 0 — identical
+    # sketches to the unpacked formulation.
+    def lane_pack(col_group: int):
+        lanes = []
+        for lane in range(4):
+            b = col_group * 4 + lane
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (16 * lane)))
+        return sum(lanes[1:], lanes[0])
+
+    packed = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(16)],
     )
-    sketch = bit_sums.select(
-        F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"s{b}") > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(0)
-                for b in range(64)
-            ],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
+
+    def bit_sign(g: int, lane: int):
+        # lane value = 2 · ones-count for that bit
+        twice_ones = F.shiftright(F.col(f"p{g}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        b = g * 4 + lane
+        weight = F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
+        return F.when(twice_ones > F.col("n_tok"), weight).otherwise(F.lit(0).cast("bigint"))
+
+    bits = [bit_sign(g, lane) for g in range(16) for lane in range(4)]
+    return packed.select(
+        F.col(id_col), sum(bits[1:], bits[0]).alias("simhash")
     )
-    return sketch
 
 
 def simhash_neardup_pairs(
