@@ -288,3 +288,45 @@ def test_kill_and_restart_mid_stream_converges(spark, tmp_path, cdc_chunks):
     )
     got = _rows(spark, CompactionStateSink(spark, str(tmp_path / "state")).current_table())
     assert got == _rows(spark, want)
+
+
+def test_bronze_append_preserves_raw_log(spark, sf_dir, tmp_path):
+    """Q1 durable append: the bronze layer keeps EVERY raw event
+    (tombstones, DDL, malformed included) and replaying bronze through
+    the filter chain + compaction equals the direct pipeline."""
+    from graal_cdc_spark.streaming.bronze import bronze_sink, read_bronze
+
+    cdc = build_cdc_events(spark, sf_dir)
+    replay = str(tmp_path / "replay")
+    append_chunk(cdc.coalesce(2), replay)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    bronze = str(tmp_path / "bronze")
+    stream = read_file_stream(spark, replay, schema)
+    q = (
+        stream.writeStream.foreachBatch(bronze_sink(bronze))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = read_bronze(spark, bronze)
+    assert set(raw.columns) >= {"seq", "key", "value", "ingest_date", "ingest_hour"}
+    # nothing lost: tombstones (NULL value) and noise rows survive
+    assert raw.count() == cdc.count()
+    assert raw.filter(F.col("value").isNull()).count() == cdc.filter(
+        F.col("value").isNull()
+    ).count()
+
+    replayed = compact_cdc(parse_envelope(raw.select("seq", "key", "value")))
+    direct = compact_cdc(parse_envelope(cdc))
+    assert _rows(spark, replayed) == _rows(spark, direct)
