@@ -32,6 +32,11 @@ from graal_cdc_spark.streaming.compaction import (
     CompactionStateSink,
     run_cdc_compaction_stream,
 )
+from graal_cdc_spark.streaming.bronze import bronze_append, bronze_sink, read_bronze
+from graal_cdc_spark.streaming.stateful import (
+    running_latest_by_key,
+    streaming_exact_dedup,
+)
 
 __all__ = [
     "tumbling_counts",
@@ -42,4 +47,9 @@ __all__ = [
     "run_to_memory",
     "CompactionStateSink",
     "run_cdc_compaction_stream",
+    "bronze_append",
+    "bronze_sink",
+    "read_bronze",
+    "running_latest_by_key",
+    "streaming_exact_dedup",
 ]
