@@ -330,3 +330,25 @@ def test_bronze_append_preserves_raw_log(spark, sf_dir, tmp_path):
     replayed = compact_cdc(parse_envelope(raw.select("seq", "key", "value")))
     direct = compact_cdc(parse_envelope(cdc))
     assert _rows(spark, replayed) == _rows(spark, direct)
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """An event arriving in a later batch within the gap must MERGE
+    into the open session (extending its end), not open a new one."""
+    from graal_cdc_spark.streaming import session_counts
+
+    replay = str(tmp_path / "replay")
+    append_chunk(_mk_events(spark, [(0, "a")]), replay)     # session [10:00,11:00)
+    append_chunk(_mk_events(spark, [(30, "a")]), replay)    # merges → [10:00,11:30)
+    append_chunk(_mk_events(spark, [(240, "a")]), replay)   # clock → 14:00
+    append_chunk(_mk_events(spark, [(245, "a")]), replay)   # filler batch
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        session_counts(stream, gap="1 hour", watermark="10 minutes"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert _rows(spark, got) == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:30:00", 2)
+    ]
