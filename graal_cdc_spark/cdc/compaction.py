@@ -42,6 +42,33 @@ def latest_by_key(
     )
 
 
+def assert_one_row_per_key(
+    df: DataFrame, key_cols: Sequence[str], context: str
+) -> None:
+    """Fail fast when a batch carries more than one row per key.
+
+    Sinks that apply upserts and deletes as sets (ES ``_bulk``, JDBC
+    MERGE) silently mis-order multi-event keys — the reference replays
+    the log strictly in order (Q3), so the *final* event per key must
+    win. A batch that was not pre-compacted and has no sequence column
+    to compact on is ambiguous; refuse it instead of guessing.
+    """
+    dup = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {c: dup[0][c] for c in key_cols}
+        raise ValueError(
+            f"{context}: batch has multiple rows for key {key} and no "
+            f"sequence column to order them; pre-compact with "
+            f"latest_by_key or provide seq_col"
+        )
+
+
 def compact_cdc(parsed: DataFrame, drop_deletes: bool = True) -> DataFrame:
     """Materialize a CDC log: latest row per key, optionally dropping
     keys whose final op is a delete (``op='d'``)."""

@@ -206,34 +206,36 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     # Packed bit counting: per token, bit b contributes 2 if set else 0
     # (biased so lane partial sums are non-negative — no borrow between
-    # lanes); 4 16-bit lanes per long ⇒ 16 packed sum columns + a token
-    # count instead of 64 separate ones. Lane capacity 2·n_tokens <
-    # 2^16 for documents up to ~32k tokens (shard longer docs first).
+    # lanes); 2 32-bit lanes per long ⇒ 32 packed sum columns + a token
+    # count instead of 64 separate ones. Lane-1 accumulation is
+    # 2·ones·2^32 < 2^63 ⟺ ones < 2^30 — safe for ~1B-token documents
+    # (4 16-bit lanes overflowed BIGINT at 16k tokens, which ANSI mode
+    # turns into a job-killing exception).
     # Bit decision below: ones_b > n/2  ⟺  sum(±1) > 0 — identical
     # sketches to the unpacked formulation.
     def lane_pack(col_group: int):
         lanes = []
-        for lane in range(4):
-            b = col_group * 4 + lane
+        for lane in range(2):
+            b = col_group * 2 + lane
             bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (16 * lane)))
+            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (32 * lane)))
         return sum(lanes[1:], lanes[0])
 
     packed = h.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(16)],
+        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(32)],
     )
 
     def bit_sign(g: int, lane: int):
         # lane value = 2 · ones-count for that bit
-        twice_ones = F.shiftright(F.col(f"p{g}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF)
+        twice_ones = F.shiftright(F.col(f"p{g}"), 32 * lane).bitwiseAND(
+            F.lit(0xFFFFFFFF)
         )
-        b = g * 4 + lane
+        b = g * 2 + lane
         weight = F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
         return F.when(twice_ones > F.col("n_tok"), weight).otherwise(F.lit(0).cast("bigint"))
 
-    bits = [bit_sign(g, lane) for g in range(16) for lane in range(4)]
+    bits = [bit_sign(g, lane) for g in range(32) for lane in range(2)]
     return packed.select(
         F.col(id_col), sum(bits[1:], bits[0]).alias("simhash")
     )

@@ -961,7 +961,9 @@ def _r25(spark: SparkSession, sf_dir: str) -> DataFrame:
             days.cast("bigint").alias("days"),
             F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         )
-        .withColumn("rolling_30d", F.sum("price").over(w))
+        # string-cast per the determinism protocol (the gate hashes
+        # decimal renderings differently across engines; cf. R02/R03)
+        .withColumn("rolling_30d", F.sum("price").over(w).cast("string"))
         .select("o_custkey", "o_orderkey", "days", "rolling_30d")
         .orderBy("o_custkey", "days", "o_orderkey")
         .limit(2000)
@@ -980,8 +982,8 @@ WITH o AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, days,
-       SUM(price) OVER (PARTITION BY o_custkey ORDER BY days
-                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rolling_30d
+       CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY days
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS rolling_30d
 FROM o
 ORDER BY o_custkey, days, o_orderkey
 LIMIT 2000

@@ -210,11 +210,30 @@ def write_cdc_dataframe(
     df: DataFrame,
     cfg: EsSinkConfig,
     op_col: str = "op",
+    seq_col: str | None = "seq",
     transport_factory: Callable[[], Transport] = lambda: urllib_transport,
 ) -> None:
     """CDC-aware write: rows with ``op='d'`` become deletes (K3/K4 —
     tombstone→delete mapping), everything else upserts. Plug this into
-    ``foreachBatch`` for the streaming path."""
+    ``foreachBatch`` for the streaming path.
+
+    The batch is pre-compacted to one row per ``cfg.id_key`` (highest
+    ``seq_col`` wins) before dispatch. The reference replays the log in
+    order (Q3), so a delete followed by a re-insert of the same key in
+    one batch must land as the re-insert; applying raw batches as
+    "all upserts, then all deletes" would leave the key deleted. After
+    compaction every key carries exactly its final action, so apply
+    order across keys is immaterial and no ``_bulk`` body repeats an
+    ``_id``. When the batch has no ``seq_col`` (or ``seq_col=None``),
+    key uniqueness is asserted instead — an ambiguous batch is refused
+    rather than mis-ordered.
+    """
+    from graal_cdc_spark.cdc.compaction import assert_one_row_per_key, latest_by_key
+
+    if seq_col is not None and seq_col in df.columns:
+        df = latest_by_key(df, [cfg.id_key], seq_col)
+    else:
+        assert_one_row_per_key(df, [cfg.id_key], "es sink")
     df.foreachPartition(
         lambda rows: _send_partition(rows, cfg, op_col, transport_factory)
     )

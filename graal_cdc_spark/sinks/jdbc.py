@@ -107,14 +107,47 @@ def delete_statement(
     )
 
 
+def prepare_cdc_batch(
+    batch_df: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str | None,
+    seq_col: str | None,
+    context: str = "jdbc sink",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Compact a CDC batch to one row per key, then split it into
+    (upserts, deletes).
+
+    Pre-compaction makes the subsequent MERGE/DELETE order immaterial
+    (each key appears in exactly one of the two sets) and guarantees
+    Postgres ``ON CONFLICT`` never sees the same key twice in one
+    INSERT ("cannot affect row a second time"). A delete followed by a
+    re-insert of the same key within one batch resolves to the
+    re-insert, matching the reference's log-order replay (Q3). Batches
+    without a sequence column are asserted unique per key instead.
+    """
+    from graal_cdc_spark.cdc.compaction import assert_one_row_per_key, latest_by_key
+
+    if seq_col is not None and seq_col in batch_df.columns:
+        batch_df = latest_by_key(batch_df, key_cols, seq_col)
+    else:
+        assert_one_row_per_key(batch_df, key_cols, context)
+    if op_col is None or op_col not in batch_df.columns:
+        return batch_df, None
+    deletes = batch_df.filter(batch_df[op_col] == "d").drop(op_col)
+    upserts = batch_df.filter(batch_df[op_col] != "d").drop(op_col)
+    return upserts, deletes
+
+
 def write_jdbc_batch(
     batch_df: DataFrame,
     cfg: JdbcSinkConfig,
     batch_id: int | None = None,
     op_col: str | None = None,
+    seq_col: str | None = "seq",
     run_sql=None,
 ) -> dict[str, str]:
-    """``foreachBatch`` body: stage the batch, MERGE upserts, DELETE
+    """``foreachBatch`` body: compact the batch to one row per key
+    (see ``prepare_cdc_batch``), stage it, MERGE upserts, DELETE
     tombstones. Returns the statements it ran (for observability).
 
     ``run_sql(sql)`` executes a statement on the target database; by
@@ -124,11 +157,9 @@ def write_jdbc_batch(
     staging = f"{cfg.table}_stage_{uuid.uuid4().hex[:8]}"
     props = {"user": cfg.user, "password": cfg.password}
 
-    upserts = batch_df
-    deletes = None
-    if op_col is not None and op_col in batch_df.columns:
-        deletes = batch_df.filter(batch_df[op_col] == "d").drop(op_col)
-        upserts = batch_df.filter(batch_df[op_col] != "d").drop(op_col)
+    upserts, deletes = prepare_cdc_batch(
+        batch_df, cfg.key_cols, op_col, seq_col
+    )
 
     value_cols = [c for c in upserts.columns if c not in cfg.key_cols]
     stmts: dict[str, str] = {

@@ -33,7 +33,9 @@ TABLES: tuple[str, ...] = (
 
 # Columns stored as TIMESTAMP(NANOS) in parquet — Spark reads them as
 # long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
-# TimestampType here. Values are µs-aligned (verified), so lossless.
+# TimestampType here. Values carry sub-µs precision, so the ns→µs step
+# truncates; integer division matches DuckDB's truncation semantics
+# (float division rounds ~12% of rows to the wrong microsecond).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -59,7 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     _CACHE[key] = df
     return df

@@ -17,3 +17,19 @@ SPECS = {n: s for n, s in all_specs().items() if s.oracle is not None}
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_oracle_parity(spark, sf_dir, name):
     compare_query(spark, SPECS[name], sf_dir)
+
+
+def test_events_ts_truncates_ns_like_duckdb(spark, sf_dir):
+    """events.ts is TIMESTAMP(NANOS) parquet; the ns→µs load conversion
+    must truncate (integer division) exactly as DuckDB does — float
+    division rounded ~12% of rows to the wrong microsecond."""
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.sources.tables import load_table
+    from graal_cdc_spark.testing import run_oracle
+
+    got = load_table(spark, sf_dir, "events").select(
+        F.sum(F.unix_micros("ts")).alias("s")
+    ).collect()[0]["s"]
+    _, [(want,)] = run_oracle("SELECT SUM(epoch_us(ts)) FROM events", sf_dir)
+    assert got == want

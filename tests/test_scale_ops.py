@@ -150,3 +150,61 @@ def test_salted_join_matches_plain(spark, sf_dir, how):
     got = salted_join(left, customer, ["c_custkey"], how=how, n_salts=4)
     want = left.join(customer, ["c_custkey"], how)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: packed-lane accumulation must survive very long documents
+# (4x16-bit lanes overflowed BIGINT at 16k tokens under ANSI mode)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_survives_long_repetitive_document(spark):
+    from graal_cdc_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+    long_doc = " ".join(["lorem", "ipsum", "dolor"] * 8000)  # 24k tokens
+    near_doc = long_doc + " extra"
+    far_doc = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, near_doc), (3, far_doc)], "doc_id BIGINT, text STRING"
+    )
+    sk = simhash64(df, "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in sk.collect()}  # no ANSI overflow
+    assert set(rows) == {1, 2, 3}
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(sk, "doc_id", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_matches_unpacked_reference(spark):
+    """Packed 2x32-bit lane sketch == naive per-bit formulation."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from graal_cdc_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i} delta epsilon{i % 3}") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    naive = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"ones{b}")
+            for b in range(64)
+        ],
+    )
+    want = {}
+    for r in naive.collect():
+        v = 0
+        for b in range(64):
+            if 2 * r[f"ones{b}"] > r["n"]:
+                v += 2**b if b < 63 else -(2**63)
+        want[r.doc_id] = v
+    assert got == want

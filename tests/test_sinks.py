@@ -149,6 +149,90 @@ def test_cdc_write_upserts_and_deletes(spark, sf_dir, tmp_path):
     assert upserted.isdisjoint(deleted)
 
 
+def _drain(outdir):
+    """Parse recorded requests → (upserted ids, deleted ids, all ids seen)."""
+    upserted, deleted, seen = set(), set(), []
+    for name in os.listdir(outdir):
+        req = json.load(open(os.path.join(outdir, name)))
+        if req["method"] == "PUT":
+            _id = str(json.loads(req["body"])["key"])
+            upserted.add(_id)
+            seen.append(_id)
+        elif req["method"] == "DELETE":
+            _id = req["url"].rsplit("/", 1)[1]
+            deleted.add(_id)
+            seen.append(_id)
+        else:
+            for line in req["body"].splitlines():
+                obj = json.loads(line)
+                if "index" in obj:
+                    upserted.add(obj["index"]["_id"])
+                    seen.append(obj["index"]["_id"])
+                elif "delete" in obj:
+                    deleted.add(obj["delete"]["_id"])
+                    seen.append(obj["delete"]["_id"])
+    return upserted, deleted, seen
+
+
+def test_cdc_write_precompacts_delete_then_reinsert(spark, tmp_path):
+    """Log-order replay (Q3): a key deleted then re-inserted within one
+    batch must end upserted. The sink pre-compacts on seq, so the final
+    event per key wins and no bulk body repeats an _id."""
+    outdir = str(tmp_path / "reqs")
+    os.makedirs(outdir)
+    cfg = EsSinkConfig(
+        url="http://es:9200/idx", username="u", password="p", id_key="key"
+    )
+    rows = [
+        ("k1", "u", 1), ("k1", "d", 2), ("k1", "c", 3),  # d then re-insert
+        ("k2", "u", 1), ("k2", "d", 2),                  # ends deleted
+        ("k3", "c", 1),
+    ]
+    df = spark.createDataFrame(rows, "key STRING, op STRING, seq BIGINT")
+    write_cdc_dataframe(
+        df, cfg, transport_factory=lambda: FileRecordingTransport(outdir)
+    )
+    upserted, deleted, seen = _drain(outdir)
+    assert upserted == {"k1", "k3"}
+    assert deleted == {"k2"}
+    assert len(seen) == len(set(seen)), "an _id was dispatched twice"
+
+
+def test_cdc_write_refuses_ambiguous_batch(spark, tmp_path):
+    """Duplicate keys with no sequence column cannot be ordered — the
+    sink refuses rather than guessing (Postgres ON CONFLICT would also
+    reject such a batch: 'cannot affect row a second time')."""
+    cfg = EsSinkConfig(
+        url="http://es:9200/idx", username="u", password="p", id_key="key"
+    )
+    df = spark.createDataFrame([("k1", "u"), ("k1", "d")], "key STRING, op STRING")
+    with pytest.raises(ValueError, match="multiple rows"):
+        write_cdc_dataframe(
+            df, cfg, transport_factory=lambda: FileRecordingTransport(str(tmp_path))
+        )
+
+
+def test_jdbc_prepare_cdc_batch_compacts_and_splits(spark):
+    """write_jdbc_batch's batch prep: latest-by-seq per key, then split —
+    upsert and delete key sets are disjoint, so MERGE-then-DELETE order
+    is immaterial and ON CONFLICT never sees a duplicate key."""
+    from graal_cdc_spark.sinks.jdbc import prepare_cdc_batch
+
+    df = spark.createDataFrame(
+        [
+            ("k1", "u", 1, "a"),
+            ("k1", "d", 2, None),
+            ("k1", "c", 3, "b"),  # delete superseded by re-insert
+            ("k2", "u", 1, "x"),
+            ("k2", "d", 2, None),  # ends deleted
+        ],
+        "k STRING, op STRING, seq BIGINT, v STRING",
+    )
+    ups, dels = prepare_cdc_batch(df, ("k",), "op", "seq")
+    assert {(r.k, r.v) for r in ups.collect()} == {("k1", "b")}
+    assert {r.k for r in dels.collect()} == {"k2"}
+
+
 # ---------------------------------------------------------------------------
 # JDBC sink — dialect merge statements
 # ---------------------------------------------------------------------------
