@@ -17,8 +17,11 @@ sees row data.
 from graal_cdc_spark.sinks.elasticsearch import (
     EsRequest,
     EsSinkConfig,
+    EsSinkError,
+    RetryPolicy,
     bulk_body,
     requests_for,
+    send_records,
     write_cdc_dataframe,
     write_dataframe,
 )
@@ -27,8 +30,11 @@ from graal_cdc_spark.sinks.jdbc import JdbcSinkConfig, merge_statement, write_jd
 __all__ = [
     "EsRequest",
     "EsSinkConfig",
+    "EsSinkError",
+    "RetryPolicy",
     "bulk_body",
     "requests_for",
+    "send_records",
     "write_dataframe",
     "write_cdc_dataframe",
     "JdbcSinkConfig",

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import base64
 import json
+import time
 import urllib.parse
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
@@ -44,7 +45,11 @@ from pyspark.sql import DataFrame
 #: (method, url, headers, body) — body is None for single DELETE.
 EsRequest = tuple[str, str, dict[str, str], str | None]
 
-Transport = Callable[[EsRequest], int]
+#: A transport returns either a bare status code or ``(status, body)``.
+#: The response body (when provided) lets the sink parse ``_bulk``
+#: per-item results; int-only transports remain fully supported.
+EsResponse = "int | tuple[int, str | None]"
+Transport = Callable[[EsRequest], "int | tuple[int, str | None]"]
 
 
 @dataclass(frozen=True)
@@ -111,6 +116,14 @@ def requests_for(
     exactly one → single-document call (``records.size() > 1`` is the
     bulk condition, ``:131``), else chunked ``_bulk`` POSTs.
     """
+    return [req for req, _ in _request_chunks(cfg, records, action)]
+
+
+def _request_chunks(
+    cfg: EsSinkConfig, records: list[dict], action: str
+) -> list[tuple[EsRequest, list[dict]]]:
+    """Requests paired with the records each carries — the unit the
+    retry loop re-drives (a failed chunk retries only its records)."""
     if action not in ("index", "delete"):
         raise ValueError(f"es sink: unknown action {action!r}")
     if not records:
@@ -120,24 +133,157 @@ def requests_for(
         rec = records[0]
         doc_url = f"{base}/_doc/{urllib.parse.quote(_doc_id(cfg, rec), safe='')}"
         if action == "index":
-            return [("PUT", doc_url, cfg._headers("application/json"), _json(rec))]
-        return [("DELETE", doc_url, cfg._headers("application/json"), None)]
-    out: list[EsRequest] = []
+            req = ("PUT", doc_url, cfg._headers("application/json"), _json(rec))
+        else:
+            req = ("DELETE", doc_url, cfg._headers("application/json"), None)
+        return [(req, [rec])]
+    out: list[tuple[EsRequest, list[dict]]] = []
     for i in range(0, len(records), cfg.bulk_chunk_size):
         chunk = records[i : i + cfg.bulk_chunk_size]
-        out.append(
-            (
-                "POST",
-                f"{base}/_bulk",
-                cfg._headers("application/x-ndjson"),
-                bulk_body(cfg, chunk, action),
-            )
+        req = (
+            "POST",
+            f"{base}/_bulk",
+            cfg._headers("application/x-ndjson"),
+            bulk_body(cfg, chunk, action),
         )
+        out.append((req, chunk))
     return out
 
 
-def urllib_transport(request: EsRequest) -> int:
-    """Default executor-side transport (stdlib only)."""
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Bounded exponential backoff for transient sink failures.
+
+    Retryable: connection-level errors (``OSError``), HTTP 429/5xx
+    backpressure statuses, and ``_bulk`` *items* that individually
+    report a retryable status (a 200 bulk response can still carry
+    per-item 429s — ES applies backpressure per shard). Anything else
+    (mapping conflicts, 4xx) is permanent and raises immediately:
+    retrying a permanent error holds the Spark task slot for the full
+    backoff schedule and then fails anyway.
+    """
+
+    max_attempts: int = 4
+    base_backoff_s: float = 0.5
+    max_backoff_s: float = 10.0
+    retryable_statuses: frozenset = frozenset({429, 500, 502, 503, 504})
+
+    def __post_init__(self) -> None:
+        if self.max_attempts < 1:
+            raise ValueError("es sink: max_attempts must be >= 1")
+
+    def backoff(self, attempt: int) -> float:
+        """Deterministic capped exponential (attempt is 0-based)."""
+        return min(self.base_backoff_s * (2**attempt), self.max_backoff_s)
+
+
+class EsSinkError(Exception):
+    """Raised when records cannot be delivered. ``failures`` is a list
+    of ``(doc_id, status, reason)`` triples."""
+
+    def __init__(self, message: str, failures: list[tuple[str, int | None, str]]):
+        super().__init__(f"{message}: {failures[:5]}" + ("..." if len(failures) > 5 else ""))
+        self.failures = failures
+
+
+def _as_response(raw) -> tuple[int, str | None]:
+    if isinstance(raw, tuple):
+        return raw[0], raw[1]
+    return int(raw), None
+
+
+def _bulk_item_failures(
+    cfg: EsSinkConfig, chunk: list[dict], body: str | None, policy: RetryPolicy
+) -> tuple[list[dict], list[tuple[str, int | None, str]]]:
+    """Split a 2xx ``_bulk`` response into (records to retry, permanent
+    failures). ES returns ``items`` in request order, so items map to
+    records positionally. A body that is missing, unparsable, or
+    reports ``errors: false`` means full success."""
+    if body is None:
+        return [], []
+    try:
+        parsed = json.loads(body)
+    except (ValueError, TypeError):
+        return [], []
+    if not isinstance(parsed, dict) or not parsed.get("errors"):
+        return [], []
+    items = parsed.get("items")
+    if not isinstance(items, list) or len(items) != len(chunk):
+        # Can't attribute failures to records — replay the whole chunk
+        # (id-keyed upserts are idempotent, so replays converge).
+        return list(chunk), []
+    retry: list[dict] = []
+    fatal: list[tuple[str, int | None, str]] = []
+    for rec, item in zip(chunk, items):
+        result = next(iter(item.values())) if isinstance(item, dict) else {}
+        status = result.get("status", 200)
+        if 200 <= status < 300:
+            continue
+        if status in policy.retryable_statuses:
+            retry.append(rec)
+        else:
+            reason = json.dumps(result.get("error", {}), sort_keys=True)
+            fatal.append((_doc_id(cfg, rec), status, reason))
+    return retry, fatal
+
+
+def send_records(
+    cfg: EsSinkConfig,
+    records: list[dict],
+    action: str,
+    transport: Transport,
+    policy: RetryPolicy | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """Deliver ``records`` with at-least-once semantics: retryable
+    failures (connection errors, 429/5xx, retryable bulk items) back
+    off and re-drive only the failed records; permanent failures raise
+    ``EsSinkError``. Delivery is idempotent (id-keyed), so replays
+    after a partial failure converge."""
+    policy = policy or RetryPolicy()
+    pending = records
+    last_reason = ""
+    for attempt in range(policy.max_attempts):
+        retry: list[dict] = []
+        fatal: list[tuple[str, int | None, str]] = []
+        for req, chunk in _request_chunks(cfg, pending, action):
+            try:
+                status, body = _as_response(transport(req))
+            except OSError as exc:
+                retry.extend(chunk)
+                last_reason = f"transport error: {exc}"
+                continue
+            if 200 <= status < 300:
+                item_retry, item_fatal = _bulk_item_failures(cfg, chunk, body, policy)
+                retry.extend(item_retry)
+                fatal.extend(item_fatal)
+                if item_retry:
+                    last_reason = f"bulk items retryable ({len(item_retry)})"
+            elif status in policy.retryable_statuses:
+                retry.extend(chunk)
+                last_reason = f"http {status}"
+            else:
+                fatal.extend((_doc_id(cfg, rec), status, "http error") for rec in chunk)
+        if fatal:
+            raise EsSinkError("es sink: permanent failures", fatal)
+        if not retry:
+            return
+        pending = retry
+        if attempt + 1 < policy.max_attempts:
+            sleep(policy.backoff(attempt))
+    raise EsSinkError(
+        f"es sink: retries exhausted after {policy.max_attempts} attempts "
+        f"({last_reason})",
+        [(_doc_id(cfg, rec), None, last_reason) for rec in pending],
+    )
+
+
+def urllib_transport(request: EsRequest) -> tuple[int, str | None]:
+    """Default executor-side transport (stdlib only). HTTP error
+    statuses are returned, not raised, so the retry policy can
+    classify them; connection-level failures propagate as OSError
+    (urllib's URLError subclasses it), which the policy retries."""
+    import urllib.error
     import urllib.request
 
     method, url, headers, body = request
@@ -146,8 +292,11 @@ def urllib_transport(request: EsRequest) -> int:
     )
     for k, v in headers.items():
         req.add_header(k, v)
-    with urllib.request.urlopen(req) as resp:  # noqa: S310 — cfg-provided URL
-        return resp.status
+    try:
+        with urllib.request.urlopen(req) as resp:  # noqa: S310 — cfg-provided URL
+            return resp.status, resp.read().decode("utf-8", "replace")
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode("utf-8", "replace")
 
 
 class FileRecordingTransport:
@@ -175,6 +324,7 @@ def _send_partition(
     cfg: EsSinkConfig,
     action_col: str | None,
     transport_factory: Callable[[], Transport],
+    policy: RetryPolicy | None = None,
 ) -> None:
     transport = transport_factory()
     upserts: list[dict] = []
@@ -185,24 +335,23 @@ def _send_partition(
             deletes.append(rec)
         else:
             upserts.append(rec)
-    for req in requests_for(cfg, upserts, "index"):
-        transport(req)
-    for req in requests_for(cfg, deletes, "delete"):
-        transport(req)
+    send_records(cfg, upserts, "index", transport, policy)
+    send_records(cfg, deletes, "delete", transport, policy)
 
 
 def write_dataframe(
     df: DataFrame,
     cfg: EsSinkConfig,
     transport_factory: Callable[[], Transport] = lambda: urllib_transport,
+    retry_policy: RetryPolicy | None = None,
 ) -> None:
     """Upsert every row of ``df`` (id taken from ``cfg.id_key`` column).
 
     Executor-parallel: one connection + chunked bulk requests per
-    partition.
+    partition, with per-chunk retry (see ``RetryPolicy``).
     """
     df.foreachPartition(
-        lambda rows: _send_partition(rows, cfg, None, transport_factory)
+        lambda rows: _send_partition(rows, cfg, None, transport_factory, retry_policy)
     )
 
 
@@ -212,6 +361,7 @@ def write_cdc_dataframe(
     op_col: str = "op",
     seq_col: str | None = "seq",
     transport_factory: Callable[[], Transport] = lambda: urllib_transport,
+    retry_policy: RetryPolicy | None = None,
 ) -> None:
     """CDC-aware write: rows with ``op='d'`` become deletes (K3/K4 —
     tombstone→delete mapping), everything else upserts. Plug this into
@@ -235,5 +385,5 @@ def write_cdc_dataframe(
     else:
         assert_one_row_per_key(df, [cfg.id_key], "es sink")
     df.foreachPartition(
-        lambda rows: _send_partition(rows, cfg, op_col, transport_factory)
+        lambda rows: _send_partition(rows, cfg, op_col, transport_factory, retry_policy)
     )

@@ -274,3 +274,137 @@ def test_delete_statement():
     assert sql == (
         "DELETE FROM tgt t WHERE EXISTS (SELECT 1 FROM stg s WHERE t.k = s.k)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Retry policy + _bulk response parsing (ROADMAP gap 1) — pure Python,
+# no Spark: send_records operates on plain dicts
+# ---------------------------------------------------------------------------
+
+from graal_cdc_spark.sinks import EsSinkError, RetryPolicy, send_records  # noqa: E402
+
+
+class ScriptedTransport:
+    """Returns the scripted responses in order; records every request."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.requests = []
+
+    def __call__(self, req):
+        self.requests.append(req)
+        resp = self.script.pop(0)
+        if isinstance(resp, Exception):
+            raise resp
+        return resp
+
+
+def _recs(*ids):
+    return [{"id": i, "v": f"v{i}"} for i in ids]
+
+
+def _sleeps():
+    out = []
+    return out, out.append
+
+
+def test_retry_on_backpressure_then_success():
+    """429 → backoff → retry the same chunk → success."""
+    t = ScriptedTransport([(429, None), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), sleep)
+    assert len(t.requests) == 2
+    assert t.requests[0] == t.requests[1]  # identical re-drive
+    assert slept == [0.5]
+
+
+def test_retry_on_connection_error():
+    t = ScriptedTransport([OSError("refused"), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), sleep)
+    assert len(t.requests) == 2 and slept == [0.5]
+
+
+def test_retries_exhausted_raises_with_failures():
+    policy = RetryPolicy(max_attempts=3)
+    t = ScriptedTransport([(503, None)] * 3)
+    slept, sleep = _sleeps()
+    with pytest.raises(EsSinkError) as ei:
+        send_records(CFG, _recs("a", "b"), "index", t, policy, sleep)
+    assert [f[0] for f in ei.value.failures] == ["a", "b"]
+    assert slept == [0.5, 1.0]  # capped exponential, no sleep after last
+
+
+def test_permanent_http_error_raises_immediately():
+    t = ScriptedTransport([(400, None)])
+    slept, sleep = _sleeps()
+    with pytest.raises(EsSinkError):
+        send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), sleep)
+    assert slept == []
+
+
+def test_bulk_item_partial_failure_retries_only_failed_items():
+    """A 200 bulk response with one 429 item re-drives just that doc."""
+    body = json.dumps(
+        {
+            "errors": True,
+            "items": [
+                {"index": {"_id": "a", "status": 201}},
+                {"index": {"_id": "b", "status": 429}},
+                {"index": {"_id": "c", "status": 200}},
+            ],
+        }
+    )
+    t = ScriptedTransport([(200, body), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b", "c"), "index", t, RetryPolicy(), sleep)
+    assert len(t.requests) == 2
+    # the retry is a single-record PUT for doc b only
+    method, url, _, rbody = t.requests[1]
+    assert method == "PUT" and url.endswith("/_doc/b")
+    assert json.loads(rbody)["id"] == "b"
+
+
+def test_bulk_item_mapping_error_is_permanent():
+    body = json.dumps(
+        {
+            "errors": True,
+            "items": [
+                {"index": {"_id": "a", "status": 201}},
+                {
+                    "index": {
+                        "_id": "b",
+                        "status": 400,
+                        "error": {"type": "mapper_parsing_exception"},
+                    }
+                },
+            ],
+        }
+    )
+    t = ScriptedTransport([(200, body)])
+    with pytest.raises(EsSinkError) as ei:
+        send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
+    assert ei.value.failures[0][0] == "b"
+    assert "mapper_parsing_exception" in ei.value.failures[0][2]
+
+
+def test_bulk_item_count_mismatch_replays_whole_chunk():
+    """Unattributable bulk errors replay the chunk (idempotent ids)."""
+    body = json.dumps({"errors": True, "items": [{"index": {"status": 201}}]})
+    t = ScriptedTransport([(200, body), (200, None)])
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
+    assert len(t.requests) == 2
+    assert t.requests[0][3] == t.requests[1][3]
+
+
+def test_int_only_transport_still_supported():
+    t = ScriptedTransport([200])
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
+    assert len(t.requests) == 1
+
+
+def test_errors_false_body_is_full_success():
+    body = json.dumps({"errors": False, "items": [{"index": {"status": 503}}]})
+    t = ScriptedTransport([(200, body)])
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
+    assert len(t.requests) == 1
