@@ -1,0 +1,63 @@
+"""Deterministic content-hash sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is irreproducible across runs and
+partitionings — unacceptable when a 100 TB corpus snapshot must be
+re-derivable bit-for-bit. Hash-gating on the content itself gives a
+stable pseudo-random sample: a document is in or out regardless of
+partitioning, executor count, or re-runs, and the same document text
+always lands the same way (so exact duplicates sample together —
+usually desirable before dedup, and documented either way).
+
+Pure codegen filter on the scan (md5 + substring + comparison), no
+shuffle, no UDF — at 100 TB this is bandwidth-bound, the cheapest op
+in the pipeline. The selectivity is prefix/256 per stratum (two hex
+chars), adjustable per stratum with a CASE threshold.
+
+The reference has no sampling surface (SURVEY.md §2.2); this is part
+of the LLM-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_gate(content: Column, threshold_hex2: Column | str) -> Column:
+    """True iff the first two hex chars of md5(content) sort below the
+    threshold — a deterministic ~(threshold/256) gate. Lexicographic
+    comparison of fixed-width lowercase hex equals numeric comparison,
+    and md5 renders identically in Spark and DuckDB, so oracle twins
+    are exact."""
+    t = F.lit(threshold_hex2) if isinstance(threshold_hex2, str) else threshold_hex2
+    return F.substring(F.md5(content), 1, 2) < t
+
+
+def deterministic_sample(
+    df: DataFrame, content_col: str, threshold_hex2: str
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose content hash-gates
+    below ``threshold_hex2`` (e.g. ``"1a"`` ≈ 26/256 ≈ 10%)."""
+    return df.filter(hash_gate(F.col(content_col), threshold_hex2))
+
+
+def stratified_sample(
+    df: DataFrame,
+    content_col: str,
+    stratum_col: str,
+    thresholds: Mapping[str, str],
+    default_hex2: str = "00",
+) -> DataFrame:
+    """Per-stratum rates: e.g. keep ~5% of English but ~20% of
+    low-resource languages. ``thresholds`` maps stratum value → 2-char
+    hex threshold; unlisted strata use ``default_hex2`` (``"00"`` =
+    drop). Still a single codegen'd scan filter — the CASE folds into
+    the same stage."""
+    expr: Column = F.lit(default_hex2)
+    for value, hex2 in sorted(thresholds.items()):
+        if len(hex2) != 2:
+            raise ValueError(f"threshold for {value!r} must be 2 hex chars")
+        expr = F.when(F.col(stratum_col) == value, F.lit(hex2)).otherwise(expr)
+    return df.filter(hash_gate(F.col(content_col), expr))

@@ -129,3 +129,40 @@ def char_shingles(
         )
     )
     return sh.distinct() if distinct else sh
+
+
+def tfidf_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF over a document corpus:
+    ``tfidf = tf * ln((N + 1) / (df + 1))`` (add-one smoothed IDF).
+
+    Returns ``(id_col, word, tf BIGINT, tfidf DOUBLE)``.
+
+    Scale shape: explode is map-side; the TF aggregate shuffles on
+    (doc, word) with map-side partial counts; DF reduces the already-
+    aggregated TF frame (one row per (doc, word), far smaller than the
+    token stream); N is a 1-row aggregate broadcast into the final
+    join — no driver-side collect anywhere.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # vocabulary-sized — NOT broadcast (can be 100s of millions of
+    # terms at corpus scale); AQE picks broadcast when it's small
+    docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = words.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    return (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("word"),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+            ).alias("tfidf"),
+        )
+    )

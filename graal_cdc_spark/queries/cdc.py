@@ -208,3 +208,52 @@ WHERE rn = 1 AND op = 'd'
         reference="ElasticsearchUtils.java:156-176",
     )
 )
+
+
+def _c08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: every non-delete event becomes a version row
+    whose validity interval is [its seq, the key's next event seq); the
+    open-ended version is current. A trailing delete closes the last
+    version, so such keys have no current row — the history twin of
+    C06/C07's latest-state materialization.
+
+    Scale: one shuffle on ``key`` shared by the window; no join — the
+    closing boundary comes from ``lead`` over the same pass.
+    """
+    w = Window.partitionBy("key").orderBy("seq")
+    return (
+        _parsed(spark, sf_dir)
+        .withColumn("valid_to_seq", F.lead("seq").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "key",
+            F.col("seq").alias("valid_from_seq"),
+            "valid_to_seq",
+            "op",
+            F.when(F.col("valid_to_seq").isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("key", "valid_from_seq")
+    )
+
+
+register(
+    QuerySpec(
+        name="c08_scd2_history",
+        category="cdc",
+        description="SCD Type-2 version history from the CDC log (Q3 replay as intervals)",
+        spark=_c08,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT key, seq AS valid_from_seq, valid_to_seq, op,
+       CAST(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM (
+  SELECT key, seq, op,
+         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to_seq
+  FROM cdc_parsed
+) t
+WHERE op <> 'd'
+ORDER BY key, valid_from_seq
+""",
+        reference="DebeziumEngineRecordHandler.java:130-146",
+    )
+)

@@ -621,3 +621,77 @@ HAVING count(*) >= 2
 ORDER BY fp
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L17 — TF-IDF relevance terms (text analysis). Exact twin in DuckDB;
+# determinism: tiebroken ORDER BY on the rounded score + word + doc.
+# ---------------------------------------------------------------------------
+
+
+def _l17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    scored = TX.tfidf_terms(docs, "doc_id", "text")
+    r = F.round(F.col("tfidf"), 4)
+    return (
+        scored.select(
+            "doc_id", "word", "tf", r.cast("string").alias("tfidf")
+        )
+        .orderBy(r.desc(), "word", "doc_id")
+        .limit(100)
+    )
+
+
+_l(
+    "l17_tfidf_top_terms",
+    "TF-IDF scored terms over the document corpus (smoothed IDF)",
+    _l17,
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 100
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*) AS dfx FROM tf GROUP BY word),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM words)
+SELECT t.doc_id, t.word, t.tf,
+       CAST(round(t.tf * ln((n.n_docs + 1) / (d.dfx + 1)), 4) AS VARCHAR) AS tfidf
+FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+ORDER BY round(t.tf * ln((n.n_docs + 1) / (d.dfx + 1)), 4) DESC, t.word, t.doc_id
+LIMIT 100
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L18 — deterministic stratified sampling: content-hash gate with a
+# per-language rate (~5% of 'en', ~20% of everything else). Exact twin:
+# md5 hex renders identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _l18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    thresholds = {lg: ("0d" if lg == "en" else "33") for lg in langs}
+    return (
+        stratified_sample(docs, "text", "lang", thresholds)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l18_stratified_sample",
+    "deterministic content-hash stratified sample (per-language rate)",
+    _l18,
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(text), 1, 2) < (CASE WHEN lang = 'en' THEN '0d' ELSE '33' END)
+ORDER BY doc_id
+""",
+)

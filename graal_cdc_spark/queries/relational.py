@@ -1023,3 +1023,207 @@ FROM e
 ORDER BY o_orderkey, pos
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R27 — CUBE + grouping flags (generalizes R10's rollup). One shuffle:
+# Spark expands grouping sets map-side, partial-aggregates, then
+# shuffles once on the expanded keys.
+# ---------------------------------------------------------------------------
+
+
+def _r27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_r(
+    "r27_cube_grouping",
+    "CUBE grouping sets with grouping() flags",
+    _r27,
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R28 — full outer join. Spark picks sort-merge for full-outer (broadcast
+# is not supported for it); AQE coalesces the post-shuffle partitions.
+# ---------------------------------------------------------------------------
+
+
+def _r28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    left = t["customer"].filter(F.col("c_custkey") <= 100).select("c_custkey", "c_name")
+    right = (
+        t["orders"]
+        .filter(F.col("o_custkey").between(50, 150))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        left.join(right, left["c_custkey"] == right["o_custkey"], "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_name"),
+            F.col("n_orders"),
+        )
+        .orderBy(F.col("custkey").asc_nulls_first())
+    )
+
+
+_r(
+    "r28_full_outer_join",
+    "full outer join with coalesced key and null sides",
+    _r28,
+    """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c
+FULL OUTER JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY custkey NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R29 — regexp functions (extract / replace-all / rlike). All codegen'd
+# JVM-side; the filter sits on the scan.
+# ---------------------------------------------------------------------------
+
+
+def _r29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_name").rlike("[aeiou]{2}"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_r(
+    "r29_regexp_functions",
+    "regexp extract / replace-all / rlike predicate",
+    _r29,
+    """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+WHERE regexp_matches(p_name, '[aeiou]{2}')
+ORDER BY p_partkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R30 — ordered string aggregation (listagg). Spark's collect_list is
+# order-nondeterministic after a shuffle, so the deterministic form is
+# collect + array_sort (the aggregation itself stays partial/merge).
+# ---------------------------------------------------------------------------
+
+
+def _r30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 200)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))),
+            ).alias("keys_csv")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_r(
+    "r30_listagg_ordered",
+    "ordered string_agg / listagg per group",
+    _r30,
+    """
+SELECT o_orderstatus,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys_csv
+FROM orders
+WHERE o_orderkey <= 200
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R31 — distribution window functions: ntile / percent_rank / cume_dist
+# / nth_value. One shuffle on the partition key; the unique (totalprice,
+# orderkey) sort makes every function deterministic.
+# ---------------------------------------------------------------------------
+
+
+def _r31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).cast("string").alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).cast("string").alias("cume"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+_r(
+    "r31_window_distribution",
+    "ntile / percent_rank / cume_dist / nth_value windows",
+    _r31,
+    """
+SELECT o_orderstatus, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(round(percent_rank() OVER w, 6) AS VARCHAR) AS pct_rank,
+       CAST(round(cume_dist() OVER w, 6) AS VARCHAR) AS cume,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_key
+FROM orders
+WHERE o_orderkey <= 500
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderstatus, o_orderkey
+""",
+)

@@ -208,3 +208,80 @@ def test_simhash_matches_unpacked_reference(spark):
                 v += 2**b if b < 63 else -(2**63)
         want[r.doc_id] = v
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling: partitioning-invariant, content-keyed
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_partitioning_invariant(spark):
+    from graal_cdc_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(500)], "id BIGINT, text STRING"
+    )
+    a = {r.id for r in deterministic_sample(df, "text", "1a").collect()}
+    b = {
+        r.id
+        for r in deterministic_sample(df.repartition(13), "text", "1a").collect()
+    }
+    assert a == b and 0 < len(a) < 500
+    # duplicate content samples together (same gate)
+    dup = spark.createDataFrame(
+        [(1, "same words"), (2, "same words")], "id BIGINT, text STRING"
+    )
+    got = {r.id for r in deterministic_sample(dup, "text", "80").collect()}
+    assert got in (set(), {1, 2})
+
+
+def test_stratified_sample_rates(spark):
+    from graal_cdc_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"text {i}", "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, lang STRING")
+    out = stratified_sample(df, "text", "lang", {"en": "0d", "fr": "33"})
+    counts = {
+        r.lang: r.c
+        for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    # en ~ 13/256 of 1000 ≈ 51, fr ~ 51/256 of 1000 ≈ 199 — loose bounds
+    assert 15 <= counts.get("en", 0) <= 110
+    assert 120 <= counts.get("fr", 0) <= 300
+    assert counts.get("fr", 0) > counts.get("en", 0)
+
+
+def test_stratified_sample_unlisted_stratum_dropped(spark):
+    from graal_cdc_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "xx")], "id BIGINT, text STRING, lang STRING"
+    )
+    out = stratified_sample(df, "text", "lang", {"en": "ff"})
+    assert {r.id for r in out.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: hand-computed small corpus
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_hand_example(spark):
+    import math
+
+    from graal_cdc_spark.operators.text import tfidf_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        (r.doc_id, r.word): (r.tf, r.tfidf)
+        for r in tfidf_terms(df, "doc_id", "text").collect()
+    }
+    # N=3; df: a=2, b=1, c=2 ; idf = ln((3+1)/(df+1))
+    idf = lambda d: math.log(4 / (d + 1))
+    assert got[(1, "a")][0] == 2
+    assert abs(got[(1, "a")][1] - 2 * idf(2)) < 1e-12
+    assert abs(got[(1, "b")][1] - 1 * idf(1)) < 1e-12
+    assert abs(got[(3, "c")][1] - 3 * idf(2)) < 1e-12
+    assert set(got) == {(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "c")}
