@@ -19,6 +19,7 @@ so its buckets coincide with Spark's).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from graal_cdc_spark.queries import QuerySpec, register
 from graal_cdc_spark.session import configure
@@ -133,5 +134,84 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """,
         reference="SURVEY.md §2.2 (extension)",
+    )
+)
+
+
+def _st4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return (
+        interval_pairs(purchases, errors, lookback="30 minutes")
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "error_id")
+        .orderBy("user_id", "purchase_id", "error_id")
+    )
+
+
+register(
+    QuerySpec(
+        name="st4_stream_stream_join",
+        category="streaming",
+        description="stream-stream interval join: errors within 30 min "
+        "before each purchase, per user (batch twin of the "
+        "watermarked streaming join)",
+        spark=_st4,
+        oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL '30 minutes'
+ AND e.ts <= p.ts
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+ORDER BY p.user_id, purchase_id, error_id
+""",
+        reference="SURVEY.md §2.2 (extension; reference has no joins)",
+    )
+)
+
+
+def _st5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+register(
+    QuerySpec(
+        name="st5_dedup_within_watermark",
+        category="streaming",
+        description="first event per (user, type) — batch twin of "
+        "streaming dropDuplicatesWithinWatermark under ordered replay",
+        spark=_st5,
+        oracle="""
+SELECT user_id, event_type, event_id AS first_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+        reference="SURVEY.md §2.2 (extension); stateful.streaming_exact_dedup",
     )
 )

@@ -352,3 +352,70 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
     assert _rows(spark, got) == [
         (1, "2024-01-01 10:00:00", "2024-01-01 11:30:00", 2)
     ]
+
+
+# ---------------------------------------------------------------------------
+# 4. stream-stream interval join (ST4) and streaming dedup (ST5)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream inner join over multi-batch replay
+    equals the batch twin (the oracle-gated st4 query)."""
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    # two arrival chunks split by event_id → matches may straddle
+    # micro-batches, exercising join state across batches
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    errors_s = stream.filter(F.col("event_type") == "error")
+    got = run_to_memory(
+        interval_pairs(purchases_s, errors_s, watermark="1 hour"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    errors = events.filter(F.col("event_type") == "error")
+    want = interval_pairs(purchases, errors)
+    assert _rows(spark, got) == _rows(spark, want)
+    assert got.count() > 0
+
+
+def test_streaming_dedup_matches_batch_first_per_key(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark under event_id-ordered replay keeps
+    exactly the min-event_id row per (user, type) — the st5 batch twin."""
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.streaming.stateful import streaming_exact_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    # ordered replay: two chunks in event_id order (arrival = log order)
+    append_chunk(
+        events.filter(F.col("event_id") < 5000).orderBy("event_id").coalesce(1),
+        replay,
+    )
+    append_chunk(
+        events.filter(F.col("event_id") >= 5000).orderBy("event_id").coalesce(1),
+        replay,
+    )
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(
+        stream, ["user_id", "event_type"], watermark="365 days"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+    got = run_to_memory(
+        deduped, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    want = all_specs()["st5_dedup_within_watermark"].spark(spark, sf_dir)
+    assert _rows(spark, got) == _rows(spark, want)
