@@ -3,6 +3,7 @@ from graal_cdc_spark.cdc.envelope import (
     cdc_events_cte,
     cdc_parsed_cte,
     parse_envelope,
+    parsed_envelope,
 )
 from graal_cdc_spark.cdc.filters import (
     drop_ddl,
@@ -19,6 +20,7 @@ __all__ = [
     "cdc_events_cte",
     "cdc_parsed_cte",
     "parse_envelope",
+    "parsed_envelope",
     "drop_tombstones",
     "drop_malformed",
     "drop_ddl",

@@ -21,6 +21,7 @@ of the same envelope strings and `parse_envelope` applies unchanged
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +32,15 @@ from graal_cdc_spark.sources.tables import load_table
 # Spark-side synthesis (FIXTURES.md §3 recipe)
 # ---------------------------------------------------------------------------
 
+# The synthesized envelope is a FIXTURE (derived deterministically from
+# a small parquet table), consumed by all eight C-suite queries in one
+# session — so it is persisted once per (app, sf_dir) instead of
+# re-synthesizing and re-parsing per query. The production CDC path
+# never materializes like this: it reads Kafka/files incrementally and
+# `parse_envelope` runs inside the stream.
+_SYNTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the ``cdc_events`` envelope table from ``events``.
@@ -38,7 +48,32 @@ def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: ``seq BIGINT, key STRING, value STRING`` (NULL value =
     tombstone). One main row per event at ``seq = event_id*10`` plus
     deterministic noise rows at ``seq = event_id*10 + {1,2,3,4}``.
+    The result is persisted (memory-and-disk, fixture-sized).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SYNTH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _build_cdc_events(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _SYNTH_CACHE[key] = df
+    return df
+
+
+def parsed_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_envelope(build_cdc_events(...))``, persisted per
+    (app, sf_dir) — the shared input of C03–C08."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PARSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = parse_envelope(build_cdc_events(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PARSED_CACHE[key] = df
+    return df
+
+
+def _build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     mod = F.col("event_id") % 10

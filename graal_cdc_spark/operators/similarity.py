@@ -253,3 +253,23 @@ def centroids(
         # output hashing is engine-independent.
         .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"))
     )
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q = round(x * 127 /
+    max_abs)`` — the storage-shrinking step before ANN index build
+    (4x smaller than float32, dot products stay rank-correlated).
+
+    Pure array expressions (transform / aggregate) — codegen'd, no
+    explode, no shuffle, no UDF: the cheapest possible per-row map at
+    corpus scale. Zero vectors quantize to all-zero (scale guard).
+
+    Returns ``(id_col, q ARRAY<INT>, scale DOUBLE)``.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"))
+    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))

@@ -166,3 +166,13 @@ def tfidf_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Training-corpus text normalization: lowercase, strip everything
+    but [a-z0-9 ], collapse runs of whitespace, trim. Pure codegen
+    (regexp_replace chain) — map-side only at any scale."""
+    lowered = F.lower(text)
+    alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(alnum, " +", " ")
+    return F.trim(collapsed)

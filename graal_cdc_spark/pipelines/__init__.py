@@ -22,10 +22,18 @@ and removal unregisters (C3). The registry is pure control plane: it
 never touches row data, so nothing here affects the 100 TB data path.
 """
 
+from graal_cdc_spark.pipelines.app import App, AppConfig, run_app
 from graal_cdc_spark.pipelines.registry import (
     Pipeline,
     PipelineRegistry,
     discover_pipeline_files,
 )
 
-__all__ = ["Pipeline", "PipelineRegistry", "discover_pipeline_files"]
+__all__ = [
+    "App",
+    "AppConfig",
+    "run_app",
+    "Pipeline",
+    "PipelineRegistry",
+    "discover_pipeline_files",
+]

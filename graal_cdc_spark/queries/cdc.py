@@ -16,7 +16,7 @@ from graal_cdc_spark.cdc.envelope import (
     build_cdc_events,
     cdc_events_cte,
     cdc_parsed_cte,
-    parse_envelope,
+    parsed_envelope,
 )
 from graal_cdc_spark.cdc.filters import drop_ddl, drop_malformed, drop_tombstones
 from graal_cdc_spark.queries import QuerySpec, register
@@ -25,7 +25,7 @@ from graal_cdc_spark.session import configure
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
-    return parse_envelope(build_cdc_events(spark, sf_dir))
+    return parsed_envelope(spark, sf_dir)
 
 
 def _c01(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -695,3 +695,127 @@ WHERE substr(md5(text), 1, 2) < (CASE WHEN lang = 'en' THEN '0d' ELSE '33' END)
 ORDER BY doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L19 — int8 embedding quantization (storage path before ANN). Summary
+# stats per vector keep the gate exact without comparing array renders.
+# ---------------------------------------------------------------------------
+
+
+def _l19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.int8_quantize(emb, "vec_id")
+    return (
+        q.select(
+            "vec_id",
+            F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
+            F.array_min("q").alias("qmin"),
+            F.array_max("q").alias("qmax"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_l(
+    "l19_int8_quantization",
+    "symmetric int8 vector quantization (per-vector scale), summary-gated",
+    _l19,
+    """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                           (CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END)) AS INT)
+         ) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CAST(list_min(qv) AS INT) AS qmin,
+       CAST(list_max(qv) AS INT) AS qmax
+FROM q
+ORDER BY vec_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L20 — corpus text normalization (cleaning stage). Prefix + length
+# keep the gated output bounded.
+# ---------------------------------------------------------------------------
+
+
+def _l20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.substring(norm, 1, 80).alias("norm_prefix"),
+            F.length(norm).alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l20_text_normalize",
+    "text normalization: lowercase, strip non-alnum, collapse whitespace",
+    _l20,
+    """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, substr(norm, 1, 80) AS norm_prefix,
+       CAST(length(norm) AS INT) AS norm_len
+FROM n
+ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L21 — token-budget sequence packing: deterministic shard assignment
+# per source group (cumulative token window).
+# ---------------------------------------------------------------------------
+
+
+def _l21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.packing import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_by_token_budget(docs, "source", "doc_id", budget=2048)
+        .select("source", "doc_id", "n_tok", "shard")
+        .orderBy("source", "doc_id")
+    )
+
+
+_l(
+    "l21_token_budget_packing",
+    "token-budget shard packing per source group (running-total window)",
+    _l21,
+    """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT source, doc_id, n_tok, CAST(floor(before / 2048) AS INT) AS shard
+FROM c
+ORDER BY source, doc_id
+""",
+)

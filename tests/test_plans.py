@@ -26,11 +26,13 @@ def _audit(spark, name):
 # ---------------------------------------------------------------------------
 
 # Deliberate nested-loop joins: tiny broadcast side by construction
-# (l04/l12 broadcast the query set; l08 joins a ~16-row block table).
+# (l04/l12 broadcast the query set; l08 joins a ~16-row block table;
+# l17 cross-broadcasts the 1-row corpus-size aggregate).
 _BNLJ_OK = {
     "l04_cosine_topk",
     "l08_embedding_neardup_pairs",
     "l12_ann_rp_bucketed",
+    "l17_tfidf_top_terms",
 }
 
 
