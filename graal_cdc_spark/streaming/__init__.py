@@ -30,6 +30,7 @@ from graal_cdc_spark.streaming.replay import (
 )
 from graal_cdc_spark.streaming.compaction import (
     CompactionStateSink,
+    MergeIntoStateSink,
     run_cdc_compaction_stream,
 )
 from graal_cdc_spark.streaming.bronze import bronze_append, bronze_sink, read_bronze
@@ -46,6 +47,7 @@ __all__ = [
     "read_file_stream",
     "run_to_memory",
     "CompactionStateSink",
+    "MergeIntoStateSink",
     "run_cdc_compaction_stream",
     "bronze_append",
     "bronze_sink",

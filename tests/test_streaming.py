@@ -419,3 +419,101 @@ def test_streaming_dedup_matches_batch_first_per_key(spark, sf_dir, tmp_path):
     )
     want = all_specs()["st5_dedup_within_watermark"].spark(spark, sf_dir)
     assert _rows(spark, got) == _rows(spark, want)
+
+
+# ---------------------------------------------------------------------------
+# 5. MERGE INTO state sink (lakehouse path of the compaction sink)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_statement_shape(spark):
+    from graal_cdc_spark.streaming import MergeIntoStateSink
+
+    sink = MergeIntoStateSink(spark, "lake.cdc_state", key_cols=("db", "key"))
+    stmt = sink.merge_statement("batch_v")
+    assert "MERGE INTO lake.cdc_state t" in stmt
+    assert "ON t.db = s.db AND t.key = s.key" in stmt
+    # idempotence guard: replayed batches must never regress a key
+    assert "WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *" in stmt
+    assert "WHEN NOT MATCHED THEN INSERT *" in stmt
+
+
+def test_merge_into_precompacts_and_drops_view(spark):
+    """The batch reaching MERGE is pre-compacted (one row per key) and
+    the temp view is cleaned up even when the engine errors."""
+    from graal_cdc_spark.streaming import MergeIntoStateSink
+
+    captured = {}
+
+    def fake_sql(stmt):
+        view = stmt.split("USING ")[1].split(" s")[0].strip()
+        captured["view_rows"] = {
+            (r.key, r.seq, r.op) for r in spark.table(view).collect()
+        }
+        captured["stmt"] = stmt
+
+    sink = MergeIntoStateSink(spark, "cdc_state", run_sql=fake_sql)
+    batch = spark.createDataFrame(
+        [("k1", 1, "c"), ("k1", 3, "u"), ("k2", 2, "d")],
+        "key STRING, seq BIGINT, op STRING",
+    )
+    stmt = sink.merge(batch)
+    assert stmt == captured["stmt"]
+    assert captured["view_rows"] == {("k1", 3, "u"), ("k2", 2, "d")}
+    view_name = stmt.split("USING ")[1].split(" s")[0].strip()
+    assert view_name.startswith("global_temp.")  # cross-session resolvable
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
+        spark.table(view_name).collect()  # dropped after the merge
+
+    # empty batch: no statement, no view
+    assert sink.merge(batch.filter("seq > 99")) is None
+
+    # run_sql failure still drops the view
+    def boom(stmt):
+        raise RuntimeError("no lakehouse here")
+
+    sink2 = MergeIntoStateSink(spark, "cdc_state", run_sql=boom)
+    with pytest.raises(RuntimeError):
+        sink2.merge(batch)
+    assert not any(
+        t.name.startswith("__cdc_batch_")
+        for t in spark.catalog.listTables("global_temp")
+    )
+
+
+def test_merge_into_semantics_match_directory_sink(spark, tmp_path):
+    """Emulate the lakehouse MERGE with the same guard logic and check
+    it converges to the directory-swap sink's state on replayed,
+    out-of-order batches."""
+    from graal_cdc_spark.cdc.compaction import latest_by_key
+    from graal_cdc_spark.streaming import CompactionStateSink, MergeIntoStateSink
+
+    state = {}  # key -> (seq, op): the emulated lakehouse table
+
+    def emulated_merge(stmt):
+        view = stmt.split("USING ")[1].split(" s")[0].strip()
+        for r in spark.table(view).collect():
+            held = state.get(r.key)
+            if held is None or r.seq > held[0]:  # the MERGE guard
+                state[r.key] = (r.seq, r.op)
+
+    lake = MergeIntoStateSink(spark, "cdc_state", run_sql=emulated_merge)
+    swap = CompactionStateSink(spark, str(tmp_path / "state"))
+
+    batches = [
+        [("k1", 1, "c"), ("k2", 2, "c")],
+        [("k1", 5, "d"), ("k3", 4, "c")],
+        [("k1", 3, "u"), ("k2", 2, "c")],  # stale + replayed rows
+        [("k1", 5, "d"), ("k3", 4, "c")],  # full batch replay
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, "key STRING, seq BIGINT, op STRING")
+        lake.merge(b)
+        swap.merge(b)
+
+    want = {
+        (r.key, r.seq, r.op)
+        for r in swap.current_table(drop_deletes=False).collect()
+    }
+    got = {(k, s, o) for k, (s, o) in state.items()}
+    assert got == want == {("k1", 5, "d"), ("k2", 2, "c"), ("k3", 4, "c")}
