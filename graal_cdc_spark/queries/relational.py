@@ -1227,3 +1227,57 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_orderstatus, o_orderkey
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R32 — grouped-agg pandas UDAF (the UDAF member of the U1 surface:
+# UDF=r22, grouped-map=l15, UDAF=here). Arrow-batched per group —
+# never row-at-a-time Python. Determinism: the UDAF reduces to exact
+# integer numerator/denominator (floor-cents x integer quantity), so
+# both engines divide the same integers; floor-truncation on output.
+# ---------------------------------------------------------------------------
+
+
+import pandas as _pd  # noqa: E402 — type hints drive GROUPED_AGG inference
+
+
+# NB: DataType object, not a DDL string — string return types are
+# parsed at decoration (import) time and need a live SparkContext
+@F.pandas_udf(T.DoubleType())
+def _wavg_cents(price: _pd.Series, qty: _pd.Series) -> float:
+    import numpy as np
+
+    cents = np.floor(price.to_numpy() * 100.0).astype("int64")
+    q = qty.to_numpy().astype("int64")
+    return float(int((cents * q).sum()) / 100.0 / int(q.sum()))
+
+
+def _r32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        # NB: a grouped-agg pandas UDF cannot mix with built-in
+        # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
+        li.groupBy("l_returnflag")
+        .agg(_wavg_cents("l_extendedprice", "l_quantity").alias("wavg_raw"))
+        .select(
+            "l_returnflag",
+            (F.floor(F.col("wavg_raw") * 100) / 100).alias("wavg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_r(
+    "r32_pandas_udaf_wavg",
+    "grouped-agg pandas UDAF: quantity-weighted average price",
+    _r32,
+    """
+SELECT l_returnflag,
+       floor((CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+              / 100.0 / SUM(CAST(l_quantity AS BIGINT))) * 100) / 100
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)

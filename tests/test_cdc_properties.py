@@ -90,3 +90,72 @@ def test_compaction_equals_sequential_replay(spark, events):
     compacted = compact_cdc(parse_envelope(df))
     got = {r["key"]: (r["op"], r["seq"]) for r in compacted.collect()}
     assert got == expected
+
+
+def _scd2(spark, log):
+    """The c08 transform over an arbitrary envelope log."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        log or [(0, "0", None)], "seq BIGINT, key STRING, value STRING"
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    return (
+        parse_envelope(df)
+        .withColumn("valid_to_seq", F.lead("seq").over(w))
+        .filter(F.col("op") != "d")
+        .select("key", F.col("seq").alias("valid_from_seq"), "valid_to_seq", "op")
+        .collect()
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_event, min_size=0, max_size=60))
+def test_scd2_intervals_tile_each_keys_history(spark, events):
+    """SCD2 invariants for ANY log: per key, version intervals are
+    disjoint, ordered, and chain exactly through the key's row events
+    (each interval closes at the key's next event); exactly one open
+    interval iff the key's final event is not a delete; the open
+    interval is the compacted live row."""
+    log = [_value(kind, key, seq * 10) for seq, (kind, key) in enumerate(events)]
+    live = _naive_replay(log)
+
+    rows = _scd2(spark, log)
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+
+    # which (key, seq) are row events surviving the filter chain?
+    events_per_key: dict[str, list[int]] = {}
+    ops_at: dict[tuple[str, int], str] = {}
+    for seq, key, value in sorted(log):
+        if value is None:
+            continue
+        payload = json.loads(value).get("payload")
+        if payload is None or "ddl" in payload or "after" not in payload:
+            continue
+        if payload.get("op") not in ("c", "u", "r", "d"):
+            continue
+        events_per_key.setdefault(key, []).append(seq)
+        ops_at[(key, seq)] = payload["op"]
+
+    for key, seqs in events_per_key.items():
+        versions = sorted(by_key.get(key, []), key=lambda r: r["valid_from_seq"])
+        want = [s for s in seqs if ops_at[(key, s)] != "d"]
+        assert [v["valid_from_seq"] for v in versions] == want
+        for v in versions:
+            i = seqs.index(v["valid_from_seq"])
+            expected_close = seqs[i + 1] if i + 1 < len(seqs) else None
+            assert v["valid_to_seq"] == expected_close
+        open_intervals = [v for v in versions if v["valid_to_seq"] is None]
+        if key in live:
+            assert len(open_intervals) == 1
+            assert open_intervals[0]["valid_from_seq"] == live[key][1]
+        else:
+            assert open_intervals == []
