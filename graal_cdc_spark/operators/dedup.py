@@ -206,36 +206,46 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     # Packed bit counting: per token, bit b contributes 2 if set else 0
     # (biased so lane partial sums are non-negative — no borrow between
-    # lanes); 2 32-bit lanes per long ⇒ 32 packed sum columns + a token
-    # count instead of 64 separate ones. Lane-1 accumulation is
-    # 2·ones·2^32 < 2^63 ⟺ ones < 2^30 — safe for ~1B-token documents
-    # (4 16-bit lanes overflowed BIGINT at 16k tokens, which ANSI mode
-    # turns into a job-killing exception).
+    # lanes); 3 21-bit lanes per long ⇒ 22 packed sum columns + a token
+    # count instead of 64 separate ones. Worst accumulation is the top
+    # lane: 2·ones·2^42 < 2^63 ⟺ ones < 2^20 — safe for ~1M-token
+    # documents (shard longer docs upstream; ANSI mode turns overflow
+    # into a job-killing exception, so the bound is enforced by
+    # construction, not hoped for). 21-bit lanes are the widest packing
+    # whose 3-lane accumulator stays inside BIGINT.
     # Bit decision below: ones_b > n/2  ⟺  sum(±1) > 0 — identical
     # sketches to the unpacked formulation.
-    def lane_pack(col_group: int):
+    LANE_BITS, LANES = 21, 3
+    n_groups = (64 + LANES - 1) // LANES  # 22: last group has bit 63 only
+
+    def lanes_in(g: int) -> int:
+        return min(LANES, 64 - g * LANES)
+
+    def lane_pack(g: int):
         lanes = []
-        for lane in range(2):
-            b = col_group * 2 + lane
+        for lane in range(lanes_in(g)):
+            b = g * LANES + lane
             bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (32 * lane)))
+            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (LANE_BITS * lane)))
         return sum(lanes[1:], lanes[0])
 
     packed = h.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(32)],
+        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(n_groups)],
     )
 
     def bit_sign(g: int, lane: int):
         # lane value = 2 · ones-count for that bit
-        twice_ones = F.shiftright(F.col(f"p{g}"), 32 * lane).bitwiseAND(
-            F.lit(0xFFFFFFFF)
+        twice_ones = F.shiftright(F.col(f"p{g}"), LANE_BITS * lane).bitwiseAND(
+            F.lit((1 << LANE_BITS) - 1)
         )
-        b = g * 2 + lane
+        b = g * LANES + lane
         weight = F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
         return F.when(twice_ones > F.col("n_tok"), weight).otherwise(F.lit(0).cast("bigint"))
 
-    bits = [bit_sign(g, lane) for g in range(32) for lane in range(2)]
+    bits = [
+        bit_sign(g, lane) for g in range(n_groups) for lane in range(lanes_in(g))
+    ]
     return packed.select(
         F.col(id_col), sum(bits[1:], bits[0]).alias("simhash")
     )

@@ -35,13 +35,20 @@ DST = "/tmp/graal_scale10"
 
 PROBES = [
     "c06_latest_by_key_compaction",
+    "c08_scd2_history",
     "r02_hash_aggregate_q1",
     "r03_join_agg_topk",
     "r12_ranking_window",
     "l06_minhash_lsh_candidates",
     "l08_embedding_neardup_pairs",
+    "l19_int8_quantization",
+    "l20_text_normalize",
+    "l21_token_budget_packing",
     "st1_tumbling_window",
+    "st4_stream_stream_join",
 ]
+# NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
+# every replica but the first, so a replica probe measures nothing)
 
 VOWELS = "aeiou"
 

@@ -179,7 +179,8 @@ def test_simhash_survives_long_repetitive_document(spark):
 
 
 def test_simhash_matches_unpacked_reference(spark):
-    """Packed 2x32-bit lane sketch == naive per-bit formulation."""
+    """Packed-lane sketch == naive per-bit formulation (whatever the
+    lane geometry)."""
     from pyspark.sql import functions as F  # noqa: F811
 
     from graal_cdc_spark.operators.dedup import simhash64
