@@ -84,3 +84,87 @@ def running_latest_by_key(parsed: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the StatefulProcessor API
+    (Spark >= 4.0) AND protobuf — its state server speaks protobuf to
+    the Python driver worker, and the worker crashes at startup when
+    ``google.protobuf`` is missing (as in this test container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:  # pragma: no cover — env-dependent
+        return False
+
+
+if _tws_available():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LatestByKeyProcessor(StatefulProcessor):
+        """``transformWithStateInPandas`` form of the running
+        latest-by-key change feed — the successor API to
+        ``applyInPandasWithState`` (SPARK-46815, arbitrary stateful
+        processing v2): typed value state, composable with timers,
+        and the shape Spark is standardizing on for custom stateful
+        operators.
+
+        Identical semantics to ``running_latest_by_key``: per key,
+        emit one row whenever a micro-batch advances the key's max
+        seq; the monotonic-seq guard makes at-least-once replays
+        converge downstream.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            held = self._latest.get() if self._latest.exists() else None
+            best_seq = held[0] if held else None
+            best_op = held[1] if held else None
+            changed = False
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                i = pdf["seq"].idxmax()
+                seq, op = int(pdf["seq"][i]), pdf["op"][i]
+                if best_seq is None or seq > best_seq:
+                    best_seq, best_op, changed = seq, op, True
+            if changed:
+                self._latest.update((best_seq, best_op))
+                yield pd.DataFrame(
+                    {"key": [key[0]], "seq": [best_seq], "op": [best_op]}
+                )
+
+        def close(self) -> None:
+            pass
+
+
+def running_latest_by_key_tws(parsed: DataFrame) -> DataFrame:
+    """``running_latest_by_key`` on the transformWithState API.
+
+    Same contract (streaming change feed of the latest ``(seq, op)``
+    per key); state layout and emissions are identical, so the two
+    implementations are interchangeable behind the same golden test.
+    """
+    if not _tws_available():  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 with "
+            "protobuf installed (the state server protocol)"
+        )
+    return (
+        parsed.select("key", "seq", "op")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=LatestByKeyProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -286,3 +286,50 @@ def test_tfidf_hand_example(spark):
     assert abs(got[(1, "b")][1] - 1 * idf(1)) < 1e-12
     assert abs(got[(3, "c")][1] - 3 * idf(2)) < 1e-12
     assert set(got) == {(1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "c")}
+
+
+def test_running_latest_by_key_tws_matches_v1(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas implementation emits a change
+    feed whose final state equals the applyInPandasWithState one (and
+    the batch compaction). Skipped where protobuf (the API's state-
+    server protocol dependency) is absent — this container."""
+    from graal_cdc_spark.streaming.stateful import (
+        _tws_available,
+        running_latest_by_key_tws,
+    )
+
+    if not _tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+
+    cdc = build_cdc_events(spark, sf_dir)
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    replay = str(tmp_path / "replay")
+    append_chunk(cdc.filter(F.col("seq") <= mid).coalesce(1), replay)
+    append_chunk(cdc.filter(F.col("seq") > mid).coalesce(1), replay)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    stream = read_file_stream(spark, replay, schema, max_files_per_trigger=1)
+    feed = run_to_memory(
+        running_latest_by_key_tws(parse_envelope(stream)),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    final = {
+        r["key"]: (r["seq"], r["op"])
+        for r in latest_by_key(feed, ["key"], "seq").collect()
+    }
+    want = {
+        r["key"]: (r["seq"], r["op"])
+        for r in latest_by_key(
+            parse_envelope(cdc), ["key"], "seq"
+        ).select("key", "seq", "op").collect()
+    }
+    assert final == want
