@@ -297,3 +297,68 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step
+    between near-dup PAIR generation (jaccard/minhash/simhash/cosine)
+    and canonical-document selection: duplicates are transitive, so
+    the keep/drop decision needs the component, not the pair.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round relabels to the min of itself and its neighbors' labels.
+    Converges to the component-minimum id in <= graph-diameter rounds
+    (dedup graphs are shallow — near-dup clusters are near-cliques, so
+    typically 2-4 rounds). Returns ``(node, component)`` for every
+    node incident to an edge; singletons are their own component by
+    definition and need no rows.
+
+    Scale notes: each round is one shuffle join (neighbors x labels) +
+    a map-side min aggregate; ``localCheckpoint`` truncates the plan
+    each round so lineage doesn't grow with iterations. The
+    convergence probe is a ``limit(1).count()`` — an O(1)-row action,
+    not a data collect. This is the simple form of large-star/
+    small-star (Kiveris et al., "Connected Components in MapReduce");
+    the star optimizations halve round count on high-diameter graphs
+    but change nothing here.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).limit(1).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -819,3 +819,75 @@ FROM c
 ORDER BY source, doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L22 — near-dup cluster assignment: connected components over the
+# word-3-gram Jaccard pair graph (l13's edges). Duplicates are
+# transitive, so the keep/drop decision needs components, not pairs;
+# is_canonical marks the kept (min-id) document per cluster. Oracle:
+# the same edges + a recursive CTE computing min reachable id.
+# ---------------------------------------------------------------------------
+
+
+def _l22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.token_ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component"),
+            F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l22_neardup_components",
+    "connected components over the near-dup pair graph (canonical doc per cluster)",
+    _l22,
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id,
+       CAST(min(label) AS BIGINT) AS component,
+       CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""",
+)

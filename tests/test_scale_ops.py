@@ -333,3 +333,38 @@ def test_running_latest_by_key_tws_matches_v1(spark, sf_dir, tmp_path):
         ).select("key", "seq", "op").collect()
     }
     assert final == want
+
+
+# ---------------------------------------------------------------------------
+# connected components: min-label propagation over the dedup pair graph
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_clique_and_islands(spark):
+    from graal_cdc_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, island pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    """A path of length 12 needs several propagation rounds — checks
+    the iteration/convergence machinery, not just one-hop graphs."""
+    from graal_cdc_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(13)}
