@@ -46,7 +46,13 @@ def main() -> None:
     specs = all_specs()
     # Exact pairwise-Jaccard ops are quadratic in shingle collisions by
     # construction; their benched scale path is MinHash-LSH (l06).
-    skip = {"l02_shingle_jaccard_neardup", "l13_token_ngram_jaccard"}
+    # l22 rides the same exact pair join (CC over l13's edges, ~44 s at
+    # sf0.1) — at scale the edge set comes from l06 candidates instead.
+    skip = {
+        "l02_shingle_jaccard_neardup",
+        "l13_token_ngram_jaccard",
+        "l22_neardup_components",
+    }
     names = [n for n in sorted(specs) if n not in skip]
 
     # Warmup (not timed): first-query JVM/codegen spin-up, the
