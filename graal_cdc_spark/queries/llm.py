@@ -891,3 +891,34 @@ GROUP BY node
 ORDER BY doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L23 — the 100 TB dedup pipeline end-to-end: MinHash-LSH candidate
+# edges → connected components → canonical doc per cluster. Candidate
+# edges are approximate (banding), so rows-only — l22 is the exact
+# oracle-gated twin of the clustering step.
+# ---------------------------------------------------------------------------
+
+
+def _l23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    cc = D.connected_components(pairs)
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l23_lsh_components",
+    "scale-path dedup pipeline: LSH candidates -> connected components",
+    _l23,
+    None,  # approximate edge set by design; exact twin is l22
+)

@@ -101,9 +101,14 @@ def test_dimension_joins_broadcast(spark, name, min_bhj):
     [
         ("r02_hash_aggregate_q1", 2),        # agg + output sort
         ("c06_latest_by_key_compaction", 2),  # key window + output sort
+        ("c08_scd2_history", 2),              # key window + output sort
         ("l01_exact_dedup", 2),               # distinct partial+final
         ("st1_tumbling_window", 2),           # window agg + output sort
         ("r12_ranking_window", 2),            # per-key window + output sort
+        ("r27_cube_grouping", 2),             # expand+agg + output sort
+        ("r30_listagg_ordered", 2),           # agg + output sort
+        ("l21_token_budget_packing", 2),      # group window + output sort
+        ("l20_text_normalize", 1),            # pure map + output sort
     ],
 )
 def test_single_data_shuffle(spark, name, max_shuffles):

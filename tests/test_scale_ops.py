@@ -368,3 +368,29 @@ def test_connected_components_long_path_converges(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_lsh_components_cover_exact_components(spark, sf_dir):
+    """The scale path (LSH edges -> CC) must cluster together whatever
+    the exact path clusters: every exact near-dup pair (l13 edges)
+    lands in one LSH component — banding with these parameters has no
+    false-NEGATIVE splits on this corpus."""
+    from graal_cdc_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        token_ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_cc = {
+        r.node: r.component
+        for r in connected_components(
+            minhash_lsh_candidates(docs, "doc_id", "text")
+        ).collect()
+    }
+    exact_pairs = token_ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert exact_pairs, "fixture should contain near-dups"
+    for r in exact_pairs:
+        assert lsh_cc.get(r.doc_a) == lsh_cc.get(r.doc_b), (r.doc_a, r.doc_b)
