@@ -310,27 +310,34 @@ def connected_components(
     and canonical-document selection: duplicates are transitive, so
     the keep/drop decision needs the component, not the pair.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round relabels to the min of itself and its neighbors' labels.
-    Converges to the component-minimum id in <= graph-diameter rounds
-    (dedup graphs are shallow — near-dup clusters are near-cliques, so
-    typically 2-4 rounds). Returns ``(node, component)`` for every
-    node incident to an edge; singletons are their own component by
+    Min-label propagation with pointer jumping: every node starts
+    labeled with itself; each round takes the min over its neighbors'
+    labels (propagation), then follows its label's label
+    (``label <- label(label)``, pointer jumping). Propagation alone
+    needs O(diameter) rounds — ruinous on a long chain; the jump makes
+    label chains collapse geometrically, so rounds are
+    O(log diameter), the property that survives a 100 TB graph.
+    Returns ``(node, component)`` (component = min id) for every node
+    incident to an edge; singletons are their own component by
     definition and need no rows.
 
-    Scale notes: each round is one shuffle join (neighbors x labels) +
-    a map-side min aggregate; ``localCheckpoint`` truncates the plan
-    each round so lineage doesn't grow with iterations. The
-    convergence probe is a ``limit(1).count()`` — an O(1)-row action,
-    not a data collect. This is the simple form of large-star/
-    small-star (Kiveris et al., "Connected Components in MapReduce");
-    the star optimizations halve round count on high-diameter graphs
-    but change nothing here.
+    Scale notes: each round is two shuffle joins (neighbors x labels,
+    labels x labels) + a map-side min aggregate; ``localCheckpoint``
+    truncates the plan each round so lineage doesn't grow with
+    iterations. The convergence probe is a ``limit(1).count()`` — an
+    O(1)-row action, not a data collect. This is the propagation+
+    shortcutting core of large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        # materialize ONCE: without this every round re-executes the
+        # whole upstream edge pipeline (e.g. the MinHash-LSH candidate
+        # generation) through the join lineage
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -344,14 +351,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        relabeled = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            F.col("node"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jump: follow the label's own label one hop
+        parents = relabeled.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            relabeled.join(parents, relabeled["label"] == parents["pnode"], "left")
             .select(
                 F.col("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("new_label"),
-                F.col("label").alias("old_label"),
+                F.col("old_label"),
             )
             .localCheckpoint()
         )
