@@ -186,10 +186,24 @@ class EsSinkError(Exception):
         self.failures = failures
 
 
-def _as_response(raw) -> tuple[int, str | None]:
+def _as_response(raw) -> tuple[int, str | None, float | None]:
+    """Normalize a transport result to (status, body, retry_after_s).
+    Transports may return int, (status, body), or (status, body,
+    headers-dict); a Retry-After header (seconds form) overrides the
+    computed backoff when larger — ES tells clients when the write
+    queue will have room, and ignoring it just burns the retry budget.
+    """
     if isinstance(raw, tuple):
-        return raw[0], raw[1]
-    return int(raw), None
+        status, body = raw[0], raw[1]
+        retry_after = None
+        if len(raw) > 2 and isinstance(raw[2], dict):
+            header = {k.lower(): v for k, v in raw[2].items()}.get("retry-after")
+            try:
+                retry_after = float(header) if header is not None else None
+            except (TypeError, ValueError):
+                retry_after = None
+        return status, body, retry_after
+    return int(raw), None, None
 
 
 def _bulk_item_failures(
@@ -246,9 +260,10 @@ def send_records(
     for attempt in range(policy.max_attempts):
         retry: list[dict] = []
         fatal: list[tuple[str, int | None, str]] = []
+        retry_after: float | None = None
         for req, chunk in _request_chunks(cfg, pending, action):
             try:
-                status, body = _as_response(transport(req))
+                status, body, hinted = _as_response(transport(req))
             except OSError as exc:
                 retry.extend(chunk)
                 last_reason = f"transport error: {exc}"
@@ -262,6 +277,8 @@ def send_records(
             elif status in policy.retryable_statuses:
                 retry.extend(chunk)
                 last_reason = f"http {status}"
+                if hinted is not None:
+                    retry_after = max(retry_after or 0.0, hinted)
             else:
                 fatal.extend((_doc_id(cfg, rec), status, "http error") for rec in chunk)
         if fatal:
@@ -270,7 +287,10 @@ def send_records(
             return
         pending = retry
         if attempt + 1 < policy.max_attempts:
-            sleep(policy.backoff(attempt))
+            backoff = policy.backoff(attempt)
+            if retry_after is not None:
+                backoff = min(max(backoff, retry_after), policy.max_backoff_s)
+            sleep(backoff)
     raise EsSinkError(
         f"es sink: retries exhausted after {policy.max_attempts} attempts "
         f"({last_reason})",
@@ -278,7 +298,7 @@ def send_records(
     )
 
 
-def urllib_transport(request: EsRequest) -> tuple[int, str | None]:
+def urllib_transport(request: EsRequest) -> tuple[int, str | None, dict]:
     """Default executor-side transport (stdlib only). HTTP error
     statuses are returned, not raised, so the retry policy can
     classify them; connection-level failures propagate as OSError
@@ -294,9 +314,13 @@ def urllib_transport(request: EsRequest) -> tuple[int, str | None]:
         req.add_header(k, v)
     try:
         with urllib.request.urlopen(req) as resp:  # noqa: S310 — cfg-provided URL
-            return resp.status, resp.read().decode("utf-8", "replace")
+            return (
+                resp.status,
+                resp.read().decode("utf-8", "replace"),
+                dict(resp.headers),
+            )
     except urllib.error.HTTPError as exc:
-        return exc.code, exc.read().decode("utf-8", "replace")
+        return exc.code, exc.read().decode("utf-8", "replace"), dict(exc.headers)
 
 
 class FileRecordingTransport:

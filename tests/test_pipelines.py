@@ -237,3 +237,26 @@ def test_run_app_end_to_end(spark, sf_dir, tmp_path):
     )
     app2.runner.await_all()
     assert len(list(outdir.iterdir())) == n_requests
+
+
+def test_shipped_example_pipeline_registers_and_runs(spark, sf_dir):
+    """The committed examples/ stay valid: the pipeline registers, the
+    app config validates, and the transform compacts a real parsed
+    batch to one row per key."""
+    import pathlib
+
+    from graal_cdc_spark.pipelines import AppConfig, PipelineRegistry
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    reg = PipelineRegistry()
+    pipe = reg.register(repo / "examples" / "pipelines" / "users_latest.py")
+    assert pipe.name == "users_latest" and pipe.tables == ("users",)
+
+    cfg = AppConfig.load(repo / "examples" / "app.json")
+    assert cfg.sink_type == "elasticsearch"
+
+    parsed = parse_envelope(build_cdc_events(spark, sf_dir))
+    out = pipe.apply(parsed)
+    assert out.columns == ["key", "seq", "op", "after_json"]
+    assert out.groupBy("key").count().filter("count > 1").count() == 0
+    assert out.count() > 0

@@ -408,3 +408,33 @@ def test_errors_false_body_is_full_success():
     t = ScriptedTransport([(200, body)])
     send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
     assert len(t.requests) == 1
+
+
+def test_retry_after_header_stretches_backoff():
+    """A 429 with Retry-After longer than the computed backoff waits
+    the hinted time (capped at max_backoff_s)."""
+    t = ScriptedTransport([(429, None, {"Retry-After": "3"}), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), sleep)
+    assert slept == [3.0]  # hint (3s) > base backoff (0.5s)
+
+
+def test_retry_after_header_never_shrinks_backoff_and_caps():
+    policy = RetryPolicy(max_attempts=3, base_backoff_s=2.0, max_backoff_s=5.0)
+    t = ScriptedTransport(
+        [
+            (429, None, {"retry-after": "1"}),     # hint < backoff → backoff
+            (503, None, {"Retry-After": "600"}),   # hint > cap → cap
+            (200, None),
+        ]
+    )
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a"), "index", t, policy, sleep)
+    assert slept == [2.0, 5.0]
+
+
+def test_malformed_retry_after_ignored():
+    t = ScriptedTransport([(429, None, {"Retry-After": "soon"}), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a"), "index", t, RetryPolicy(), sleep)
+    assert slept == [0.5]
