@@ -260,3 +260,71 @@ def test_shipped_example_pipeline_registers_and_runs(spark, sf_dir):
     assert out.columns == ["key", "seq", "op", "after_json"]
     assert out.groupBy("key").count().filter("count > 1").count() == 0
     assert out.count() > 0
+
+
+# -- fan-out independence (SURVEY §2.3.4): per-pipeline durable cursors ------
+
+FANOUT_PIPE = textwrap.dedent(
+    """
+    def config():
+        return {"name": %(name)r, "db": "appdb"}
+
+    def transform(df):
+        return df.select("key", "op", "seq")
+    """
+)
+
+
+def test_fanout_independence_and_cursor_recovery(spark, sf_dir, tmp_path):
+    """Two pipelines over one replay source: one sink fails mid-drain;
+    the healthy pipeline still delivers everything, and the failed one
+    resumes from ITS OWN checkpoint after the sink is fixed — the
+    reference's per-script tailer-cursor semantics (one slow/broken
+    consumer never loses data for, or blocks, another)."""
+    from graal_cdc_spark.pipelines import PipelineRegistry
+    from graal_cdc_spark.pipelines.runner import PipelineRunner
+    from graal_cdc_spark.streaming import append_chunk
+
+    pdir = tmp_path / "scripts"
+    pdir.mkdir()
+    (pdir / "healthy.py").write_text(FANOUT_PIPE % {"name": "healthy"})
+    (pdir / "flaky.py").write_text(FANOUT_PIPE % {"name": "flaky"})
+    reg = PipelineRegistry()
+    reg.refresh(pdir)
+
+    replay = str(tmp_path / "queue")
+    append_chunk(build_cdc_events(spark, sf_dir).coalesce(1), replay)
+
+    delivered: dict[str, list[int]] = {"healthy": [], "flaky": []}
+
+    def ok_sink(name):
+        def sink(batch_df, batch_id):
+            delivered[name].extend(r.seq for r in batch_df.collect())
+        return sink
+
+    def broken_sink(batch_df, batch_id):
+        raise RuntimeError("sink down")
+
+    runner = PipelineRunner(
+        spark, replay_dir=replay, checkpoint_root=str(tmp_path / "ckpt")
+    )
+    pipes = reg.pipelines()
+    run_h = runner.start(pipes["healthy"], ok_sink("healthy"))
+    run_f = runner.start(pipes["flaky"], broken_sink)
+
+    run_h.query.awaitTermination()
+    with pytest.raises(Exception, match="sink down"):
+        run_f.query.awaitTermination()
+
+    parsed_seqs = sorted(
+        r.seq for r in parse_envelope(build_cdc_events(spark, sf_dir)).collect()
+    )
+    assert sorted(delivered["healthy"]) == parsed_seqs  # unaffected
+    assert delivered["flaky"] == []
+
+    # fix the sink; the flaky pipeline resumes from its own checkpoint
+    # and delivers everything it missed
+    runner._running.clear()  # simulate process restart
+    run_f2 = runner.start(pipes["flaky"], ok_sink("flaky"))
+    run_f2.query.awaitTermination()
+    assert sorted(delivered["flaky"]) == parsed_seqs
