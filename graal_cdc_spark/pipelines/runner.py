@@ -108,6 +108,47 @@ class PipelineRunner:
         for run in self._running.values():
             run.query.awaitTermination()
 
+    def stop(self, name: str) -> bool:
+        """Stop one pipeline's query (resumable — the checkpoint
+        remains). Returns whether it was running."""
+        run = self._running.pop(name, None)
+        if run is None:
+            return False
+        if run.query.isActive:
+            run.query.stop()
+        return True
+
+    def apply_refresh(
+        self,
+        report: dict,
+        registry,
+        sink_factory: Callable[[Pipeline], BatchSink],
+        **start_kwargs,
+    ) -> None:
+        """Reconcile running queries with a ``PipelineRegistry.refresh``
+        report — the end-to-end C3 hot-reload semantics:
+
+        - removed  → stop the query (checkpoint kept, U3 unregister);
+        - reloaded → stop + restart with the NEW transform from the
+          SAME checkpoint, so the new version picks up exactly where
+          the old one stopped (the reference's version-stamped reload,
+          ``ScriptExecutor.java:147-158``);
+        - added    → start fresh.
+
+        Failed loads are reported by ``refresh`` and deliberately not
+        touched here: a broken script must not take down its running
+        predecessor (fan-out independence, SURVEY.md §2.3.4).
+        """
+        pipelines = registry.pipelines()
+        for name in report.get("removed", ()):
+            self.stop(name)
+        for name in list(report.get("reloaded", ())) + list(report.get("added", ())):
+            pipe = pipelines.get(name)
+            if pipe is None:
+                continue
+            self.stop(name)
+            self.start(pipe, sink_factory(pipe), **start_kwargs)
+
     def stop_all(self) -> None:
         """C5 graceful shutdown — stop every active query; checkpoints
         make the stop resumable."""

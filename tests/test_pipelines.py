@@ -328,3 +328,72 @@ def test_fanout_independence_and_cursor_recovery(spark, sf_dir, tmp_path):
     run_f2 = runner.start(pipes["flaky"], ok_sink("flaky"))
     run_f2.query.awaitTermination()
     assert sorted(delivered["flaky"]) == parsed_seqs
+
+
+# -- C3 end-to-end: hot reload restarts the query from its checkpoint --------
+
+RELOAD_PIPE = textwrap.dedent(
+    """
+    def config():
+        return {"name": "hot", "db": "appdb"}
+
+    def transform(df):
+        from pyspark.sql import functions as F
+        return df.select("key", "seq", F.lit(%(ver)r).alias("ver"))
+    """
+)
+
+
+def test_hot_reload_restarts_query_from_same_checkpoint(spark, sf_dir, tmp_path):
+    """Edit the pipeline file → refresh → apply_refresh: the running
+    query restarts with the NEW transform from the SAME checkpoint —
+    already-processed data is not replayed, new data gets the new
+    version (the reference's version-stamped reload picking up from
+    the same tailer cursor)."""
+    from graal_cdc_spark.pipelines import PipelineRegistry
+    from graal_cdc_spark.pipelines.runner import PipelineRunner
+    from graal_cdc_spark.streaming import append_chunk
+
+    pdir = tmp_path / "scripts"
+    pdir.mkdir()
+    path = pdir / "hot.py"
+    path.write_text(RELOAD_PIPE % {"ver": "v1"})
+    reg = PipelineRegistry()
+    reg.refresh(pdir)
+
+    cdc = build_cdc_events(spark, sf_dir)
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    replay = str(tmp_path / "queue")
+    append_chunk(cdc.filter(F.col("seq") <= mid).coalesce(1), replay)
+
+    seen: list[tuple[int, str]] = []
+
+    def sink_factory(pipe):
+        def sink(batch_df, batch_id):
+            seen.extend((r.seq, r.ver) for r in batch_df.collect())
+        return sink
+
+    runner = PipelineRunner(
+        spark, replay_dir=replay, checkpoint_root=str(tmp_path / "ckpt")
+    )
+    runner.start(reg.pipelines()["hot"], sink_factory(reg.pipelines()["hot"]))
+    runner.await_all()
+    n_v1 = len(seen)
+    assert n_v1 > 0 and {v for _, v in seen} == {"v1"}
+
+    # new version lands; more data arrives
+    path.write_text(RELOAD_PIPE % {"ver": "v2"})
+    os.utime(path, (os.path.getmtime(path) + 5,) * 2)
+    append_chunk(cdc.filter(F.col("seq") > mid).coalesce(1), replay)
+
+    report = reg.refresh(pdir)
+    assert report["reloaded"] == ["hot"]
+    runner.apply_refresh(report, reg, sink_factory)
+    runner.await_all()
+
+    v1 = {s for s, v in seen if v == "v1"}
+    v2 = {s for s, v in seen if v == "v2"}
+    assert len(seen) == len(v1) + len(v2)
+    assert v1 and v2 and v1.isdisjoint(v2)  # no replay across the reload
+    want = {r.seq for r in parse_envelope(cdc).collect()}
+    assert v1 | v2 == want  # nothing lost across the restart
