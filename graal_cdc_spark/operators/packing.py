@@ -49,3 +49,49 @@ def pack_by_token_budget(
         df.withColumn("n_tok", n_tok)
         .withColumn("shard", F.floor(before / budget).cast("int"))
     )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    pretraining prep step between cleaning and packing (long documents
+    become sequence-length-sized pieces; the overlap preserves context
+    at the seams).
+
+    Map-side only: sequence + transform + explode inside one codegen
+    stage, no shuffle, no UDF. Chunk starts step by
+    ``chunk_tokens - overlap``; the last chunk may be short; documents
+    shorter than one chunk yield exactly one chunk.
+
+    Returns ``(id_col, chunk_idx INT, chunk_text STRING, chunk_tokens
+    INT)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk start positions (1-based): 1, 1+step, ... while start <= n
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).cast("int").alias("chunk_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        # a tail chunk of <= overlap tokens is fully contained in its
+        # predecessor — pure duplication, drop it (first chunk exempt)
+        .filter(
+            (F.col("c.chunk_idx") == 0) | (F.col("c.chunk_tokens") > overlap)
+        )
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.chunk_tokens")
+    )

@@ -176,3 +176,50 @@ def normalize_text(text: Column) -> Column:
     alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
     collapsed = F.regexp_replace(alnum, " +", " ")
     return F.trim(collapsed)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Decontamination: flag corpus documents sharing any word n-gram
+    with an evaluation/benchmark set — the standard guard against
+    test-set leakage into training data (8-gram collision is the
+    common criterion).
+
+    Plan shape: both sides explode to distinct n-grams map-side; the
+    collision is one equality join on the gram. At 100 TB the eval
+    side is tiny and broadcast (eval suites are a few MB of grams);
+    the corpus side never shuffles on anything but the join key.
+
+    Returns ``(id_col, n_gram_hits BIGINT, eval_ids ARRAY<...>)`` —
+    one row per CONTAMINATED corpus doc: the number of distinct
+    colliding n-grams and the distinct colliding eval docs.
+    """
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return (
+            df.filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias(out_id), F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    corpus_g = grams(corpus, "corpus_id")
+    eval_g = grams(eval_set, "eval_id")
+    return (
+        corpus_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("corpus_id")
+        .agg(
+            F.count_distinct("gram").alias("n_gram_hits"),
+            F.array_sort(F.collect_set("eval_id")).alias("eval_ids"),
+        )
+        .withColumnRenamed("corpus_id", id_col)
+    )

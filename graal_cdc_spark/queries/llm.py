@@ -922,3 +922,103 @@ _l(
     _l23,
     None,  # approximate edge set by design; exact twin is l22
 )
+
+# ---------------------------------------------------------------------------
+# L24 — document chunking into overlapping token windows (sequence-
+# length prep). Gated on chunk boundaries + an md5 of each chunk text.
+# ---------------------------------------------------------------------------
+
+
+def _l24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.packing import chunk_by_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        chunk_by_tokens(docs, "doc_id", chunk_tokens=64, overlap=8)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_l(
+    "l24_document_chunking",
+    "overlapping token-window chunking (64-token chunks, 8 overlap)",
+    _l24,
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents WHERE doc_id < 200
+),
+starts AS (
+  SELECT doc_id, toks, n, unnest(generate_series(1, greatest(n, 1), 56)) AS s
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) / 56 AS INT) AS chunk_idx,
+         array_to_string(toks[s:least(s + 63, n)], ' ') AS chunk_text,
+         CAST(least(n - s + 1, 64) AS INT) AS chunk_tokens
+  FROM starts
+)
+SELECT doc_id, chunk_idx, chunk_tokens, md5(chunk_text) AS chunk_md5
+FROM c
+WHERE chunk_idx = 0 OR chunk_tokens > 8
+ORDER BY doc_id, chunk_idx
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L25 — decontamination: corpus docs sharing an 8-gram with the eval
+# set (doc_id % 97 == 0 plays the benchmark). Collision join, eval
+# side broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _l25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    hits = TX.ngram_contamination(corpus, eval_set, "doc_id", n=8)
+    return (
+        hits.select(
+            "doc_id",
+            "n_gram_hits",
+            F.concat_ws(",", F.col("eval_ids").cast("array<string>")).alias(
+                "eval_ids_csv"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l25_decontamination",
+    "eval-set leakage check: corpus docs sharing any word 8-gram with the benchmark split",
+    _l25,
+    """
+WITH g AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM g
+),
+hits AS (
+  SELECT c.doc_id, c.gram, e.doc_id AS eval_id
+  FROM grams c JOIN grams e ON c.gram = e.gram
+  WHERE c.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+)
+SELECT doc_id,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_gram_hits,
+       string_agg(DISTINCT CAST(eval_id AS VARCHAR), ',' ORDER BY CAST(eval_id AS VARCHAR)) AS eval_ids_csv
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)

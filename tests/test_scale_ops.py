@@ -394,3 +394,56 @@ def test_lsh_components_cover_exact_components(spark, sf_dir):
     assert exact_pairs, "fixture should contain near-dups"
     for r in exact_pairs:
         assert lsh_cc.get(r.doc_a) == lsh_cc.get(r.doc_b), (r.doc_a, r.doc_b)
+
+
+# ---------------------------------------------------------------------------
+# chunking + decontamination (l24/l25 operators)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_by_tokens_boundaries_and_overlap(spark):
+    from graal_cdc_spark.operators.packing import chunk_by_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b")], "doc_id BIGINT, text STRING")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+        for r in chunk_by_tokens(df, "doc_id", chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: starts 1,4,7,10 → chunks [0..3],[3..6],[6..9],[9] — the
+    # final 1-token chunk is pure overlap and dropped
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in got
+    # short doc: exactly one chunk
+    assert got[(2, 0)] == ("a b", 2)
+    assert len(got) == 4
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    from graal_cdc_spark.operators.packing import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(df, "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_ngram_contamination_flags_shared_grams_only(spark):
+    from graal_cdc_spark.operators.text import ngram_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog today"
+    corpus = spark.createDataFrame(
+        [
+            (1, leak + " extra words here and there"),   # contains eval 8-grams
+            (2, "completely unrelated text with many distinct words okay"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    eval_set = spark.createDataFrame([(100, leak)], "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.n_gram_hits, list(r.eval_ids))
+        for r in ngram_contamination(corpus, eval_set, "doc_id", n=8).collect()
+    }
+    # the leaked sentence has 10 tokens → 3 distinct 8-grams shared
+    assert got == {1: (3, [100])}
