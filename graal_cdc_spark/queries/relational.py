@@ -1,4 +1,4 @@
-"""R01–R25 — relational operator surface (SURVEY.md §2.4).
+"""R01–R34 — relational operator surface (SURVEY.md §2.4).
 
 The reference has no joins/aggregates/windows/sorts/set-ops
 (SURVEY.md §2.2); these queries declare the standard relational
@@ -1279,5 +1279,95 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R33 — multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+# counts matter, unlike r15's set semantics. Both execute as a single
+# aggregate-join shuffle on the value.
+# ---------------------------------------------------------------------------
+
+
+def _r33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    cust = t["customer"].select("c_nationkey")
+    supp = t["supplier"].select(F.col("s_nationkey").alias("c_nationkey"))
+    inter = (
+        cust.intersectAll(supp)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        supp.exceptAll(cust)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("op", "c_nationkey", "n").orderBy(
+        "op", "c_nationkey"
+    )
+
+
+_r(
+    "r33_multiset_setops",
+    "INTERSECT ALL / EXCEPT ALL multiset semantics (duplicate-preserving)",
+    _r33,
+    """
+WITH i AS (
+  SELECT c_nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+),
+x AS (
+  SELECT s_nationkey AS c_nationkey FROM supplier
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer
+)
+SELECT op, c_nationkey, n FROM (
+  SELECT 'intersect_all' AS op, c_nationkey, CAST(count(*) AS BIGINT) AS n
+  FROM i GROUP BY c_nationkey
+  UNION ALL
+  SELECT 'except_all', c_nationkey, CAST(count(*) AS BIGINT)
+  FROM x GROUP BY c_nationkey
+) t
+ORDER BY op, c_nationkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R34 — uncorrelated scalar subquery in SELECT: each order's price as a
+# share of the global average. The subquery plans as a 1-row broadcast,
+# not a per-row re-execution.
+# ---------------------------------------------------------------------------
+
+
+def _r34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 /
+                    (SELECT avg(o_totalprice) FROM orders)) / 100 AS DOUBLE)
+                 AS price_ratio
+        FROM orders
+        WHERE o_orderkey <= 1000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+_r(
+    "r34_scalar_subquery",
+    "uncorrelated scalar subquery in the select list (SQL entry point)",
+    _r34,
+    """
+SELECT o_orderkey,
+       floor(o_totalprice * 100 / (SELECT avg(o_totalprice) FROM orders)) / 100
+         AS price_ratio
+FROM orders
+WHERE o_orderkey <= 1000
+ORDER BY o_orderkey
 """,
 )
