@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,28 @@ def stratified_sample(
             raise ValueError(f"threshold for {value!r} must be 2 hex chars")
         expr = F.when(F.col(stratum_col) == value, F.lit(hex2)).otherwise(expr)
     return df.filter(hash_gate(F.col(content_col), expr))
+
+
+def per_stratum_topk(
+    df: DataFrame,
+    content_col: str,
+    stratum_col: str,
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample (balanced subsets): rank rows
+    within each stratum by content hash and keep the first ``k``.
+    The hash order is pseudo-random but reproducible — the same corpus
+    always yields the same balanced subset, unlike reservoir sampling.
+
+    One shuffle on the stratum (the ranking window); ``id_col`` breaks
+    exact-content ties so the cut at rank k is total."""
+    order = [F.md5(F.col(content_col))]
+    if id_col is not None:
+        order.append(F.col(id_col))
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

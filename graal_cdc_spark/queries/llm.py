@@ -1022,3 +1022,35 @@ GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L26 — balanced per-class sampling: deterministic k-per-stratum via
+# content-hash ranking (reproducible, unlike reservoir sampling).
+# ---------------------------------------------------------------------------
+
+
+def _l26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.sampling import per_stratum_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        per_stratum_topk(docs, "text", "lang", k=5, id_col="doc_id")
+        .select("lang", "doc_id", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_l(
+    "l26_balanced_class_sample",
+    "deterministic k-per-class sample via content-hash ranking",
+    _l26,
+    """
+SELECT lang, doc_id, source FROM (
+  SELECT lang, doc_id, source,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+) t
+WHERE rk <= 5
+ORDER BY lang, doc_id
+""",
+)
