@@ -42,6 +42,35 @@ _SYNTH_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_stale(spark: SparkSession) -> None:
+    """Drop cache entries from other applications (their sessions are
+    gone; the DataFrame handles are dead weight) so the dicts never
+    accumulate across session restarts in one process. Entries of the
+    *active* app stay — superseded sf_dirs within a long-lived app are
+    the caller's call via :func:`clear_envelope_cache`."""
+    app = spark.sparkContext.applicationId
+    for cache in (_SYNTH_CACHE, _PARSED_CACHE):
+        for key in [k for k in cache if k[0] != app]:
+            df = cache.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning session already stopped; nothing to free
+
+
+def clear_envelope_cache() -> None:
+    """Unpersist and drop every cached envelope fixture — call when a
+    long-lived application is done with a sf_dir (frees the
+    MEMORY_AND_DISK blocks immediately instead of at app exit)."""
+    for cache in (_SYNTH_CACHE, _PARSED_CACHE):
+        for key in list(cache):
+            df = cache.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the ``cdc_events`` envelope table from ``events``.
 
@@ -50,6 +79,7 @@ def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic noise rows at ``seq = event_id*10 + {1,2,3,4}``.
     The result is persisted (memory-and-disk, fixture-sized).
     """
+    _evict_stale(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SYNTH_CACHE.get(key)
     if cached is not None:
@@ -62,6 +92,7 @@ def build_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parsed_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``parse_envelope(build_cdc_events(...))``, persisted per
     (app, sf_dir) — the shared input of C03–C08."""
+    _evict_stale(spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PARSED_CACHE.get(key)
     if cached is not None:

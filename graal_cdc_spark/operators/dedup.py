@@ -381,4 +381,14 @@ def connected_components(
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without the changed==0 fixpoint means the
+        # labels are NOT components — downstream canonical-doc selection
+        # would silently be wrong. O(log diameter) rounds make this
+        # unreachable for any real graph at the default budget; hitting
+        # it signals a pathological input or a too-small max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of graph diameter)"
+        )
     return labels.select("node", F.col("label").alias("component"))

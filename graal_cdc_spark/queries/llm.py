@@ -974,7 +974,7 @@ ORDER BY doc_id, chunk_idx
 
 # ---------------------------------------------------------------------------
 # L25 — decontamination: corpus docs sharing an 8-gram with the eval
-# set (doc_id % 97 == 0 plays the benchmark). Collision join, eval
+# set (doc_id % 7 == 0 plays the benchmark). Collision join, eval
 # side broadcast.
 # ---------------------------------------------------------------------------
 
@@ -1052,5 +1052,50 @@ SELECT lang, doc_id, source FROM (
 ) t
 WHERE rk <= 5
 ORDER BY lang, doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L27 — greedy fixed-capacity packing: first-fit shard assignment with
+# a hard token budget (exact twin of the l21 continuous scheme).
+# Sequential per-group scan (applyInPandas); oracle is a lockstep
+# recursive CTE advancing every group one row per iteration.
+# ---------------------------------------------------------------------------
+
+
+def _l27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.packing import pack_by_token_budget_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_by_token_budget_greedy(docs, "source", "doc_id", budget=2048)
+        .select("source", "doc_id", "n_tok", "shard")
+        .orderBy("source", "doc_id")
+    )
+
+
+_l(
+    "l27_greedy_packing",
+    "first-fit fixed-capacity shard packing (sequential scan per group)",
+    _l27,
+    """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, doc_id, n_tok, rn, 0 AS shard, n_tok AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+         CASE WHEN p.acc + t.n_tok > 2048 THEN p.shard + 1 ELSE p.shard END,
+         CASE WHEN p.acc + t.n_tok > 2048 THEN t.n_tok ELSE p.acc + t.n_tok END
+  FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tok, CAST(shard AS INT) AS shard
+FROM pack
+ORDER BY source, doc_id
 """,
 )

@@ -207,12 +207,25 @@ def _as_response(raw) -> tuple[int, str | None, float | None]:
 
 
 def _bulk_item_failures(
-    cfg: EsSinkConfig, chunk: list[dict], body: str | None, policy: RetryPolicy
+    cfg: EsSinkConfig,
+    chunk: list[dict],
+    body: str | None,
+    policy: RetryPolicy,
+    action: str = "index",
 ) -> tuple[list[dict], list[tuple[str, int | None, str]]]:
     """Split a 2xx ``_bulk`` response into (records to retry, permanent
     failures). ES returns ``items`` in request order, so items map to
     records positionally. A body that is missing, unparsable, or
-    reports ``errors: false`` means full success."""
+    reports ``errors: false`` means full success.
+
+    Deleting an absent document is success, not failure: ES reports a
+    delete item for a missing ``_id`` as ``status: 404`` / ``result:
+    "not_found"`` (and sets top-level ``errors: true``), but the sink's
+    contract is convergence — "this key does not exist" is exactly the
+    desired end state. This case arises in the mainline flow (an
+    insert+delete of the same key compacts to a delete of a doc that
+    never reached ES) and on every at-least-once replay of an
+    already-applied delete."""
     if body is None:
         return [], []
     try:
@@ -233,6 +246,8 @@ def _bulk_item_failures(
         status = result.get("status", 200)
         if 200 <= status < 300:
             continue
+        if action == "delete" and (status == 404 or result.get("result") == "not_found"):
+            continue  # absent doc: the desired end state already holds
         if status in policy.retryable_statuses:
             retry.append(rec)
         else:
@@ -269,11 +284,19 @@ def send_records(
                 last_reason = f"transport error: {exc}"
                 continue
             if 200 <= status < 300:
-                item_retry, item_fatal = _bulk_item_failures(cfg, chunk, body, policy)
+                item_retry, item_fatal = _bulk_item_failures(
+                    cfg, chunk, body, policy, action
+                )
                 retry.extend(item_retry)
                 fatal.extend(item_fatal)
                 if item_retry:
                     last_reason = f"bulk items retryable ({len(item_retry)})"
+            elif status == 404 and action == "delete" and req[0] == "DELETE":
+                # Single-doc DELETE of an absent id: already converged
+                # (first-batch delete of a never-indexed key, or replay
+                # of an applied delete). Only the single-record path —
+                # a 404 on the ``_bulk`` endpoint itself stays fatal.
+                continue
             elif status in policy.retryable_statuses:
                 retry.extend(chunk)
                 last_reason = f"http {status}"

@@ -447,3 +447,44 @@ def test_ngram_contamination_flags_shared_grams_only(spark):
     }
     # the leaked sentence has 10 tokens → 3 distinct 8-grams shared
     assert got == {1: (3, [100])}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter without the fixpoint must raise, not return
+    silently-wrong labels (ADVICE r2)."""
+    from graal_cdc_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a INT, doc_b INT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_greedy_packing_capacity_and_oversize_slot(spark):
+    """First-fit contract: no shard exceeds the budget unless it holds
+    exactly one over-budget document, and over-budget documents sit
+    alone (ADVICE r2 on the cumulative scheme's claims)."""
+    from graal_cdc_spark.operators.packing import pack_by_token_budget_greedy
+
+    docs = [
+        # g1: 4+4 fit in 10; +4 overflows -> shard 1; 20-tok doc alone
+        ("g1", 0, "a b c d"), ("g1", 1, "a b c d"), ("g1", 2, "a b c d"),
+        ("g1", 3, " ".join(["w"] * 20)), ("g1", 4, "a b"),
+        # g2: oversized doc FIRST, then small docs
+        ("g2", 0, " ".join(["w"] * 15)), ("g2", 1, "a"), ("g2", 2, "b"),
+    ]
+    df = spark.createDataFrame(docs, "source STRING, doc_id INT, text STRING")
+    out = pack_by_token_budget_greedy(df, "source", "doc_id", budget=10)
+    rows = {(r["source"], r["doc_id"]): (r["n_tok"], r["shard"]) for r in out.collect()}
+    assert [rows[("g1", i)][1] for i in range(5)] == [0, 0, 1, 2, 3]
+    assert [rows[("g2", i)][1] for i in range(3)] == [0, 1, 1]
+    # capacity invariant: per-shard totals <= budget unless singleton
+    from collections import defaultdict
+
+    totals, counts = defaultdict(int), defaultdict(int)
+    for (g, _), (n, s) in rows.items():
+        totals[(g, s)] += n
+        counts[(g, s)] += 1
+    for key, tot in totals.items():
+        assert tot <= 10 or counts[key] == 1

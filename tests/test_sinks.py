@@ -438,3 +438,75 @@ def test_malformed_retry_after_ignored():
     slept, sleep = _sleeps()
     send_records(CFG, _recs("a"), "index", t, RetryPolicy(), sleep)
     assert slept == [0.5]
+
+
+def test_single_delete_404_is_success():
+    """DELETE of an absent doc returns 404 — the desired end state
+    already holds (first-batch insert+delete compaction, or replay of
+    an applied delete), so the sink must treat it as delivered."""
+    t = ScriptedTransport([(404, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a"), "delete", t, RetryPolicy(), sleep)
+    assert len(t.requests) == 1 and t.requests[0][0] == "DELETE"
+    assert slept == []
+
+
+def test_single_upsert_404_stays_fatal():
+    """404 on an index PUT is NOT convergence — it stays permanent."""
+    t = ScriptedTransport([(404, None)])
+    with pytest.raises(EsSinkError):
+        send_records(CFG, _recs("a"), "index", t, RetryPolicy(), lambda s: None)
+
+
+def test_bulk_delete_item_404_is_success():
+    """A _bulk delete item with status 404 / result not_found (ES sets
+    errors:true for these) is convergence, not failure; other items'
+    outcomes are still honored."""
+    body = json.dumps(
+        {
+            "errors": True,
+            "items": [
+                {"delete": {"_id": "a", "status": 404, "result": "not_found"}},
+                {"delete": {"_id": "b", "status": 200, "result": "deleted"}},
+            ],
+        }
+    )
+    t = ScriptedTransport([(200, body)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b"), "delete", t, RetryPolicy(), sleep)
+    assert len(t.requests) == 1 and slept == []
+
+
+def test_bulk_delete_item_mix_404_and_retryable():
+    """404 deletes pass; a 429 delete item still retries (alone)."""
+    body1 = json.dumps(
+        {
+            "errors": True,
+            "items": [
+                {"delete": {"_id": "a", "status": 404}},
+                {"delete": {"_id": "b", "status": 429}},
+            ],
+        }
+    )
+    t = ScriptedTransport([(200, body1), (200, None)])
+    slept, sleep = _sleeps()
+    send_records(CFG, _recs("a", "b"), "delete", t, RetryPolicy(), sleep)
+    # retry carried only 'b' — it went out as a single-doc DELETE
+    assert t.requests[1][0] == "DELETE" and "/_doc/b" in t.requests[1][1]
+
+
+def test_bulk_index_item_404_stays_fatal():
+    """404 on an index item is a real failure (e.g. missing index with
+    auto-create disabled) — only delete actions get the pass."""
+    body = json.dumps(
+        {
+            "errors": True,
+            "items": [
+                {"index": {"_id": "a", "status": 404, "error": {"type": "x"}}},
+                {"index": {"_id": "b", "status": 200}},
+            ],
+        }
+    )
+    t = ScriptedTransport([(200, body)])
+    with pytest.raises(EsSinkError):
+        send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
