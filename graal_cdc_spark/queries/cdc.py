@@ -257,3 +257,59 @@ ORDER BY key, valid_from_seq
         reference="DebeziumEngineRecordHandler.java:130-146",
     )
 )
+
+
+def _c09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed value extraction from the CDC payload: pull ``after.value``
+    out of the envelope JSON, cast to decimal, aggregate per routed
+    table — the "consume the change payload" half of the reference's
+    script pipeline (the JS handler reads record fields the same way).
+
+    Scale: get_json_object is a codegen'd JSON path over the already-
+    filtered stream; the aggregate is partial map-side, one shuffle of
+    O(tables) rows.
+    """
+    return (
+        _parsed(spark, sf_dir)
+        .filter(F.col("op").isin("c", "u"))
+        .withColumn(
+            "val",
+            F.get_json_object("after_json", "$.value").cast("decimal(18,2)"),
+        )
+        .groupBy("tbl")
+        .agg(
+            F.sum("val").cast("string").alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c09_payload_value_extraction",
+        category="cdc",
+        description="typed after.value extraction + per-table decimal totals",
+        spark=_c09,
+        oracle=cdc_events_cte()
+        + """,
+vals AS (
+  SELECT json_extract_string(value, '$.payload.source.table') AS tbl,
+         CAST(json_extract_string(value, '$.payload.after.value')
+              AS DECIMAL(18,2)) AS val
+  FROM cdc_events
+  WHERE value IS NOT NULL
+    AND json_extract(value, '$.payload') IS NOT NULL
+    AND json_extract(value, '$.payload.ddl') IS NULL
+    AND json_extract_string(value, '$.payload.op') IN ('c','u')
+    AND value LIKE '%"after"%'
+)
+SELECT tbl, CAST(SUM(val) AS VARCHAR) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM vals
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="ScriptExecutor.java (script reads payload fields); DebeziumEngineRecordHandler.java:154-179",
+    )
+)

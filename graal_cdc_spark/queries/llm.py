@@ -1099,3 +1099,175 @@ FROM pack
 ORDER BY source, doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L28 — repetition / symbol quality metrics (Gopher-style filters):
+# distinct-word ratio, duplicate word-2-gram fraction, symbol ratio,
+# digit ratio. All pure array/regexp expressions — single codegen map
+# stage, no shuffle, no Python; ratios are integer-derived so the
+# floor(x*10000)/10000 form is bit-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+def _l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    g2 = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_g2 = F.size(g2)
+    n_g2_d = F.size(F.array_distinct(g2))
+    n_char = F.length("text")
+
+    def ratio(num, den):
+        return F.floor(num * 10000 / den) / 10000
+
+    sym = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    dig = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tok"),
+        ratio(F.size(F.array_distinct(toks)), n).alias("distinct_ratio"),
+        F.when(n >= 2, ratio(n_g2 - n_g2_d, n_g2)).otherwise(0.0).alias("dup2_ratio"),
+        ratio(sym, n_char).alias("symbol_ratio"),
+        ratio(dig, n_char).alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+_l(
+    "l28_repetition_quality",
+    "Gopher-style repetition/symbol quality metrics per document",
+    _l28,
+    """
+WITH m AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_char,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tok, n_char, n_sym, n_digit,
+         len(list_distinct(toks)) AS n_distinct,
+         CASE WHEN n_tok >= 2 THEN n_tok - 1 ELSE 0 END AS n_g2,
+         CASE WHEN n_tok >= 2 THEN len(list_distinct(
+           list_transform(generate_series(1, n_tok - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])))
+         ELSE 0 END AS n_g2_d
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tok,
+       floor(n_distinct * 10000 / n_tok) / 10000 AS distinct_ratio,
+       CASE WHEN n_g2 > 0
+            THEN floor((n_g2 - n_g2_d) * 10000 / n_g2) / 10000
+            ELSE 0.0 END AS dup2_ratio,
+       floor(n_sym * 10000 / n_char) / 10000 AS symbol_ratio,
+       floor(n_digit * 10000 / n_char) / 10000 AS digit_ratio
+FROM g
+ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L29 — length-decile curriculum binning: ntile(10) over a total
+# order, per-bucket stats. The gated query uses an exact global ntile
+# (one sort); the 100 TB path replaces it with approx percentile
+# cutoffs + a broadcast bucket join — same downstream contract.
+# ---------------------------------------------------------------------------
+
+
+def _l29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+_l(
+    "l29_length_deciles",
+    "curriculum binning: global length deciles with per-bucket stats",
+    _l29,
+    """
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM (
+  SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile,
+         n_chars
+  FROM documents
+) t
+GROUP BY decile
+ORDER BY decile
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L30 — per-dimension embedding statistics (the normalize/whiten prep
+# step): mean / sample stddev / min / max of each of the 64 dims.
+# posexplode + grouped agg — one shuffle of O(dims) groups; floats
+# widened to double before any arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _l30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            )
+        )
+        .groupBy("dim")
+        .agg(
+            F.floor(F.avg("val") * 10000).alias("_m"),
+            F.floor(F.stddev_samp("val") * 10000).alias("_s"),
+            F.floor(F.min("val") * 10000).alias("_lo"),
+            F.floor(F.max("val") * 10000).alias("_hi"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("_m") / 10000).alias("dim_mean"),
+            (F.col("_s") / 10000).alias("dim_sd"),
+            (F.col("_lo") / 10000).alias("dim_min"),
+            (F.col("_hi") / 10000).alias("dim_max"),
+        )
+        .orderBy("dim")
+    )
+
+
+_l(
+    "l30_embedding_dim_stats",
+    "per-dimension mean/stddev/min/max of the embedding space",
+    _l30,
+    """
+SELECT CAST(dim AS INT) AS dim,
+       floor(avg(val) * 10000) / 10000 AS dim_mean,
+       floor(stddev_samp(val) * 10000) / 10000 AS dim_sd,
+       floor(min(val) * 10000) / 10000 AS dim_min,
+       floor(max(val) * 10000) / 10000 AS dim_max
+FROM (
+  SELECT unnest(generate_series(0, 63)) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+) t
+GROUP BY dim
+ORDER BY dim
+""",
+)

@@ -1371,3 +1371,355 @@ WHERE o_orderkey <= 1000
 ORDER BY o_orderkey
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R35 — statistical aggregates: corr / covar_samp / stddev_samp /
+# var_samp. Partial-aggregatable (Spark merges per-partition moment
+# sketches — one shuffle of O(groups) rows at any scale); floored at
+# 4 decimals so cross-engine float association order can't flip a bit.
+# ---------------------------------------------------------------------------
+
+
+def _fl4(c):
+    return F.floor(c * 10000) / 10000
+
+
+def _r35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("_corr"),
+            F.covar_samp("l_quantity", "l_discount").alias("_cov"),
+            F.stddev_samp("l_discount").alias("_sd"),
+            F.var_samp("l_tax").alias("_var"),
+        )
+        .select(
+            "l_returnflag",
+            _fl4(F.col("_corr")).alias("corr_qty_price"),
+            _fl4(F.col("_cov")).alias("cov_qty_disc"),
+            _fl4(F.col("_sd")).alias("sd_disc"),
+            _fl4(F.col("_var")).alias("var_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_r(
+    "r35_stat_aggregates",
+    "corr/covar_samp/stddev_samp/var_samp per group (moment sketches)",
+    _r35,
+    """
+SELECT l_returnflag,
+       floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS corr_qty_price,
+       floor(covar_samp(l_quantity, l_discount) * 10000) / 10000 AS cov_qty_disc,
+       floor(stddev_samp(l_discount) * 10000) / 10000 AS sd_disc,
+       floor(var_samp(l_tax) * 10000) / 10000 AS var_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R36 — conditional / selective aggregates: count_if, max_by/min_by
+# (deterministic: the ordering key o_orderkey is unique), bool_or/
+# bool_and, filtered decimal SUM. All partial-aggregatable built-ins.
+# ---------------------------------------------------------------------------
+
+
+def _r36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("status_last"),
+            F.min_by("o_custkey", "o_orderkey").alias("first_cust"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            )
+            .cast("string")
+            .alias("open_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_r(
+    "r36_conditional_aggregates",
+    "count_if / max_by / min_by / bool_or / bool_and / filtered SUM",
+    _r36,
+    """
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       max_by(o_orderstatus, o_orderkey) AS status_last,
+       CAST(min_by(o_custkey, o_orderkey) AS BIGINT) AS first_cust,
+       bool_or(o_orderstatus = 'F') AS any_f,
+       bool_and(o_totalprice > 0) AS all_pos,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS VARCHAR)
+         AS open_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R37 — time-series gap fill: a generated month spine LEFT JOIN the
+# monthly aggregate, absent months as 0. The spine is O(84 rows) —
+# broadcast side of the join; the aggregate shuffles O(months), not
+# O(orders), because the groupBy pre-aggregates map-side.
+# ---------------------------------------------------------------------------
+
+
+def _r37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        months.join(per, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+_r(
+    "r37_month_spine_gapfill",
+    "generated month spine + left join: gap-filled monthly order counts",
+    _r37,
+    """
+WITH months AS (
+  SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month
+),
+per AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT m.month, CAST(COALESCE(p.cnt, 0) AS BIGINT) AS n_orders
+FROM months m LEFT JOIN per p USING (month)
+ORDER BY m.month
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R38 — IGNORE NULLS window fill: carry the last non-null observation
+# forward per user (the classic sensor-fill). One shuffle on user_id;
+# the frame is running (unbounded preceding), so Spark evaluates it in
+# a single pass per partition.
+# ---------------------------------------------------------------------------
+
+
+def _r38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    return (
+        ev.withColumn("v", v)
+        .select(
+            "event_id",
+            "user_id",
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_r(
+    "r38_ignore_nulls_fill",
+    "last_value IGNORE NULLS running fill per user",
+    _r38,
+    """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_id % 5 <> 0 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+ORDER BY event_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R39 — DISTINCT ON / latest-row-per-group over relational data (the
+# same shape as C06 compaction, here as a user-facing query): one
+# window shuffle on the group key, rn=1 filter.
+# ---------------------------------------------------------------------------
+
+
+def _r39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("latest_date"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
+                "latest_price"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_r(
+    "r39_distinct_on_latest",
+    "latest order per customer (DISTINCT ON pattern, window rn=1)",
+    _r39,
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS latest_price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R40 — bitwise aggregates (bit_and / bit_or / bit_xor) — set-summary
+# fingerprints per group; fully partial-aggregatable.
+# ---------------------------------------------------------------------------
+
+
+def _r40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.bit_and("c_custkey").alias("key_and"),
+            F.bit_or("c_custkey").alias("key_or"),
+            F.bit_xor("c_custkey").alias("key_xor"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_r(
+    "r40_bitwise_aggregates",
+    "bit_and / bit_or / bit_xor aggregate fingerprints per segment",
+    _r40,
+    """
+SELECT c_mktsegment,
+       CAST(bit_and(c_custkey) AS BIGINT) AS key_and,
+       CAST(bit_or(c_custkey) AS BIGINT) AS key_or,
+       CAST(bit_xor(c_custkey) AS BIGINT) AS key_xor
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R41 — explicit GROUPING SETS (not derivable from ROLLUP/CUBE: the
+# set list skips (o_orderpriority)) + grouping() flags, via the SQL
+# entry point. Spark expands to a union of partial aggregates over one
+# scan (Expand operator) — one shuffle total.
+# ---------------------------------------------------------------------------
+
+
+def _r41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+_r(
+    "r41_grouping_sets",
+    "explicit GROUPING SETS + grouping() flags (SQL entry point)",
+    _r41,
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R42 — date/interval arithmetic: add_months (end-of-month clamped in
+# both engines), last_day, datediff against a fixed horizon, and a
+# normalized day-of-week (Sunday=0). Pure codegen map stage.
+# ---------------------------------------------------------------------------
+
+
+def _r42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.add_months("o_orderdate", 3).cast("date").alias("due_month"),
+            F.last_day("o_orderdate").cast("date").alias("month_end"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+            .cast("int")
+            .alias("days_to_end"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_r(
+    "r42_date_interval_arithmetic",
+    "add_months / last_day / datediff / normalized day-of-week",
+    _r42,
+    """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_month,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT)
+         AS days_to_end,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+""",
+)

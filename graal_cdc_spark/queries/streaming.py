@@ -215,3 +215,44 @@ ORDER BY user_id, event_type
         reference="SURVEY.md §2.2 (extension); stateful.streaming_exact_dedup",
     )
 )
+
+
+def _st6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to a
+    static dimension (customer), aggregated per segment. Batch twin of
+    the streaming plan where ``customer`` is a broadcast static side —
+    no state store is involved (the static side is re-broadcast per
+    micro-batch), which is why this join needs no watermark.
+    """
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    QuerySpec(
+        name="st6_stream_static_join",
+        category="streaming",
+        description="stream-static broadcast enrichment join + per-segment totals",
+        spark=_st6,
+        oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+        reference="SURVEY.md §2.2 (extension; dimension enrichment)",
+    )
+)

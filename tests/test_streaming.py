@@ -517,3 +517,36 @@ def test_merge_into_semantics_match_directory_sink(spark, tmp_path):
     }
     got = {(k, s, o) for k, (s, o) in state.items()}
     assert got == want == {("k1", 5, "d"), ("k2", 2, "c"), ("k3", 4, "c")}
+
+
+# ---------------------------------------------------------------------------
+# stream-static join (st6): a static dimension joined into the event
+# stream — no state store, no watermark needed; the static side is
+# re-read per micro-batch, so it must hold across multiple batches.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    replay = str(tmp_path / "replay")
+    # two chunks -> two micro-batches: proves the static side joins
+    # correctly in every batch, not just the first
+    half = events.filter(F.col("event_id") % 2 == 0)
+    append_chunk(half.coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(cust), df["user_id"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            )
+        )
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+    got = run_to_memory(enrich(stream), output_mode="complete")
+    want = enrich(events)
+    assert _rows(spark, got) == _rows(spark, want)
