@@ -336,14 +336,21 @@ def connected_components(
         )
         # materialize ONCE: without this every round re-executes the
         # whole upstream edge pipeline (e.g. the MinHash-LSH candidate
-        # generation) through the join lineage
-        .localCheckpoint()
+        # generation) through the join lineage. Lazy: the first round's
+        # action materializes it.
+        .localCheckpoint(eager=False)
     )
+    # init label(v) = min(v, min neighbor) — one grouped aggregate that
+    # replaces both the distinct-nodes shuffle AND the first
+    # propagation round (which would cost two joins)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -373,11 +380,13 @@ def connected_components(
                 ).alias("new_label"),
                 F.col("old_label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the round's ONLY
+            # action — it materializes the checkpoint (filter+count
+            # touches every partition) and probes in the same job,
+            # instead of separate checkpoint and probe jobs
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("old_label")
-        ).limit(1).count()
+        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break

@@ -67,9 +67,9 @@ class PlanAudit:
     @property
     def partial_aggregates(self) -> bool:
         """Map-side combine before the shuffle (HashAggregate partial)."""
-        return bool(re.search(r"Functions \[\d+\]: partial_", self.plan)) or (
-            "partial_count" in self.plan or "Partial" in self.plan
-        )
+        # formatted plans render "Functions [4]: [partial_corr(...), ...]",
+        # simple-string plans render "...partial_sum..." / "Partial"
+        return "partial_" in self.plan or "Partial" in self.plan
 
     @property
     def codegen_stages(self) -> int:

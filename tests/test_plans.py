@@ -121,3 +121,46 @@ def test_single_data_shuffle(spark, name, max_shuffles):
 )
 def test_map_side_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+# ---------------------------------------------------------------------------
+# round-3 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+def test_st6_static_dim_broadcasts(spark):
+    a = _audit(spark, "st6_stream_static_join")
+    assert a.broadcast_joins >= 1, "customer dim must broadcast"
+    assert a.sortmerge_joins == 0
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("r35_stat_aggregates", 2),      # moment-sketch agg + output sort
+        ("r36_conditional_aggregates", 2),
+        ("r40_bitwise_aggregates", 2),
+        ("r41_grouping_sets", 2),        # expand + agg + sort
+        ("l28_repetition_quality", 1),   # pure map + output sort
+        ("r42_date_interval_arithmetic", 1),  # map + global output sort
+        ("c09_payload_value_extraction", 2),
+        ("l30_embedding_dim_stats", 2),  # posexplode + agg + sort
+    ],
+)
+def test_round3_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["r35_stat_aggregates", "r36_conditional_aggregates",
+             "r40_bitwise_aggregates", "c09_payload_value_extraction"]
+)
+def test_round3_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_r37_spine_join_stays_small(spark):
+    # the month spine join must not sort-merge: either side is tiny
+    a = _audit(spark, "r37_month_spine_gapfill")
+    assert a.sortmerge_joins == 0, a.plan
