@@ -1,0 +1,119 @@
+"""Embedding clustering for corpus curation — quantized-centroid
+k-means (Lloyd iterations on an integer grid).
+
+Cluster-balanced data curation (cluster, then sample per cluster)
+needs k-means over the embedding column. Plain Lloyd is float-sum
+order-sensitive — different partitionings give different centroids in
+the last ulp, which can flip borderline assignments, so runs would not
+be reproducible across cluster layouts (or against an oracle). This
+variant stays exact end-to-end:
+
+- points are quantized once: ``x_d = floor(v_d * scale)`` (int64)
+- a centroid is the *floor-divided* integer mean of its members:
+  ``c_d = floor(sum_d / n)`` — exact integer state, no float sums
+- distances are integer: ``d(x, c) = sum_d (x_d - c_d)^2``
+- ties broken by lowest cluster id
+
+Every quantity is therefore independent of partitioning, task order,
+and engine — the same inputs give the same clustering on 1 core or
+1000 executors, and a SQL engine can replay it exactly (the gated
+query's DuckDB oracle unrolls the same iterations as CTEs).
+
+Scale shape: each iteration is one scan + one shuffle of
+O(k * dims) aggregate rows; the centroid state (k x dims int64) is
+collected to the driver and re-broadcast as literals, so plan lineage
+does NOT grow with iterations (no checkpoint needed — the state round-
+trips through the driver, like MLlib's k-means). Overflow headroom:
+|x_d| <= scale * max|v|; the distance sum is bounded by
+dims * (2 * scale * max|v|)^2 — with scale=1e4, |v|<=1 and 64 dims
+that is ~3e17, inside int64 for any n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_points(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """``(pid, x: array<bigint>)`` — the integer-grid point set."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.floor(v * scale).cast("bigint"),
+    )
+    return emb.select(F.col(id_col).alias("pid"), q.alias("x"))
+
+
+def _assign_expr(centroids: list[list[int]]):
+    """Column: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j.
+    Centroids enter the plan as literal arrays (broadcast-by-plan)."""
+    structs = []
+    for j, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(int(s)) for s in c])
+        d = F.aggregate(
+            F.zip_with(F.col("x"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    best = F.least(*structs)
+    return best["j"].cast("int").alias("cid"), best["d"].alias("d2")
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` quantized Lloyd update rounds (init: the points
+    with the ``k`` lowest ids are the seed centroids), then a final
+    assignment. Returns ``(pid, cid INT, d2 BIGINT)`` — the cluster id
+    and integer squared distance per point.
+
+    An empty cluster keeps its previous centroid (deterministic, and
+    the oracle can mirror it with a left join + coalesce).
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("kmeans: k >= 1 and iters >= 0 required")
+    pts = quantize_points(emb, id_col, vec_col, scale).localCheckpoint(eager=False)
+
+    seed = pts.orderBy("pid").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"kmeans: need >= {k} points, got {len(seed)}")
+    centroids = [list(r["x"]) for r in seed]
+    dims = len(centroids[0])
+
+    for _ in range(iters):
+        cid, _ = _assign_expr(centroids)
+        assigned = pts.select("pid", "x", cid)
+        stats = (
+            assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = (r["s"], r["n"])
+        centroids = [
+            [
+                # floor-divided integer mean; sums fit doubles exactly
+                # (< 2^53), so floor(s/n) is engine-independent
+                int(by_cid[j][d][0] // by_cid[j][d][1])
+                if j in by_cid
+                else centroids[j][d]
+                for d in range(dims)
+            ]
+            for j in range(k)
+        ]
+
+    cid, d2 = _assign_expr(centroids)
+    return pts.select("pid", cid, d2)

@@ -1271,3 +1271,96 @@ GROUP BY dim
 ORDER BY dim
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L31 — quantized-centroid k-means over embeddings (cluster-based
+# curation prep). Integer-exact at every step (see operators/
+# clustering.py), so the DuckDB oracle replays the SAME iterations
+# exactly, unrolled as CTEs — an oracle-gated iterative algorithm.
+# ---------------------------------------------------------------------------
+
+
+def _l31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_quantized(emb, k=8, iters=2, scale=10_000)
+        .select(F.col("pid").alias("vec_id"), "cid", "d2")
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, scale: int = 10_000) -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])))"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name}x AS (
+  SELECT p.pid, c.cid, {dist} AS d
+  FROM pts p CROSS JOIN {cents} c
+),
+{name} AS (
+  SELECT pid, cid, d FROM (
+    SELECT pid, cid, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
+    FROM {name}x
+  ) t WHERE rk = 1
+)"""
+
+    def update(prev_c: str, a: str, s: str, new_c: str) -> str:
+        return f"""
+{s} AS (
+  SELECT a.cid, g.i AS dim,
+         CAST(SUM(p.x[g.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {a} a JOIN pts p USING (pid)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY a.cid, g.i
+),
+{new_c} AS (
+  SELECT {prev_c}.cid, COALESCE(agg.c, {prev_c}.c) AS c
+  FROM {prev_c} LEFT JOIN (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+    FROM {s} GROUP BY cid
+  ) agg USING (cid)
+)"""
+
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id AS pid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * {scale}) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT pid AS cid, x AS c FROM pts WHERE pid < {k}
+)"""
+    ]
+    cur = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(f"a{it}", cur))
+        parts.append(update(cur, f"a{it}", f"s{it}", f"c{it}"))
+        cur = f"c{it}"
+    parts.append(assign("fin", cur))
+    body = ",".join(parts)
+    return (
+        body
+        + """
+SELECT pid AS vec_id, CAST(cid AS INT) AS cid, CAST(d AS BIGINT) AS d2
+FROM fin
+ORDER BY vec_id
+"""
+    )
+
+
+_l(
+    "l31_kmeans_quantized",
+    "integer-exact k-means (k=8, 2 Lloyd rounds) over embeddings",
+    _l31,
+    _kmeans_oracle(),
+)

@@ -488,3 +488,39 @@ def test_greedy_packing_capacity_and_oversize_slot(spark):
         counts[(g, s)] += 1
     for key, tot in totals.items():
         assert tot <= 10 or counts[key] == 1
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """The integer-exact design promise: same clustering regardless of
+    partition count / task order."""
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_quantized(emb.repartition(1), k=4, iters=2).collect()
+    b = kmeans_quantized(emb.repartition(13), k=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every point assigned, cids in range
+    cids = {r["cid"] for r in a}
+    assert cids <= set(range(4)) and len(a) == emb.count()
+
+
+def test_kmeans_iter_zero_is_seed_assignment(spark):
+    """iters=0 assigns against the raw seed centroids; the seed points
+    themselves land in their own cluster at distance 0."""
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r["pid"]: (r["cid"], r["d2"]) for r in
+           kmeans_quantized(emb, k=3, iters=0).collect()}
+    for j in range(3):
+        assert out[j] == (j, 0)
+
+
+def test_kmeans_validates_inputs(spark):
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_quantized(emb, k=0)
+    with pytest.raises(ValueError, match="need >= "):
+        kmeans_quantized(emb.limit(2), k=5)
