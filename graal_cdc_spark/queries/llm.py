@@ -1291,7 +1291,9 @@ def _l31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, scale: int = 10_000) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 2, scale: int = 10_000, final_sql: str | None = None
+) -> str:
     dist = (
         "list_sum(list_transform(generate_series(1, 64), "
         "i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])))"
@@ -1348,14 +1350,12 @@ c0 AS (
         cur = f"c{it}"
     parts.append(assign("fin", cur))
     body = ",".join(parts)
-    return (
-        body
-        + """
+    final = final_sql or """
 SELECT pid AS vec_id, CAST(cid AS INT) AS cid, CAST(d AS BIGINT) AS d2
 FROM fin
 ORDER BY vec_id
 """
-    )
+    return body + final
 
 
 _l(
@@ -1363,4 +1363,48 @@ _l(
     "integer-exact k-means (k=8, 2 Lloyd rounds) over embeddings",
     _l31,
     _kmeans_oracle(),
+)
+
+# ---------------------------------------------------------------------------
+# L32 — cluster-balanced sampling: k-means clusters (l31) + a
+# deterministic content-hash top-3 per cluster — the DCLM-style
+# "cluster, then sample evenly" curation step, end to end.
+# ---------------------------------------------------------------------------
+
+
+def _l32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cc = kmeans_quantized(emb, k=8, iters=2, scale=10_000)
+    joined = cc.join(emb.select("vec_id", "label"), cc["pid"] == F.col("vec_id"))
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("pid").cast("string")), F.col("pid")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("cid", F.col("pid").alias("vec_id"), "label")
+        .orderBy("cid", "vec_id")
+    )
+
+
+_l(
+    "l32_cluster_balanced_sample",
+    "k-means clusters + deterministic hash-ranked top-3 per cluster",
+    _l32,
+    _kmeans_oracle(
+        final_sql="""
+SELECT cid, vec_id, label FROM (
+  SELECT CAST(f.cid AS INT) AS cid, f.pid AS vec_id, e.label,
+         row_number() OVER (PARTITION BY f.cid
+             ORDER BY md5(CAST(f.pid AS VARCHAR)), f.pid) AS rk
+  FROM fin f JOIN embeddings e ON e.vec_id = f.pid
+) t
+WHERE rk <= 3
+ORDER BY cid, vec_id
+"""
+    ),
 )

@@ -1723,3 +1723,119 @@ WHERE o_orderkey <= 2000
 ORDER BY o_orderkey
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R43 — explode_outer / outer lateral unnest: NULL and empty arrays
+# keep their parent row (the edge semantics that separate outer from
+# inner unnest). Map-side only.
+# ---------------------------------------------------------------------------
+
+
+def _r43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    arr = (
+        F.when(F.col("p_size") < 5, F.lit(None).cast("array<string>"))
+        .when(F.col("p_size") < 8, F.array().cast("array<string>"))
+        .otherwise(F.split(F.col("p_name"), " "))
+    )
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select("p_partkey", F.explode_outer(arr).alias("word"))
+        .orderBy("p_partkey", F.col("word").asc_nulls_first())
+    )
+
+
+_r(
+    "r43_explode_outer",
+    "outer lateral unnest: NULL/empty arrays keep their parent row",
+    _r43,
+    """
+SELECT p.p_partkey, u.word
+FROM (
+  SELECT p_partkey,
+         CASE WHEN p_size < 5 THEN NULL
+              WHEN p_size < 8 THEN []
+              ELSE string_split(p_name, ' ') END AS l
+  FROM part WHERE p_partkey <= 500
+) p
+LEFT JOIN LATERAL (SELECT unnest(p.l) AS word) u ON TRUE
+ORDER BY p.p_partkey, u.word NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R44 — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+# keys match each other, unlike plain equi-join. Note the scale
+# caveat this encodes: null-safe joins hash ALL null keys to one
+# bucket — at 100 TB a hot NULL key needs the salting path
+# (operators/skew.py) or a pre-split union of null/non-null joins.
+# ---------------------------------------------------------------------------
+
+
+def _r44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy(F.col("ck").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+_r(
+    "r44_null_safe_join",
+    "null-safe equality join: NULL keys pair with NULL keys",
+    _r44,
+    """
+SELECT c.ck AS k, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT NULLIF(c_nationkey, 3) AS ck FROM customer) c
+JOIN (SELECT NULLIF(s_nationkey, 3) AS sk FROM supplier) s
+  ON c.ck IS NOT DISTINCT FROM s.sk
+GROUP BY c.ck
+ORDER BY k NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R45 — error-safe expressions: try_cast on mixed content and
+# try_divide hitting a zero denominator — NULL instead of task
+# failure, the ANSI-mode-safe way to handle dirty data at scale.
+# ---------------------------------------------------------------------------
+
+
+def _r45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 3 == 0, F.col("p_partkey").cast("string")
+    ).otherwise(F.col("p_name"))
+    return (
+        p.filter(F.col("p_partkey") <= 1000)
+        .select(
+            "p_partkey",
+            mixed.try_cast("int").alias("maybe_int"),
+            F.try_divide(F.lit(100), F.col("p_size") - 5).alias("ratio"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_r(
+    "r45_try_expressions",
+    "try_cast / try_divide: NULL on bad input instead of task failure",
+    _r45,
+    """
+SELECT p_partkey,
+       TRY_CAST(CASE WHEN p_partkey % 3 = 0
+                     THEN CAST(p_partkey AS VARCHAR)
+                     ELSE p_name END AS INT) AS maybe_int,
+       100 / NULLIF(p_size - 5, 0) AS ratio
+FROM part
+WHERE p_partkey <= 1000
+ORDER BY p_partkey
+""",
+)
