@@ -65,21 +65,21 @@ def _assign_expr(centroids: list[list[int]]):
     return best["j"].cast("int").alias("cid"), best["d"].alias("d2")
 
 
-def kmeans_quantized(
+def train_centroids(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     scale: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> list[list[int]]:
     """Run ``iters`` quantized Lloyd update rounds (init: the points
-    with the ``k`` lowest ids are the seed centroids), then a final
-    assignment. Returns ``(pid, cid INT, d2 BIGINT)`` — the cluster id
-    and integer squared distance per point.
+    with the ``k`` lowest ids are the seed centroids) and return the
+    integer centroid table — the reusable "index training" half
+    (k-means assignment AND the IVF cell table both consume it).
 
     An empty cluster keeps its previous centroid (deterministic, and
-    the oracle can mirror it with a left join + coalesce).
+    a SQL oracle can mirror it with a left join + coalesce).
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans: k >= 1 and iters >= 0 required")
@@ -114,6 +114,21 @@ def kmeans_quantized(
             ]
             for j in range(k)
         ]
+    return centroids
 
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train (``train_centroids``), then a final assignment. Returns
+    ``(pid, cid INT, d2 BIGINT)`` — cluster id and integer squared
+    distance per point."""
+    centroids = train_centroids(emb, k, iters, scale, id_col, vec_col)
+    pts = quantize_points(emb, id_col, vec_col, scale)
     cid, d2 = _assign_expr(centroids)
     return pts.select("pid", cid, d2)

@@ -273,3 +273,93 @@ def int8_quantize(
     safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
     q = F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"))
     return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: a *trained* inverted-file
+    index (quantized k-means cells, ``operators/clustering.py``)
+    instead of random-projection buckets — cells follow the data
+    distribution, so recall at equal probe cost beats RP-LSH.
+
+    Build: assign every corpus vector to its nearest cell (one map
+    stage against the broadcast integer centroid table). Search: each
+    query probes its ``n_probe`` nearest cells, scans only those
+    inverted lists, and cosine re-ranks. Corpus scan work drops to
+    ~``n_probe/n_cells`` of brute force. Deterministic end to end
+    (integer centroid training + fixed tiebreaks), so results are
+    stable run-to-run — rare for an ANN index, and what makes the
+    recall test reproducible.
+
+    Scale: the cell table is k x dims ints (driver literals); the only
+    shuffle is the probe-cell equi-join; at 100 TB you'd persist the
+    cell assignment as a bucketed table and re-use it across query
+    batches.
+    """
+    from graal_cdc_spark.operators.clustering import (
+        _assign_expr,
+        quantize_points,
+        train_centroids,
+    )
+
+    cents = train_centroids(
+        corpus, k=n_cells, iters=train_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    cid, _ = _assign_expr(cents)
+    c = (
+        quantize_points(corpus, id_col, vec_col, scale)
+        .select("pid", cid)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("cv")
+            ),
+            "pid",
+        )
+        .select(F.col("pid").alias("neighbor_id"), F.col("cid").alias("cell"), "cv")
+    )
+
+    # query probes: n_probe nearest cells via array_sort over (d, j)
+    qx = quantize_points(queries, id_col, vec_col, scale)
+    structs = []
+    for j, cent in enumerate(cents):
+        lit_c = F.array(*[F.lit(int(s)) for s in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("x"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    probed = F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
+    q = F.broadcast(
+        qx.select(F.col("pid").alias("qid"), F.explode(probed).alias("p"))
+        .select("qid", F.col("p")["j"].alias("cell"))
+        .join(
+            queries.select(
+                F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+            ),
+            "qid",
+        )
+    )
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, "cell")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("sim_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )

@@ -1408,3 +1408,27 @@ ORDER BY cid, vec_id
 """
     ),
 )
+
+# ---------------------------------------------------------------------------
+# L33 — IVF approximate nearest neighbors: trained (k-means) inverted
+# cells, n_probe=2 of 8. Approximate by design -> rows-only gate; the
+# recall-vs-exact guarantee is asserted in tests/test_scale_ops.py.
+# ---------------------------------------------------------------------------
+
+
+def _l33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("qid", "rank")
+    )
+
+
+_l(
+    "l33_ann_ivf_trained",
+    "IVF ANN: trained k-means cells, probe-2-of-8, cosine re-rank",
+    _l33,
+    None,
+)

@@ -1839,3 +1839,46 @@ WHERE p_partkey <= 1000
 ORDER BY p_partkey
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R46 — keyless point-in-interval join via time binning: purchases in
+# the hour before each error event, across ALL users (no equi key, so
+# a naive plan is nested-loop). operators/interval.py turns it into a
+# hash join on time bins; the plan audit asserts no BNLJ/cartesian.
+# ---------------------------------------------------------------------------
+
+
+def _r46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.interval import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    return (
+        binned_interval_join(purchases, errors, "pts", "lo", "hi", bin_width_s=3600)
+        .groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+        .orderBy("error_id")
+    )
+
+
+_r(
+    "r46_binned_interval_join",
+    "keyless point-in-interval join (binned equi-join scale path)",
+    _r46,
+    """
+SELECT e.event_id AS error_id, CAST(count(*) AS BIGINT) AS n_purch
+FROM events e JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.ts >= e.ts - INTERVAL '1 hour' AND p.ts <= e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY error_id
+""",
+)

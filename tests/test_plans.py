@@ -164,3 +164,11 @@ def test_r37_spine_join_stays_small(spark):
     # the month spine join must not sort-merge: either side is tiny
     a = _audit(spark, "r37_month_spine_gapfill")
     assert a.sortmerge_joins == 0, a.plan
+
+
+def test_r46_interval_join_is_hash_not_nested_loop(spark):
+    """The whole point of binning: a keyless range join planned as a
+    shuffle/broadcast HASH join on bins, never BNLJ/cartesian."""
+    a = _audit(spark, "r46_binned_interval_join")
+    assert not a.has("BroadcastNestedLoopJoin"), a.plan
+    assert not a.has("CartesianProduct"), a.plan

@@ -524,3 +524,22 @@ def test_kmeans_validates_inputs(spark):
         kmeans_quantized(emb, k=0)
     with pytest.raises(ValueError, match="need >= "):
         kmeans_quantized(emb.limit(2), k=5)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with probe-2-of-8 must recover most of the exact top-5 (the
+    index is deterministic, so this bound is stable, not flaky)."""
+    from graal_cdc_spark.operators.similarity import cosine_topk_exact, ivf_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["qid"], r["neighbor_id"])
+             for r in cosine_topk_exact(emb, q, k=5).collect()}
+    approx = {(r["qid"], r["neighbor_id"])
+              for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # determinism: a second run returns the identical pair set
+    approx2 = {(r["qid"], r["neighbor_id"])
+               for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()}
+    assert approx == approx2
