@@ -65,6 +65,14 @@ def _assign_expr(centroids: list[list[int]]):
     return best["j"].cast("int").alias("cid"), best["d"].alias("d2")
 
 
+# Trained centroid tables are build-once index artifacts (like the
+# envelope fixture): memoized per (app, input plan, hyperparams) so
+# the k-means / balanced-sample / IVF queries in one session train
+# once. The value is a tiny k x dims int list — no Spark state to
+# free; other-app entries are dropped on access.
+_CENTROID_CACHE: dict[tuple, list[list[int]]] = {}
+
+
 def train_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -83,6 +91,13 @@ def train_centroids(
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans: k >= 1 and iters >= 0 required")
+    app = emb.sparkSession.sparkContext.applicationId
+    for stale in [c for c in _CENTROID_CACHE if c[0] != app]:
+        del _CENTROID_CACHE[stale]
+    cache_key = (app, emb.semanticHash(), k, iters, scale, id_col, vec_col)
+    hit = _CENTROID_CACHE.get(cache_key)
+    if hit is not None:
+        return [list(c) for c in hit]
     pts = quantize_points(emb, id_col, vec_col, scale).localCheckpoint(eager=False)
 
     seed = pts.orderBy("pid").limit(k).collect()
@@ -114,6 +129,7 @@ def train_centroids(
             ]
             for j in range(k)
         ]
+    _CENTROID_CACHE[cache_key] = [list(c) for c in centroids]
     return centroids
 
 

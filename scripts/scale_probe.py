@@ -46,6 +46,13 @@ PROBES = [
     "l21_token_budget_packing",
     "st1_tumbling_window",
     "st4_stream_stream_join",
+    # round 3
+    "r35_stat_aggregates",
+    "r46_binned_interval_join",
+    "l27_greedy_packing",
+    "l28_repetition_quality",
+    "l31_kmeans_quantized",
+    "l33_ann_ivf_trained",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)
