@@ -1882,3 +1882,120 @@ GROUP BY e.event_id
 ORDER BY error_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R47 — Python UDTF (table function): completes the declared UDF
+# surface (R22 scalar UDF, R32 grouped pandas UDAF, R47 UDTF — the
+# Spark analog of the reference's per-record JS scripts, SURVEY.md
+# §2.1 U1). Row-at-a-time Python by design — exempted from the
+# no-Python plan audit the same way R22 declares its UDF.
+# ---------------------------------------------------------------------------
+
+
+def _r47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, s.word, s.pos
+        FROM part, LATERAL split_words(p_name) s
+        WHERE p_partkey <= 300
+        ORDER BY p_partkey, s.pos
+        """
+    )
+
+
+_r(
+    "r47_python_udtf",
+    "Python UDTF via LATERAL (U1 surface: scalar UDF + UDAF + UDTF)",
+    _r47,
+    """
+SELECT t.p_partkey, t.toks[g.i] AS word, CAST(g.i - 1 AS INT) AS pos
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks
+      FROM part WHERE p_partkey <= 300) t,
+LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g
+ORDER BY t.p_partkey, pos
+""",
+    ref="ScriptExecutor.java:167-199 (per-record user transform)",
+)
+
+# ---------------------------------------------------------------------------
+# R48 — aggregate FILTER clause: per-group selective aggregation in
+# one pass over the data (no self-joins, no CASE pyramids in the agg).
+# ---------------------------------------------------------------------------
+
+
+def _r48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_finished,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS n_open,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_totalprice > 200000) AS STRING)
+                 AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_r(
+    "r48_aggregate_filter_clause",
+    "FILTER (WHERE ...) selective aggregates in one pass",
+    _r48,
+    """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_totalprice > 200000) AS VARCHAR) AS big_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R49 — sorted distinct array aggregation: collect_set + sort_array
+# (deterministic array-valued aggregate output).
+# ---------------------------------------------------------------------------
+
+
+def _r49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_r(
+    "r49_sorted_set_agg",
+    "collect_set + sort_array: deterministic array-valued aggregate",
+    _r49,
+    """
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       CAST(count(*) AS BIGINT) AS n_cust
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)

@@ -35,11 +35,17 @@ _BNLJ_OK = {
     "l17_tfidf_top_terms",
 }
 
+# Declared Python-runtime surface (U1 parity — the analog of the
+# reference's per-record JS scripts). r47 is the UDTF member; every
+# other query must stay JVM-side.
+_PYTHON_OK = {"r47_python_udtf"}
+
 
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_no_slow_paths(spark, name):
     a = _audit(spark, name)
-    assert a.python_evals == 0, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in _PYTHON_OK:
+        assert a.python_evals == 0, f"{name}: row-at-a-time Python UDF in plan"
     assert not a.has("CartesianProduct"), f"{name}: cartesian product"
     if name not in _BNLJ_OK:
         assert not a.has("BroadcastNestedLoopJoin"), (
