@@ -313,3 +313,47 @@ ORDER BY tbl
         reference="ScriptExecutor.java (script reads payload fields); DebeziumEngineRecordHandler.java:154-179",
     )
 )
+
+
+def _c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction (time travel): replay the
+    log only up to a sequence horizon (here max(seq)/2) and compact —
+    the "state as of S" read that a CDC-materialized table supports
+    for free because the log is totally ordered by seq (Q3).
+
+    Scale: the horizon is a 1-row broadcast; the compaction is the
+    same single key-window shuffle as C06, over the seq-pruned scan.
+    """
+    p = _parsed(spark, sf_dir)
+    horizon = p.agg(F.floor(F.max("seq") / 2).cast("bigint").alias("hz"))
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        p.join(F.broadcast(horizon))
+        .filter(F.col("seq") <= F.col("hz"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("key", "op", "seq")
+        .orderBy("key")
+    )
+
+
+register(
+    QuerySpec(
+        name="c10_point_in_time_state",
+        category="cdc",
+        description="state as of a seq horizon: bounded replay + compaction (time travel)",
+        spark=_c10,
+        oracle=cdc_parsed_cte()
+        + """
+SELECT key, op, seq FROM (
+  SELECT key, op, seq,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM cdc_parsed
+  WHERE seq <= (SELECT CAST(floor(max(seq) / 2) AS BIGINT) FROM cdc_parsed)
+) t
+WHERE rn = 1 AND op <> 'd'
+ORDER BY key
+""",
+        reference="DebeziumEngineRecordHandler.java:97-148 (ordered replay cursor)",
+    )
+)

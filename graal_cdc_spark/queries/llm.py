@@ -1432,3 +1432,52 @@ _l(
     _l33,
     None,
 )
+
+# ---------------------------------------------------------------------------
+# L34 — corpus vocabulary statistics: token volume, vocabulary size,
+# hapax count, top-word coverage. One explode + two aggregates
+# (word-level, then corpus-level) — the corpus "health check" numbers
+# a data-curation run reports.
+# ---------------------------------------------------------------------------
+
+
+def _l34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(1)
+    stats = wc.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count_if(F.col("cnt") == 1).alias("hapax"),
+    )
+    return stats.join(F.broadcast(top)).select(
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.col("word").alias("top_word"),
+        F.col("cnt").alias("top_cnt"),
+    )
+
+
+_l(
+    "l34_vocab_stats",
+    "corpus vocabulary stats: tokens / vocab / hapax / top word",
+    _l34,
+    """
+WITH wc AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+),
+top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 1)
+SELECT CAST((SELECT SUM(cnt) FROM wc) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(*) FROM wc) AS BIGINT) AS vocab,
+       CAST((SELECT count_if(cnt = 1) FROM wc) AS BIGINT) AS hapax,
+       (SELECT word FROM top) AS top_word,
+       CAST((SELECT cnt FROM top) AS BIGINT) AS top_cnt
+""",
+)
