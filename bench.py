@@ -3,7 +3,18 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <suite seconds>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<id>": sec, ...}, "sf": <sf>}
+
+The "queries" keys are the short query ids — the prefix of the full
+query name before the first underscore ("r01" for
+"r01_scan_filter_project", "l06" for "l06_minhash_lsh_candidates");
+ids are unique across the suite and match the names used in
+CORRECTNESS_r{N}.json / BASELINE.md one-to-one. Short keys keep the
+JSON line under the driver's 2000-char output-tail capture (the
+full-name dict at 100 queries is ~3.4 kB and gets truncated
+mid-line, unparseable — that is what happened to BENCH_r02.json).
+The full-name per-query breakdown is also written to
+``BENCH_FULL.json`` next to this script after every run.
 
 Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -81,15 +92,27 @@ def main() -> None:
         print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
+    full = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+
+    # Short ids on stdout so the one-line JSON stays well under the
+    # driver's 2000-char tail capture (see module docstring).
+    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
     print(
         json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
+            {**full, "queries": short},
+            separators=(",", ":"),
         )
     )
     spark.stop()

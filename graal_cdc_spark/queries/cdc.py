@@ -321,19 +321,27 @@ def _c10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "state as of S" read that a CDC-materialized table supports
     for free because the log is totally ordered by seq (Q3).
 
-    Scale: the horizon is a 1-row broadcast; the compaction is the
-    same single key-window shuffle as C06, over the seq-pruned scan.
+    Scale: the horizon is an uncorrelated scalar subquery — Catalyst
+    runs it once as a separate tiny stage and injects the value into
+    the filter (no join of any kind on the big side; an earlier
+    formulation cross-joined a broadcast 1-row horizon, which planned
+    as a BroadcastNestedLoopJoin and tripped the plan audit). The
+    compaction is the same single key-window shuffle as C06, over the
+    seq-pruned scan.
     """
-    p = _parsed(spark, sf_dir)
-    horizon = p.agg(F.floor(F.max("seq") / 2).cast("bigint").alias("hz"))
-    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
-    return (
-        p.join(F.broadcast(horizon))
-        .filter(F.col("seq") <= F.col("hz"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("key", "op", "seq")
-        .orderBy("key")
+    _parsed(spark, sf_dir).createOrReplaceTempView("cdc_parsed_c10")
+    return spark.sql(
+        """
+        SELECT key, op, seq FROM (
+          SELECT key, op, seq,
+                 row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+          FROM cdc_parsed_c10
+          WHERE seq <= (SELECT CAST(floor(max(seq) / 2) AS BIGINT)
+                        FROM cdc_parsed_c10)
+        ) t
+        WHERE rn = 1 AND op <> 'd'
+        ORDER BY key
+        """
     )
 
 
