@@ -1481,3 +1481,170 @@ SELECT CAST((SELECT SUM(cnt) FROM wc) AS BIGINT) AS n_tokens,
        CAST((SELECT cnt FROM top) AS BIGINT) AS top_cnt
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L35 — rare-word ratio quality signal: fraction of a document's
+# tokens whose corpus-wide frequency is <= 2 (OOV/noise proxy — a
+# standard pretraining quality filter). Integer-exact: counts plus a
+# basis-point ratio via integer division.
+#
+# Scale: the vocab aggregate partial-combines map-side, then the
+# token stream joins vocab on word — a shuffle hash join on the word
+# key (the rare tail is O(vocab), NOT broadcastable; the join must
+# shuffle either way, and AQE splits skewed hot-word partitions).
+# Two data shuffles total (vocab agg + join/doc agg share the word
+# partitioning).
+# ---------------------------------------------------------------------------
+
+
+def _l35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_rare",
+            F.expr("n_rare * 10000 DIV n_tok").alias("rare_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l35_rare_word_ratio",
+    "per-doc rare-token ratio vs corpus vocabulary (quality filter)",
+    _l35,
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word, count(*) AS c FROM words GROUP BY word
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(*) FILTER (WHERE v.c <= 2) AS BIGINT) AS n_rare,
+       CAST((count(*) FILTER (WHERE v.c <= 2)) * 10000 // count(*) AS BIGINT)
+         AS rare_bp
+FROM words w JOIN vocab v USING (word)
+GROUP BY w.doc_id
+ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L* extension (text quality family, cf. l09/l28)",
+)
+
+# ---------------------------------------------------------------------------
+# L36 — PII-style redaction: mask long digit runs and measure the
+# redaction volume. The fixtures contain no real PII, so a
+# deterministic synthetic contact string (doc_id-derived) is prepended
+# before masking — the operator under test is the corpus-wide
+# regexp_replace + match accounting, all JVM-side codegen.
+# ---------------------------------------------------------------------------
+
+
+def _l36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("user"),
+        F.col("doc_id").cast("string"),
+        F.lit(" phone "),
+        (F.col("doc_id") * 7919 + 1000000).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    pat = "[0-9]{4,}"
+    return (
+        d.select(
+            "doc_id",
+            (F.size(F.split(contact, pat)) - 1).cast("long").alias("n_masked"),
+            F.length(F.regexp_replace(contact, pat, "<NUM>"))
+            .cast("long")
+            .alias("masked_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l36_pii_redaction",
+    "mask long digit runs (PII scrub shape) + redaction accounting",
+    _l36,
+    """
+WITH c AS (
+  SELECT doc_id,
+         concat('user', CAST(doc_id AS VARCHAR), ' phone ',
+                CAST(doc_id * 7919 + 1000000 AS VARCHAR), ' ', text) AS contact
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split_regex(contact, '[0-9]{4,}')) - 1 AS BIGINT)
+         AS n_masked,
+       CAST(length(regexp_replace(contact, '[0-9]{4,}', '<NUM>', 'g')) AS BIGINT)
+         AS masked_len
+FROM c ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L* extension (text normalize family, cf. l20)",
+)
+
+# ---------------------------------------------------------------------------
+# L37 — edit-distance near-dup pairs with exact-prefix blocking:
+# candidate pairs share a 12-char text prefix (the blocking key — an
+# equi-join, so a hash join at any scale, never a cross product);
+# within a block, Levenshtein over the 40-char head <= 8 confirms.
+# The classic cheap near-dup detector for short/templated text where
+# shingling is overkill.
+# ---------------------------------------------------------------------------
+
+
+def _l37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("blk"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_l(
+    "l37_levenshtein_neardup",
+    "prefix-blocked Levenshtein near-dup pairs over document heads",
+    _l37,
+    """
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 12) AS blk, substr(text, 1, 40) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+ORDER BY doc_a, doc_b
+""",
+    ref="SURVEY.md §2.4 L02 family (near-dup detection, edit-distance variant)",
+)

@@ -1999,3 +1999,144 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R50 — unpivot / melt: wide aggregate → long (measure, value) rows.
+# Aggregate FIRST (6 groups), then unpivot the tiny result — at scale
+# the melt touches O(groups × measures) rows, never the fact table.
+# ---------------------------------------------------------------------------
+
+
+def _r50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _m(c):
+        return (
+            F.sum(F.col(c).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("string")
+        )
+
+    wide = li.groupBy("l_returnflag").agg(
+        _m("l_quantity").alias("quantity"),
+        _m("l_extendedprice").alias("extendedprice"),
+        _m("l_discount").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "total",
+    ).orderBy("l_returnflag", "measure")
+
+
+_r(
+    "r50_unpivot",
+    "unpivot/melt a wide aggregate into (measure, value) rows",
+    _r50,
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS extendedprice,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, total FROM (
+  SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM s
+  UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM s
+  UNION ALL SELECT l_returnflag, 'discount', discount FROM s
+) u
+ORDER BY l_returnflag, measure
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R51 — higher-order array functions: transform / filter / aggregate
+# lambdas evaluated JVM-side inside codegen (no Python, no explode —
+# the per-row array pipeline costs zero shuffles beyond the collect).
+# ---------------------------------------------------------------------------
+
+
+def _r51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    arr = (
+        o.filter(F.col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orders"))
+    )
+    picks = F.filter(
+        F.transform("orders", lambda x: x * 2), lambda x: x % 3 == 0
+    )
+    return arr.select(
+        "o_custkey",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.size(picks).cast("long").alias("n_picked"),
+        F.aggregate(picks, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_picked"
+        ),
+    ).orderBy("o_custkey")
+
+
+_r(
+    "r51_higher_order_array",
+    "array lambda pipeline: transform -> filter -> aggregate (fold)",
+    _r51,
+    """
+WITH arr AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS orders
+  FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey
+), p AS (
+  SELECT o_custkey, orders,
+         list_filter(list_transform(orders, x -> x * 2), x -> x % 3 = 0) AS picks
+  FROM arr
+)
+SELECT o_custkey,
+       CAST(len(orders) AS BIGINT) AS n_orders,
+       CAST(len(picks) AS BIGINT) AS n_picked,
+       CAST(coalesce(list_sum(picks), 0) AS BIGINT) AS total_picked
+FROM p ORDER BY o_custkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R52 — equi-width histogram binning via integer arithmetic. Bin ids
+# are computed in exact integer cents (floor before the cast — DuckDB
+# rounds double→int casts, Spark truncates, so never cast a raw
+# double); the groupBy is a partial-aggregatable O(bins) shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _r52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                "CAST(floor(o_totalprice * 100) AS BIGINT) DIV 5000000"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(50000)).cast("long").alias("lo_price"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+_r(
+    "r52_histogram_binning",
+    "equi-width histogram: integer-exact price bins + counts",
+    _r52,
+    """
+SELECT bin, CAST(bin * 50000 AS BIGINT) AS lo_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 5000000 AS bin
+  FROM orders
+) t
+GROUP BY bin ORDER BY bin
+""",
+)

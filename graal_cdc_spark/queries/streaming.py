@@ -256,3 +256,43 @@ ORDER BY c_mktsegment
         reference="SURVEY.md §2.2 (extension; dimension enrichment)",
     )
 )
+
+
+def _st7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return (
+        interval_pairs(purchases, errors, lookback="30 minutes", how="left_outer")
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "error_id")
+        .orderBy(
+            "user_id", "purchase_id", F.col("error_id").asc_nulls_first()
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="st7_stream_stream_left_outer",
+        category="streaming",
+        description="stream-stream LEFT OUTER interval join: every "
+        "purchase, with its errors in the prior 30 min or a NULL pad "
+        "(batch twin of the watermark-delayed outer streaming join)",
+        spark=_st7,
+        oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error'
+ AND e.ts >= p.ts - INTERVAL '30 minutes'
+ AND e.ts <= p.ts
+WHERE p.event_type = 'purchase'
+ORDER BY p.user_id, purchase_id, error_id NULLS FIRST
+""",
+        reference="SURVEY.md §2.2 (extension; reference has no joins)",
+    )
+)

@@ -34,13 +34,21 @@ def interval_pairs(
     ts_col: str = "ts",
     lookback: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs (key, left_id, right_id) where the right event happened in
     ``[left.ts - lookback, left.ts]`` for the same key.
 
-    Inner join — matches emit as soon as both sides arrive (streaming
-    append mode); the watermark only bounds state, it does not delay
-    inner-join output.
+    ``how='inner'`` — matches emit as soon as both sides arrive
+    (streaming append mode); the watermark only bounds state, it does
+    not delay inner-join output.
+
+    ``how='left_outer'`` — unmatched left rows emit with a NULL
+    ``right_id``. In streaming, Spark can declare a left row
+    unmatched only once the watermark has passed the row's whole
+    join window, so null-padded output is delayed by
+    ``watermark + lookback`` — the price of a correct outer result
+    under late data (both sides MUST carry watermarks).
     """
     l = left.withWatermark(ts_col, watermark) if watermark else left
     r = right.withWatermark(ts_col, watermark) if watermark else right
@@ -59,6 +67,6 @@ def interval_pairs(
         & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (r["r_ts"] <= l["l_ts"])
     )
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col("k").alias(key), F.col("left_id"), F.col("right_id")
     )

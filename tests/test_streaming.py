@@ -550,3 +550,50 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
     got = run_to_memory(enrich(stream), output_mode="complete")
     want = enrich(events)
     assert _rows(spark, got) == _rows(spark, want)
+
+
+def test_left_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join equals the batch twin
+    (the oracle-gated st7 query): null-padded rows for unmatched
+    purchases emit once the watermark passes their join window. A
+    far-future sentinel chunk (user_id -1, excluded from the
+    comparison) advances both watermarks so every real left row
+    finalizes before the query stops."""
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+    far = events.agg(F.max("ts").alias("m")).collect()[0]["m"] + dt.timedelta(
+        days=30
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (10**9, far, -1, "purchase", 0.0, "{}"),
+            (10**9 + 1, far, -1, "error", 0.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    )
+    append_chunk(sentinel, replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        interval_pairs(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "error"),
+            watermark="1 hour",
+            how="left_outer",
+        ),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).filter(F.col("user_id") >= 0)
+
+    want = interval_pairs(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "error"),
+        how="left_outer",
+    )
+    assert _rows(spark, got) == _rows(spark, want)
+    # the outer part is real: some purchases have no error in-window
+    assert got.filter(F.col("right_id").isNull()).count() > 0
