@@ -365,3 +365,71 @@ ORDER BY key
         reference="DebeziumEngineRecordHandler.java:97-148 (ordered replay cursor)",
     )
 )
+
+
+def _c11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate view over the CDC state: per routed
+    table, SUM(after.value) and row count of the LIVE rows (latest per
+    key, deletes applied) — the batch twin of the incrementally
+    maintained aggregate (``streaming.incremental.IncrementalAggSink``,
+    delta-maintained per micro-batch without rescanning state; the
+    equivalence is asserted in tests/test_streaming.py).
+
+    Scale: compaction is the single key shuffle of C06; the aggregate
+    on top is partial map-side, one O(tables) shuffle.
+    """
+    from graal_cdc_spark.cdc.compaction import compact_cdc
+
+    live = compact_cdc(_parsed(spark, sf_dir))
+    return (
+        live.withColumn(
+            "val",
+            F.get_json_object("after_json", "$.value").cast("decimal(18,2)"),
+        )
+        .groupBy("tbl")
+        .agg(
+            F.sum("val").cast("string").alias("live_total"),
+            F.count(F.lit(1)).alias("n_live"),
+        )
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c11_incremental_aggregate",
+        category="cdc",
+        description="materialized per-table aggregate over live CDC state "
+        "(batch twin of the delta-maintained streaming aggregate)",
+        spark=_c11,
+        oracle=cdc_events_cte()
+        + """,
+rows_ AS (
+  SELECT seq, key,
+         json_extract_string(value, '$.payload.op') AS op,
+         json_extract_string(value, '$.payload.source.table') AS tbl,
+         CAST(json_extract_string(value, '$.payload.after.value')
+              AS DECIMAL(18,2)) AS val
+  FROM cdc_events
+  WHERE value IS NOT NULL
+    AND json_extract(value, '$.payload') IS NOT NULL
+    AND json_extract(value, '$.payload.ddl') IS NULL
+    AND json_extract_string(value, '$.payload.op') IN ('c','u','d','r')
+    AND value LIKE '%"after"%'
+),
+live AS (
+  SELECT tbl, val FROM (
+    SELECT tbl, val, op,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM rows_
+  ) t
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT tbl, CAST(SUM(val) AS VARCHAR) AS live_total,
+       CAST(count(*) AS BIGINT) AS n_live
+FROM live GROUP BY tbl ORDER BY tbl
+""",
+        reference="ElasticsearchUtils.java:131-177 (record-at-a-time upserts "
+        "this generalizes); DebeziumEngineRecordHandler.java:120-121",
+    )
+)

@@ -597,3 +597,36 @@ def test_left_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(spark, got) == _rows(spark, want)
     # the outer part is real: some purchases have no error in-window
     assert got.filter(F.col("right_id").isNull()).count() > 0
+
+
+def test_incremental_aggregate_matches_batch_and_is_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Delta-maintained per-table aggregate over chunked CDC replay
+    equals the batch twin (the oracle-gated c11 query), and replaying
+    an already-applied chunk leaves the aggregate unchanged
+    (at-least-once safety: idempotent state merge → zero delta)."""
+    from graal_cdc_spark.cdc.envelope import parsed_envelope
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+    from graal_cdc_spark.streaming.incremental import IncrementalAggSink
+
+    parsed = parsed_envelope(spark, sf_dir)
+    hi = parsed.agg(F.max("seq")).collect()[0][0]
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    chunks = [
+        parsed.filter((F.col("seq") >= lo) & (F.col("seq") < hi_))
+        for lo, hi_ in zip(cuts, cuts[1:])
+    ]
+
+    state = CompactionStateSink(spark, str(tmp_path / "state"))
+    inc = IncrementalAggSink(spark, state, str(tmp_path / "agg"))
+    for chunk in chunks:
+        inc.merge(chunk)
+
+    want = _rows(spark, all_specs()["c11_incremental_aggregate"].spark(spark, sf_dir))
+    assert _rows(spark, inc.current_agg()) == want
+
+    # at-least-once replay of the middle chunk: no double counting
+    inc.merge(chunks[1])
+    assert _rows(spark, inc.current_agg()) == want
