@@ -1448,18 +1448,19 @@ def _l34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    top = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(1)
-    stats = wc.agg(
+    # Single pass: the top word rides the same aggregate as the corpus
+    # stats via min_by over (-cnt, word) — max count, ties to the
+    # lexicographically smallest word. (An earlier two-branch
+    # formulation cross-joined two 1-row aggregates, which planned as
+    # a BroadcastNestedLoopJoin and tripped the plan audit.)
+    return wc.agg(
         F.sum("cnt").alias("n_tokens"),
         F.count(F.lit(1)).alias("vocab"),
         F.count_if(F.col("cnt") == 1).alias("hapax"),
-    )
-    return stats.join(F.broadcast(top)).select(
-        "n_tokens",
-        "vocab",
-        "hapax",
-        F.col("word").alias("top_word"),
-        F.col("cnt").alias("top_cnt"),
+        F.min_by(
+            "word", F.struct((-F.col("cnt")).alias("nc"), F.col("word"))
+        ).alias("top_word"),
+        F.max("cnt").alias("top_cnt"),
     )
 
 

@@ -53,6 +53,10 @@ PROBES = [
     "l28_repetition_quality",
     "l31_kmeans_quantized",
     "l33_ann_ivf_trained",
+    # round 3, second batch (join-heavy text ops)
+    "l35_rare_word_ratio",
+    "l37_levenshtein_neardup",
+    "c11_incremental_aggregate",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)

@@ -568,14 +568,20 @@ def test_left_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     far = events.agg(F.max("ts").alias("m")).collect()[0]["m"] + dt.timedelta(
         days=30
     )
-    sentinel = spark.createDataFrame(
-        [
-            (10**9, far, -1, "purchase", 0.0, "{}"),
-            (10**9 + 1, far, -1, "error", 0.0, "{}"),
-        ],
-        EVENTS_SCHEMA,
-    )
-    append_chunk(sentinel, replay)
+    # TWO sentinel chunks: the first advances both watermarks past
+    # every real join window; outer-null emission happens while
+    # PROCESSING a batch under the advanced watermark, so a second,
+    # even-later data batch must follow (a trailing no-data batch
+    # before AvailableNow termination is not guaranteed).
+    for i, delay in enumerate([dt.timedelta(), dt.timedelta(days=30)]):
+        sentinel = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far + delay, -1, "purchase", 0.0, "{}"),
+                (10**9 + 2 * i + 1, far + delay, -1, "error", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        )
+        append_chunk(sentinel, replay)
 
     stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
     got = run_to_memory(
