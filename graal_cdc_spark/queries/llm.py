@@ -1649,3 +1649,130 @@ ORDER BY doc_a, doc_b
 """,
     ref="SURVEY.md §2.4 L02 family (near-dup detection, edit-distance variant)",
 )
+
+# ---------------------------------------------------------------------------
+# L38 — temperature-weighted mixture sampling: per-language target
+# counts proportional to sqrt(n) (temperature 0.5 — the standard
+# low-resource-upweighting rule for pretraining mixtures), selection
+# by md5 hash rank so the sample is deterministic and reproducible.
+# sqrt on a bigint-cast double is correctly rounded IEEE in both
+# engines; no cross-language normalization (a sum of doubles would
+# be association-order-sensitive across engines).
+#
+# Scale: the per-language counts broadcast (O(languages) rows); the
+# rank is one window shuffle on lang; selection is a filter.
+# ---------------------------------------------------------------------------
+
+
+def _l38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    targets = counts.withColumn(
+        "target_k",
+        F.floor(F.lit(10) * F.sqrt(F.col("n_docs").cast("double"))).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(targets), "lang"
+    )
+    sel = ranked.filter(F.col("rn") <= F.col("target_k"))
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("target_k").alias("target_k"),
+            F.count(F.lit(1)).alias("n_sel"),
+            F.min("doc_id").alias("min_sel_id"),
+            F.max("doc_id").alias("max_sel_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_l(
+    "l38_temperature_mixture",
+    "sqrt-temperature mixture sampling per language (hash-ranked)",
+    _l38,
+    """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), targets AS (
+  SELECT lang, n_docs,
+         CAST(floor(10 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS target_k
+  FROM counts
+), ranked AS (
+  SELECT d.lang, d.doc_id, t.n_docs, t.target_k,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM documents d JOIN targets t USING (lang)
+)
+SELECT lang,
+       CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(any_value(target_k) AS BIGINT) AS target_k,
+       CAST(count(*) AS BIGINT) AS n_sel,
+       CAST(min(doc_id) AS BIGINT) AS min_sel_id,
+       CAST(max(doc_id) AS BIGINT) AS max_sel_id
+FROM ranked WHERE rn <= target_k
+GROUP BY lang ORDER BY lang
+""",
+    ref="SURVEY.md §2.4 L* extension (sampling family, cf. l18/l26/l32)",
+)
+
+# ---------------------------------------------------------------------------
+# L39 — canonical document selection: within each exact-duplicate
+# cluster (md5 fingerprint, the l10 clusters), keep one canonical doc
+# — highest n_chars, ties to the smallest doc_id. The "which copy
+# survives dedup" step of a dedup pipeline; at scale the same
+# rank-and-keep runs over near-dup component labels (l22/l23) instead
+# of exact fingerprints.
+#
+# Scale: one window shuffle on the fingerprint; the duplicate filter
+# (count > 1) rides the same partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _l39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.col("text"))
+    )
+    w = Window.partitionBy("fp")
+    ranked = d.withColumn("n_dup", F.count(F.lit(1)).over(w)).withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        ),
+    )
+    return (
+        ranked.filter((F.col("n_dup") > 1) & (F.col("rk") == 1))
+        .select("fp", F.col("n_dup").cast("long").alias("n_dup"), F.col("doc_id").alias("canonical_id"))
+        .orderBy("fp")
+    )
+
+
+_l(
+    "l39_canonical_dedup",
+    "canonical-doc selection per exact-dup cluster (keep best copy)",
+    _l39,
+    """
+SELECT fp, CAST(n_dup AS BIGINT) AS n_dup, doc_id AS canonical_id
+FROM (
+  SELECT md5(text) AS fp, doc_id, n_chars,
+         count(*) OVER (PARTITION BY md5(text)) AS n_dup,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) t
+WHERE n_dup > 1 AND rk = 1
+ORDER BY fp
+""",
+    ref="SURVEY.md §2.4 L01/L10 family (dedup survivor selection)",
+)

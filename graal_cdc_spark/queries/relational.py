@@ -2140,3 +2140,68 @@ FROM (
 GROUP BY bin ORDER BY bin
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R53 — funnel conversion: first signup per user, then whether a
+# purchase followed within 7 days. The canonical event-sequence
+# analytics shape (A-then-B-within-T).
+#
+# Scale: the signup aggregate is partial map-side; the purchase join
+# shuffles both sides once on user_id (equi-key with a time-range
+# residual — a hash join, never a cross product); the final global
+# rollup reduces O(users) to one row.
+# ---------------------------------------------------------------------------
+
+
+def _r53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("int")).alias("converted"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signed"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST(SUM(converted) * 10000 DIV count(*) AS BIGINT)").alias(
+            "conv_bp"
+        ),
+    )
+
+
+_r(
+    "r53_funnel_conversion",
+    "signup→purchase-within-7-days funnel conversion rate",
+    _r53,
+    """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id,
+         max(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM s LEFT JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ts >= s.s_ts AND p.ts <= s.s_ts + INTERVAL 7 DAY
+  GROUP BY s.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_signed,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) * 10000 // count(*) AS BIGINT) AS conv_bp
+FROM conv
+""",
+)
