@@ -2205,3 +2205,59 @@ SELECT CAST(count(*) AS BIGINT) AS n_signed,
 FROM conv
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R54 — recursive CTE (WITH RECURSIVE, Spark 4.1 / SPARK-24497):
+# month spine unrolled by recursion, LEFT JOINed to per-month order
+# counts — the recursive twin of r37's sequence() spine.
+#
+# Scale: recursion here iterates over the TIME dimension (24 rows,
+# bounded depth), not the data — each step is a constant-size union;
+# the fact-table aggregate is a normal partial agg, and the spine
+# join broadcasts. Data-dimension recursion (transitive closure over
+# edges) stays on the iterative-DataFrame path (l22/l23 connected
+# components) where each round is a checkpointed shuffle, not a
+# planner-unrolled CTE.
+# ---------------------------------------------------------------------------
+
+
+def _r54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE m(mon) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT mon + INTERVAL 1 MONTH FROM m WHERE mon < DATE '1996-12-01'
+        ), c AS (
+          SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(m.mon, 'yyyy-MM') AS mon,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM m LEFT JOIN c ON c.mon = CAST(m.mon AS TIMESTAMP)
+        ORDER BY mon
+        """
+    )
+
+
+_r(
+    "r54_recursive_spine",
+    "WITH RECURSIVE month spine + gap-filled LEFT JOIN counts",
+    _r54,
+    """
+WITH RECURSIVE m(mon) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
+  WHERE mon < DATE '1996-12-01'
+), c AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m.mon, '%Y-%m') AS mon,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM m LEFT JOIN c ON c.mon = CAST(m.mon AS TIMESTAMP)
+ORDER BY mon
+""",
+)
