@@ -151,6 +151,19 @@ def test_st6_static_dim_broadcasts(spark):
         ("r42_date_interval_arithmetic", 1),  # map + global output sort
         ("c09_payload_value_extraction", 2),
         ("l30_embedding_dim_stats", 2),  # posexplode + agg + sort
+        # round-3 second batch
+        ("r50_unpivot", 2),              # agg + output sort; melt is free
+        ("r51_higher_order_array", 2),   # collect agg + sort; lambdas map-side
+        ("r52_histogram_binning", 2),    # bin agg + sort
+        ("r53_funnel_conversion", 2),    # signup agg + user join share a key
+        ("r54_recursive_spine", 2),      # fact agg + sort; spine is tiny
+        ("l35_rare_word_ratio", 3),      # vocab agg + word join + doc agg
+        ("l36_pii_redaction", 1),        # pure map + output sort
+        ("l37_levenshtein_neardup", 1),  # blocked self-join + sort
+        ("l38_temperature_mixture", 3),  # counts + lang window + final agg
+        ("l39_canonical_dedup", 2),      # fingerprint window + sort
+        ("c11_incremental_aggregate", 3),  # compaction window + agg + sort
+        ("st7_stream_stream_left_outer", 1),
     ],
 )
 def test_round3_shuffle_budget(spark, name, max_shuffles):
@@ -160,7 +173,10 @@ def test_round3_shuffle_budget(spark, name, max_shuffles):
 
 @pytest.mark.parametrize(
     "name", ["r35_stat_aggregates", "r36_conditional_aggregates",
-             "r40_bitwise_aggregates", "c09_payload_value_extraction"]
+             "r40_bitwise_aggregates", "c09_payload_value_extraction",
+             "r50_unpivot", "r52_histogram_binning",
+             "r53_funnel_conversion", "l35_rare_word_ratio",
+             "c11_incremental_aggregate"]
 )
 def test_round3_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
