@@ -127,6 +127,15 @@ def main() -> None:
     # warmup both paths
     time_spec(spark, "r14_global_topk", SRC)
     time_spec(spark, "l08_embedding_neardup_pairs", SRC)
+    # Materialize the envelope fixture for BOTH dirs before timing:
+    # it is a session-persisted fixture (cdc/envelope.py), and whichever
+    # C-suite probe runs first would otherwise absorb its one-time
+    # synthesis (observed: c06@10x read 68.7 s, of which ~62 s was
+    # fixture build — c11 right after measured 0.5 s on the warm cache).
+    from graal_cdc_spark.cdc.envelope import parsed_envelope
+
+    for d in (SRC, DST):
+        parsed_envelope(spark, d).write.mode("overwrite").format("noop").save()
 
     print(f"{'operator':40s} {'1x':>8s} {'10x':>8s} {'factor':>7s}")
     for name in PROBES:
