@@ -1776,3 +1776,79 @@ ORDER BY fp
 """,
     ref="SURVEY.md §2.4 L01/L10 family (dedup survivor selection)",
 )
+
+# ---------------------------------------------------------------------------
+# L40 — corpus token offsets via DISTRIBUTED prefix sum: assign every
+# document its global token offset (and fixed-size training-sequence
+# id) as if the corpus were concatenated in doc_id order — the
+# pack-and-chunk front half of a GPT-style pretraining tokenizer
+# pipeline.
+#
+# The naive formulation is a global running sum — a window over ONE
+# unpartitioned ordering, i.e. a single-partition scan that caps out
+# at one core no matter the cluster. This implementation is the
+# two-level scan: per-shard running sums in parallel (one shuffle on
+# the shard key), then a cumsum over the O(shards) shard totals
+# (driver-sized), broadcast back as per-shard base offsets. Same
+# result, full parallelism — the standard distributed prefix-sum
+# decomposition. The oracle states the naive global-window semantics;
+# the gate proves the decomposition is exact.
+# ---------------------------------------------------------------------------
+
+
+def _l40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    d = d.withColumn("shard", F.expr("doc_id DIV 1000"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("run", F.sum("n_tok").over(w))
+    totals = d.groupBy("shard").agg(F.sum("n_tok").alias("shard_tok"))
+    wt = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # O(shards) rows — the only single-partition window, by design
+    offsets = totals.withColumn(
+        "base", F.sum("shard_tok").over(wt) - F.col("shard_tok")
+    ).select("shard", "base")
+    return (
+        local.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("base") + F.col("run") - F.col("n_tok")).alias(
+                "global_start"
+            ),
+        )
+        .withColumn("seq_id", F.expr("global_start DIV 2048"))
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l40_distributed_prefix_sum",
+    "global token offsets + training-sequence ids via two-level scan",
+    _l40,
+    """
+SELECT doc_id, n_tok, global_start, global_start // 2048 AS seq_id
+FROM (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS global_start
+  FROM (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  ) t
+) s
+ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L21/L24/L27 family (sequence packing; scan decomposition)",
+)

@@ -164,6 +164,7 @@ def test_st6_static_dim_broadcasts(spark):
         ("l39_canonical_dedup", 2),      # fingerprint window + sort
         ("c11_incremental_aggregate", 3),  # compaction window + agg + sort
         ("st7_stream_stream_left_outer", 1),
+        ("l40_distributed_prefix_sum", 4),  # shard window + totals + O(shards) scan + sort
     ],
 )
 def test_round3_shuffle_budget(spark, name, max_shuffles):
