@@ -85,3 +85,37 @@ def test_dynamic_partition_pruning(spark, day_partitioned, tmp_path):
         .count()
     )
     assert joined.count() == want
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter injection (SPARK-32268): a selective dim
+    filter materializes as a bloom filter applied BELOW the fact
+    side's shuffle, cutting shuffle volume — the row-level sibling of
+    DPP. Preconditions the rule checks, reproduced here: the app side
+    must contain a shuffle (plain scan-joins are skipped), the scan
+    size threshold must be met (default 10GB — lowered for local
+    data), and the join must not be broadcast."""
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        j = agg.join(o, agg.l_orderkey == o.o_orderkey).select("q")
+        op = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in op.lower() or "might_contain" in op.lower(), op[:1500]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
