@@ -12,12 +12,26 @@ aggregates:
 
 evaluated only over the keys touched by the micro-batch.
 
-Replay safety (at-least-once, SURVEY.md §2.3.3): deltas are computed
-as (state-after - state-before) restricted to the batch's keys, and
-the underlying ``CompactionStateSink.merge`` is idempotent — a
-replayed batch leaves state unchanged, so its delta is exactly zero
-and the aggregate does not double-count. This makes the whole sink
-idempotent without any seq bookkeeping of its own.
+Exactly-once protocol (at-least-once replay + idempotent effects,
+SURVEY.md §2.3.3). A naive "merge state, then update agg" is NOT
+replay-safe: a crash between the two leaves state merged, and the
+replayed batch then observes a zero delta — the aggregate loses the
+batch's contribution forever. The sink therefore commits in three
+idempotent phases, keyed by the ``foreachBatch`` batch id:
+
+1. **Stage** the delta to a write-ahead parquet dir *before* any
+   state mutation (the delta's "after" side is computed virtually —
+   state ∪ batch compacted — without writing state).
+2. **Merge** the compaction state (idempotent by construction).
+3. **Commit** the new aggregate as a versioned directory carrying an
+   ``_applied_<batch_id>`` marker, then flip a pointer FILE with
+   ``os.replace`` (atomic) — never a rename dance on the live dir.
+
+A replayed batch finds either the applied marker (skip), or a
+complete staged delta (redo phases 2-3 idempotently), or no staging
+(recompute from scratch — state untouched, by phase order). This is
+the same txn-marker recipe Delta's ``txnAppId``/``txnVersion`` gives
+``foreachBatch`` sinks on a cluster.
 
 Exactness: values are summed as integer cents (``decimal(18,2) * 100``
 → BIGINT), so the running aggregate never drifts the way a float
@@ -32,13 +46,13 @@ Scale notes:
 - The delta aggregation is partial map-side and shuffles O(groups)
   rows; the aggregate-table merge is O(groups) — independent of both
   state size and stream length.
-- No driver-side data path: the aggregate table lives as a (tiny)
-  parquet directory, merged executor-side, swapped atomically like
-  the compaction state.
+- No driver-side data path: deltas and aggregate versions are parquet
+  written by executors; the driver only flips the pointer file.
 
 Reference: ElasticsearchUtils.java:131-177 (per-doc upserts — the
-record-at-a-time ceiling this generalizes); DebeziumEngineRecordHandler.java:120-121
-(ordered replay the delta rule relies on).
+record-at-a-time ceiling this generalizes);
+DebeziumEngineRecordHandler.java:120-121 (ordered replay the delta
+rule relies on).
 """
 
 from __future__ import annotations
@@ -50,6 +64,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graal_cdc_spark.cdc.compaction import latest_by_key
 from graal_cdc_spark.streaming.compaction import CompactionStateSink
 
 _CENTS = "CAST(CAST(get_json_object(after_json, '$.value') AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -58,7 +73,7 @@ _CENTS = "CAST(CAST(get_json_object(after_json, '$.value') AS DECIMAL(18,2)) * 1
 class IncrementalAggSink:
     """``foreachBatch`` sink maintaining per-``group_col`` totals of
     ``after.value`` over the live (compacted, deletes-applied) CDC
-    state, by delta — never recomputing from full state."""
+    state, by staged delta — never recomputing from full state."""
 
     def __init__(
         self,
@@ -69,16 +84,39 @@ class IncrementalAggSink:
     ) -> None:
         self.spark = spark
         self.state_sink = state_sink
-        self.agg_dir = agg_dir
+        self.agg_dir = agg_dir  # base name: versions live at <agg_dir>.v*
         self.group_col = group_col
+        self._fallback_id = 0  # per-process ids for ad-hoc batch use
 
-    def _live_contrib(self, keys: DataFrame) -> DataFrame:
-        """(group, total_cents, n_live) for the live state rows whose
-        key is in ``keys``. Empty-state → empty contribution."""
+    # -- aggregate storage: versioned dirs + atomic pointer file -----
+
+    def _pointer(self) -> str:
+        return self.agg_dir + ".CURRENT"
+
+    def _current_dir(self) -> str | None:
         try:
-            live = self.state_sink.current_table(drop_deletes=True)
+            with open(self._pointer()) as f:
+                path = f.read().strip()
         except FileNotFoundError:
+            return None
+        return path if os.path.isdir(path) else None
+
+    def _agg(self) -> DataFrame:
+        cur = self._current_dir()
+        if cur is None:
             return self._empty_agg()
+        return self.spark.read.parquet(cur)
+
+    def _empty_agg(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "grp string, total_cents long, n_live long"
+        )
+
+    # -- contributions ------------------------------------------------
+
+    def _contrib(self, live: DataFrame, keys: DataFrame) -> DataFrame:
+        """(grp, total_cents, n_live) over ``live`` rows whose key is
+        in ``keys``."""
         return (
             live.join(F.broadcast(keys), "key")
             .select(
@@ -92,48 +130,81 @@ class IncrementalAggSink:
             )
         )
 
-    def _empty_agg(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], "grp string, total_cents long, n_live long"
-        )
-
-    def _agg(self) -> DataFrame:
-        if not os.path.isdir(self.agg_dir):
+    def _before_contrib(self, keys: DataFrame) -> DataFrame:
+        try:
+            live = self.state_sink.current_table(drop_deletes=True)
+        except FileNotFoundError:
             return self._empty_agg()
-        return self.spark.read.parquet(self.agg_dir)
+        return self._contrib(live, keys)
+
+    def _after_contrib(self, batch_df: DataFrame, keys: DataFrame) -> DataFrame:
+        """Post-merge live contribution, computed VIRTUALLY (state ∪
+        batch, compacted) so the delta can be staged before any state
+        write."""
+        kc = list(self.state_sink.key_cols)
+        oc = self.state_sink.order_col
+        compact_batch = latest_by_key(batch_df, kc, oc)
+        state = self.state_sink._state()
+        combined = (
+            compact_batch
+            if state is None
+            else state.unionByName(compact_batch)
+        )
+        live = latest_by_key(combined, kc, oc).filter(F.col("op") != "d")
+        return self._contrib(live, keys)
+
+    # -- the three-phase commit ---------------------------------------
 
     def merge(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         if batch_df.isEmpty():
             return
-        keys = batch_df.select("key").distinct()
-        # Materialize BEFORE the state swap: the contribution plan
-        # reads the state parquet files lazily, and merge() replaces
-        # them — an uncheckpointed `before` would re-execute against
-        # deleted files. O(touched groups) rows, cheap to pin.
-        before = self._live_contrib(keys).localCheckpoint()
-        self.state_sink.merge(batch_df, batch_id)
-        after = self._live_contrib(keys).localCheckpoint()
+        if batch_id is None:
+            batch_id = self._fallback_id
+            self._fallback_id += 1
 
-        delta = (
-            after.withColumnRenamed("total_cents", "a_cents")
-            .withColumnRenamed("n_live", "a_n")
-            .join(
-                before.withColumnRenamed("total_cents", "b_cents")
-                .withColumnRenamed("n_live", "b_n"),
-                "grp",
-                "full_outer",
+        cur = self._current_dir()
+        if cur is not None and os.path.isfile(
+            os.path.join(cur, f"_applied_{batch_id}")
+        ):
+            # Replay of a fully committed batch: bring state up (a
+            # no-op merge) and leave the aggregate alone.
+            self.state_sink.merge(batch_df, batch_id)
+            shutil.rmtree(f"{self.agg_dir}.delta_{batch_id}", ignore_errors=True)
+            return
+
+        # Phase 1 — stage the delta BEFORE any state mutation.
+        staging = f"{self.agg_dir}.delta_{batch_id}"
+        if not os.path.isfile(os.path.join(staging, "_SUCCESS")):
+            keys = batch_df.select("key").distinct()
+            before = self._before_contrib(keys)
+            after = self._after_contrib(batch_df, keys)
+            delta = (
+                after.withColumnRenamed("total_cents", "a_cents")
+                .withColumnRenamed("n_live", "a_n")
+                .join(
+                    before.withColumnRenamed("total_cents", "b_cents")
+                    .withColumnRenamed("n_live", "b_n"),
+                    "grp",
+                    "full_outer",
+                )
+                .select(
+                    "grp",
+                    (
+                        F.coalesce("a_cents", F.lit(0))
+                        - F.coalesce("b_cents", F.lit(0))
+                    ).alias("d_cents"),
+                    (
+                        F.coalesce("a_n", F.lit(0)) - F.coalesce("b_n", F.lit(0))
+                    ).alias("d_n"),
+                )
             )
-            .select(
-                "grp",
-                (
-                    F.coalesce("a_cents", F.lit(0))
-                    - F.coalesce("b_cents", F.lit(0))
-                ).alias("d_cents"),
-                (F.coalesce("a_n", F.lit(0)) - F.coalesce("b_n", F.lit(0))).alias(
-                    "d_n"
-                ),
-            )
-        )
+            delta.write.mode("overwrite").parquet(staging)
+
+        # Phase 2 — idempotent state merge.
+        self.state_sink.merge(batch_df, batch_id)
+
+        # Phase 3 — commit agg version + marker, flip pointer atomically.
+        delta = self.spark.read.parquet(staging)
         merged = (
             self._agg()
             .join(delta, "grp", "full_outer")
@@ -151,13 +222,18 @@ class IncrementalAggSink:
             )
             .filter(F.col("n_live") > 0)
         )
-        tmp = f"{self.agg_dir}.tmp.{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.agg_dir}.old.{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.agg_dir):
-            os.rename(self.agg_dir, old)
-        os.rename(tmp, self.agg_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        new_dir = f"{self.agg_dir}.v{batch_id}.{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        with open(os.path.join(new_dir, f"_applied_{batch_id}"), "w"):
+            pass
+        old = self._current_dir()
+        ptr_tmp = self._pointer() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(ptr_tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(ptr_tmp, self._pointer())  # atomic commit point
+        shutil.rmtree(staging, ignore_errors=True)
+        if old is not None and old != new_dir:
+            shutil.rmtree(old, ignore_errors=True)
 
     def current_agg(self) -> DataFrame:
         """The maintained view: (grp, live_total decimal-string, n_live)."""

@@ -636,3 +636,57 @@ def test_incremental_aggregate_matches_batch_and_is_replay_safe(
     # at-least-once replay of the middle chunk: no double counting
     inc.merge(chunks[1])
     assert _rows(spark, inc.current_agg()) == want
+
+
+@pytest.mark.parametrize("fault", ["before_state_merge", "at_agg_commit"])
+def test_incremental_aggregate_crash_recovery(
+    spark, sf_dir, tmp_path, monkeypatch, fault
+):
+    """Kill the sink at both dangerous points of the three-phase
+    commit and replay the batch (Spark's foreachBatch retry): the
+    aggregate must converge to the batch twin either way. The
+    'at_agg_commit' fault is the case a naive merge-state-then-update
+    sink gets WRONG — state is already merged, so a recomputed delta
+    would be zero and the batch's contribution silently lost; the
+    staged write-ahead delta is what makes the retry exact."""
+    import graal_cdc_spark.streaming.incremental as inc_mod
+    from graal_cdc_spark.cdc.envelope import parsed_envelope
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+    from graal_cdc_spark.streaming.incremental import IncrementalAggSink
+
+    parsed = parsed_envelope(spark, sf_dir)
+    hi = parsed.agg(F.max("seq")).collect()[0][0]
+    cuts = [0, hi // 2, hi + 1]
+    chunks = [
+        parsed.filter((F.col("seq") >= lo) & (F.col("seq") < hi_))
+        for lo, hi_ in zip(cuts, cuts[1:])
+    ]
+    state = CompactionStateSink(spark, str(tmp_path / "state"))
+    inc = IncrementalAggSink(spark, state, str(tmp_path / "agg"))
+    inc.merge(chunks[0], batch_id=0)
+
+    if fault == "at_agg_commit":
+        real = inc_mod.os.replace
+
+        def boom(src, dst):
+            raise OSError("injected crash at agg pointer flip")
+
+        monkeypatch.setattr(inc_mod.os, "replace", boom)
+        with pytest.raises(OSError, match="injected"):
+            inc.merge(chunks[1], batch_id=1)
+        monkeypatch.setattr(inc_mod.os, "replace", real)
+    else:
+        real_merge = CompactionStateSink.merge
+
+        def boom_merge(self, batch_df, batch_id=None):
+            raise OSError("injected crash before state merge")
+
+        monkeypatch.setattr(CompactionStateSink, "merge", boom_merge)
+        with pytest.raises(OSError, match="injected"):
+            inc.merge(chunks[1], batch_id=1)
+        monkeypatch.setattr(CompactionStateSink, "merge", real_merge)
+
+    inc.merge(chunks[1], batch_id=1)  # the retry
+    want = _rows(spark, all_specs()["c11_incremental_aggregate"].spark(spark, sf_dir))
+    assert _rows(spark, inc.current_agg()) == want
