@@ -248,3 +248,44 @@ class IncrementalAggSink:
             .alias("live_total"),
             F.col("n_live"),
         )
+
+
+def run_incremental_agg_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    state_dir: str,
+    agg_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> IncrementalAggSink:
+    """End-to-end materialized-view pipeline, streaming form:
+    file-stream envelope source → F3–F7 filter chain → three-phase
+    incremental aggregate commit per micro-batch. AvailableNow;
+    re-invoke with the same checkpoint to resume from the cursor
+    (DebeziumEngineRecordHandler.java:129 tailer semantics)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from graal_cdc_spark.cdc.envelope import parse_envelope
+    from graal_cdc_spark.streaming.replay import read_file_stream
+
+    schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    raw = read_file_stream(spark, replay_dir, schema, max_files_per_trigger)
+    parsed = parse_envelope(raw)
+
+    sink = IncrementalAggSink(
+        spark, CompactionStateSink(spark, state_dir), agg_dir
+    )
+    q = (
+        parsed.writeStream.foreachBatch(sink.merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

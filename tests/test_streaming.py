@@ -690,3 +690,42 @@ def test_incremental_aggregate_crash_recovery(
     inc.merge(chunks[1], batch_id=1)  # the retry
     want = _rows(spark, all_specs()["c11_incremental_aggregate"].spark(spark, sf_dir))
     assert _rows(spark, inc.current_agg()) == want
+
+
+def test_incremental_agg_stream_end_to_end(spark, sf_dir, tmp_path):
+    """The whole materialized-view pipeline on writeStream/foreachBatch:
+    multi-batch file replay (maxFilesPerTrigger=1) converges to the
+    c11 batch twin, and a full re-replay from a fresh checkpoint over
+    the existing state/agg leaves the aggregate unchanged (the
+    at-least-once + exactly-once-commit contract, end to end)."""
+    from graal_cdc_spark.cdc.envelope import build_cdc_events
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.streaming.incremental import run_incremental_agg_stream
+
+    cdc = build_cdc_events(spark, sf_dir)
+    replay = str(tmp_path / "replay")
+    mid = cdc.approxQuantile("seq", [0.5], 0.0)[0]
+    append_chunk(cdc.filter(F.col("seq") <= mid).coalesce(1), replay)
+    append_chunk(cdc.filter(F.col("seq") > mid).coalesce(1), replay)
+
+    sink = run_incremental_agg_stream(
+        spark,
+        replay,
+        str(tmp_path / "state"),
+        str(tmp_path / "agg"),
+        str(tmp_path / "ckpt1"),
+        max_files_per_trigger=1,
+    )
+    want = _rows(spark, all_specs()["c11_incremental_aggregate"].spark(spark, sf_dir))
+    assert _rows(spark, sink.current_agg()) == want
+
+    # lose the cursor, keep state+agg: full replay must not double-count
+    sink = run_incremental_agg_stream(
+        spark,
+        replay,
+        str(tmp_path / "state"),
+        str(tmp_path / "agg"),
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    assert _rows(spark, sink.current_agg()) == want
