@@ -30,15 +30,27 @@ def append_chunk(df: DataFrame, path: str) -> None:
     mtime) replays chunks in append order — mirroring the log order
     the reference's tailers observe.
     """
+    before = set(os.listdir(path)) if os.path.isdir(path) else set()
+    prev = max(
+        (
+            os.path.getmtime(os.path.join(path, n))
+            for n in before
+            if n.endswith(".parquet")
+        ),
+        default=0.0,
+    )
     df.write.mode("append").parquet(path)
-    # File-source ordering is by mtime; guarantee strict monotonicity
-    # across chunks even on coarse-mtime filesystems.
-    now = time.time()
+    # File-source ordering is by mtime; stamp ONLY this call's files,
+    # strictly later than every existing chunk's. (A proximity-based
+    # "touch recent files" heuristic is wrong: two appends < its window
+    # apart re-stamp the earlier chunk too, the chunks tie on mtime,
+    # and the source replays them in arbitrary order — late-data rows
+    # then get dropped behind an already-advanced watermark.)
+    stamp = max(time.time(), prev + 1.0)
     for name in os.listdir(path):
-        full = os.path.join(path, name)
-        if name.endswith(".parquet") and os.path.getmtime(full) > now - 0.5:
-            os.utime(full, (now, now))
-    time.sleep(0.05)
+        if name not in before and name.endswith(".parquet"):
+            full = os.path.join(path, name)
+            os.utime(full, (stamp, stamp))
 
 
 def read_file_stream(
