@@ -49,9 +49,13 @@ def quantize_points(
     return emb.select(F.col(id_col).alias("pid"), q.alias("x"))
 
 
-def _assign_expr(centroids: list[list[int]]):
-    """Column: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j.
-    Centroids enter the plan as literal arrays (broadcast-by-plan)."""
+def dist_structs(centroids: list[list[int]]) -> list:
+    """One ``struct(d, j)`` column per centroid: d = integer squared
+    distance from the row's quantized point ``x`` to centroid j.
+    Centroids enter the plan as literal arrays (broadcast-by-plan).
+    Shared by k-means assignment (argmin via ``least``) and IVF cell
+    probing (top-n cells via ``array_sort``) so the quantized-distance
+    arithmetic cannot drift between the two."""
     structs = []
     for j, c in enumerate(centroids):
         lit_c = F.array(*[F.lit(int(s)) for s in c])
@@ -61,7 +65,14 @@ def _assign_expr(centroids: list[list[int]]):
             lambda acc, v: acc + v,
         )
         structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-    best = F.least(*structs)
+    return structs
+
+
+def _assign_expr(centroids: list[list[int]]):
+    """Columns: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j."""
+    structs = dist_structs(centroids)
+    # least() needs >= 2 args; k=1 is a valid degenerate clustering
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
     return best["j"].cast("int").alias("cid"), best["d"].alias("d2")
 
 

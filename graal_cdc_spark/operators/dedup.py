@@ -324,8 +324,9 @@ def connected_components(
     Scale notes: each round is two shuffle joins (neighbors x labels,
     labels x labels) + a map-side min aggregate; ``localCheckpoint``
     truncates the plan each round so lineage doesn't grow with
-    iterations. The convergence probe is a ``limit(1).count()`` — an
-    O(1)-row action, not a data collect. This is the propagation+
+    iterations. The convergence probe is a changed-rows ``count()``
+    whose same action also materializes the round's lazy checkpoint —
+    one job per round, no data collect. This is the propagation+
     shortcutting core of large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond").
     """

@@ -25,8 +25,15 @@ from pyspark.sql import functions as F
 
 
 def _bin(ts: Column, width_s: int) -> Column:
-    # integer arithmetic on epoch micros — deterministic, no doubles
-    return F.floor(F.unix_micros(ts) / (width_s * 1_000_000)).cast("bigint")
+    # Integer arithmetic on epoch micros — deterministic, no doubles.
+    # Spark's `/` is double division (floor(us / w) would round through
+    # a 53-bit mantissa), so floor-divide exactly instead: subtract the
+    # positive remainder (pmod floors toward -inf), divide the now
+    # exactly-divisible numerator as decimal, and narrow back.
+    width_us = F.lit(width_s * 1_000_000)
+    us = F.unix_micros(ts)
+    num = (us - F.pmod(us, width_us)).cast("decimal(38,0)")
+    return (num / width_us).cast("bigint")
 
 
 def binned_interval_join(

@@ -307,6 +307,7 @@ def ivf_topk(
     """
     from graal_cdc_spark.operators.clustering import (
         _assign_expr,
+        dist_structs,
         quantize_points,
         train_centroids,
     )
@@ -331,16 +332,7 @@ def ivf_topk(
 
     # query probes: n_probe nearest cells via array_sort over (d, j)
     qx = quantize_points(queries, id_col, vec_col, scale)
-    structs = []
-    for j, cent in enumerate(cents):
-        lit_c = F.array(*[F.lit(int(s)) for s in cent])
-        d = F.aggregate(
-            F.zip_with(F.col("x"), lit_c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-    probed = F.slice(F.array_sort(F.array(*structs)), 1, n_probe)
+    probed = F.slice(F.array_sort(F.array(*dist_structs(cents))), 1, n_probe)
     q = F.broadcast(
         qx.select(F.col("pid").alias("qid"), F.explode(probed).alias("p"))
         .select("qid", F.col("p")["j"].alias("cell"))

@@ -63,7 +63,40 @@ class CompactionStateSink:
         self.key_cols = key_cols
         self.order_col = order_col
 
+    def _next_dir(self) -> str:
+        return self.state_dir + ".next"
+
+    def _prev_dir(self) -> str:
+        return self.state_dir + ".prev"
+
+    def _recover(self) -> None:
+        """Repair an interrupted swap before any read or merge. The
+        swap protocol uses FIXED sibling names (.next/.prev), so every
+        crash point leaves a recognizable layout:
+
+        - state missing, complete ``.next`` present → crash between the
+          two renames: roll FORWARD (the merged result is durable and
+          the batch will replay idempotently anyway).
+        - state missing, only ``.prev`` present → roll BACK to the old
+          state; the interrupted batch replays on top of it.
+        - state present → any leftover ``.next`` is a pre-commit
+          attempt whose batch will replay, and ``.prev`` is already
+          superseded: drop both.
+        """
+        nxt, prv = self._next_dir(), self._prev_dir()
+        if not os.path.isdir(self.state_dir):
+            if os.path.isdir(nxt) and os.path.isfile(
+                os.path.join(nxt, "_SUCCESS")
+            ):
+                os.rename(nxt, self.state_dir)
+            elif os.path.isdir(prv):
+                os.rename(prv, self.state_dir)
+        if os.path.isdir(self.state_dir):
+            shutil.rmtree(prv, ignore_errors=True)
+            shutil.rmtree(nxt, ignore_errors=True)
+
     def _state(self) -> DataFrame | None:
+        self._recover()
         if not os.path.isdir(self.state_dir):
             return None
         return self.spark.read.parquet(self.state_dir)
@@ -85,15 +118,18 @@ class CompactionStateSink:
             )
         )
         # Write-then-swap: never read and overwrite the same directory
-        # in one job. Swap is metadata-only; executors wrote the data.
-        tmp = f"{self.state_dir}.tmp.{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.state_dir}.old.{uuid.uuid4().hex[:8]}"
+        # in one job. Swap is metadata-only (executors wrote the data)
+        # and CRASH-RECOVERABLE: the fixed .next/.prev names let
+        # ``_recover`` finish or unwind a half-done swap — a uuid-named
+        # temp dir would leave an unidentifiable orphan and, worse, a
+        # window with no state dir at all that a replayed batch would
+        # silently rebuild from the batch alone.
+        nxt, prv = self._next_dir(), self._prev_dir()
+        merged.write.mode("overwrite").parquet(nxt)
         if os.path.isdir(self.state_dir):
-            os.rename(self.state_dir, old)
-        os.rename(tmp, self.state_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self.state_dir, prv)
+        os.rename(nxt, self.state_dir)
+        shutil.rmtree(prv, ignore_errors=True)
 
     def current_table(self, drop_deletes: bool = True) -> DataFrame:
         """The materialized view — live rows (deletes applied)."""

@@ -24,8 +24,10 @@ idempotent phases, keyed by the ``foreachBatch`` batch id:
    state ∪ batch compacted — without writing state).
 2. **Merge** the compaction state (idempotent by construction).
 3. **Commit** the new aggregate as a versioned directory carrying an
-   ``_applied_<batch_id>`` marker, then flip a pointer FILE with
-   ``os.replace`` (atomic) — never a rename dance on the live dir.
+   ``_applied_<app_id>-<batch_id>`` marker, then flip a pointer FILE
+   with ``os.replace`` (atomic) — never a rename dance on the live
+   dir. The marker key includes an app/checkpoint namespace because
+   batch ids restart at 0 on a checkpoint reset.
 
 A replayed batch finds either the applied marker (skip), or a
 complete staged delta (redo phases 2-3 idempotently), or no staging
@@ -57,6 +59,7 @@ rule relies on).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -81,12 +84,20 @@ class IncrementalAggSink:
         state_sink: CompactionStateSink,
         agg_dir: str,
         group_col: str = "tbl",
+        app_id: str | None = None,
     ) -> None:
         self.spark = spark
         self.state_sink = state_sink
         self.agg_dir = agg_dir  # base name: versions live at <agg_dir>.v*
         self.group_col = group_col
-        self._fallback_id = 0  # per-process ids for ad-hoc batch use
+        # Markers and staging dirs are keyed by (app_id, batch_id), not
+        # batch_id alone: Spark batch ids restart at 0 on a checkpoint
+        # reset, and a bare-id marker from a previous run would make
+        # the skip-check treat NEW data as already applied (Delta's
+        # txnAppId/txnVersion splits the key the same way). Ad-hoc use
+        # (no app_id given) gets a per-instance namespace.
+        self.app_id = app_id if app_id is not None else f"adhoc{uuid.uuid4().hex[:8]}"
+        self._fallback_id = 0  # per-instance ids for ad-hoc batch use
 
     # -- aggregate storage: versioned dirs + atomic pointer file -----
 
@@ -109,14 +120,16 @@ class IncrementalAggSink:
 
     def _empty_agg(self) -> DataFrame:
         return self.spark.createDataFrame(
-            [], "grp string, total_cents long, n_live long"
+            [], "grp string, total_cents long, n_live long, n_val long"
         )
 
     # -- contributions ------------------------------------------------
 
     def _contrib(self, live: DataFrame, keys: DataFrame) -> DataFrame:
-        """(grp, total_cents, n_live) over ``live`` rows whose key is
-        in ``keys``."""
+        """(grp, total_cents, n_live, n_val) over ``live`` rows whose
+        key is in ``keys``. ``n_val`` counts non-null values so the
+        view can reproduce SQL SUM semantics (all-null group → NULL,
+        not 0) — a bare cents total cannot distinguish the two."""
         return (
             live.join(F.broadcast(keys), "key")
             .select(
@@ -125,8 +138,9 @@ class IncrementalAggSink:
             )
             .groupBy("grp")
             .agg(
-                F.sum("cents").cast("long").alias("total_cents"),
+                F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("total_cents"),
                 F.count(F.lit(1)).alias("n_live"),
+                F.count("cents").alias("n_val"),
             )
         )
 
@@ -161,19 +175,20 @@ class IncrementalAggSink:
         if batch_id is None:
             batch_id = self._fallback_id
             self._fallback_id += 1
+        txn = f"{self.app_id}-{batch_id}"
 
         cur = self._current_dir()
         if cur is not None and os.path.isfile(
-            os.path.join(cur, f"_applied_{batch_id}")
+            os.path.join(cur, f"_applied_{txn}")
         ):
             # Replay of a fully committed batch: bring state up (a
             # no-op merge) and leave the aggregate alone.
             self.state_sink.merge(batch_df, batch_id)
-            shutil.rmtree(f"{self.agg_dir}.delta_{batch_id}", ignore_errors=True)
+            shutil.rmtree(f"{self.agg_dir}.delta_{txn}", ignore_errors=True)
             return
 
         # Phase 1 — stage the delta BEFORE any state mutation.
-        staging = f"{self.agg_dir}.delta_{batch_id}"
+        staging = f"{self.agg_dir}.delta_{txn}"
         if not os.path.isfile(os.path.join(staging, "_SUCCESS")):
             keys = batch_df.select("key").distinct()
             before = self._before_contrib(keys)
@@ -181,9 +196,11 @@ class IncrementalAggSink:
             delta = (
                 after.withColumnRenamed("total_cents", "a_cents")
                 .withColumnRenamed("n_live", "a_n")
+                .withColumnRenamed("n_val", "a_nv")
                 .join(
                     before.withColumnRenamed("total_cents", "b_cents")
-                    .withColumnRenamed("n_live", "b_n"),
+                    .withColumnRenamed("n_live", "b_n")
+                    .withColumnRenamed("n_val", "b_nv"),
                     "grp",
                     "full_outer",
                 )
@@ -196,6 +213,9 @@ class IncrementalAggSink:
                     (
                         F.coalesce("a_n", F.lit(0)) - F.coalesce("b_n", F.lit(0))
                     ).alias("d_n"),
+                    (
+                        F.coalesce("a_nv", F.lit(0)) - F.coalesce("b_nv", F.lit(0))
+                    ).alias("d_nv"),
                 )
             )
             delta.write.mode("overwrite").parquet(staging)
@@ -219,12 +239,15 @@ class IncrementalAggSink:
                 (F.coalesce("n_live", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
                 .cast("long")
                 .alias("n_live"),
+                (F.coalesce("n_val", F.lit(0)) + F.coalesce("d_nv", F.lit(0)))
+                .cast("long")
+                .alias("n_val"),
             )
             .filter(F.col("n_live") > 0)
         )
-        new_dir = f"{self.agg_dir}.v{batch_id}.{uuid.uuid4().hex[:8]}"
+        new_dir = f"{self.agg_dir}.v{txn}.{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(new_dir)
-        with open(os.path.join(new_dir, f"_applied_{batch_id}"), "w"):
+        with open(os.path.join(new_dir, f"_applied_{txn}"), "w"):
             pass
         old = self._current_dir()
         ptr_tmp = self._pointer() + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -232,20 +255,34 @@ class IncrementalAggSink:
             f.write(new_dir)
         os.replace(ptr_tmp, self._pointer())  # atomic commit point
         shutil.rmtree(staging, ignore_errors=True)
+        # Reclaim every superseded version dir: the pointer's previous
+        # target AND any orphan left by a crash between a version write
+        # and its pointer flip (the retry writes a fresh uuid-suffixed
+        # dir, so the first attempt would otherwise leak forever).
+        base = os.path.basename(self.agg_dir) + ".v"
+        parent = os.path.dirname(self.agg_dir) or "."
+        for name in os.listdir(parent):
+            full = os.path.join(parent, name)
+            if name.startswith(base) and full != new_dir and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
         if old is not None and old != new_dir:
             shutil.rmtree(old, ignore_errors=True)
 
     def current_agg(self) -> DataFrame:
-        """The maintained view: (grp, live_total decimal-string, n_live)."""
+        """The maintained view: (grp, live_total decimal-string, n_live).
+        A group whose live rows all carry NULL values reports a NULL
+        total (``n_val`` gate) — matching SQL SUM, and therefore the
+        c11 batch twin, exactly."""
         return self._agg().select(
             F.col("grp").alias(self.group_col),
             # decimal/decimal division — exact; a double intermediate
             # could misround cents at the .005 boundary
-            F.expr(
-                "CAST(CAST(total_cents AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2))"
-            )
-            .cast("string")
-            .alias("live_total"),
+            F.when(
+                F.col("n_val") > 0,
+                F.expr(
+                    "CAST(CAST(total_cents AS DECIMAL(18,0)) / 100 AS DECIMAL(18,2))"
+                ).cast("string"),
+            ).alias("live_total"),
             F.col("n_live"),
         )
 
@@ -278,8 +315,12 @@ def run_incremental_agg_stream(
     raw = read_file_stream(spark, replay_dir, schema, max_files_per_trigger)
     parsed = parse_envelope(raw)
 
+    # Namespace txn markers by the checkpoint identity: batch ids are
+    # only unique per checkpoint, and a resumed query (same checkpoint,
+    # new process) must keep the same namespace to recognize replays.
+    app = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
     sink = IncrementalAggSink(
-        spark, CompactionStateSink(spark, state_dir), agg_dir
+        spark, CompactionStateSink(spark, state_dir), agg_dir, app_id=f"ckpt{app}"
     )
     q = (
         parsed.writeStream.foreachBatch(sink.merge)

@@ -543,3 +543,15 @@ def test_ivf_recall_vs_exact(spark):
     approx2 = {(r["qid"], r["neighbor_id"])
                for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()}
     assert approx == approx2
+
+
+def test_kmeans_k1_degenerate(spark, sf_dir):
+    """k=1 is a valid single-cluster run (least() needs two args; the
+    assignment must special-case one centroid, not crash)."""
+    from graal_cdc_spark.operators.clustering import kmeans_quantized
+    from graal_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = kmeans_quantized(emb, k=1, iters=1)
+    assert out.filter(F.col("cid") != 0).count() == 0
+    assert out.count() == 50

@@ -729,3 +729,113 @@ def test_incremental_agg_stream_end_to_end(spark, sf_dir, tmp_path):
         max_files_per_trigger=1,
     )
     assert _rows(spark, sink.current_agg()) == want
+
+
+# ---------------------------------------------------------------------------
+# 4. exactly-once hardening: crash windows, txn namespaces, SQL NULL parity
+# ---------------------------------------------------------------------------
+
+MINI_ENVELOPE = (
+    "seq long, key string, op string, tbl string, after_json string, "
+    "event_id long, db string"
+)
+
+
+def _mini_batch(spark, rows):
+    """rows: (seq, key, op, tbl, after_json) in parse_envelope's shape."""
+    return spark.createDataFrame(
+        [(s, k, o, t, a, s // 10, "db0") for (s, k, o, t, a) in rows],
+        MINI_ENVELOPE,
+    )
+
+
+def test_incremental_agg_all_null_group_reports_null_total(spark, tmp_path):
+    """SQL SUM over an all-NULL group is NULL, not 0 — the maintained
+    view must agree with its batch twin on that (n_val gate)."""
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+    from graal_cdc_spark.streaming.incremental import IncrementalAggSink
+
+    inc = IncrementalAggSink(
+        spark, CompactionStateSink(spark, str(tmp_path / "s")), str(tmp_path / "a")
+    )
+    inc.merge(
+        _mini_batch(
+            spark,
+            [(1, "a", "c", "t1", '{"x": 1}'), (2, "b", "c", "t1", "{}")],
+        )
+    )
+    assert [tuple(r) for r in inc.current_agg().collect()] == [("t1", None, 2)]
+
+    # one key gains a real value -> total becomes non-null
+    inc.merge(_mini_batch(spark, [(3, "a", "u", "t1", '{"value": 2.5}')]))
+    assert [tuple(r) for r in inc.current_agg().collect()] == [("t1", "2.50", 2)]
+
+    # ... and loses it again (update back to null-valued after image)
+    inc.merge(_mini_batch(spark, [(4, "a", "u", "t1", "{}")]))
+    assert [tuple(r) for r in inc.current_agg().collect()] == [("t1", None, 2)]
+
+
+def test_incremental_agg_markers_are_namespaced_per_instance(spark, tmp_path):
+    """Ad-hoc batch ids restart at 0 for every sink instance; a marker
+    from a previous instance's batch 0 must NOT make a new instance
+    skip fresh data (txn key = app namespace + batch id)."""
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+    from graal_cdc_spark.streaming.incremental import IncrementalAggSink
+
+    state = CompactionStateSink(spark, str(tmp_path / "s"))
+    one = IncrementalAggSink(spark, state, str(tmp_path / "a"))
+    one.merge(_mini_batch(spark, [(1, "a", "c", "t1", '{"value": 1.0}')]))
+
+    two = IncrementalAggSink(spark, state, str(tmp_path / "a"))
+    two.merge(_mini_batch(spark, [(2, "b", "c", "t1", '{"value": 2.0}')]))
+    assert [tuple(r) for r in two.current_agg().collect()] == [("t1", "3.00", 2)]
+
+
+def test_compaction_swap_recovers_from_crash_between_renames(
+    spark, tmp_path, monkeypatch
+):
+    """The state swap's crash window: old state renamed away, new state
+    not yet in place. _recover must roll the complete .next forward (or
+    .prev back) — a replayed batch must never see 'no state' and
+    silently rebuild from the batch alone."""
+    import graal_cdc_spark.streaming.compaction as comp_mod
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+
+    sink = CompactionStateSink(spark, str(tmp_path / "state"))
+    sink.merge(_mini_batch(spark, [(1, "a", "c", "t1", '{"value": 1.0}')]))
+
+    real_rename = comp_mod.os.rename
+    calls = {"n": 0}
+
+    def crashy(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the commit rename: .next -> state
+            raise OSError("injected crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(comp_mod.os, "rename", crashy)
+    b2 = _mini_batch(spark, [(2, "b", "c", "t1", '{"value": 2.0}')])
+    with pytest.raises(OSError, match="injected"):
+        sink.merge(b2)
+    monkeypatch.setattr(comp_mod.os, "rename", real_rename)
+
+    # mid-swap layout: no live dir, .prev = old state, .next = merged
+    assert not comp_mod.os.path.isdir(sink.state_dir)
+    # any read rolls forward; the replayed merge is then a no-op change
+    assert sink.current_table().count() == 2
+    sink.merge(b2)
+    assert sorted(r["key"] for r in sink.current_table().collect()) == ["a", "b"]
+
+
+def test_compaction_swap_rolls_back_when_next_is_incomplete(spark, tmp_path):
+    """If only .prev exists (crash before the new state finished), the
+    old state comes back and the batch replays on top of it."""
+    import os as _os
+
+    from graal_cdc_spark.streaming.compaction import CompactionStateSink
+
+    sink = CompactionStateSink(spark, str(tmp_path / "state"))
+    sink.merge(_mini_batch(spark, [(1, "a", "c", "t1", '{"value": 1.0}')]))
+    _os.rename(sink.state_dir, sink._prev_dir())
+    assert sink.current_table().count() == 1
+    assert _os.path.isdir(sink.state_dir)
