@@ -2261,3 +2261,436 @@ FROM m LEFT JOIN c ON c.mon = CAST(m.mon AS TIMESTAMP)
 ORDER BY mon
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R55 — gaps-and-islands: per-customer order "streaks" (runs of orders
+# with ≤ 60 days between consecutive orders). The lag-flag-cumsum
+# pattern: one shuffle on o_custkey shared by BOTH window passes and
+# the final aggregate (Catalyst reuses the hash partitioning), so the
+# whole query is a single exchange at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _r55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).isNull()
+            | (F.datediff("o_orderdate", F.lag("o_orderdate").over(w)) > 60),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_days"),
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(
+            F.max("island").alias("n_islands"),
+            F.max("run_len").alias("max_run"),
+            F.max("span_days").alias("max_span_days"),
+        )
+        .orderBy("o_custkey")
+        .limit(500)
+    )
+
+
+_r(
+    "r55_gaps_and_islands",
+    "gaps-and-islands order streaks via lag-flag-cumsum",
+    _r55,
+    """
+WITH flagged AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CASE WHEN date_diff('day',
+                 lag(o_orderdate) OVER w, o_orderdate) IS NULL
+               OR date_diff('day',
+                 lag(o_orderdate) OVER w, o_orderdate) > 60
+              THEN 1 ELSE 0 END AS new_island
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), islands AS (
+  SELECT *, SUM(new_island) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), per_island AS (
+  SELECT o_custkey, island, count(*) AS run_len,
+         date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days
+  FROM islands GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(max(island) AS BIGINT) AS n_islands,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(max(span_days) AS BIGINT) AS max_span_days
+FROM per_island GROUP BY o_custkey
+ORDER BY o_custkey LIMIT 500
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R56 — max concurrent intervals (sweep line). Each event opens a
+# 30-minute interval; find the peak concurrency per event_type.
+# Half-open [start, end) semantics: deltas are pre-aggregated per
+# (type, instant) with ends applied before starts, so the running sum
+# is tie-order independent — fully deterministic in both engines.
+# Scale: delta stream is 2× events but pre-reduced per instant before
+# the window; one shuffle on event_type.
+# ---------------------------------------------------------------------------
+
+
+def _r56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deltas.withColumn("cum", F.sum("net").over(w))
+        .groupBy("event_type")
+        .agg(F.max("cum").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r56_max_concurrent_intervals",
+    "sweep-line peak concurrency of 30-min event intervals",
+    _r56,
+    """
+WITH deltas AS (
+  SELECT event_type, t, SUM(d) AS net FROM (
+    SELECT event_type, ts AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events
+  ) GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(max(cum) AS BIGINT) AS max_concurrent
+FROM (
+  SELECT event_type,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deltas
+)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R57 — running distinct count: cumulative distinct users per active
+# day. Distinct-over-window is unsupported directly (and would be
+# quadratic); the scalable form reduces each user to ONE row (first
+# activity day) and cumsums first-appearance counts over the day
+# spine — O(users) intermediate, never O(events).
+# ---------------------------------------------------------------------------
+
+
+def _r57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        days.join(firsts, "day", "left")
+        .withColumn("cum_users", F.sum(F.coalesce("n_new", F.lit(0))).over(w))
+        .select("day", "cum_users")
+        .orderBy("day")
+    )
+
+
+_r(
+    "r57_running_distinct_users",
+    "cumulative distinct users per day via first-appearance cumsum",
+    _r57,
+    """
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT day, count(*) AS n_new FROM (
+    SELECT user_id, min(CAST(ts AS DATE)) AS day
+    FROM events GROUP BY user_id
+  ) GROUP BY day
+)
+SELECT days.day,
+       CAST(SUM(coalesce(firsts.n_new, 0)) OVER (
+         ORDER BY days.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM days LEFT JOIN firsts ON days.day = firsts.day
+ORDER BY days.day
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R58 — top-k per group WITH ties (RANK, not ROW_NUMBER): the ties-
+# inclusive variant the reference's consumers would use for "top 3
+# orders per priority class". Single shuffle on the partition key;
+# the rank filter is evaluated before any sort of the full output.
+# ---------------------------------------------------------------------------
+
+
+def _r58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+_r(
+    "r58_topk_per_group_ties",
+    "ties-inclusive top-k per group via RANK",
+    _r58,
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R59 — cohort retention matrix: users cohorted by first-activity
+# month × months they were active. The user-grain reduction happens
+# BEFORE the matrix join (O(users) not O(events)); cohort sizes are
+# broadcast back (tiny dim).
+# ---------------------------------------------------------------------------
+
+
+def _r59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_months = ev.select(
+        "user_id", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("mon")
+    ).distinct()
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_format(F.min(F.date_trunc("month", "ts")), "yyyy-MM").alias("cohort")
+    )
+    joined = user_months.join(cohorts, "user_id")
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort", "mon")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select("cohort", "mon", "n_active", "cohort_size")
+        .orderBy("cohort", "mon")
+    )
+
+
+_r(
+    "r59_cohort_retention",
+    "first-month cohort × activity-month retention matrix",
+    _r59,
+    """
+WITH user_months AS (
+  SELECT DISTINCT user_id, strftime(date_trunc('month', ts), '%Y-%m') AS mon
+  FROM events
+), cohorts AS (
+  SELECT user_id, strftime(min(date_trunc('month', ts)), '%Y-%m') AS cohort
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY cohort
+)
+SELECT c.cohort, um.mon,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(any_value(s.cohort_size) AS BIGINT) AS cohort_size
+FROM user_months um
+JOIN cohorts c ON um.user_id = c.user_id
+JOIN sizes s ON c.cohort = s.cohort
+GROUP BY c.cohort, um.mon
+ORDER BY c.cohort, um.mon
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R60 — event-type transition counts (order-1 Markov): lag over
+# (user, time) then count per (prev → next) pair. One shuffle on
+# user_id for the window; the transition aggregate reuses nothing but
+# is O(distinct pairs) — tiny.
+# ---------------------------------------------------------------------------
+
+
+def _r60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_r(
+    "r60_event_transitions",
+    "order-1 Markov transition counts via lag window",
+    _r60,
+    """
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R61 — salted two-phase aggregation (operators/skew.py) gated against
+# the plain GROUP BY oracle. l_returnflag has 3 values — at 100 TB a
+# single-phase agg funnels each flag's combined partials into one
+# reducer; the salt spreads each hot key over 16 reducers and the
+# phase-2 combine shuffles ≤ 16 rows per key. Results are identical
+# by construction (decomposable measures only), which is exactly what
+# the oracle asserts.
+# ---------------------------------------------------------------------------
+
+
+def _r61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_extendedprice",
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "qty"),
+            "n": ("count", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+            "n",
+            "max_price",
+        ).orderBy("l_returnflag")
+    )
+
+
+_r(
+    "r61_salted_skew_aggregate",
+    "salted two-phase aggregation == plain GROUP BY",
+    _r61,
+    """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+       CAST(count(l_extendedprice) AS BIGINT) AS n,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R62 — distribution shape per group: Shannon entropy and Gini
+# impurity of each event_type's user-activity distribution, from
+# exact integer counts; the only float ops are the final log/ratio,
+# floored at 4 decimals so cross-engine libm ulp differences can't
+# flip a bit (same protocol as R35).
+# ---------------------------------------------------------------------------
+
+
+def _r62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(-p * F.log(p)).alias("_h"),
+            (F.lit(1) - F.sum(p * p)).alias("_g"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .select(
+            "event_type",
+            _fl4(F.col("_h")).alias("entropy"),
+            _fl4(F.col("_g")).alias("gini"),
+            "n_users",
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r62_entropy_gini",
+    "Shannon entropy + Gini impurity per group from exact counts",
+    _r62,
+    """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), withn AS (
+  SELECT event_type, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type,
+       floor(SUM(-(CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n)) * 10000)/10000 AS entropy,
+       floor((1 - SUM((CAST(c AS DOUBLE)/n) * (CAST(c AS DOUBLE)/n))) * 10000)/10000 AS gini,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM withn
+GROUP BY event_type ORDER BY event_type
+""",
+)

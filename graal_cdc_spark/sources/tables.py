@@ -36,6 +36,9 @@ TABLES: tuple[str, ...] = (
 # TimestampType here. Values carry sub-µs precision, so the ns→µs step
 # truncates; integer division matches DuckDB's truncation semantics
 # (float division rounds ~12% of rows to the wrong microsecond).
+# (The 2026-08-13 testdata regeneration switched these columns to
+# TIMESTAMP(MICROS); the bigint branch below stays as a guard in case
+# a future regeneration reverts to nanos.)
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -63,6 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+    # Naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference. The engine's
+    # determinism protocol pins the session to UTC, where
+    # NTZ→TimestampType is a value-preserving relabel — and tz-aware
+    # functions (unix_micros, window(), to_utc_timestamp) require
+    # TimestampType. Normalize once at the source.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _CACHE[key] = df
     return df
 
