@@ -433,3 +433,86 @@ FROM live GROUP BY tbl ORDER BY tbl
         "this generalizes); DebeziumEngineRecordHandler.java:120-121",
     )
 )
+
+
+def _c12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ↔ log reconciliation: the control-plane check a CDC
+    deployment runs to prove the replicated state converged. The
+    "stale snapshot" is the latest-by-key state as of a log cutoff
+    (event_id < 500); reconciling it against the full log's state
+    classifies every key as unchanged / updated / added / deleted.
+
+    The reference trusts at-least-once replay and never validates
+    sink state (SURVEY.md §2.3); this operator is the missing audit.
+
+    Scale: both states reduce to one row per key BEFORE the full
+    outer join, which shuffles on ``key`` — the same partitioning the
+    compaction already produced, so Catalyst reuses the exchange.
+    The output is O(distinct keys), aggregated to class counts.
+    """
+    parsed = _parsed(spark, sf_dir)
+    full = latest_by_key(parsed, ["key"], "seq").select(
+        F.col("key"), F.col("op").alias("f_op"), F.col("seq").alias("f_seq")
+    )
+    stale = latest_by_key(parsed.filter(F.col("event_id") < 500), ["key"], "seq").select(
+        F.col("key"), F.col("op").alias("s_op"), F.col("seq").alias("s_seq")
+    )
+    f_alive = (F.col("f_op").isNotNull()) & (F.col("f_op") != "d")
+    s_alive = (F.col("s_op").isNotNull()) & (F.col("s_op") != "d")
+    cls = (
+        F.when(f_alive & ~s_alive, F.lit("added"))
+        .when(~f_alive & s_alive, F.lit("deleted"))
+        .when(f_alive & s_alive & (F.col("f_seq") != F.col("s_seq")), F.lit("updated"))
+        .when(f_alive & s_alive, F.lit("unchanged"))
+        .otherwise(F.lit("both_absent"))
+    )
+    return (
+        full.join(stale, "key", "full_outer")
+        .select(cls.alias("change_class"))
+        .groupBy("change_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_class")
+    )
+
+
+register(
+    QuerySpec(
+        name="c12_snapshot_reconciliation",
+        category="cdc",
+        description="full-log vs stale-snapshot state diff → change-class counts",
+        spark=_c12,
+        oracle=cdc_parsed_cte()
+        + """
+, full_state AS (
+  SELECT key, op AS f_op, seq AS f_seq FROM (
+    SELECT key, op, seq,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM cdc_parsed
+  ) WHERE rn = 1
+), stale_state AS (
+  SELECT key, op AS s_op, seq AS s_seq FROM (
+    SELECT key, op, seq,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM cdc_parsed WHERE event_id < 500
+  ) WHERE rn = 1
+)
+SELECT change_class, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE
+    WHEN (f_op IS NOT NULL AND f_op <> 'd')
+     AND NOT (s_op IS NOT NULL AND s_op <> 'd') THEN 'added'
+    WHEN NOT (f_op IS NOT NULL AND f_op <> 'd')
+     AND (s_op IS NOT NULL AND s_op <> 'd') THEN 'deleted'
+    WHEN (f_op IS NOT NULL AND f_op <> 'd')
+     AND (s_op IS NOT NULL AND s_op <> 'd')
+     AND f_seq <> s_seq THEN 'updated'
+    WHEN (f_op IS NOT NULL AND f_op <> 'd')
+     AND (s_op IS NOT NULL AND s_op <> 'd') THEN 'unchanged'
+    ELSE 'both_absent' END AS change_class
+  FROM full_state FULL OUTER JOIN stale_state USING (key)
+)
+GROUP BY change_class ORDER BY change_class
+""",
+        reference="SURVEY.md §2.3 (audit extension); ElasticsearchUtils.java:145-176",
+    )
+)

@@ -1852,3 +1852,264 @@ ORDER BY doc_id
 """,
     ref="SURVEY.md §2.4 L21/L24/L27 family (sequence packing; scan decomposition)",
 )
+
+# ---------------------------------------------------------------------------
+# L41 — Zipf token histogram: global token ranks with cumulative
+# corpus share in integer basis points (no floats anywhere — the
+# cumulative share is exact integer arithmetic, so the oracle match
+# is bit-exact). Scale: token counts partial-aggregate before the
+# shuffle; the rank window runs over O(vocab) rows, not O(tokens).
+# ---------------------------------------------------------------------------
+
+
+def _l41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    total = Window.partitionBy()
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share_bp",
+            F.expr(
+                "10000 * sum(cnt) over (order by cnt desc, word"
+                " rows unbounded preceding) div sum(cnt) over ()"
+            ),
+        )
+        .filter(F.col("rank") <= 50)
+        .select("rank", "word", "cnt", "cum_share_bp")
+        .orderBy("rank")
+    )
+
+
+_l(
+    "l41_zipf_token_histogram",
+    "token ranks + exact cumulative corpus share in basis points",
+    _l41,
+    """
+WITH counts AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+)
+SELECT CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cum_share_bp AS BIGINT) AS cum_share_bp
+FROM (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+         (10000 * SUM(cnt) OVER (ORDER BY cnt DESC, word
+                                 ROWS UNBOUNDED PRECEDING))
+           // SUM(cnt) OVER () AS cum_share_bp
+  FROM counts
+)
+WHERE rank <= 50
+ORDER BY rank
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L42 — per-document character-bigram entropy (a language-model-free
+# "perplexity proxy": low-entropy docs are repetitive/degenerate,
+# the classic pre-training quality cut). All counts are exact; the
+# single float op (p·ln p) is floored at 4 decimals (R35 protocol).
+# Scale: the bigram explode is O(chars) but map-side partial-
+# aggregates to O(doc × distinct-bigram) before its one shuffle on
+# doc_id; entropy then reduces on the same key (shared partitioning).
+# ---------------------------------------------------------------------------
+
+
+def _l42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substring(F.col("text"), i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(-p * F.log(p)) * 10000) / 10000).alias("bigram_entropy"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l42_char_bigram_entropy",
+    "per-doc char-bigram entropy quality proxy (floored floats)",
+    _l42,
+    """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 1)) AS i
+        FROM documents)
+), counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), withn AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id,
+       floor(SUM(-(CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n)) * 10000)/10000
+         AS bigram_entropy,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+FROM withn
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L43 — boilerplate shingle detection: 5-token shingles occurring in
+# ≥ 2% of documents (headers/footers/navigation chrome in a real
+# corpus). Doc-level dedup (array_distinct) happens BEFORE the
+# explode's aggregate so a shingle repeated inside one doc counts
+# once; the document-frequency aggregate is partial before its
+# shuffle on the shingle string.
+# ---------------------------------------------------------------------------
+
+
+def _l43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, driver-side; one tiny job
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(TX.tokens(F.col("text"))) - 4),
+                    lambda i: F.array_join(
+                        F.slice(TX.tokens(F.col("text")), i, 5), " "
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    return (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") * 50 >= F.lit(n_docs))
+        .orderBy(F.col("doc_freq").desc(), "sh")
+    )
+
+
+_l(
+    "l43_boilerplate_shingles",
+    "5-token shingles present in >= 2% of documents",
+    _l43,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM toks)
+)
+SELECT sh, CAST(count(*) AS BIGINT) AS doc_freq
+FROM shingles
+GROUP BY sh
+HAVING count(*) * 50 >= (SELECT count(*) FROM documents)
+ORDER BY doc_freq DESC, sh
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L44 — cross-snapshot incremental dedup: admit only new-batch docs
+# whose content hash is unseen in the previous snapshot (the standard
+# "don't retrain on what you already have" gate between crawl
+# snapshots). Hash-equality anti-join — at 100 TB the snapshot side
+# is just (hash) columns, bucketable/broadcastable far below doc
+# size, and the md5 is computed once per side at the scan.
+# ---------------------------------------------------------------------------
+
+
+def _l44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.md5(F.col("text"))
+    )
+    prev = docs.filter(F.col("doc_id") % 10 < 8).select("h")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    return (
+        new.join(prev, "h", "left_anti")
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l44_cross_snapshot_dedup",
+    "anti-join new-batch docs against previous-snapshot content hashes",
+    _l44,
+    """
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+)
+SELECT doc_id, h FROM hashed
+WHERE doc_id % 10 >= 8
+  AND h NOT IN (SELECT h FROM hashed WHERE doc_id % 10 < 8)
+ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L45 — unigram surprisal scoring: corpus unigram LM (p = cnt/total),
+# each doc scored by mean −ln p over its tokens — the cheapest
+# perplexity-style quality signal (high = rare-token-heavy docs).
+# Scale: the vocab is O(distinct tokens) — Zipf-bounded, broadcast to
+# the token stream (no shuffle of the big side); per-doc reduce
+# shuffles on doc_id once. Counts exact; final ln/mean floored.
+# ---------------------------------------------------------------------------
+
+
+def _l45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    scored = toks.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("cnt") / F.col("tot"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.floor(F.avg(nll) * 10000) / 10000).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l45_unigram_surprisal",
+    "per-doc mean unigram negative-log-likelihood (perplexity proxy)",
+    _l45,
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+), total AS (
+  SELECT SUM(cnt) AS tot FROM vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(AVG(-ln(CAST(cnt AS DOUBLE) / tot)) * 10000)/10000 AS avg_surprisal
+FROM toks JOIN vocab USING (word) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+""",
+)

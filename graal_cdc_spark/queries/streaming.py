@@ -296,3 +296,40 @@ ORDER BY p.user_id, purchase_id, error_id NULLS FIRST
         reference="SURVEY.md §2.2 (extension; reference has no joins)",
     )
 )
+
+
+def _st8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.windows import hourly_rollup_of_tumbling
+
+    return hourly_rollup_of_tumbling(_events(spark, sf_dir)).orderBy(
+        "hour_start", "event_type"
+    )
+
+
+register(
+    QuerySpec(
+        name="st8_chained_window_rollup",
+        category="streaming",
+        description="chained stateful aggs: 10-min tumbling counts "
+        "rolled up to hourly stats (batch twin of the two-operator "
+        "streaming query)",
+        spark=_st8,
+        oracle="""
+WITH ten AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w10,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', w10), '%Y-%m-%d %H:%M:%S')
+         AS hour_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(max(n) AS BIGINT) AS max_n,
+       CAST(sum(n) AS BIGINT) AS sum_n
+FROM ten
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        reference="SURVEY.md §2.2 (extension; multi-resolution rollup)",
+    )
+)

@@ -96,3 +96,47 @@ def session_counts(
             "n",
         )
     )
+
+
+def hourly_rollup_of_tumbling(
+    df: DataFrame,
+    window: str = "10 minutes",
+    hour: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST8 — CHAINED event-time aggregations: 10-minute tumbling
+    counts rolled up into hourly (n_windows, max_n, sum_n) per
+    event_type — the multi-resolution rollup a metrics pipeline keeps.
+
+    In streaming this is two stateful operators in one query —
+    supported since Spark 3.5 for time-window chains because
+    ``window_time()`` re-exposes an event-time column from the first
+    aggregate's window struct, letting the watermark propagate into
+    the second. Output mode must be ``append``; an hour emits once
+    the watermark passes its end.
+
+    Scale: stage 1 shuffles on (10-min window, event_type) with
+    map-side partials; stage 2's input is already reduced to
+    O(windows × keys) rows — negligible. State: watermark-bounded on
+    both operators.
+    """
+    ten = (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window).alias("w10"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        ten.groupBy(F.window(F.window_time("w10"), hour).alias("wh"), "event_type")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("sum_n"),
+        )
+        .select(
+            F.date_format("wh.start", _TS_FMT).alias("hour_start"),
+            "event_type",
+            "n_windows",
+            "max_n",
+            "sum_n",
+        )
+    )

@@ -839,3 +839,36 @@ def test_compaction_swap_rolls_back_when_next_is_incomplete(spark, tmp_path):
     _os.rename(sink.state_dir, sink._prev_dir())
     assert sink.current_table().count() == 1
     assert _os.path.isdir(sink.state_dir)
+
+
+def test_chained_window_rollup_stream_finalizes(spark, tmp_path):
+    """ST8: two chained stateful window aggregations in ONE streaming
+    query (10-min tumbling counts → hourly rollup), append mode. An
+    hour emits only after the watermark passes its end; the watermark
+    must propagate THROUGH the first aggregate via window_time(), and
+    it becomes effective with the usual one-batch lag per operator —
+    hence the three increasing-ts filler chunks."""
+    from graal_cdc_spark.streaming.windows import hourly_rollup_of_tumbling
+
+    replay = str(tmp_path / "replay")
+    # hour 10:00 — a: windows 10:00(n=3), 10:10(n=1); b: 10:20(n=1)
+    append_chunk(
+        _mk_events(spark, [(1, "a"), (2, "a"), (9, "a"), (15, "a"), (25, "b")]),
+        replay,
+    )
+    # clock jumps to 13:00+, then fillers make the watermark effective
+    # across both stateful operators
+    append_chunk(_mk_events(spark, [(180, "a")]), replay)
+    append_chunk(_mk_events(spark, [(190, "a")]), replay)
+    append_chunk(_mk_events(spark, [(200, "a")]), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        hourly_rollup_of_tumbling(stream, watermark="10 minutes"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert _rows(spark, got) == [
+        ("2024-01-01 10:00:00", "a", 2, 3, 4),
+        ("2024-01-01 10:00:00", "b", 1, 1, 1),
+    ]
