@@ -1871,18 +1871,24 @@ def _l41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    # Top-50 FIRST via distributed TakeOrdered, so the rank/cumsum
+    # window (necessarily single-partition) only ever sees 50 rows —
+    # ranking the full vocab in one partition would not survive a
+    # 100M-token vocabulary. Limit-then-rank ≡ rank-then-filter here
+    # because both use the same total order (cnt DESC, word).
+    top = counts.orderBy(F.col("cnt").desc(), "word").limit(50)
     w = Window.orderBy(F.col("cnt").desc(), "word")
-    total = Window.partitionBy()
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "cum_share_bp",
             F.expr(
                 "10000 * sum(cnt) over (order by cnt desc, word"
-                " rows unbounded preceding) div sum(cnt) over ()"
+                " rows unbounded preceding) div tot"
             ),
         )
-        .filter(F.col("rank") <= 50)
         .select("rank", "word", "cnt", "cum_share_bp")
         .orderBy("rank")
     )

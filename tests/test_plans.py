@@ -33,6 +33,9 @@ _BNLJ_OK = {
     "l08_embedding_neardup_pairs",
     "l12_ann_rp_bucketed",
     "l17_tfidf_top_terms",
+    # round 4: 1-row broadcast corpus-total cross joins
+    "l41_zipf_token_histogram",
+    "l45_unigram_surprisal",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -195,3 +198,54 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
     a = _audit(spark, "r46_binned_interval_join")
     assert not a.has("BroadcastNestedLoopJoin"), a.plan
     assert not a.has("CartesianProduct"), a.plan
+
+
+# ---------------------------------------------------------------------------
+# round-4 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("r55_gaps_and_islands", 1),   # ONE exchange on o_custkey feeds
+                                       # both windows + both aggregates
+        ("r56_max_concurrent_intervals", 3),  # delta agg + type window + sort
+        ("r58_topk_per_group_ties", 2),       # priority window + output sort
+        ("r60_event_transitions", 3),         # user window + pair agg + sort
+        ("r61_salted_skew_aggregate", 3),     # salted partial + combine + sort
+        ("r62_entropy_gini", 3),              # (type,user) agg + type window + sort
+        ("l41_zipf_token_histogram", 3),      # vocab agg + TakeOrdered + 50-row window
+        ("l42_char_bigram_entropy", 3),       # (doc,gram) agg + doc window + sort
+        ("l43_boilerplate_shingles", 2),      # shingle doc-freq agg + sort
+        ("l44_cross_snapshot_dedup", 1),      # hash anti-join + output sort
+        ("l45_unigram_surprisal", 5),         # vocab agg + bcast join + doc agg
+        ("st8_chained_window_rollup", 3),     # 10-min agg + hourly agg + sort
+        ("c12_snapshot_reconciliation", 4),   # two key windows + outer join + agg
+        ("r57_running_distinct_users", 4),    # user agg + day agg + join + spine window
+        ("r59_cohort_retention", 6),          # user-grain reductions + matrix joins
+    ],
+)
+def test_round4_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["r55_gaps_and_islands", "r56_max_concurrent_intervals",
+             "r60_event_transitions", "r61_salted_skew_aggregate",
+             "r62_entropy_gini", "l42_char_bigram_entropy",
+             "l43_boilerplate_shingles", "st8_chained_window_rollup",
+             "c12_snapshot_reconciliation"]
+)
+def test_round4_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_c12_outer_join_inputs_prereduced(spark):
+    """The reconciliation full-outer join must consume the two
+    latest-by-key states (O(keys) rows), never the raw event log; a
+    sort-merge of the pre-reduced sides is the correct scale plan."""
+    a = _audit(spark, "c12_snapshot_reconciliation")
+    assert a.has("SortMergeJoin") or a.broadcast_joins >= 1, a.plan
+    assert not a.has("CartesianProduct")
