@@ -2119,3 +2119,130 @@ FROM toks JOIN vocab USING (word) CROSS JOIN total
 GROUP BY doc_id ORDER BY doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L46 — per-document OOV rate against the top-1000 corpus vocabulary
+# (tokenizer-design signal: how much of each doc a K-entry vocab
+# covers). Vocab = distributed TakeOrdered over (cnt DESC, word) —
+# deterministic at the boundary — then BROADCAST to the token stream
+# (the vocab is K rows by construction; the token stream never
+# shuffles for the membership test). OOV rate in integer basis
+# points — bit-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+def _l46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(1000)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_bp", F.expr("10000 * n_oov div n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l46_vocab_oov_rate",
+    "per-doc OOV basis points vs deterministic top-1000 vocab",
+    _l46,
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cnt FROM toks GROUP BY word
+    ORDER BY cnt DESC, word LIMIT 1000
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (10000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+         // count(*) AS oov_bp
+FROM toks t LEFT JOIN vocab v USING (word)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# L47 — cross-snapshot n-gram novelty: for each new-batch doc, the
+# fraction of its DISTINCT trigrams absent from the previous
+# snapshot's trigram set (the complement of contamination — how much
+# genuinely new text a crawl increment brings). Big-big LEFT join on
+# the trigram hash: both sides shuffle on the same key, old side
+# pre-deduped; at 100 TB this is the bucketable/bloom-filterable
+# shape, never a broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _l47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(TX.tokens(F.col("text"))) - 2),
+                    lambda i: F.array_join(
+                        F.slice(TX.tokens(F.col("text")), i, 3), " "
+                    ),
+                )
+            )
+        ).alias("tri"),
+    )
+    old = (
+        tris.filter(F.col("doc_id") % 10 < 8)
+        .select("tri")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    new = tris.filter(F.col("doc_id") % 10 >= 8)
+    return (
+        new.join(old, "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty_bp", F.expr("10000 * n_novel div n_tri"))
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l47_ngram_novelty",
+    "per-new-doc distinct-trigram novelty vs previous snapshot",
+    _l47,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tris AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS tri
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks)
+), old AS (
+  SELECT DISTINCT tri FROM tris WHERE doc_id % 10 < 8
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       (10000 * SUM(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END))
+         // count(*) AS novelty_bp
+FROM tris n LEFT JOIN old o USING (tri)
+WHERE n.doc_id % 10 >= 8
+GROUP BY doc_id ORDER BY doc_id
+""",
+)

@@ -333,3 +333,45 @@ ORDER BY 1, 2
         reference="SURVEY.md §2.2 (extension; multi-resolution rollup)",
     )
 )
+
+
+def _st9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``running_topk_by_key`` (streaming.stateful): the
+    per-key bounded top-k a ranking window computes in batch and the
+    custom applyInPandasWithState operator maintains incrementally.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+        .orderBy("user_id", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        name="st9_stateful_topk",
+        category="streaming",
+        description="per-key bounded top-k — batch ranking-window twin "
+        "of the applyInPandasWithState streaming operator",
+        spark=_st9,
+        oracle="""
+SELECT user_id, CAST(rank AS INT) AS rank, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+WHERE rank <= 3
+ORDER BY user_id, rank
+""",
+        reference="SURVEY.md §2.2 (extension; custom stateful operator)",
+    )
+)

@@ -168,3 +168,75 @@ def running_latest_by_key_tws(parsed: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bounded top-k per key
+# ---------------------------------------------------------------------------
+
+TOPK_OUTPUT_SCHEMA = (
+    "user_id BIGINT, rank INT, event_id BIGINT, value DOUBLE, emit BIGINT"
+)
+_TOPK_STATE_SCHEMA = "vals ARRAY<DOUBLE>, ids ARRAY<BIGINT>, emit BIGINT"
+
+
+def _topk_update(k: int):
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            vals, ids, emit = state.get
+            pairs = list(zip(vals, ids))
+        else:
+            pairs, emit = [], 0
+        changed = False
+        for pdf in pdfs:
+            for v, i in zip(pdf["value"], pdf["event_id"]):
+                pairs.append((float(v), int(i)))
+                changed = True
+        if not changed:
+            return
+        # total order (value DESC, event_id ASC) — ties deterministic
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        emit += 1
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs], emit))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "rank": range(1, len(pairs) + 1),
+                "event_id": [p[1] for p in pairs],
+                "value": [p[0] for p in pairs],
+                "emit": [emit] * len(pairs),
+            }
+        )
+
+    return update
+
+
+def running_topk_by_key(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming per-key top-k maintenance (custom stateful operator).
+
+    Each micro-batch merges the key's new (value, event_id) pairs into
+    a bounded k-element state — O(k) per key, the minimum for the
+    semantics, vs. the unbounded buffer a naive ranking window would
+    need — and re-emits the key's current top-k rows stamped with a
+    monotonically increasing ``emit`` counter (consumers keep the
+    max-emit set per key; replays re-emit but never regress).
+
+    The batch twin (one big micro-batch) is exactly the ranking-window
+    query ``row_number() OVER (PARTITION BY user ORDER BY value DESC,
+    event_id) <= k`` — the oracle gate for ``st9``.
+
+    Scale: state is k pairs per distinct key, hash-partitioned by key;
+    input batches are Arrow-transferred per group-partition.
+    """
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _topk_update(k),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -224,6 +224,9 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("c12_snapshot_reconciliation", 4),   # two key windows + outer join + agg
         ("r57_running_distinct_users", 4),    # user agg + day agg + join + spine window
         ("r59_cohort_retention", 6),          # user-grain reductions + matrix joins
+        ("st9_stateful_topk", 2),             # user ranking window + output sort
+        ("l46_vocab_oov_rate", 3),            # vocab agg + bcast membership + doc agg
+        ("l47_ngram_novelty", 3),             # trigram dedup + left join + doc agg
     ],
 )
 def test_round4_shuffle_budget(spark, name, max_shuffles):
@@ -236,7 +239,8 @@ def test_round4_shuffle_budget(spark, name, max_shuffles):
              "r60_event_transitions", "r61_salted_skew_aggregate",
              "r62_entropy_gini", "l42_char_bigram_entropy",
              "l43_boilerplate_shingles", "st8_chained_window_rollup",
-             "c12_snapshot_reconciliation"]
+             "c12_snapshot_reconciliation", "l46_vocab_oov_rate",
+             "l47_ngram_novelty"]
 )
 def test_round4_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"

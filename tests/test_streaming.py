@@ -872,3 +872,41 @@ def test_chained_window_rollup_stream_finalizes(spark, tmp_path):
         ("2024-01-01 10:00:00", "a", 2, 3, 4),
         ("2024-01-01 10:00:00", "b", 1, 1, 1),
     ]
+
+
+def test_running_topk_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    """ST9: the custom bounded-state top-k operator, replayed in TWO
+    micro-batches (cross-batch state merge), converges to the batch
+    ranking-window twin — consumers keep each key's max-emit set."""
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.streaming.stateful import running_topk_by_key
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.filter(F.col("event_id") % 2 == 1)
+    append_chunk(half.coalesce(1), replay)
+    append_chunk(other.coalesce(1), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        running_topk_by_key(stream, k=3),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # keep each key's final emission only
+    wmax = Window.partitionBy("user_id")
+    final = (
+        got.withColumn("max_emit", F.max("emit").over(wmax))
+        .filter(F.col("emit") == F.col("max_emit"))
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    want = (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+    assert _rows(spark, final) == _rows(spark, want)
