@@ -1924,36 +1924,72 @@ ORDER BY rank
 # "perplexity proxy": low-entropy docs are repetitive/degenerate,
 # the classic pre-training quality cut). All counts are exact; the
 # single float op (p·ln p) is floored at 4 decimals (R35 protocol).
-# Scale: the bigram explode is O(chars) but map-side partial-
-# aggregates to O(doc × distinct-bigram) before its one shuffle on
-# doc_id; entropy then reduces on the same key (shared partitioning).
+# Scale: per-doc entropy is a PER-ROW computation — no explode, no
+# shuffle. The bigram histogram is computed inside one projection
+# with higher-order array functions (sort, run-boundary filter,
+# run-length transform, aggregate), all whole-stage-codegen JVM
+# expressions; the only exchange in the query is the output sort.
+# (The first cut exploded to a (doc, bigram) aggregate — ~24M shuffled
+# rows at sf0.1 and 6.8 s; this form is ~10× faster and shuffle-free.)
 # ---------------------------------------------------------------------------
 
 
 def _l42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from graal_cdc_spark.sources.tables import with_min_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.substring(F.col("text"), i, F.lit(2)),
-            )
-        ).alias("g"),
+    # The per-row work here (build + sort the bigram array) dominates,
+    # so an under-parallelized scan (single-row-group file -> 1 task)
+    # serializes the query; the conditional repartition is a no-op on
+    # properly-blocked data.
+    docs = with_min_parallelism(
+        spark, load_table(spark, sf_dir, "documents")
     )
-    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    p = F.col("c") / F.col("n")
-    return (
-        counts.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
-        .groupBy("doc_id")
-        .agg(
-            (F.floor(F.sum(-p * F.log(p)) * 10000) / 10000).alias("bigram_entropy"),
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    # Materialize the sorted bigram array as a COLUMN before any
+    # lambda references it: a lambda that captures the raw expression
+    # would re-evaluate the whole build-and-sort per array element —
+    # O(len²) per row and a ~1000× slowdown observed at sf0.1.
+    grams_col = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 1),
+            lambda i: F.substring(F.col("text"), i, F.lit(2)),
         )
-        .orderBy("doc_id")
     )
+    g = docs.select("doc_id", grams_col.alias("grams"))
+    with_runs = g.select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        # 1-based positions where a new distinct bigram's run begins.
+        # F.get is 0-based and NULL-safe out of bounds (element_at
+        # throws under ANSI): at i=1 the prev lookup is NULL and
+        # `true | NULL` = true.
+        F.filter(
+            F.sequence(F.lit(1), F.size("grams")),
+            lambda i: (i == 1)
+            | (F.get(F.col("grams"), i - 1) != F.get(F.col("grams"), i - 2)),
+        ).alias("bpos"),
+    )
+    # run length j = next boundary (or n+1) − boundary j  (1-based j)
+    counts = F.transform(
+        F.sequence(F.lit(1), F.size("bpos")),
+        lambda j: F.coalesce(F.get(F.col("bpos"), j), F.col("n") + 1)
+        - F.get(F.col("bpos"), j - 1),
+    )
+    p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
+    return with_runs.select(
+        "doc_id",
+        (
+            F.floor(
+                F.aggregate(
+                    counts,
+                    F.lit(0.0),
+                    lambda acc, c: acc - p(c) * F.log(p(c)),
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("bigram_entropy"),
+        F.size("bpos").alias("n_distinct_bigrams"),
+    ).orderBy("doc_id")
 
 
 _l(

@@ -2694,3 +2694,102 @@ FROM withn
 GROUP BY event_type ORDER BY event_type
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R63 — as-of FORWARD join: for each purchase, the next error event of
+# the same user at-or-after it (R09's mirror; completes the asof
+# family: backward = "state as of", forward = "first effect after").
+# Same single-shuffle windowed form — no per-row subquery, no range
+# join: one exchange on user_id serves the window and the filter.
+# ---------------------------------------------------------------------------
+
+
+def _r63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    return (
+        ev.withColumn("next_error_id", F.first(err_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "next_error_id")
+        .orderBy("event_id")
+    )
+
+
+_r(
+    "r63_asof_forward_join",
+    "as-of forward join: next error after each purchase, per user",
+    _r63,
+    """
+SELECT event_id, user_id, next_error_id
+FROM (
+  SELECT event_id, user_id, event_type,
+         -- first error strictly after the current row in (ts, event_id) order
+         min(CASE WHEN event_type = 'error' THEN event_id END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_id
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+)
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R64 — weighted median per group: smallest value whose cumulative
+# weight reaches half the group's total (here: the l_quantity-weighted
+# median extended price per return flag). The cumsum-threshold form is
+# the only shuffle-bounded way to do this distributed — no sort of the
+# whole group into one task beyond the window's own partition, and
+# all arithmetic stays in integer/decimal domain (bit-exact oracle).
+# ---------------------------------------------------------------------------
+
+
+def _r64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    return (
+        li.withColumn("cum", F.sum("wt").over(wcum))
+        .withColumn("tot", F.sum("wt").over(wtot))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_r(
+    "r64_weighted_median",
+    "weighted median per group via cumulative-weight threshold",
+    _r64,
+    """
+SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+WHERE cum * 2 >= tot
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)

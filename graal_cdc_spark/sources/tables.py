@@ -99,3 +99,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out[name] = df
     _VIEWS_FOR[app] = sf_dir
     return out
+
+
+def with_min_parallelism(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition ONLY when the plan under-parallelizes.
+
+    A single-row-group parquet file scans as one task, which serializes
+    compute-heavy map stages (per-row array sorts, hashing) no matter
+    how many cores exist. On real multi-block data the scan already
+    yields >= cores partitions and this is a no-op — so the extra
+    exchange is only ever paid when its input is small by construction.
+    """
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -57,6 +57,18 @@ PROBES = [
     "l35_rare_word_ratio",
     "l37_levenshtein_neardup",
     "c11_incremental_aggregate",
+    # round 4 (heaviest of the new set: gram explodes, big-big joins,
+    # sweep-line windows, reconciliation outer join)
+    "r55_gaps_and_islands",
+    "r56_max_concurrent_intervals",
+    "r61_salted_skew_aggregate",
+    "c12_snapshot_reconciliation",
+    "l42_char_bigram_entropy",
+    "l43_boilerplate_shingles",
+    "l45_unigram_surprisal",
+    "l47_ngram_novelty",
+    "st8_chained_window_rollup",
+    "st9_stateful_topk",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)

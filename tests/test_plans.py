@@ -216,7 +216,7 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r61_salted_skew_aggregate", 3),     # salted partial + combine + sort
         ("r62_entropy_gini", 3),              # (type,user) agg + type window + sort
         ("l41_zipf_token_histogram", 3),      # vocab agg + TakeOrdered + 50-row window
-        ("l42_char_bigram_entropy", 3),       # (doc,gram) agg + doc window + sort
+        ("l42_char_bigram_entropy", 2),       # conditional repartition + output sort (map-only)
         ("l43_boilerplate_shingles", 2),      # shingle doc-freq agg + sort
         ("l44_cross_snapshot_dedup", 1),      # hash anti-join + output sort
         ("l45_unigram_surprisal", 5),         # vocab agg + bcast join + doc agg
@@ -225,6 +225,8 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r57_running_distinct_users", 4),    # user agg + day agg + join + spine window
         ("r59_cohort_retention", 6),          # user-grain reductions + matrix joins
         ("st9_stateful_topk", 2),             # user ranking window + output sort
+        ("r63_asof_forward_join", 2),         # user window + output sort
+        ("r64_weighted_median", 2),           # flag window pair + final agg
         ("l46_vocab_oov_rate", 3),            # vocab agg + bcast membership + doc agg
         ("l47_ngram_novelty", 3),             # trigram dedup + left join + doc agg
     ],
@@ -237,7 +239,7 @@ def test_round4_shuffle_budget(spark, name, max_shuffles):
 @pytest.mark.parametrize(
     "name", ["r55_gaps_and_islands", "r56_max_concurrent_intervals",
              "r60_event_transitions", "r61_salted_skew_aggregate",
-             "r62_entropy_gini", "l42_char_bigram_entropy",
+             "r62_entropy_gini",
              "l43_boilerplate_shingles", "st8_chained_window_rollup",
              "c12_snapshot_reconciliation", "l46_vocab_oov_rate",
              "l47_ngram_novelty"]
@@ -253,3 +255,13 @@ def test_c12_outer_join_inputs_prereduced(spark):
     a = _audit(spark, "c12_snapshot_reconciliation")
     assert a.has("SortMergeJoin") or a.broadcast_joins >= 1, a.plan
     assert not a.has("CartesianProduct")
+
+
+def test_l42_is_map_only(spark):
+    """Per-doc entropy must stay a per-row computation: no aggregate,
+    no window, no (doc, bigram) explode-shuffle — the only exchanges
+    are the conditional small-scan repartition and the output sort."""
+    a = _audit(spark, "l42_char_bigram_entropy")
+    assert not a.has("HashAggregate"), a.plan
+    assert not a.has("Window"), a.plan
+    assert a.python_evals == 0
