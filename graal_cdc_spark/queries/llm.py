@@ -34,6 +34,17 @@ def _l(name: str, description: str, spark_fn, oracle: str | None, ref: str = "")
     )
 
 
+def _par_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + with_min_parallelism — for queries whose first
+    stage is compute-heavy per-row work (tokenize/shingle/hash/sort):
+    a single-row-group scan would serialize that stage on one core.
+    No-op when the scan is already well-blocked (real cluster data).
+    """
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    return with_min_parallelism(spark, load_table(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # L01 — exact dedup
 # ---------------------------------------------------------------------------
@@ -205,7 +216,7 @@ ORDER BY label, dim
 
 
 def _l06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     return (
         D.minhash_lsh_candidates(docs, "doc_id", "text", n=5, num_hashes=32, bands=8)
         .orderBy("doc_a", "doc_b")
@@ -221,7 +232,7 @@ _l(
 
 
 def _l07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     sk = D.simhash64(docs, "doc_id", "text")
     return D.simhash_neardup_pairs(sk, "doc_id", max_hamming=3).orderBy(
         "doc_a", "doc_b"
@@ -703,7 +714,7 @@ ORDER BY doc_id
 
 
 def _l19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _par_table(spark, sf_dir, "embeddings")
     q = S.int8_quantize(emb, "vec_id")
     return (
         q.select(
@@ -751,7 +762,7 @@ ORDER BY vec_id
 
 
 def _l20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     norm = TX.normalize_text(F.col("text"))
     return (
         docs.select(
@@ -980,7 +991,7 @@ ORDER BY doc_id, chunk_idx
 
 
 def _l25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     hits = TX.ngram_contamination(corpus, eval_set, "doc_id", n=8)
@@ -1110,7 +1121,7 @@ ORDER BY source, doc_id
 
 
 def _l28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     g2 = F.zip_with(
@@ -2027,7 +2038,7 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def _l43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar, driver-side; one tiny job
     shingles = docs.select(
         "doc_id",
@@ -2224,7 +2235,7 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def _l47(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     tris = docs.select(
         "doc_id",
         F.explode(

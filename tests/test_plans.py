@@ -117,7 +117,7 @@ def test_dimension_joins_broadcast(spark, name, min_bhj):
         ("r27_cube_grouping", 2),             # expand+agg + output sort
         ("r30_listagg_ordered", 2),           # agg + output sort
         ("l21_token_budget_packing", 2),      # group window + output sort
-        ("l20_text_normalize", 1),            # pure map + output sort
+        ("l20_text_normalize", 2),            # conditional repartition + map + output sort
     ],
 )
 def test_single_data_shuffle(spark, name, max_shuffles):
@@ -150,7 +150,7 @@ def test_st6_static_dim_broadcasts(spark):
         ("r36_conditional_aggregates", 2),
         ("r40_bitwise_aggregates", 2),
         ("r41_grouping_sets", 2),        # expand + agg + sort
-        ("l28_repetition_quality", 1),   # pure map + output sort
+        ("l28_repetition_quality", 2),   # conditional repartition + map + output sort
         ("r42_date_interval_arithmetic", 1),  # map + global output sort
         ("c09_payload_value_extraction", 2),
         ("l30_embedding_dim_stats", 2),  # posexplode + agg + sort
@@ -217,7 +217,7 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r62_entropy_gini", 3),              # (type,user) agg + type window + sort
         ("l41_zipf_token_histogram", 3),      # vocab agg + TakeOrdered + 50-row window
         ("l42_char_bigram_entropy", 2),       # conditional repartition + output sort (map-only)
-        ("l43_boilerplate_shingles", 2),      # shingle doc-freq agg + sort
+        ("l43_boilerplate_shingles", 3),      # repartition + shingle doc-freq agg + sort
         ("l44_cross_snapshot_dedup", 1),      # hash anti-join + output sort
         ("l45_unigram_surprisal", 5),         # vocab agg + bcast join + doc agg
         ("st8_chained_window_rollup", 3),     # 10-min agg + hourly agg + sort
@@ -228,7 +228,7 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r63_asof_forward_join", 2),         # user window + output sort
         ("r64_weighted_median", 2),           # flag window pair + final agg
         ("l46_vocab_oov_rate", 3),            # vocab agg + bcast membership + doc agg
-        ("l47_ngram_novelty", 3),             # trigram dedup + left join + doc agg
+        ("l47_ngram_novelty", 5),             # 2x repartition (shared-scan branches) + dedup + join + agg
     ],
 )
 def test_round4_shuffle_budget(spark, name, max_shuffles):
