@@ -159,3 +159,97 @@ def test_scd2_intervals_tile_each_keys_history(spark, events):
             assert open_intervals[0]["valid_from_seq"] == live[key][1]
         else:
             assert open_intervals == []
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator properties
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),          # group
+            st.integers(0, 50),                    # value (price proxy)
+            st.integers(1, 9),                     # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_is_tie_order_independent(spark, rows):
+    """r64's cumsum-threshold weighted median must not depend on the
+    arbitrary intra-tie accumulation order: smallest v with
+    W(<=v)*2 >= W_total, computed naively per group, equals the
+    windowed form for ANY input — including heavy duplicate values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    wcum = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("g")
+    got = {
+        r["g"]: r["m"]
+        for r in (
+            df.withColumn("cum", F.sum("w").over(wcum))
+            .withColumn("tot", F.sum("w").over(wtot))
+            .filter(F.col("cum") * 2 >= F.col("tot"))
+            .groupBy("g")
+            .agg(F.min("v").alias("m"))
+            .collect()
+        )
+    }
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        grp = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in grp)
+        cum = 0
+        for v, w in grp:
+            cum += w
+            if cum * 2 >= tot:
+                want[g] = v
+                break
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    starts=st.lists(st.integers(0, 120), min_size=1, max_size=40),
+    dur=st.integers(1, 30),
+)
+def test_sweep_line_peak_matches_naive_overlap_count(spark, starts, dur):
+    """r56's pre-aggregated sweep line (half-open [s, s+dur)) equals
+    the brute-force 'max over minutes of intervals covering t'."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in starts], "s int")
+    deltas = (
+        df.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionAll(df.select((F.col("s") + dur).alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        deltas.withColumn("cum", F.sum("net").over(w))
+        .agg(F.max("cum").alias("m"))
+        .collect()[0]["m"]
+    )
+    want = max(
+        sum(1 for s in starts if s <= t < s + dur)
+        for t in range(0, max(starts) + dur + 1)
+    )
+    assert got == want
