@@ -375,3 +375,53 @@ ORDER BY user_id, rank
         reference="SURVEY.md §2.2 (extension; custom stateful operator)",
     )
 )
+
+
+def _st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stream-stream JOIN → windowed aggregation: count
+    correlated (purchase, error) pairs per 10-minute window of the
+    purchase time. In streaming this is a join state store feeding a
+    window state store in ONE query (append mode); the purchase-side
+    watermark flows through the join into the window via l_ts.
+    """
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    pairs = interval_pairs(
+        purchases, errors, lookback="30 minutes", keep_ts=True
+    )
+    return (
+        pairs.groupBy(F.window("l_ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_pairs",
+        )
+        .orderBy("window_start")
+    )
+
+
+register(
+    QuerySpec(
+        name="st10_join_then_window",
+        category="streaming",
+        description="chained stream-stream interval join -> tumbling "
+        "window count (two state stores, one streaming query)",
+        spark=_st10,
+        oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', p.ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL '30 minutes'
+ AND e.ts <= p.ts
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
+        reference="SURVEY.md §2.2 (extension; multi-stateful pipeline)",
+    )
+)

@@ -35,6 +35,7 @@ def interval_pairs(
     lookback: str = "30 minutes",
     watermark: str | None = None,
     how: str = "inner",
+    keep_ts: bool = False,
 ) -> DataFrame:
     """Pairs (key, left_id, right_id) where the right event happened in
     ``[left.ts - lookback, left.ts]`` for the same key.
@@ -42,6 +43,12 @@ def interval_pairs(
     ``how='inner'`` — matches emit as soon as both sides arrive
     (streaming append mode); the watermark only bounds state, it does
     not delay inner-join output.
+
+    ``keep_ts=True`` additionally returns the left event time (as
+    ``l_ts``) — required when the join output feeds a downstream
+    event-time operator (windowed aggregation, another join): the
+    chained operator needs a watermarked event-time column, and
+    ``l_ts`` inherits the left watermark through the join.
 
     ``how='left_outer'`` — unmatched left rows emit with a NULL
     ``right_id``. In streaming, Spark can declare a left row
@@ -67,6 +74,7 @@ def interval_pairs(
         & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (r["r_ts"] <= l["l_ts"])
     )
-    return l.join(r, cond, how).select(
-        F.col("k").alias(key), F.col("left_id"), F.col("right_id")
-    )
+    cols = [F.col("k").alias(key), F.col("left_id"), F.col("right_id")]
+    if keep_ts:
+        cols.insert(1, F.col("l_ts"))
+    return l.join(r, cond, how).select(*cols)

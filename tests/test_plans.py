@@ -227,6 +227,7 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("st9_stateful_topk", 2),             # user ranking window + output sort
         ("r63_asof_forward_join", 2),         # user window + output sort
         ("r64_weighted_median", 2),           # flag window pair + final agg
+        ("st10_join_then_window", 2),         # key-shuffled join + window agg
         ("l46_vocab_oov_rate", 3),            # vocab agg + bcast membership + doc agg
         ("l47_ngram_novelty", 5),             # 2x repartition (shared-scan branches) + dedup + join + agg
     ],
@@ -242,7 +243,7 @@ def test_round4_shuffle_budget(spark, name, max_shuffles):
              "r62_entropy_gini",
              "l43_boilerplate_shingles", "st8_chained_window_rollup",
              "c12_snapshot_reconciliation", "l46_vocab_oov_rate",
-             "l47_ngram_novelty"]
+             "l47_ngram_novelty", "st10_join_then_window"]
 )
 def test_round4_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"

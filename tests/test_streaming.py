@@ -76,8 +76,11 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+_T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
 def _mk_events(spark, rows):
-    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t0 = _T0
     data = [
         (i, t0 + dt.timedelta(minutes=m), 1, et, 1.0, "{}")
         for i, (m, et) in enumerate(rows)
@@ -910,3 +913,60 @@ def test_running_topk_stream_matches_batch_twin(spark, sf_dir, tmp_path):
         .select("user_id", "rank", "event_id", "value")
     )
     assert _rows(spark, final) == _rows(spark, want)
+
+
+def test_join_then_window_stream_finalizes(spark, tmp_path):
+    """ST10: stream-stream interval join CHAINED into a windowed
+    aggregation — join state feeds window state in one append-mode
+    query; a window emits once the (joined) watermark passes its end
+    plus the join's lookback delay."""
+    from graal_cdc_spark.streaming.joins import interval_pairs
+    from pyspark.sql import functions as SF
+
+    replay = str(tmp_path / "replay")
+    # user 1: errors at 10:00, 10:05; purchases at 10:07, 10:12 —
+    # pairs: (10:07 x 2 errors), (10:12 x 2 errors) -> window 10:00
+    # has 2 pairs, window 10:10 has 2 pairs.
+    append_chunk(
+        _mk_events(spark, [(0, "error"), (5, "error"), (7, "purchase"),
+                           (12, "purchase")]),
+        replay,
+    )
+    # Advance the watermark far past 10:20 + 30min lookback. The
+    # fillers MUST be purchase/error typed: the watermark nodes sit
+    # after the event-type filters, so other types never advance the
+    # clock. Distinct users (2/3) keep the fillers from pairing; the
+    # join watermark is min(purchase side, error side), so BOTH sides
+    # need advancing.
+    def _mk_filler(minute, i):
+        data = [
+            (1000 + i * 2, _T0 + dt.timedelta(minutes=minute), 2, "error", 1.0, "{}"),
+            (1001 + i * 2, _T0 + dt.timedelta(minutes=minute), 3, "purchase", 1.0, "{}"),
+        ]
+        return spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1)
+
+    for i, m in enumerate((180, 190, 200, 210, 220)):
+        append_chunk(_mk_filler(m, i), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    purchases = stream.filter(SF.col("event_type") == "purchase")
+    errors = stream.filter(SF.col("event_type") == "error")
+    pairs = interval_pairs(
+        purchases, errors, lookback="30 minutes",
+        watermark="10 minutes", keep_ts=True,
+    )
+    agg = (
+        pairs.groupBy(SF.window("l_ts", "10 minutes").alias("w"))
+        .agg(SF.count(SF.lit(1)).alias("n_pairs"))
+        .select(
+            SF.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_pairs",
+        )
+    )
+    got = run_to_memory(
+        agg, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert _rows(spark, got) == [
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 10:10:00", 2),
+    ]
