@@ -516,3 +516,51 @@ GROUP BY change_class ORDER BY change_class
         reference="SURVEY.md §2.3 (audit extension); ElasticsearchUtils.java:145-176",
     )
 )
+
+
+def _c13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit: per (table, field) presence counts over the
+    live row images. Debezium envelopes are schemaless JSON
+    (``schemas.enable=false``, DebeziumEngineManager.java:68-69), so
+    a column added/dropped upstream shows up only as keys appearing/
+    vanishing in ``after`` — this query is the monitoring view that
+    catches it. The row image parses once into a map; keys explode
+    and pre-aggregate map-side before the one (tbl, field) shuffle.
+    """
+    parsed = _parsed(spark, sf_dir)
+    fields = parsed.filter(F.col("op") != "d").select(
+        "tbl",
+        F.explode(
+            F.map_keys(F.from_json("after_json", "map<string,string>"))
+        ).alias("field"),
+    )
+    return (
+        fields.groupBy("tbl", "field")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .orderBy("tbl", "field")
+    )
+
+
+register(
+    QuerySpec(
+        name="c13_schema_drift_field_stats",
+        category="cdc",
+        description="schema-drift audit: per-(table, field) presence "
+        "counts over live row images",
+        spark=_c13,
+        oracle=cdc_parsed_cte()
+        + """
+, after_rows AS (
+  SELECT c.tbl, json_extract(e.value, '$.payload.after') AS after_j
+  FROM cdc_parsed c JOIN cdc_events e USING (seq)
+  WHERE c.op <> 'd'
+)
+SELECT tbl, field, CAST(count(*) AS BIGINT) AS n_present
+FROM (
+  SELECT tbl, unnest(json_keys(after_j)) AS field FROM after_rows
+)
+GROUP BY tbl, field ORDER BY tbl, field
+""",
+        reference="DebeziumEngineManager.java:68-69 (schemaless envelopes); SURVEY.md §1.2",
+    )
+)

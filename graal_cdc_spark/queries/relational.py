@@ -2793,3 +2793,39 @@ WHERE cum * 2 >= tot
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R65 — DISTINCT ordered list aggregation: the dedup twin of R30's
+# ordered LISTAGG. Spark has no collect_set-with-order; the idiomatic
+# form is collect_set → array_sort → array_join, all inside one
+# partial-aggregatable pass (set-union partials merge map-side).
+# ---------------------------------------------------------------------------
+
+
+def _r65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_r(
+    "r65_listagg_distinct",
+    "DISTINCT ordered list aggregation per group",
+    _r65,
+    """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
