@@ -510,3 +510,65 @@ def test_bulk_index_item_404_stays_fatal():
     t = ScriptedTransport([(200, body)])
     with pytest.raises(EsSinkError):
         send_records(CFG, _recs("a", "b"), "index", t, RetryPolicy(), lambda s: None)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned parquet lake sink
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.sinks.lake import write_partitioned
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "part string, v int"
+    )
+    write_partitioned(base, path, ["part"])
+    # rerun produces ONLY partition 'a' with different rows
+    rerun = spark.createDataFrame([("a", 9)], "part string, v int")
+    write_partitioned(rerun, path, ["part"])
+    got = sorted(
+        (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    # 'a' replaced, 'b' untouched
+    assert got == [("a", 9), ("b", 3)]
+
+
+def test_static_overwrite_truncates(spark, tmp_path):
+    from graal_cdc_spark.sinks.lake import write_partitioned
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 3)], "part string, v int"
+    )
+    write_partitioned(base, path, ["part"])
+    rerun = spark.createDataFrame([("a", 9)], "part string, v int")
+    write_partitioned(rerun, path, ["part"], dynamic_overwrite=False)
+    got = sorted(
+        (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("a", 9)]  # 'b' gone — the mode the rerun must avoid
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from graal_cdc_spark.sinks.lake import compact_partitions, write_partitioned
+
+    path = str(tmp_path / "lake")
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 2 AS STRING) AS part", "id AS v"
+    )
+    # fragment: 10 files per partition
+    write_partitioned(df.repartition(20), path, ["part"])
+    before = sorted(r["v"] for r in spark.read.parquet(path).collect())
+
+    res = compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert res, "expected fragmented partitions to be rewritten"
+    for part_dir, (n_before, n_after) in res.items():
+        assert n_after < n_before
+        assert n_after == 1  # tiny data, one target file
+
+    after = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    assert after == before
