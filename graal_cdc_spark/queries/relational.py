@@ -2829,3 +2829,65 @@ FROM orders
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R66 — z-order (Morton) clustering key: the data-layout primitive
+# behind multi-column file skipping (operators/layout.py). The query
+# gates the bit-interleave itself — pure shift/mask/or integer ops,
+# identical expression in both engines — over (user_id, value-bucket),
+# plus the z-range each output file would cover under an 8-file
+# range-partitioned layout (ntile over the z-order).
+# ---------------------------------------------------------------------------
+
+
+def _r66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.layout import zorder_key2
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("x"),
+        F.floor(F.col("value")).cast("bigint").alias("y"),
+    ).withColumn("zkey", zorder_key2(F.col("x"), F.col("y"), bits=8))
+    w = Window.orderBy("zkey", "event_id")
+    return (
+        keyed.withColumn("file_id", F.ntile(8).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("zkey").alias("z_lo"),
+            F.max("zkey").alias("z_hi"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("file_id")
+    )
+
+
+from graal_cdc_spark.operators.layout import zorder_key2_sql as _zsql  # noqa: E402
+
+_r(
+    "r66_zorder_layout",
+    "Morton z-order clustering key + per-file min/max coverage",
+    _r66,
+    f"""
+WITH keyed AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) AS x,
+         CAST(floor(value) AS BIGINT) AS y
+  FROM events
+), z AS (
+  SELECT event_id, x, y, {_zsql("x", "y", bits=8)} AS zkey FROM keyed
+)
+SELECT file_id,
+       CAST(min(zkey) AS BIGINT) AS z_lo,
+       CAST(max(zkey) AS BIGINT) AS z_hi,
+       CAST(min(x) AS BIGINT) AS x_lo,
+       CAST(max(x) AS BIGINT) AS x_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT x, zkey, ntile(8) OVER (ORDER BY zkey, event_id) AS file_id FROM z
+)
+GROUP BY file_id ORDER BY file_id
+""",
+)

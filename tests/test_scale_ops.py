@@ -555,3 +555,61 @@ def test_kmeans_k1_degenerate(spark, sf_dir):
     out = kmeans_quantized(emb, k=1, iters=1)
     assert out.filter(F.col("cid") != 0).count() == 0
     assert out.count() == 50
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """cluster_by_zorder: every output partition must cover a compact
+    rectangle in (x, y) — the per-file x and y spans should each be
+    far below the global span (that locality is what parquet min/max
+    skipping prunes on). A single-column sort would give span ~global
+    on the other column."""
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.operators.layout import cluster_by_zorder
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 2654435761) % 128).alias("y"),
+    )
+    out = cluster_by_zorder(df, "x", "y", n_files=16, bits=7)
+    spans = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    avg_x = sum(r["xs"] for r in spans) / len(spans)
+    avg_y = sum(r["ys"] for r in spans) / len(spans)
+    # global span is 127; z-order files must average well under half
+    # of it on BOTH dimensions simultaneously
+    assert avg_x < 64, avg_x
+    assert avg_y < 64, avg_y
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from graal_cdc_spark.operators.layout import zorder_key2
+
+    from pyspark.sql import functions as F
+
+    rows = [(x, y) for x in (0, 1, 5, 127) for y in (0, 3, 64, 127)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key2(F.col("x"), F.col("y"), bits=7).alias("z")
+        ).collect()
+    }
+
+    def interleave(x, y, bits=7):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): interleave(x, y) for x, y in rows}
