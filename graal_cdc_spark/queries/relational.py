@@ -2891,3 +2891,87 @@ FROM (
 GROUP BY file_id ORDER BY file_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R67 — cogrouped pandas UDF (U-family completion: scalar r22, UDAF
+# r32, UDTF r47, grouped-map l15, mapInPandas mm02 — this is the
+# remaining API member). Per user, the purchase and error timelines
+# cogroup into one Python function computing integer-exact stats
+# (counts only — deterministic, oracle-able). Scale: both sides
+# hash-shuffle on the key once; Arrow moves each (key, group-pair)
+# batch to ONE python worker — state bounded by the largest single
+# user's events, the same contract as any grouped-map op.
+# ---------------------------------------------------------------------------
+
+
+def _r67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def stats(key, p: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        n_err_before = 0
+        if len(p) and len(e):
+            import numpy as np
+
+            # compare in int64 nanoseconds — mixed Timestamp/np dtypes
+            # don't order against each other
+            ets = np.sort(e["ts"].astype("int64").to_numpy())
+            half_hour = 30 * 60 * 1_000_000_000
+            for t in p["ts"].astype("int64"):
+                lo = np.searchsorted(ets, t - half_hour, "left")
+                hi = np.searchsorted(ets, t, "right")
+                n_err_before += int(hi - lo)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(p)],
+                "n_errors": [len(e)],
+                "n_error_purchase_pairs": [n_err_before],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            stats,
+            "user_id bigint, n_purchases bigint, n_errors bigint, "
+            "n_error_purchase_pairs bigint",
+        )
+        .filter((F.col("n_purchases") > 0) | (F.col("n_errors") > 0))
+        .orderBy("user_id")
+    )
+
+
+_r(
+    "r67_cogrouped_pandas",
+    "cogrouped applyInPandas: per-user purchase/error timeline stats",
+    _r67,
+    """
+WITH p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+), users AS (
+  SELECT user_id FROM p UNION SELECT user_id FROM e
+), pairs AS (
+  SELECT p.user_id, count(*) AS n
+  FROM p JOIN e ON e.user_id = p.user_id
+   AND e.ts >= p.ts - INTERVAL '30 minutes' AND e.ts <= p.ts
+  GROUP BY p.user_id
+)
+SELECT u.user_id,
+       CAST(coalesce((SELECT count(*) FROM p WHERE p.user_id = u.user_id), 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce((SELECT count(*) FROM e WHERE e.user_id = u.user_id), 0) AS BIGINT) AS n_errors,
+       CAST(coalesce(pr.n, 0) AS BIGINT) AS n_error_purchase_pairs
+FROM users u LEFT JOIN pairs pr ON pr.user_id = u.user_id
+ORDER BY u.user_id
+""",
+)
