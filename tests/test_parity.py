@@ -53,3 +53,15 @@ def test_gate_priority_names_all_resolve():
     o = oracle_sqls()
     in_window = ordered[:50]
     assert sum(1 for n in in_window if n in o) >= 49
+
+
+def test_bench_short_ids_are_unique():
+    """bench.py keys its JSON by the prefix before the first
+    underscore; a colliding new query name would silently overwrite
+    another query's timing in BENCH_r{N}.json."""
+    from graal_cdc_spark.queries import all_specs
+
+    names = list(all_specs())
+    short = [n.split("_", 1)[0] for n in names]
+    dupes = {s for s in short if short.count(s) > 1}
+    assert not dupes, f"colliding bench short ids: {dupes}"
