@@ -68,7 +68,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: at 8g the 140-query bench suite showed rotating 3-5 s
+        # full-GC spikes on otherwise sub-second queries (l20/r13/r20
+        # across runs); 16g removes them entirely on this 128 GiB box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
