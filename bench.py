@@ -63,6 +63,7 @@ def main() -> None:
         "l02_shingle_jaccard_neardup",
         "l13_token_ngram_jaccard",
         "l22_neardup_components",
+        "l48_cluster_size_histogram",  # rides l22's exact pair join
     }
     names = [n for n in sorted(specs) if n not in skip]
 

@@ -2293,3 +2293,58 @@ WHERE n.doc_id % 10 >= 8
 GROUP BY doc_id ORDER BY doc_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L48 — near-dup cluster size distribution: the dedup REPORT a
+# pipeline owner reads before choosing a keep policy (how much mass
+# sits in big clusters?). Composes the l22 component computation with
+# a two-level aggregate; the oracle reuses l22's recursive-CTE body
+# with a histogram tail, so the iterative Spark operator and the SQL
+# reachability twin stay pinned to each other end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _l48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.token_ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _l48_oracle() -> str:
+    from graal_cdc_spark.queries import _REGISTRY
+
+    l22 = _REGISTRY["l22_neardup_components"].oracle
+    head, _tail = l22.rsplit("SELECT node AS doc_id", 1)
+    return (
+        head
+        + """
+, comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), csize AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csize
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+    )
+
+
+_l(
+    "l48_cluster_size_histogram",
+    "near-dup cluster size distribution (components -> histogram)",
+    _l48,
+    _l48_oracle(),
+)
