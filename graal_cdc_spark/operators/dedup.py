@@ -353,7 +353,7 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    def one_round(labels: DataFrame) -> DataFrame:
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -372,21 +372,41 @@ def connected_components(
         parents = relabeled.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        new_labels = (
-            relabeled.join(parents, relabeled["label"] == parents["pnode"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("new_label"),
-                F.col("old_label"),
-            )
-            # lazy: the convergence count below is the round's ONLY
-            # action — it materializes the checkpoint (filter+count
-            # touches every partition) and probes in the same job,
-            # instead of separate checkpoint and probe jobs
-            .localCheckpoint(eager=False)
+        return relabeled.join(
+            parents, relabeled["label"] == parents["pnode"], "left"
+        ).select(
+            F.col("node"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+            ).alias("new_label"),
+            F.col("old_label"),
         )
+
+    rounds_done = 0
+    while rounds_done < max_iter:
+        # Run TWO rounds per convergence probe: min-label propagation
+        # is monotone, so a round that changes nothing guarantees all
+        # later rounds change nothing — probing only the SECOND round
+        # of each pair detects the same fixpoint with half the jobs
+        # (each probe count is a full job; at ~0.5 s/job of local-mode
+        # latency this halves the loop's fixed cost). old_label in the
+        # probe belongs to the second round, exactly the "did the last
+        # round change anything" question.
+        first = one_round(labels)
+        rounds_done += 1
+        if rounds_done < max_iter:
+            probe_src = one_round(
+                first.select("node", F.col("new_label").alias("label"))
+            )
+            rounds_done += 1
+        else:
+            # odd max_iter budget: probe the single remaining round on
+            # its own old/new pair
+            probe_src = first
+        # lazy: the convergence count below is the pair's ONLY action —
+        # it materializes the checkpoint (filter+count touches every
+        # partition) and probes in the same job
+        new_labels = probe_src.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
