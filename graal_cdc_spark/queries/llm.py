@@ -2348,3 +2348,45 @@ _l(
     _l48,
     _l48_oracle(),
 )
+
+# ---------------------------------------------------------------------------
+# L49 — deterministic train/val/test split: every doc routed to a
+# split by its content hash (hex-prefix buckets ≈ 90/5/5), so the
+# assignment is reproducible across runs, engines, and cluster
+# sizes, and new docs never reshuffle old ones — the property a
+# training pipeline needs for stable eval sets. Pure map + one
+# aggregate for the split census.
+# ---------------------------------------------------------------------------
+
+
+def _l49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("text")), 1, 2)  # 256 hex buckets
+    split = (
+        F.when(b < F.lit("e6"), "train")  # 0x00–0xe5: 230/256 ≈ 90%
+        .when(b < F.lit("f3"), "val")     # 0xe6–0xf2: 13/256 ≈ 5%
+        .otherwise("test")                # 0xf3–0xff: 13/256 ≈ 5%
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+_l(
+    "l49_train_val_test_split",
+    "content-hash 90/5/5 split census (stable, engine-portable)",
+    _l49,
+    """
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split ORDER BY split
+""",
+)
