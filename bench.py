@@ -64,6 +64,10 @@ def main() -> None:
         "l13_token_ngram_jaccard",
         "l22_neardup_components",
         "l48_cluster_size_histogram",  # rides l22's exact pair join
+        # streaming operator measured by its goldens; its batch twin
+        # replays the whole greedy admission loop (~14 s of iterative
+        # driver-coordinated rounds, not a query-shaped workload)
+        "l50_streaming_lsh_admission",
     }
     names = [n for n in sorted(specs) if n not in skip]
 

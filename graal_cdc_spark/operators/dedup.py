@@ -128,7 +128,7 @@ def token_ngram_jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
 
-def minhash_lsh_candidates(
+def lsh_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -136,13 +136,13 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
+    """Per-doc LSH bucket memberships ``(id, band, bucket)`` — the
+    shared core of batch candidate generation and streaming dedup.
 
     shingle → xxhash64 under ``num_hashes`` seeds → per-doc min per
-    seed (one aggregation) → group signature into ``bands`` bands →
-    equality join on (band, band-hash). All shuffles are equality-key
-    hash shuffles; no quadratic blowup. Candidates should be verified
-    with exact Jaccard (cheap: candidate set is tiny).
+    seed (ONE aggregation) → band the signature → one bucket hash per
+    band. ``bands`` rows per doc; two docs are LSH candidates iff
+    they share any (band, bucket).
     """
     rows = num_hashes // bands
     # distinct=False: min-hash is duplicate-insensitive, so the
@@ -170,7 +170,7 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -181,6 +181,25 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
+
+    shingle → xxhash64 under ``num_hashes`` seeds → per-doc min per
+    seed (one aggregation) → group signature into ``bands`` bands →
+    equality join on (band, band-hash). All shuffles are equality-key
+    hash shuffles; no quadratic blowup. Candidates should be verified
+    with exact Jaccard (cheap: candidate set is tiny).
+    """
+    stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands)
     x = stacked.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     y = stacked.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (

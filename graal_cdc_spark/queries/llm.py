@@ -2390,3 +2390,27 @@ FROM (
 GROUP BY split ORDER BY split
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L50 — incremental near-dup admission (batch twin of the streaming
+# LSH dedup state table, streaming/dedup.py): the greedy-by-id
+# admitted set over LSH bucket collisions. Rows-only (the LSH hash
+# family has no DuckDB twin); the REAL gate is the golden pair in
+# tests/test_streaming.py — prefix-chunked streaming == this batch
+# twin, plus independent-set invariants under arbitrary chunking.
+# ---------------------------------------------------------------------------
+
+
+def _l50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.dedup import greedy_lsh_dedup_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return greedy_lsh_dedup_batch(docs).orderBy("doc_id")
+
+
+_l(
+    "l50_streaming_lsh_admission",
+    "greedy LSH dedup admitted set (batch twin of the streaming state)",
+    _l50,
+    None,
+)

@@ -970,3 +970,103 @@ def test_join_then_window_stream_finalizes(spark, tmp_path):
         ("2024-01-01 10:00:00", 2),
         ("2024-01-01 10:10:00", 2),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental LSH dedup
+# ---------------------------------------------------------------------------
+
+
+def _docs_schema():
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+
+def test_streaming_lsh_dedup_prefix_chunking_matches_batch(spark, sf_dir, tmp_path):
+    """First-arrival-wins admission: when chunk boundaries respect the
+    id order (ids assigned at ingest), the same corpus replayed as one
+    chunk and as three id-range chunks admits the SAME set, equal to
+    the batch twin's greedy-by-id set."""
+    from graal_cdc_spark.streaming.dedup import (
+        StreamingLshDedup,
+        greedy_lsh_dedup_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    want = sorted(
+        r["doc_id"] for r in greedy_lsh_dedup_batch(docs).collect()
+    )
+    assert 0 < len(want) <= n_docs
+
+    got = {}
+    for n_chunks in (1, 3):
+        replay = str(tmp_path / f"replay{n_chunks}")
+        step = (n_docs + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            append_chunk(
+                docs.filter(
+                    (F.col("doc_id") >= i * step)
+                    & (F.col("doc_id") < (i + 1) * step)
+                ).coalesce(1),
+                replay,
+            )
+        sink = StreamingLshDedup(spark, str(tmp_path / f"state{n_chunks}"))
+        stream = read_file_stream(
+            spark, replay, _docs_schema(), max_files_per_trigger=1
+        )
+        q = sink.run_stream(stream, str(tmp_path / f"ckpt{n_chunks}"))
+        q.awaitTermination(300)
+        got[n_chunks] = sorted(r["doc_id"] for r in sink.admitted_ids().collect())
+
+    assert got[1] == want
+    assert got[3] == want
+
+
+def test_streaming_lsh_dedup_invariants_and_replay(spark, sf_dir, tmp_path):
+    """(1) No two admitted docs share an LSH bucket; (2) every
+    rejected doc collides with an admitted doc; (3) re-processing the
+    same batch is idempotent (same admitted set, no self-blocking)."""
+    from graal_cdc_spark.operators.dedup import lsh_buckets
+    from graal_cdc_spark.streaming.dedup import StreamingLshDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sink = StreamingLshDedup(spark, str(tmp_path / "state"))
+    sink.process_batch(docs)
+    admitted = {r["doc_id"] for r in sink.admitted_ids().collect()}
+
+    b = lsh_buckets(docs, "doc_id", "text")
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    for r in pairs:
+        assert not (r["a"] in admitted and r["b"] in admitted), (
+            f"admitted docs {r['a']},{r['b']} collide"
+        )
+    colliders = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for d in all_ids - admitted:
+        assert any(
+            (r["a"] == d and r["b"] in admitted)
+            or (r["b"] == d and r["a"] in admitted)
+            for r in pairs
+        ), f"rejected doc {d} has no admitted collider"
+
+    # replay the same batch — crash-between-append-and-commit model
+    sink.process_batch(docs)
+    again = {r["doc_id"] for r in sink.admitted_ids().collect()}
+    assert again == admitted
