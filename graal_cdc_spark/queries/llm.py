@@ -2414,3 +2414,64 @@ _l(
     _l50,
     None,
 )
+
+# ---------------------------------------------------------------------------
+# L51 — quality-gate pass rate per source: the classic pre-training
+# document filter (length + stopword-ratio bounds) applied as a
+# boolean gate, reported per source in integer basis points. One
+# aggregate; the gate itself is pure map-side integer/ratio checks
+# (ratio compared as exact cross-multiplication — no float division).
+# ---------------------------------------------------------------------------
+
+
+def _l51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TX.STOPWORDS)))
+    # gate: 20 <= words <= 1000 AND stopword share in [5%, 60%]
+    # (ratio bounds via cross-multiplication: exact integer compares)
+    passed = (
+        (n_words >= 20)
+        & (n_words <= 1000)
+        & (n_stop * 100 >= n_words * 5)
+        & (n_stop * 100 <= n_words * 60)
+    )
+    return (
+        docs.select("source", passed.cast("int").alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").alias("n_pass"),
+        )
+        .withColumn("pass_bp", F.expr("10000 * n_pass div n_docs"))
+        .orderBy("source")
+    )
+
+
+_l(
+    "l51_quality_gate_rate",
+    "per-source quality-gate pass rate in integer basis points",
+    _l51,
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_pass,
+       (10000 * SUM(ok)) // count(*) AS pass_bp
+FROM (
+  SELECT source,
+         CASE WHEN n_words >= 20 AND n_words <= 1000
+               AND n_stop * 100 >= n_words * 5
+               AND n_stop * 100 <= n_words * 60
+              THEN 1 ELSE 0 END AS ok
+  FROM (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS n_stop
+    FROM documents
+  )
+)
+GROUP BY source ORDER BY source
+""",
+)

@@ -2986,3 +2986,48 @@ FROM users u LEFT JOIN pairs pr ON pr.user_id = u.user_id
 ORDER BY u.user_id
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R68 — deterministic per-group mode (most frequent value): built-in
+# mode() breaks ties arbitrarily, which can't be oracle-gated; the
+# deterministic form ranks (count DESC, value) and keeps rank 1 —
+# one count aggregate + one window over O(groups × distinct values).
+# ---------------------------------------------------------------------------
+
+
+def _r68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_r(
+    "r68_deterministic_mode",
+    "per-group mode with lexicographic tie-break",
+    _r68,
+    """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rk = 1
+ORDER BY o_orderstatus
+""",
+)

@@ -230,6 +230,8 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("st10_join_then_window", 2),         # key-shuffled join + window agg
         ("c13_schema_drift_field_stats", 2),  # (tbl, field) agg + output sort
         ("r65_listagg_distinct", 2),          # set-union agg + output sort
+        ("r68_deterministic_mode", 3),        # pair agg + group window + output sort
+        ("l51_quality_gate_rate", 2),         # map-side gate + source agg + sort
         ("l46_vocab_oov_rate", 3),            # vocab agg + bcast membership + doc agg
         ("l47_ngram_novelty", 5),             # 2x repartition (shared-scan branches) + dedup + join + agg
     ],
@@ -246,7 +248,8 @@ def test_round4_shuffle_budget(spark, name, max_shuffles):
              "l43_boilerplate_shingles", "st8_chained_window_rollup",
              "c12_snapshot_reconciliation", "l46_vocab_oov_rate",
              "l47_ngram_novelty", "st10_join_then_window",
-             "c13_schema_drift_field_stats", "r65_listagg_distinct"]
+             "c13_schema_drift_field_stats", "r65_listagg_distinct",
+             "r68_deterministic_mode", "l51_quality_gate_rate"]
 )
 def test_round4_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
