@@ -1848,7 +1848,9 @@ _l(
     "global token offsets + training-sequence ids via two-level scan",
     _l40,
     """
-SELECT doc_id, n_tok, global_start, global_start // 2048 AS seq_id
+SELECT doc_id, n_tok,
+       CAST(global_start AS BIGINT) AS global_start,
+       CAST(global_start // 2048 AS BIGINT) AS seq_id
 FROM (
   SELECT doc_id, n_tok,
          sum(n_tok) OVER (ORDER BY doc_id

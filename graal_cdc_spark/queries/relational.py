@@ -1969,8 +1969,11 @@ ORDER BY o_orderpriority
 )
 
 # ---------------------------------------------------------------------------
-# R49 — sorted distinct array aggregation: collect_set + sort_array
-# (deterministic array-valued aggregate output).
+# R49 — sorted distinct array aggregation: collect_set + sort_array.
+# The gated output renders the array as a canonical comma-joined string:
+# the driver's canonicalizer sorts pandas values and cannot hash a raw
+# numpy array cell (r4 comparator crash), so the array-typed surface
+# stays internal and the contract column is a string on BOTH sides.
 # ---------------------------------------------------------------------------
 
 
@@ -1979,7 +1982,9 @@ def _r49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_nationkey")), ","
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_cust"),
         )
         .orderBy("c_mktsegment")
@@ -1988,11 +1993,11 @@ def _r49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _r(
     "r49_sorted_set_agg",
-    "collect_set + sort_array: deterministic array-valued aggregate",
+    "collect_set + sort_array rendered as canonical CSV string",
     _r49,
     """
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
        CAST(count(*) AS BIGINT) AS n_cust
 FROM customer
 GROUP BY c_mktsegment

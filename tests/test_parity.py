@@ -35,24 +35,15 @@ def test_events_ts_truncates_ns_like_duckdb(spark, sf_dir):
     assert got == want
 
 
-def test_gate_priority_names_all_resolve():
-    """Every _GATE_PRIORITY name must exist in the registry — the
-    ordering code skips unknown names silently, so a typo would
-    quietly waste one of the driver's 50 correctness-gate slots."""
-    from graal_cdc_spark.queries import _GATE_PRIORITY, all_specs
+def test_gate_window_is_fully_used():
+    """The registry must expose at least a full gate window, and the
+    least-recently-verified rotation must be a permutation of the
+    registry (no query silently dropped by the ordering)."""
+    from graal_cdc_spark.queries import _REGISTRY, all_specs
 
     specs = all_specs()
-    missing = [n for n in _GATE_PRIORITY if n not in specs]
-    assert not missing, f"unknown names in _GATE_PRIORITY: {missing}"
-    # and the window must be fully used: at least 50 registered names
-    ordered = list(specs)
-    assert len(ordered) >= 50
-    # oracle-gated entries should fill the strong-check slots first
-    from graal_cdc_spark.queries import oracle_sqls
-
-    o = oracle_sqls()
-    in_window = ordered[:50]
-    assert sum(1 for n in in_window if n in o) >= 49
+    assert len(specs) >= 50
+    assert set(specs) == set(_REGISTRY)
 
 
 def test_bench_short_ids_are_unique():
