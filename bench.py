@@ -59,15 +59,17 @@ def main() -> None:
     # construction; their benched scale path is MinHash-LSH (l06).
     # l22 rides the same exact pair join (CC over l13's edges, ~44 s at
     # sf0.1) — at scale the edge set comes from l06 candidates instead.
+    # Every skip is REPORTED in the output JSON (name → reason) so the
+    # headline number is auditable: nothing is quietly excluded.
     skip = {
-        "l02_shingle_jaccard_neardup",
-        "l13_token_ngram_jaccard",
-        "l22_neardup_components",
-        "l48_cluster_size_histogram",  # rides l22's exact pair join
+        "l02_shingle_jaccard_neardup": "exact quadratic oracle twin; scale path benched as l06",
+        "l13_token_ngram_jaccard": "exact quadratic oracle twin; scale path benched as l06",
+        "l22_neardup_components": "CC over l13's exact pair join (~44s); scale edges come from l06",
+        "l48_cluster_size_histogram": "rides l22's exact pair join",
         # streaming operator measured by its goldens; its batch twin
         # replays the whole greedy admission loop (~14 s of iterative
         # driver-coordinated rounds, not a query-shaped workload)
-        "l50_streaming_lsh_admission",
+        "l50_streaming_lsh_admission": "iterative streaming-admission replay, not query-shaped",
     }
     names = [n for n in sorted(specs) if n not in skip]
 
@@ -106,6 +108,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "skipped": skip,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -115,11 +118,16 @@ def main() -> None:
         pass
 
     # Short ids on stdout so the one-line JSON stays well under the
-    # driver's 2000-char tail capture (see module docstring).
+    # driver's 2000-char tail capture (see module docstring); the
+    # skipped queries appear as short ids too (reasons in BENCH_FULL).
     short = {name.split("_", 1)[0]: t for name, t in timings.items()}
     print(
         json.dumps(
-            {**full, "queries": short},
+            {
+                **full,
+                "queries": short,
+                "skipped": sorted(n.split("_", 1)[0] for n in skip),
+            },
             separators=(",", ":"),
         )
     )

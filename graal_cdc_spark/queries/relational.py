@@ -2750,28 +2750,79 @@ ORDER BY event_id
 # ---------------------------------------------------------------------------
 # R64 — weighted median per group: smallest value whose cumulative
 # weight reaches half the group's total (here: the l_quantity-weighted
-# median extended price per return flag). The cumsum-threshold form is
-# the only shuffle-bounded way to do this distributed — no sort of the
-# whole group into one task beyond the window's own partition, and
-# all arithmetic stays in integer/decimal domain (bit-exact oracle).
+# median extended price per return flag), computed by an exact
+# two-pass binned quantile (histogram → median bin → within-bin scan).
+# All arithmetic stays in the decimal domain (bit-exact oracle); the
+# oracle expresses the same semantics as one naive cumulative window.
 # ---------------------------------------------------------------------------
 
 
 def _r64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass binned quantile — EXACT, and scale-safe where the naive
+    # form is not: a cumulative window PARTITION BY l_returnflag (3
+    # values) would sort the whole fact table inside 3 tasks.  Instead:
+    #   pass 1: hash-aggregate weight per (group, price-bin) — map-side
+    #           partials, histogram is O(groups × bins) rows;
+    #   locate:  cumulative window over the TINY histogram finds each
+    #           group's median bin + weight preceding it;
+    #   pass 2: only rows in the median bin (one bin's worth per group)
+    #           are re-aggregated per distinct price and scanned with a
+    #           window over O(distinct prices in one bin) rows.
+    # No task ever sorts more than one bin of one group.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_extendedprice",
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
     )
-    wcum = (
+    li = li.withColumn(
+        "bin", F.floor(F.col("l_extendedprice") / F.lit(256)).cast("long")
+    )
+
+    hist = li.groupBy("l_returnflag", "bin").agg(F.sum("wt").alias("bw"))
+    wbin = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    hist = hist.withColumn("cum", F.sum("bw").over(wbin)).withColumn(
+        "tot", F.sum("bw").over(wtot)
+    )
+    # first bin whose cumulative weight crosses half the total; carry
+    # the weight that precedes it and the group total for pass 2
+    med_bin = (
+        hist.filter(F.col("cum") * 2 >= F.col("tot"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_returnflag").alias("mg"),
+            F.col("bin").alias("mbin"),
+            (F.col("cum") - F.col("bw")).alias("prev_cum"),
+            "tot",
+        )
+    )
+
+    inbin = li.join(
+        F.broadcast(med_bin),
+        (F.col("l_returnflag") == F.col("mg"))
+        & (F.col("bin") == F.col("mbin")),
+    ).select("l_returnflag", "l_extendedprice", "wt", "prev_cum", "tot")
+
+    vals = inbin.groupBy(
+        "l_returnflag", "l_extendedprice", "prev_cum", "tot"
+    ).agg(F.sum("wt").alias("vw"))
+    wval = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy("l_returnflag")
     return (
-        li.withColumn("cum", F.sum("wt").over(wcum))
-        .withColumn("tot", F.sum("wt").over(wtot))
+        vals.withColumn("cum", F.col("prev_cum") + F.sum("vw").over(wval))
         .filter(F.col("cum") * 2 >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))

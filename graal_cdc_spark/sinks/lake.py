@@ -7,22 +7,26 @@ downstream training-data job reads). Two 100 TB concerns live here:
 
 1. **Dynamic partition overwrite** — re-running a day's pipeline must
    replace only the partitions it produced, never truncate the whole
-   table (static overwrite mode deletes everything first). Spark's
-   ``partitionOverwriteMode=dynamic`` does exactly this; the writer
-   scopes the conf to the write instead of mutating the session.
+   table (static overwrite mode deletes everything first). The writer
+   passes ``partitionOverwriteMode`` as a PER-WRITE DataFrameWriter
+   option (takes precedence over the session conf, SPARK-25828), so
+   two threads writing through one SparkSession can never race each
+   other onto the wrong overwrite mode.
 
 2. **Small-file compaction** — streaming/incremental writers emit one
    file per task per trigger; a month of 5-minute triggers is ~10⁴
    files per partition, and file listing starts to dominate scans.
    ``compact_partitions`` rewrites each partition to
-   ``ceil(bytes / target)`` files with a per-partition repartition,
-   touching only partitions over the file-count threshold.
+   ``ceil(bytes / target)`` files via a staged write + directory
+   rename swap, touching only partitions over the file-count
+   threshold.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,18 +40,19 @@ def write_partitioned(
     """Write ``df`` as parquet partitioned by ``partition_cols``.
 
     With ``dynamic_overwrite`` (default), only partitions present in
-    ``df`` are replaced — the idempotent-rerun contract. The session
-    conf is restored afterwards, so concurrent writers keep their own
-    semantics.
+    ``df`` are replaced — the idempotent-rerun contract. The mode is a
+    per-write option, never a session-conf mutation, so concurrent
+    writers on the same session keep their own semantics.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    try:
-        spark.conf.set(key, "dynamic" if dynamic_overwrite else "static")
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode",
+            "dynamic" if dynamic_overwrite else "static",
+        )
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def _partition_dirs(path: str) -> list[str]:
@@ -69,15 +74,20 @@ def compact_partitions(
     """Rewrite fragmented partitions to ~``target_file_bytes`` files.
 
     Only partitions with more than ``min_files`` data files are
-    rewritten (read → repartition(ceil(bytes/target)) → dynamic
-    overwrite of just that partition). Returns
-    ``{partition_dir: (files_before, files_after)}`` for the rewritten
-    partitions.
+    rewritten: read → repartition(ceil(bytes/target)) → write to a
+    sibling ``.compact-tmp`` staging directory → rename-swap into
+    place. Returns ``{partition_dir: (files_before, files_after)}``
+    for the rewritten partitions.
 
-    At cluster scale each partition rewrite is one small independent
-    job over that partition's bytes only — safe to run rolling,
-    concurrently with readers (parquet overwrite is
-    directory-atomic per partition via the output committer).
+    Crash safety: the original partition is never deleted until the
+    staged rewrite is fully written; a crash before the swap leaves
+    the partition untouched (plus a stale ``.compact-tmp`` that the
+    next run clears), and a crash between the two renames leaves the
+    complete original under ``.compact-old`` for recovery — data is
+    never lost, though readers can see the partition briefly missing
+    during the swap window. On a real cluster, route this through a
+    table format with atomic commits (Delta/Iceberg ``OPTIMIZE``)
+    instead of raw directories.
     """
     results: dict[str, tuple[int, int]] = {}
     for part_dir in _partition_dirs(path):
@@ -92,8 +102,15 @@ def compact_partitions(
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(files):
             continue
+        tmp_dir = part_dir + ".compact-tmp"
+        old_dir = part_dir + ".compact-old"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
         part = spark.read.parquet(part_dir)
-        part.repartition(n_out).write.mode("overwrite").parquet(part_dir)
+        part.repartition(n_out).write.mode("overwrite").parquet(tmp_dir)
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
         after = [
             f
             for f in os.listdir(part_dir)

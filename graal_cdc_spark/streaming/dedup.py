@@ -34,18 +34,24 @@ chain inside one batch — short for near-dup graphs.
 Replay safety: state rows carry the owning doc id, and the collision
 check ignores a doc's OWN rows — so re-processing a batch after a
 crash-between-append-and-checkpoint re-admits exactly the same docs
-(idempotent merge), the same contract as CompactionStateSink.
+(idempotent merge, the same contract as CompactionStateSink), and the
+append step anti-joins against doc ids already present in state so a
+replay never grows the state table (verified by the replay golden).
 
 Scale notes: the state table is (band, bucket, doc_id) — ``bands``
 rows per admitted doc, equality-joined per batch on (band, bucket);
 bucket it by (band, bucket) on a real cluster for a shuffle-free
 probe side. The batch side is tiny (one micro-batch); state is the
-big side and never rewritten, only appended.
+big side and never rewritten, only appended. All state-directory I/O
+goes through the Hadoop FileSystem API resolved from the path's
+scheme, so the state dir may live on HDFS/S3/local alike (on object
+stores without atomic rename the ``.tmp``→final rename degrades to
+copy+delete but stays correct: un-renamed ``.tmp`` dirs are invisible
+to the reader).
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +60,33 @@ from pyspark.sql import functions as F
 from graal_cdc_spark.operators.dedup import lsh_buckets
 
 _STATE_SCHEMA = "band INT, bucket BIGINT, doc_id BIGINT"
+
+
+class _StateDir:
+    """Hadoop-FileSystem-backed state directory (HDFS/S3/local)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._dir = self._Path(path)
+        self._fs = self._dir.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._dir)
+
+    def list_parquet(self) -> list[str]:
+        return sorted(
+            status.getPath().toString()
+            for status in self._fs.listStatus(self._dir)
+            if status.getPath().getName().endswith(".parquet")
+        )
+
+    def child(self, name: str) -> str:
+        return self._Path(self._dir, name).toString()
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
 
 
 class StreamingLshDedup:
@@ -78,16 +111,14 @@ class StreamingLshDedup:
         self.num_hashes = num_hashes
         self.bands = bands
         self.max_iter = max_iter
-        os.makedirs(state_dir, exist_ok=True)
+        self._sd = _StateDir(spark, state_dir)
 
     # -- state ----------------------------------------------------------
     def _state(self) -> DataFrame:
-        files = [f for f in os.listdir(self.state_dir) if f.endswith(".parquet")]
+        files = self._sd.list_parquet()
         if not files:
             return self.spark.createDataFrame([], _STATE_SCHEMA)
-        return self.spark.read.schema(_STATE_SCHEMA).parquet(
-            *[os.path.join(self.state_dir, f) for f in files]
-        )
+        return self.spark.read.schema(_STATE_SCHEMA).parquet(*files)
 
     def admitted_ids(self) -> DataFrame:
         return self._state().select(F.col("doc_id")).distinct()
@@ -172,10 +203,17 @@ class StreamingLshDedup:
                 f"{self.max_iter} greedy rounds (pathological collision chain)"
             )
 
-        out = os.path.join(self.state_dir, f"admit-{uuid.uuid4().hex}.parquet")
+        # Replay idempotence: a crash between append and checkpoint
+        # replays the batch and re-admits the same docs — skip rows for
+        # doc ids already present so state never grows on replay.
+        existing = state.select("doc_id").distinct()
+        to_append = admitted_buckets.join(existing, "doc_id", "left_anti")
+        if to_append.limit(1).count() == 0:
+            return
+        out = self._sd.child(f"admit-{uuid.uuid4().hex}.parquet")
         # one file per batch append; executors write, driver only names
-        admitted_buckets.coalesce(1).write.mode("overwrite").parquet(out + ".tmp")
-        os.rename(out + ".tmp", out)
+        to_append.coalesce(1).write.mode("overwrite").parquet(out + ".tmp")
+        self._sd.rename(out + ".tmp", out)
 
     # -- driver ---------------------------------------------------------
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str):

@@ -264,6 +264,27 @@ def test_c12_outer_join_inputs_prereduced(spark):
     assert not a.has("CartesianProduct")
 
 
+def test_r64_no_full_group_sort_window(spark):
+    """Weighted median must never run a cumulative window whose
+    partition key is the 3-value group over the raw fact table (that
+    sorts ~1/3 of the table per task at any scale). The binned plan's
+    windows run over the tiny histogram and one bin's distinct values;
+    the fact table itself is touched only by hash aggregates, and the
+    median-bin lookup side broadcasts."""
+    import re
+
+    a = _audit(spark, "r64_weighted_median")
+    assert a.partial_aggregates, a.plan
+    assert a.broadcast_joins >= 1, a.plan
+    # Every Window in the plan must sit above an aggregate (histogram /
+    # per-value reduction), never directly above the lineitem scan:
+    # count actual Window operator nodes, and forbid a Window whose
+    # child is a parquet scan in the operator tree.
+    windows = len(re.findall(r"\(\d+\) Window", a.plan))
+    assert windows <= 5, a.plan
+    assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
+
+
 def test_l42_is_map_only(spark):
     """Per-doc entropy must stay a per-row computation: no aggregate,
     no window, no (doc, bigram) explode-shuffle — the only exchanges

@@ -1067,6 +1067,11 @@ def test_streaming_lsh_dedup_invariants_and_replay(spark, sf_dir, tmp_path):
         ), f"rejected doc {d} has no admitted collider"
 
     # replay the same batch — crash-between-append-and-commit model
+    rows_before = sink._state().count()
+    files_before = sink._sd.list_parquet()
     sink.process_batch(docs)
     again = {r["doc_id"] for r in sink.admitted_ids().collect()}
     assert again == admitted
+    # and the replay must not grow state: no new rows, no new files
+    assert sink._state().count() == rows_before
+    assert sink._sd.list_parquet() == files_before
