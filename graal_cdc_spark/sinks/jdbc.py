@@ -99,12 +99,23 @@ def delete_statement(
     table: str, staging: str, key_cols: Sequence[str]
 ) -> str:
     """Propagate CDC deletes: remove target rows whose key appears in
-    the staging table (K3/K4 analog for JDBC)."""
-    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    the staging table (K3/K4 analog for JDBC). Correlates on the bare
+    table name (no alias) — valid in every target dialect including
+    Derby, whose DELETE does not accept a correlation name."""
+    on = " AND ".join(f"{table}.{c} = s.{c}" for c in key_cols)
     return (
-        f"DELETE FROM {table} t WHERE EXISTS "
+        f"DELETE FROM {table} WHERE EXISTS "
         f"(SELECT 1 FROM {staging} s WHERE {on})"
     )
+
+
+def drop_statement(dialect: str, table: str) -> str:
+    """Staging-table cleanup. Derby has no ``IF EXISTS``; the staging
+    table always exists at drop time (we just wrote it), so the plain
+    form is safe there."""
+    if dialect == "derby":
+        return f"DROP TABLE {table}"
+    return f"DROP TABLE IF EXISTS {table}"
 
 
 def prepare_cdc_batch(
@@ -172,19 +183,28 @@ def write_jdbc_batch(
 
     if run_sql is None:
         run_sql = _jvm_run_sql(batch_df, cfg)
+    # Spark's JDBC writer QUOTES column names in the CREATE it issues
+    # for the staging table. Dialects that fold unquoted identifiers to
+    # uppercase (Derby, and ANSI dialects generally) then can't resolve
+    # the merge's unquoted `s.col` against a quoted lowercase "col" —
+    # stage with the dialect's folded case so unquoted SQL resolves.
+    fold = str.upper if cfg.dialect == "derby" else (lambda c: c)
+    upserts = upserts.toDF(*[fold(c) for c in upserts.columns])
     upserts.write.jdbc(cfg.url, staging, mode="overwrite", properties=props)
     try:
         run_sql(stmts["merge"])
     finally:
-        run_sql(f"DROP TABLE IF EXISTS {staging}")
+        run_sql(drop_statement(cfg.dialect, staging))
     if deletes is not None:
-        deletes.select(*cfg.key_cols).write.jdbc(
+        deletes.select(*cfg.key_cols).toDF(
+            *[fold(c) for c in cfg.key_cols]
+        ).write.jdbc(
             cfg.url, f"{staging}_del", mode="overwrite", properties=props
         )
         try:
             run_sql(stmts["delete"])
         finally:
-            run_sql(f"DROP TABLE IF EXISTS {staging}_del")
+            run_sql(drop_statement(cfg.dialect, f"{staging}_del"))
     return stmts
 
 

@@ -272,7 +272,8 @@ def test_merge_statement_ansi():
 def test_delete_statement():
     sql = delete_statement("tgt", "stg", ["k"])
     assert sql == (
-        "DELETE FROM tgt t WHERE EXISTS (SELECT 1 FROM stg s WHERE t.k = s.k)"
+        "DELETE FROM tgt WHERE EXISTS "
+        "(SELECT 1 FROM stg s WHERE tgt.k = s.k)"
     )
 
 
