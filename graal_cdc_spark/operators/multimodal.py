@@ -68,6 +68,23 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def documents_as_media_mixed(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mixed-modality variant of :func:`documents_as_media`: modality
+    assigned deterministically by id (id%3 → image/audio/video) so
+    per-modality routing and mix accounting are exercisable without
+    real media files."""
+    media = documents_as_media(df, id_col, text_col)
+    return media.withColumn(
+        "media_type",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
+
+
 def _fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real encoder: bytes → sha256 →
     FEATURE_DIM floats in [0, 1)."""

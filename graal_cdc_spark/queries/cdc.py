@@ -564,3 +564,84 @@ GROUP BY tbl, field ORDER BY tbl, field
         reference="DebeziumEngineManager.java:68-69 (schemaless envelopes); SURVEY.md §1.2",
     )
 )
+
+
+def _c14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-columns audit: for each consecutive pair of row images
+    of the same key (``lag(after) OVER (PARTITION BY key ORDER BY
+    seq)``), which fields changed — the per-(table, field) update-heat
+    view a CDC consumer uses to pick indexed/merge columns. The
+    envelope's ``before`` is always null (FIXTURES.md), so the diff is
+    computed from the log itself. Values compare as raw JSON literals
+    WITHIN each engine (prev vs cur extracted the same way), so the
+    changed/unchanged verdict is engine-portable even where the two
+    engines render literals differently.
+
+    Scale: the lag window partitions by the high-cardinality CDC key
+    (many small partitions — scale-safe); the field explode
+    pre-aggregates map-side before the one (tbl, field) shuffle.
+    Reference: DebeziumEngineRecordHandler.java:160-179 (row-image
+    envelopes); SURVEY.md §2.3 audit extension.
+    """
+    parsed = _parsed(spark, sf_dir).filter(F.col("op") != "d")
+    w = Window.partitionBy("key").orderBy("seq")
+    imgs = (
+        parsed.select("tbl", "key", "seq", "after_json")
+        .withColumn("prev_json", F.lag("after_json").over(w))
+        .filter(F.col("prev_json").isNotNull())
+    )
+    cm = F.from_json("after_json", "map<string,string>")
+    pm = F.from_json("prev_json", "map<string,string>")
+    pairs = imgs.select("tbl", cm.alias("cm"), pm.alias("pm"))
+    fields = pairs.select(
+        "tbl",
+        "cm",
+        "pm",
+        F.explode(
+            F.array_union(F.map_keys("cm"), F.map_keys("pm"))
+        ).alias("field"),
+    )
+    changed = fields.filter(
+        ~(
+            F.element_at("cm", F.col("field")).eqNullSafe(
+                F.element_at("pm", F.col("field"))
+            )
+        )
+    )
+    return (
+        changed.groupBy("tbl", "field")
+        .agg(F.count(F.lit(1)).alias("n_changed"))
+        .orderBy("tbl", "field")
+    )
+
+
+register(
+    QuerySpec(
+        name="c14_changed_columns_audit",
+        category="cdc",
+        description="per-(table, field) changed-value counts between "
+        "consecutive row images of the same key",
+        spark=_c14,
+        oracle=cdc_parsed_cte()
+        + """
+, imgs AS (
+  SELECT c.tbl, c.key, c.seq,
+         json_extract(e.value, '$.payload.after') AS aj,
+         lag(json_extract(e.value, '$.payload.after')) OVER (
+           PARTITION BY c.key ORDER BY c.seq) AS pj
+  FROM cdc_parsed c JOIN cdc_events e USING (seq)
+  WHERE c.op <> 'd'
+)
+SELECT tbl, field, CAST(count(*) AS BIGINT) AS n_changed
+FROM (
+  SELECT tbl, aj, pj,
+         unnest(list_distinct(json_keys(aj) || json_keys(pj))) AS field
+  FROM imgs WHERE pj IS NOT NULL
+)
+WHERE json_extract_string(aj, '$.' || field)
+      IS DISTINCT FROM json_extract_string(pj, '$.' || field)
+GROUP BY tbl, field ORDER BY tbl, field
+""",
+        reference="DebeziumEngineRecordHandler.java:160-179 (row images); SURVEY.md §2.3",
+    )
+)

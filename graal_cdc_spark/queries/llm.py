@@ -2477,3 +2477,319 @@ FROM (
 GROUP BY source ORDER BY source
 """,
 )
+
+# ---------------------------------------------------------------------------
+# L52 — eval-split contamination RATE (the complement view of l25's
+# corpus-side decontamination): for every eval doc, how much of it
+# leaked into training — distinct 8-grams, colliding 8-grams, overlap
+# in integer basis points. Plan shape: the corpus side never shuffles
+# — eval grams broadcast INTO a semi-join over the corpus grams, the
+# (small) colliding-gram set broadcasts back onto the eval grams.
+# ---------------------------------------------------------------------------
+
+
+def _l52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 8
+    docs = _par_table(spark, sf_dir, "documents")
+
+    def grams(df):
+        toks = F.split(F.col("text"), " ")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return (
+            df.filter(F.size(toks) >= n)
+            .select("doc_id", F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    eval_g = grams(docs.filter(F.col("doc_id") % 7 == 0))
+    corpus_g = grams(docs.filter(F.col("doc_id") % 7 != 0)).select("gram")
+    hit_grams = (
+        corpus_g.join(
+            F.broadcast(eval_g.select("gram").distinct()), "gram", "left_semi"
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_g.join(F.broadcast(hit_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_bp", F.expr("n_hit * 10000 DIV n_grams").cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l52_eval_overlap_rate",
+    "per-eval-doc train-set 8-gram overlap rate in basis points",
+    _l52,
+    """
+WITH g AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM g
+),
+corpus_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 7 <> 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS overlap_bp
+FROM (SELECT * FROM grams WHERE doc_id % 7 = 0) e
+LEFT JOIN corpus_grams c USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L25 family (decontamination metrics)",
+)
+
+# ---------------------------------------------------------------------------
+# L53 — bigram surprisal: per-doc mean conditional negative log
+# likelihood -ln(cnt(w1,w2)/cnt_left(w1)) under the corpus bigram LM.
+# The sequence-aware upgrade of l45's unigram surprisal; same float
+# protocol (floor(avg*10000)/10000 — ln and avg are IEEE-identical
+# across engines on the same rationals). Counts partial-aggregate
+# before their shuffles; the LM joins are on (w1,w2)/(w1).
+# ---------------------------------------------------------------------------
+
+
+def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    nll = -F.log(F.col("c2") / F.col("c1"))
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(left), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.floor(F.avg(nll) * 10000) / 10000).alias("avg_bigram_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l53_bigram_surprisal",
+    "per-doc mean bigram conditional NLL under the corpus bigram LM",
+    _l53,
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t
+        WHERE len(w) >= 2)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+lft AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(AVG(-ln(CAST(c2 AS DOUBLE) / c1)) * 10000)/10000 AS avg_bigram_nll
+FROM pairs JOIN big USING (w1, w2) JOIN lft USING (w1)
+GROUP BY doc_id ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L45 family (LM scoring)",
+)
+
+# ---------------------------------------------------------------------------
+# L54 — normalized-text dedup: exact dedup AFTER normalization
+# (lowercase/strip/collapse) — catches trivially-reformatted copies
+# that byte-exact l01 misses. Output is the duplicate clusters only
+# (md5 of the normalized form keeps the row narrow), keep = min id.
+# ---------------------------------------------------------------------------
+
+
+def _l54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("keep_id")
+    )
+
+
+_l(
+    "l54_normalized_dedup",
+    "exact dedup on normalized text (md5 clusters, keep = min id)",
+    _l54,
+    """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS norm_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY keep_id
+""",
+    ref="SURVEY.md §2.4 L01/L20 composition",
+)
+
+# ---------------------------------------------------------------------------
+# L55 — prefix-duplicate clusters: docs sharing an identical
+# first-16-token prefix (template intros / mirrored boilerplate that
+# full-document hashing misses). One hash-aggregate on the md5 of the
+# prefix; never materializes pairwise comparisons.
+# ---------------------------------------------------------------------------
+
+
+def _l55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 16
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    prefix = F.concat_ws(" ", F.slice(toks, 1, k))
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.md5(prefix).alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("min_doc")
+    )
+
+
+_l(
+    "l55_prefix_dup_clusters",
+    "identical first-16-token prefix clusters (template/boilerplate intros)",
+    _l55,
+    """
+SELECT md5(array_to_string(t[1:16], ' ')) AS prefix_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+WHERE len(t) >= 16
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY min_doc
+""",
+    ref="SURVEY.md §2.4 L43 family (boilerplate detection)",
+)
+
+# ---------------------------------------------------------------------------
+# L56 — Heaps'-law vocabulary growth: cumulative distinct-word count
+# at each doc-count decile, computed WITHOUT any cumulative distinct
+# scan — each word reduces to its first-appearance doc id (one hash
+# aggregate over tokens), then a 10-row decile spine joins against
+# O(vocab) firsts. Same first-appearance trick as r57.
+# ---------------------------------------------------------------------------
+
+
+def _l56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    firsts = toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        firsts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(spine))
+        .filter(
+            F.col("first_doc")
+            < F.expr("CAST(ceil(n_docs * decile / 10.0) AS BIGINT)")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+        .orderBy("decile")
+    )
+
+
+_l(
+    "l56_heaps_vocab_growth",
+    "cumulative vocabulary size at doc-count deciles (Heaps' law curve)",
+    _l56,
+    """
+WITH firsts AS (
+  SELECT word, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT decile, CAST(count(*) AS BIGINT) AS vocab_size
+FROM firsts, n, (SELECT unnest(generate_series(1, 10)) AS decile)
+WHERE first_doc < CAST(ceil(n_docs * decile / 10.0) AS BIGINT)
+GROUP BY decile ORDER BY decile
+""",
+    ref="SURVEY.md §2.4 L34 family (vocabulary statistics)",
+)
+
+# ---------------------------------------------------------------------------
+# MM05 — modality mix accounting: per-modality volume/size/dedup stats
+# over the mixed media table — the planning view a multimodal ingest
+# runs before deciding partition sizing per modality. Pure hash
+# aggregate over typed metadata; payloads are never read (the scan
+# prunes to media_type + meta).
+# ---------------------------------------------------------------------------
+
+
+def _mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media_mixed(docs)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.expr("SUM(meta.n_bytes) DIV COUNT(*)").alias("avg_bytes"),
+            F.count_distinct("meta.sha256").alias("n_distinct"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_l(
+    "mm05_modality_mix_stats",
+    "per-modality volume/size/dedup accounting over typed media metadata",
+    _mm05,
+    """
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_bytes) // count(*) AS BIGINT) AS avg_bytes,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct
+FROM (
+  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+)
+GROUP BY media_type ORDER BY media_type
+""",
+    ref="SURVEY.md §2.4 MM01 family (multimodal metadata)",
+)

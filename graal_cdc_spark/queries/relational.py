@@ -3087,3 +3087,159 @@ WHERE rk = 1
 ORDER BY o_orderstatus
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R69 — schema-evolution union: unionByName(allowMissingColumns) over
+# two generations of the same feed (a column added upstream), then one
+# aggregate over the merged log. The missing column null-fills — the
+# ingestion op every long-lived lake table needs when producers roll
+# schemas at different times. Oracle: UNION ALL with explicit NULL
+# padding (the SQL spelling of the same merge).
+# ---------------------------------------------------------------------------
+
+
+def _r69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("string")
+            .alias("total"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+_r(
+    "r69_union_by_name_evolution",
+    "schema-evolution union with null-filled new column + aggregate",
+    _r69,
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total
+FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R70 — month-over-month growth: monthly aggregate + lag. Growth is
+# integer basis points over BIGINT counts ((cur-prev)*10000 DIV prev)
+# — bit-exact, no float division. The lag window is a single
+# partition BY DESIGN over O(months) rows (the aggregate output),
+# never the fact table — same bounded-single-partition rationale as
+# l40's O(shards) offsets window.
+# ---------------------------------------------------------------------------
+
+
+def _r70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders").over(w)
+    return (
+        monthly.withColumn(
+            "growth_bp",
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                F.expr(
+                    "(n_orders - lag(n_orders) OVER (ORDER BY month)) * 10000"
+                    " DIV lag(n_orders) OVER (ORDER BY month)"
+                ),
+            ),
+        )
+        .select("month", "n_orders", "revenue", "growth_bp")
+        .orderBy("month")
+    )
+
+
+_r(
+    "r70_month_over_month_growth",
+    "monthly rollup + lag growth in integer basis points",
+    _r70,
+    """
+SELECT month, n_orders, revenue,
+       CASE WHEN lag(n_orders) OVER (ORDER BY month) IS NOT NULL
+             AND lag(n_orders) OVER (ORDER BY month) <> 0
+            THEN CAST((n_orders - lag(n_orders) OVER (ORDER BY month)) * 10000
+                      // lag(n_orders) OVER (ORDER BY month) AS BIGINT)
+       END AS growth_bp
+FROM (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS revenue
+  FROM orders GROUP BY 1
+)
+ORDER BY month
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R71 — top-N with OTHERS rollup: the reporting idiom that caps a
+# categorical breakdown at N labeled rows plus one OTHERS bucket.
+# The rank runs over the AGGREGATE (O(categories) rows), never the
+# fact table; ties break deterministically on (count DESC, name).
+# ---------------------------------------------------------------------------
+
+
+def _r71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("p_type"))
+    labeled = counts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bucket",
+        F.when(F.col("rn") <= 5, F.col("p_type")).otherwise(F.lit("OTHERS")),
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy(F.col("n_parts").desc(), "bucket")
+    )
+
+
+_r(
+    "r71_topn_with_others",
+    "top-5 categories + OTHERS rollup bucket (capped breakdown)",
+    _r71,
+    """
+SELECT bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM (
+  SELECT CASE WHEN row_number() OVER (ORDER BY cnt DESC, p_type) <= 5
+              THEN p_type ELSE 'OTHERS' END AS bucket,
+         cnt
+  FROM (SELECT p_type, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_type)
+)
+GROUP BY bucket ORDER BY n_parts DESC, bucket
+""",
+)

@@ -425,3 +425,35 @@ GROUP BY 1 ORDER BY 1
         reference="SURVEY.md §2.2 (extension; multi-stateful pipeline)",
     )
 )
+
+
+def _st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.windows import windowed_distinct_users
+
+    return windowed_distinct_users(_events(spark, sf_dir)).orderBy(
+        "window_start"
+    )
+
+
+register(
+    QuerySpec(
+        name="st11_windowed_distinct_users",
+        category="streaming",
+        description="exact distinct users per tumbling window via "
+        "chained dedup-then-count stateful aggs (batch twin)",
+        spark=_st11,
+        oracle="""
+WITH per_user AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_user
+GROUP BY w ORDER BY window_start
+""",
+        reference="SURVEY.md §2.2 (extension; exact windowed cardinality)",
+    )
+)

@@ -140,3 +140,42 @@ def hourly_rollup_of_tumbling(
             "sum_n",
         )
     )
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    window: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST11 — EXACT distinct users per tumbling window via two chained
+    stateful aggregations: stage 1 reduces to one row per
+    (window, user_id) — the dedup — and stage 2 counts the reduced
+    rows per window re-derived through ``window_time()`` (the same
+    watermark-propagation chain as ST8).
+
+    Scale: stage 1 shuffles the events once on (window, user) with
+    map-side partials; stage 2's input is O(windows × distinct users)
+    — already deduplicated. Exact, unlike approx_count_distinct; state
+    on both operators is watermark-bounded. The per-(window,user)
+    grouping key is high-cardinality, so no per-window skew bottleneck
+    (compare r57's first-appearance trick for the all-time variant).
+    """
+    per_user = (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("w"), window).alias("w2")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            F.date_format("w2.start", _TS_FMT).alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -36,6 +36,8 @@ _BNLJ_OK = {
     # round 4: 1-row broadcast corpus-total cross joins
     "l41_zipf_token_histogram",
     "l45_unigram_surprisal",
+    # round 5: 1-row doc-total × 10-row decile-spine broadcasts
+    "l56_heaps_vocab_growth",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -226,7 +228,10 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r59_cohort_retention", 6),          # user-grain reductions + matrix joins
         ("st9_stateful_topk", 2),             # user ranking window + output sort
         ("r63_asof_forward_join", 2),         # user window + output sort
-        ("r64_weighted_median", 2),           # flag window pair + final agg
+        # histogram agg + histogram window + bin-broadcast-join re-agg
+        # + within-bin window + output sort — every exchange after the
+        # first carries O(groups × bins) rows, never the fact table
+        ("r64_weighted_median", 5),
         ("st10_join_then_window", 2),         # key-shuffled join + window agg
         ("c13_schema_drift_field_stats", 2),  # (tbl, field) agg + output sort
         ("r65_listagg_distinct", 2),          # set-union agg + output sort

@@ -1075,3 +1075,46 @@ def test_streaming_lsh_dedup_invariants_and_replay(spark, sf_dir, tmp_path):
     # and the replay must not grow state: no new rows, no new files
     assert sink._state().count() == rows_before
     assert sink._sd.list_parquet() == files_before
+
+
+def test_windowed_distinct_users_stream_finalizes(spark, tmp_path):
+    """ST11: exact windowed distinct users via chained dedup-then-count
+    stateful aggs, append mode. Duplicate (window, user) events must
+    collapse to one before the count; windows emit once the watermark
+    clears both operators (same filler cadence as ST8)."""
+    import datetime as dt
+
+    from graal_cdc_spark.streaming.windows import windowed_distinct_users
+
+    def mk(rows):
+        data = [
+            (i, _T0 + dt.timedelta(minutes=m), uid, "e", 1.0, "{}")
+            for i, (m, uid) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1)
+
+    replay = str(tmp_path / "replay")
+    # window 10:00–10:10: users 1 (3 events) and 2 (1 event) -> 2 users
+    # window 10:10–10:20: user 1 only -> 1 user
+    append_chunk(
+        mk([(1, 1), (2, 1), (5, 2), (9, 1), (11, 1)]), replay
+    )
+    append_chunk(mk([(180, 1)]), replay)
+    append_chunk(mk([(190, 1)]), replay)
+    append_chunk(mk([(200, 1)]), replay)
+
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    got = run_to_memory(
+        windowed_distinct_users(stream, watermark="10 minutes"),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # the 13:00 filler window also finalizes once 13:20 advances the
+    # watermark past its end
+    assert _rows(spark, got) == [
+        ("2024-01-01 10:00:00", 2, 4),
+        ("2024-01-01 10:10:00", 1, 1),
+        ("2024-01-01 13:00:00", 1, 1),
+    ]
