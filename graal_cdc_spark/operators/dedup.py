@@ -128,6 +128,37 @@ def token_ngram_jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
 
+def minhash_signature_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature ``(id, m0..m{num_hashes-1})``.
+
+    Hash each variable-length shingle string ONCE, then derive the
+    per-seed family by re-hashing the fixed-width 64-bit value
+    (universal-hashing minhash trick; affine multiply would trip
+    ANSI-mode overflow, so the rehash is xxhash64 over the long).
+    ``distinct=False``: min-hash is duplicate-insensitive, so the
+    (id, shingle) dedup shuffle is pure waste here. One aggregation
+    computes all ``num_hashes`` minima.
+    """
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
+    with_base = sh.withColumn("__h0", F.xxhash64(F.col("shingle")))
+    hashed = with_base.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.col("__h0"), F.lit(seed)).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(num_hashes)]
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -145,24 +176,7 @@ def lsh_buckets(
     they share any (band, bucket).
     """
     rows = num_hashes // bands
-    # distinct=False: min-hash is duplicate-insensitive, so the
-    # (id, shingle) dedup shuffle is pure waste here.
-    sh = char_shingles(df, id_col, text_col, n, distinct=False)
-    # Hash each variable-length shingle string ONCE, then derive the
-    # per-seed family by re-hashing the fixed-width 64-bit value
-    # (universal-hashing minhash trick; affine multiply would trip
-    # ANSI-mode overflow, so the rehash is xxhash64 over the long).
-    with_base = sh.withColumn("__h0", F.xxhash64(F.col("shingle")))
-    hashed = with_base.select(
-        F.col(id_col),
-        *[
-            F.xxhash64(F.col("__h0"), F.lit(seed)).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(num_hashes)]
-    )
+    sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -441,3 +455,59 @@ def connected_components(
             "raise max_iter (rounds needed ~ log2 of graph diameter)"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Accuracy audit of the MinHash estimator over the LSH candidate
+    pairs: per pair, the signature-agreement estimate
+    (matching components / num_hashes) next to the EXACT shingle
+    Jaccard, with the absolute error in basis points — the
+    verification harness that justifies (num_hashes, bands) before a
+    100 TB run trusts the approximate path.
+
+    Scale shape: the exact Jaccard is computed ONLY for the candidate
+    pairs (tiny by construction — this is the standard
+    LSH-then-verify pattern, never all-pairs); signatures broadcast
+    onto the pair list twice.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
+    arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))
+
+    sh = char_shingles(df, id_col, text_col, n, distinct=True)
+    exact = jaccard_pairs_from_shingles(sh, id_col, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    # threshold=0.0 still only keeps joined (intersecting) pairs; LSH
+    # candidates share >= one shingle by construction, so the inner
+    # join below loses nothing.
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    return (
+        cands.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
+        .withColumn(
+            "est_jaccard", F.round(matches / F.lit(num_hashes), 4)
+        )
+        .join(exact, ["doc_a", "doc_b"])
+        .withColumn(
+            "abs_err_bp",
+            F.abs(
+                F.round((F.col("est_jaccard") - F.col("exact_jaccard")) * 10000)
+            ).cast("long"),
+        )
+        .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "abs_err_bp")
+    )

@@ -2793,3 +2793,81 @@ GROUP BY media_type ORDER BY media_type
 """,
     ref="SURVEY.md §2.4 MM01 family (multimodal metadata)",
 )
+
+# ---------------------------------------------------------------------------
+# L57 — MinHash estimator accuracy audit over the LSH candidate set:
+# est vs exact Jaccard per candidate pair with abs error in basis
+# points. Rows-only by design (xxhash64 signatures are not
+# SQL-portable); the MAE bound is asserted in tests/test_scale_ops.py
+# — this is the harness that justifies (num_hashes, bands) before the
+# approximate path is trusted at scale.
+# ---------------------------------------------------------------------------
+
+
+def _l57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.dedup import minhash_estimate_audit
+
+    docs = _par_table(spark, sf_dir, "documents")
+    return minhash_estimate_audit(docs, "doc_id", "text").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_l(
+    "l57_minhash_accuracy_audit",
+    "MinHash estimate vs exact Jaccard on LSH candidates (abs error bp)",
+    _l57,
+    None,
+    ref="SURVEY.md §2.4 L06 family (LSH-then-verify)",
+)
+
+# ---------------------------------------------------------------------------
+# L58 — dedup survivorship accounting: per source, how many docs
+# survive exact-content dedup (keep = min doc id per md5 cluster) —
+# the per-feed attrition report a curation pipeline publishes after
+# every dedup pass. Two hash aggregates; the cluster table is
+# O(distinct contents).
+# ---------------------------------------------------------------------------
+
+
+def _l58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("kept", F.lit(1))
+    )
+    return (
+        docs.join(keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("kept"), F.lit(0)).alias("n_kept"),
+        )
+        .withColumn(
+            "survival_bp", F.expr("n_kept * 10000 DIV n_docs").cast("long")
+        )
+        .orderBy("source")
+    )
+
+
+_l(
+    "l58_dedup_survivorship",
+    "per-source survival rate after exact-content dedup (basis points)",
+    _l58,
+    """
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS survival_bp
+FROM documents d LEFT JOIN keep k USING (doc_id)
+GROUP BY source ORDER BY source
+""",
+    ref="SURVEY.md §2.4 L01/L39 family (dedup reporting)",
+)

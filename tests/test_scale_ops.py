@@ -613,3 +613,30 @@ def test_zorder_key_matches_reference_interleave(spark):
         return z
 
     assert got == {(x, y): interleave(x, y) for x, y in rows}
+
+
+def test_minhash_estimate_audit_accuracy(spark, sf_dir):
+    """L57 harness invariants: estimates and exacts are valid Jaccard
+    values; the mean absolute error over the candidate set is inside
+    the MinHash error budget for 32 hashes (std ~= sqrt(J(1-J)/32)
+    <= 0.09, so MAE well under 0.08 = 800 bp); candidates are the LSH
+    candidate set exactly (one audit row per candidate pair that
+    shares a shingle)."""
+    from graal_cdc_spark.operators.dedup import (
+        minhash_estimate_audit,
+        minhash_lsh_candidates,
+    )
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    audit_rows = minhash_estimate_audit(docs, "doc_id", "text").collect()
+    assert audit_rows, "no candidate pairs at this SF"
+    for r in audit_rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 < r["exact_jaccard"] <= 1.0
+        assert r["abs_err_bp"] >= 0
+    mae = sum(r["abs_err_bp"] for r in audit_rows) / len(audit_rows)
+    assert mae < 800, f"MinHash MAE {mae:.0f} bp exceeds the 32-hash budget"
+
+    n_cands = minhash_lsh_candidates(docs, "doc_id", "text").count()
+    assert len(audit_rows) == n_cands
