@@ -477,19 +477,56 @@ def minhash_estimate_audit(
     LSH-then-verify pattern, never all-pairs); signatures broadcast
     onto the pair list twice.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    cands = (
+        minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+        .localCheckpoint(eager=False)
+    )
     sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
     arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))
 
-    sh = char_shingles(df, id_col, text_col, n, distinct=True)
-    exact = jaccard_pairs_from_shingles(sh, id_col, threshold=0.0).select(
-        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    # Exact Jaccard per CANDIDATE PAIR via set comparison — never a
+    # shingle-keyed pair join. A join on the shingle explodes as
+    # sum(df²) over shingle document frequencies (one stopword-gram
+    # shared by most docs is a corpus-squared term); joining each
+    # pair's two shingle SETS instead costs O(pairs × shingles/doc),
+    # immune to hot shingles. Equality joins on doc id — the per-doc
+    # set rows shuffle-partition evenly at any scale.
+    doc_sets = (
+        char_shingles(df, id_col, text_col, n, distinct=True)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("ss"))
     )
-    # threshold=0.0 still only keeps joined (intersecting) pairs; LSH
-    # candidates share >= one shingle by construction, so the inner
-    # join below loses nothing.
+    exact = (
+        cands.join(
+            doc_sets.select(
+                F.col(id_col).alias("doc_a"), F.col("ss").alias("ss_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("doc_b"), F.col("ss").alias("ss_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ss_a", "ss_b"))
+                / (
+                    F.size("ss_a")
+                    + F.size("ss_b")
+                    - F.size(F.array_intersect("ss_a", "ss_b"))
+                ),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    # LSH candidates share >= one shingle by construction, so the
+    # inner join below loses nothing.
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),

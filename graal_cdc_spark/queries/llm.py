@@ -2561,12 +2561,15 @@ GROUP BY doc_id ORDER BY doc_id
 # The sequence-aware upgrade of l45's unigram surprisal; same float
 # protocol (floor(avg*10000)/10000 — ln and avg are IEEE-identical
 # across engines on the same rationals). Counts partial-aggregate
-# before their shuffles; the LM joins are on (w1,w2)/(w1).
+# before their shuffles; the LM joins are SHUFFLE hash joins on
+# (w1,w2)/(w1) by intent — at corpus scale the bigram table is far
+# too large to broadcast (and forcing broadcast measured SLOWER even
+# at sf0.1: serializing a 200k-row build side beats nobody).
 # ---------------------------------------------------------------------------
 
 
 def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     pairs = docs.filter(F.size(toks) >= 2).select(
         "doc_id",
@@ -2584,8 +2587,8 @@ def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
     return (
-        pairs.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(left), "w1")
+        pairs.join(big, ["w1", "w2"])
+        .join(left, "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -2710,7 +2713,7 @@ ORDER BY min_doc
 
 
 def _l56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _par_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )

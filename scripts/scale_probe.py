@@ -69,6 +69,15 @@ PROBES = [
     "l47_ngram_novelty",
     "st8_chained_window_rollup",
     "st9_stateful_topk",
+    # round 5 (gram joins, bigram LM, first-appearance reduction,
+    # CDC row-image diff, chained windowed distinct)
+    "c14_changed_columns_audit",
+    "l52_eval_overlap_rate",
+    "l53_bigram_surprisal",
+    "l56_heaps_vocab_growth",
+    "l58_dedup_survivorship",
+    "st11_windowed_distinct_users",
+    "r64_weighted_median",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)
