@@ -645,3 +645,122 @@ GROUP BY tbl, field ORDER BY tbl, field
         reference="DebeziumEngineRecordHandler.java:160-179 (row images); SURVEY.md §2.3",
     )
 )
+
+
+def _c15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate spike detection: hours where a table's event count
+    exceeds 2x its trailing-3-hour average — the ops-side monitor that
+    catches runaway writers / replication storms in a CDC feed. The
+    2x-average comparison is INTEGER-EXACT (3*count > 2*trailing_sum
+    avoids fractional averages entirely). The hourly pre-aggregate
+    reduces the log before the per-table lag window (O(tables x
+    hours) rows — window input is the aggregate, never the log).
+    Reference: DebeziumEngineRecordHandler.java:130-146 (per-event
+    handling with no rate monitoring); SURVEY.md §2.3 ops extension.
+    """
+    parsed = _parsed(spark, sf_dir)
+    hourly = (
+        parsed.withColumn("hour", F.expr("seq DIV 600"))
+        .groupBy("tbl", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("tbl").orderBy("hour").rowsBetween(-3, -1)
+    trailing = hourly.withColumn("t_sum", F.sum("n").over(w)).withColumn(
+        "t_cnt", F.count("n").over(w)
+    )
+    return (
+        trailing.filter(
+            (F.col("t_cnt") == 3) & (F.col("n") * 3 > F.col("t_sum") * 2)
+        )
+        .select("tbl", "hour", "n", F.col("t_sum").alias("trailing_sum"))
+        .orderBy("tbl", "hour")
+    )
+
+
+register(
+    QuerySpec(
+        name="c15_change_rate_spikes",
+        category="cdc",
+        description="hours where a table's CDC event rate exceeds 2x "
+        "its trailing-3-hour average (integer-exact comparison)",
+        spark=_c15,
+        oracle=cdc_parsed_cte()
+        + """
+, trail_src AS (
+  SELECT tbl, seq // 600 AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM cdc_parsed GROUP BY 1, 2
+),
+trail AS (
+  SELECT tbl, hour, n,
+         SUM(n) OVER (PARTITION BY tbl ORDER BY hour
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_sum,
+         COUNT(n) OVER (PARTITION BY tbl ORDER BY hour
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_cnt
+  FROM trail_src
+)
+SELECT tbl, hour, n, CAST(t_sum AS BIGINT) AS trailing_sum
+FROM trail WHERE t_cnt = 3 AND n * 3 > t_sum * 2
+ORDER BY tbl, hour
+""",
+        reference="DebeziumEngineRecordHandler.java:130-146; SURVEY.md §2.3",
+    )
+)
+
+
+def _c16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-churn profile: per routed table, how volatile its keys are —
+    version counts, lifespan in log-sequence units, and a churn class
+    (hot >= 5 versions, warm >= 2, cold = 1). One hash aggregate per
+    key (high-cardinality, even shuffle) then a tiny per-(table,
+    class) rollup — the capacity-planning view for state sizing in a
+    compaction/materialization consumer.
+    Reference: SURVEY.md §2.3 (Q3 per-key replay semantics).
+    """
+    parsed = _parsed(spark, sf_dir)
+    per_key = parsed.groupBy("tbl", "key").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        (F.max("seq") - F.min("seq")).alias("lifespan"),
+    )
+    churn = F.when(F.col("n_versions") >= 5, "hot").otherwise(
+        F.when(F.col("n_versions") >= 2, "warm").otherwise("cold")
+    )
+    return (
+        per_key.withColumn("churn", churn)
+        .groupBy("tbl", "churn")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_versions").alias("n_events"),
+            F.max("lifespan").alias("max_lifespan"),
+        )
+        .orderBy("tbl", "churn")
+    )
+
+
+register(
+    QuerySpec(
+        name="c16_key_churn_profile",
+        category="cdc",
+        description="per-(table, churn-class) key volatility rollup "
+        "(hot/warm/cold by version count, lifespan in seq units)",
+        spark=_c16,
+        oracle=cdc_parsed_cte()
+        + """
+, per_key AS (
+  SELECT tbl, key,
+         CAST(count(*) AS BIGINT) AS n_versions,
+         CAST(max(seq) - min(seq) AS BIGINT) AS lifespan
+  FROM cdc_parsed GROUP BY tbl, key
+)
+SELECT tbl,
+       CASE WHEN n_versions >= 5 THEN 'hot'
+            WHEN n_versions >= 2 THEN 'warm'
+            ELSE 'cold' END AS churn,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_versions) AS BIGINT) AS n_events,
+       CAST(max(lifespan) AS BIGINT) AS max_lifespan
+FROM per_key
+GROUP BY 1, 2 ORDER BY tbl, churn
+""",
+        reference="SURVEY.md §2.3 (Q3 per-key replay; state sizing)",
+    )
+)
