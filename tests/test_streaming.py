@@ -1118,3 +1118,35 @@ def test_windowed_distinct_users_stream_finalizes(spark, tmp_path):
         ("2024-01-01 10:10:00", 1, 1),
         ("2024-01-01 13:00:00", 1, 1),
     ]
+
+
+def test_tumbling_stream_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The RocksDB state store provider — the production backend for
+    large streaming state (bounded JVM heap, incremental checkpoints)
+    — must produce the same windowed result as the default HDFS-backed
+    provider. Set per-query via the checkpoint's conf; restore after.
+    At 100 TB this is the knob that keeps watermark state off-heap."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, sf_dir, "events")
+        replay = str(tmp_path / "replay")
+        append_chunk(events.coalesce(4), replay)
+        stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+        got = run_to_memory(
+            tumbling_counts(stream),
+            output_mode="complete",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        want = tumbling_counts(events)
+        assert _rows(spark, got) == _rows(spark, want)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
