@@ -1,0 +1,185 @@
+"""Property-based invariants for the structurally-subtle queries.
+
+These go beyond the DuckDB oracle (which pins ONE dataset): for ANY
+random input, the scale-shaped formulation must equal the naive
+reference computation done in plain Python.
+
+- r64's two-pass binned weighted median == the textbook cumulative
+  definition (smallest value whose cumulative weight reaches half the
+  total), for any weights/values including duplicates and single-row
+  groups.
+- c14's lag-window changed-columns diff == a per-key sequential scan
+  comparing consecutive row images field by field, including
+  appearing/disappearing fields (schema drift mid-stream).
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------------------
+# r64: binned weighted median == naive cumulative definition
+# ---------------------------------------------------------------------------
+
+_wrows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),            # group
+        st.integers(min_value=0, max_value=5000),    # value (price*100)
+        st.integers(min_value=1, max_value=50),      # weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _binned_weighted_median(df, bin_width: int):
+    """The r64 plan shape, parameterized for arbitrary input."""
+    df = df.withColumn("bin", F.floor(F.col("v") / F.lit(bin_width)).cast("long"))
+    hist = df.groupBy("g", "bin").agg(F.sum("wt").alias("bw"))
+    wbin = (
+        Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.withColumn("cum", F.sum("bw").over(wbin)).withColumn(
+        "tot", F.sum("bw").over(Window.partitionBy("g"))
+    )
+    med = (
+        hist.filter(F.col("cum") * 2 >= F.col("tot"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("bin"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("mg"),
+            F.col("bin").alias("mbin"),
+            (F.col("cum") - F.col("bw")).alias("prev_cum"),
+            "tot",
+        )
+    )
+    inbin = df.join(
+        F.broadcast(med),
+        (F.col("g") == F.col("mg")) & (F.col("bin") == F.col("mbin")),
+    ).select("g", "v", "wt", "prev_cum", "tot")
+    vals = inbin.groupBy("g", "v", "prev_cum", "tot").agg(
+        F.sum("wt").alias("vw")
+    )
+    wval = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vals.withColumn("cum", F.col("prev_cum") + F.sum("vw").over(wval))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("v").alias("wmed"))
+    )
+
+
+def _naive_weighted_median(rows):
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for g, v, w in rows:
+        by_group.setdefault(g, []).append((v, w))
+    out = {}
+    for g, vw in by_group.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= tot:
+                out[g] = v
+                break
+    return out
+
+
+@_SETTINGS
+@given(rows=_wrows, bin_width=st.sampled_from([1, 7, 256, 10_000]))
+def test_r64_binned_median_equals_naive(spark, rows, bin_width):
+    df = spark.createDataFrame(rows, "g string, v long, wt long")
+    got = {
+        r["g"]: r["wmed"]
+        for r in _binned_weighted_median(df, bin_width).collect()
+    }
+    assert got == _naive_weighted_median(rows)
+
+
+# ---------------------------------------------------------------------------
+# c14: lag-window changed-columns == naive per-key sequential diff
+# ---------------------------------------------------------------------------
+
+_imgs = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),                         # key
+        st.dictionaries(                                       # row image
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=3),
+            min_size=0,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _naive_changed_counts(rows):
+    prev: dict[str, dict] = {}
+    counts: dict[str, int] = {}
+    for key, img in rows:
+        if key in prev:
+            p = prev[key]
+            for f in set(p) | set(img):
+                pv = None if f not in p else str(p[f])
+                cv = None if f not in img else str(img[f])
+                if pv != cv:
+                    counts[f] = counts.get(f, 0) + 1
+        prev[key] = img
+    return counts
+
+
+@_SETTINGS
+@given(rows=_imgs)
+def test_c14_diff_equals_naive(spark, rows):
+    data = [
+        (i, key, json.dumps(img)) for i, (key, img) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "seq long, key string, after_json string")
+    w = Window.partitionBy("key").orderBy("seq")
+    imgs = (
+        df.withColumn("prev_json", F.lag("after_json").over(w))
+        .filter(F.col("prev_json").isNotNull())
+    )
+    cm = F.from_json("after_json", "map<string,string>")
+    pm = F.from_json("prev_json", "map<string,string>")
+    pairs = imgs.select(cm.alias("cm"), pm.alias("pm"))
+    fields = pairs.select(
+        "cm", "pm",
+        F.explode(F.array_union(F.map_keys("cm"), F.map_keys("pm"))).alias(
+            "field"
+        ),
+    )
+    changed = fields.filter(
+        ~(
+            F.element_at("cm", F.col("field")).eqNullSafe(
+                F.element_at("pm", F.col("field"))
+            )
+        )
+    )
+    got = {
+        r["field"]: r["n"]
+        for r in changed.groupBy("field").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == _naive_changed_counts(rows)
