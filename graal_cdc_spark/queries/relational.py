@@ -3243,3 +3243,105 @@ FROM (
 GROUP BY bucket ORDER BY n_parts DESC, bucket
 """,
 )
+
+# ---------------------------------------------------------------------------
+# R72 — mapInArrow: Arrow-native batch transform (zero pandas
+# conversion — the lowest-overhead Python hook Spark has). Completes
+# the declared Python-runtime surface (U1 family: udf, pandas_udf,
+# UDTF, applyInPandas, cogrouped, mapInPandas, mapInArrow). The
+# Python stage is a pure per-batch projection; the aggregate runs
+# JVM-side after.
+# ---------------------------------------------------------------------------
+
+
+def _r72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+
+    def discount_batch(batches):
+        # integer basis: cents × (100 - discount_bp) — exact int64,
+        # immune to float-rounding-mode drift between engines
+        for batch in batches:
+            flag = batch.column(batch.schema.get_field_index("l_returnflag"))
+            price = batch.column(batch.schema.get_field_index("price"))
+            disc = batch.column(batch.schema.get_field_index("disc"))
+            cents = pc.cast(pc.round(pc.multiply(price, pa.scalar(100.0))), pa.int64())
+            dbp = pc.cast(pc.round(pc.multiply(disc, pa.scalar(100.0))), pa.int64())
+            e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dbp))
+            yield pa.record_batch(
+                [flag, e4], names=["l_returnflag", "revenue_e4"]
+            )
+
+    out = li.mapInArrow(discount_batch, "l_returnflag string, revenue_e4 long")
+    return (
+        out.groupBy("l_returnflag")
+        .agg(
+            F.sum("revenue_e4").cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_r(
+    "r72_map_in_arrow",
+    "Arrow-native batch transform (mapInArrow) + JVM-side aggregate",
+    _r72,
+    """
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+                * (100 - CAST(round(CAST(l_discount AS DOUBLE) * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+
+# ---------------------------------------------------------------------------
+# R73 — VariantType semi-structured processing (Spark 4): parse the
+# JSON props column ONCE into a variant (binary-encoded, no
+# per-access reparse), extract typed paths, aggregate. The variant
+# parse+extract stays whole-stage-codegen JVM-side — the idiomatic
+# replacement for repeated get_json_object string parsing.
+# ---------------------------------------------------------------------------
+
+
+def _r73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r73_variant_json",
+    "VariantType parse + typed path extraction + aggregate",
+    _r73,
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)

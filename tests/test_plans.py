@@ -43,7 +43,7 @@ _BNLJ_OK = {
 # Declared Python-runtime surface (U1 parity — the analog of the
 # reference's per-record JS scripts). r47 is the UDTF member; every
 # other query must stay JVM-side.
-_PYTHON_OK = {"r47_python_udtf", "r67_cogrouped_pandas"}
+_PYTHON_OK = {"r47_python_udtf", "r67_cogrouped_pandas", "r72_map_in_arrow"}
 
 
 @pytest.mark.parametrize("name", sorted(all_specs()))
