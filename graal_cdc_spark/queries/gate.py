@@ -8,10 +8,12 @@ module makes that policy explicit, data-driven, and auditable:
 
 * the ordering is computed from the committed ``CORRECTNESS_r*.json``
   artifacts (the gate's own history), never from a hand-curated list;
-* never-verified queries come FIRST, latest-round FAILURES second,
-  passing queries last in oldest-verification-first order — i.e. the
-  window is biased toward whatever is LEAST proven, not toward
-  known-passing entries;
+* latest-round FAILURES come FIRST (a recorded FAIL is the gate's
+  strongest standing claim of a defect — after a fix lands, nothing is
+  more urgent than letting the gate re-examine it), never-verified
+  queries second, passing queries last in oldest-verification-first
+  order — i.e. the window is biased toward whatever is LEAST proven,
+  not toward known-passing entries;
 * ``python -m graal_cdc_spark.queries.gate`` writes ``GATE_COVERAGE.md``,
   a human-readable manifest of what the next gate window will and will
   not cover, so the 50-slot sampling limitation is visible in the repo
@@ -86,9 +88,11 @@ def verification_order(
 ) -> list[str]:
     """Registry names ordered most-urgent-to-verify first.
 
-    Sort key per query: (0, insertion_idx) if never gated;
-    (1, insertion_idx) if the latest gate row failed;
-    (2, latest_round, insertion_idx) if passing — least recently
+    Sort key per query: (0, insertion_idx) if the latest gate row
+    FAILED (re-examine fixes before anything else — a recorded FAIL is
+    the gate's standing claim of a defect, whereas never-gated queries
+    are at least locally parity-tested); (1, insertion_idx) if never
+    gated; (2, latest_round, insertion_idx) if passing — least recently
     verified first.  The sort is stable and total, so the emitted
     ``queries()`` order (and therefore the gate's 50-row sample) is
     deterministic given the committed artifacts.
@@ -100,10 +104,10 @@ def verification_order(
     def key(name: str):
         h = history.get(name)
         if h is None:
-            return (0, 0, insertion[name])
+            return (1, 0, insertion[name])
         rnd, passed = h
         if not passed:
-            return (1, 0, insertion[name])
+            return (0, 0, insertion[name])
         return (2, rnd, insertion[name])
 
     return sorted(registry, key=key)
@@ -140,8 +144,9 @@ def write_manifest(path: Path | None = None) -> Path:
         f"holds {len(names)} queries, so full coverage needs "
         f"{-(-len(names) // GATE_WINDOW)} rounds. `queries()` therefore "
         "emits a least-recently-verified order computed from the "
-        "committed CORRECTNESS_r*.json artifacts (never-gated first, "
-        "then latest-round failures, then passing queries oldest-first). "
+        "committed CORRECTNESS_r*.json artifacts (latest-round failures "
+        "first so fixes get re-examined, then never-gated, then passing "
+        "queries oldest-first). "
         "This file is the audit record of that rotation — regenerate "
         "with `python -m graal_cdc_spark.queries.gate` after each "
         "round's artifact lands.",

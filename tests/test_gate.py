@@ -1,7 +1,8 @@
 """Gate-window rotation policy tests (graal_cdc_spark/queries/gate.py).
 
-The ordering must be blind to expected outcomes: never-gated first,
-then latest-round failures, then passing queries least-recently-first.
+The ordering must be blind to expected outcomes: latest-round failures
+first (so fixes get re-examined by the gate), then never-gated, then
+passing queries least-recently-first.
 """
 
 from graal_cdc_spark.queries import all_specs
@@ -33,7 +34,7 @@ def test_ordering_policy():
         # d, e never gated
     }
     order = verification_order(registry, history)
-    assert order == ["d", "e", "c", "b", "a"]
+    assert order == ["c", "d", "e", "b", "a"]
 
 
 def test_ordering_is_deterministic_and_total():
@@ -43,19 +44,30 @@ def test_ordering_is_deterministic_and_total():
     assert len(specs) == len(set(specs))
 
 
-def test_never_gated_queries_lead_the_window():
-    """Every registered query the artifacts have never covered must sit
-    inside the gate window (as long as there is room for all of them)."""
+def test_unproven_queries_lead_the_window():
+    """Failures and never-gated queries (the unproven set) must fill the
+    gate window before any query with a passing history appears."""
     history = load_history()
     specs = all_specs()
+    order = list(specs)
+    failed = [n for n in specs if n in history and not history[n][1]]
     never = [n for n in specs if n not in history]
-    if len(never) <= GATE_WINDOW:
-        window = list(specs)[:GATE_WINDOW]
-        assert set(never) <= set(window)
-        # and they come before anything with a passing history
-        first_pass = next(
-            (i for i, n in enumerate(window)
-             if n in history and history[n][1]),
-            len(window),
+    unproven = failed + never
+    window = order[:GATE_WINDOW]
+    if len(unproven) <= GATE_WINDOW:
+        assert set(unproven) <= set(window)
+    else:
+        # window must consist ENTIRELY of unproven queries
+        assert set(window) <= set(unproven)
+    # failures come before everything else
+    for n in failed:
+        assert order.index(n) < min(
+            (order.index(m) for m in never), default=len(order)
         )
-        assert all(window.index(n) < first_pass for n in never)
+    # nothing passing may precede anything unproven
+    first_pass = next(
+        (i for i, n in enumerate(order)
+         if n in history and history[n][1]),
+        len(order),
+    )
+    assert all(order.index(n) < first_pass for n in unproven)
