@@ -764,3 +764,77 @@ GROUP BY 1, 2 ORDER BY tbl, churn
         reference="SURVEY.md §2.3 (Q3 per-key replay; state sizing)",
     )
 )
+
+
+def _c17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-continuity audit: per routed table, adjacent-seq deltas over
+    the filtered CDC log — the monitor that catches dropped/lost events
+    (a delta far above the injected-noise spacing means a hole in the
+    feed). SCALE SHAPE: a naive lag() window PARTITION BY tbl sorts the
+    whole log inside 2 tasks; instead deltas decompose into
+    fixed-width seq bands — within-band lag windows (bounded band
+    population) plus one tiny window over per-band min/max rows for the
+    band-boundary deltas (O(bands) rows). Same two-level decomposition
+    as l40/r64; the oracle states the naive single-window semantics.
+    Reference: DebeziumEngineRecordHandler.java:130-146 (per-event
+    dispatch has no continuity checking); SURVEY.md §2.3 ops extension.
+    """
+    band = 4096
+    parsed = _parsed(spark, sf_dir).select("tbl", "seq")
+    banded = parsed.withColumn("band", F.expr(f"seq DIV {band}"))
+
+    w_in = Window.partitionBy("tbl", "band").orderBy("seq")
+    inner = banded.withColumn(
+        "delta", F.col("seq") - F.lag("seq").over(w_in)
+    ).filter(F.col("delta").isNotNull())
+
+    bands = banded.groupBy("tbl", "band").agg(
+        F.min("seq").alias("bmin"), F.max("seq").alias("bmax")
+    )
+    w_b = Window.partitionBy("tbl").orderBy("band")
+    cross = bands.withColumn(
+        "delta", F.col("bmin") - F.lag("bmax").over(w_b)
+    ).filter(F.col("delta").isNotNull())
+
+    deltas = inner.select("tbl", "delta").unionByName(
+        cross.select("tbl", "delta")
+    )
+    return (
+        deltas.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.sum(F.when(F.col("delta") > 10, 1).otherwise(0)).alias(
+                "n_gaps"
+            ),
+            F.max("delta").alias("max_gap"),
+            F.sum("delta").alias("span"),
+        )
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c17_seq_gap_audit",
+        category="cdc",
+        description="per-table adjacent-seq delta audit (lost-event "
+        "detection): gap counts over threshold, max gap, covered span",
+        spark=_c17,
+        oracle=cdc_parsed_cte()
+        + """
+, d AS (
+  SELECT tbl,
+         seq - lag(seq) OVER (PARTITION BY tbl ORDER BY seq) AS delta
+  FROM cdc_parsed
+)
+SELECT tbl,
+       CAST(count(delta) AS BIGINT) AS n_deltas,
+       CAST(count(*) FILTER (WHERE delta > 10) AS BIGINT) AS n_gaps,
+       CAST(max(delta) AS BIGINT) AS max_gap,
+       CAST(SUM(delta) AS BIGINT) AS span
+FROM d WHERE delta IS NOT NULL
+GROUP BY tbl ORDER BY tbl
+""",
+        reference="DebeziumEngineRecordHandler.java:130-146; SURVEY.md §2.3",
+    )
+)

@@ -3345,3 +3345,222 @@ FROM events
 GROUP BY event_type ORDER BY event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# R74 — time-weighted average: per event type, the mean of `value`
+# weighted by how long it was current (micros until the user's next
+# event) — the standard irregular-time-series aggregate (TSDB
+# time_weight). Scale: the lead() window partitions on user_id
+# (high-cardinality, even shuffle — bounded rows per user); weighted
+# sums are integer/decimal-exact (value in floor-cents x BIGINT
+# micros, summed as DECIMAL(38,0)), ratio floored at 4 decimals per
+# the r32 protocol.
+# ---------------------------------------------------------------------------
+
+
+def _r74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn(
+            "dur_us",
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"),
+        )
+        .filter(F.col("dur_us").isNotNull())
+        .withColumn(
+            "cents", F.floor(F.col("value") * 100).cast("decimal(38,0)")
+        )
+    )
+    num = F.sum(F.col("cents") * F.col("dur_us"))
+    den = F.sum(F.col("dur_us"))
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (
+                F.floor(
+                    num.cast("double") / den.cast("double") / 100.0 * 10000
+                )
+                / 10000
+            ).alias("twa_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r74_time_weighted_average",
+    "per-event-type time-weighted mean value (held until the user's "
+    "next event; TSDB time_weight semantics)",
+    _r74,
+    """
+WITH seg AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS HUGEINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) - epoch_us(ts)
+           AS dur_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       floor(CAST(SUM(cents * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 100.0 * 10000) / 10000
+         AS twa_value
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    ref="SURVEY.md §2.4 R13 family (event-time analytics)",
+)
+
+
+# ---------------------------------------------------------------------------
+# R75 — referential-integrity audit: orphan counts for every FK edge
+# of the star schema in ONE report (orders→customer, lineitem→orders,
+# customer→nation, supplier→nation). The standing data-quality gate a
+# lake pipeline runs after each load. Scale: each edge is a LEFT ANTI
+# join — dims broadcast, fact-fact (lineitem→orders) shuffles on the
+# join key once; counts union into a 4-row report.
+# ---------------------------------------------------------------------------
+
+
+def _r75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def edge(name, child, child_key, parent, parent_key, small_parent):
+        par = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        if small_parent:
+            par = F.broadcast(par)
+        orphans = child.join(par, child_key, "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    return (
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey", True)
+        .unionByName(
+            edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False)
+        )
+        .unionByName(
+            edge("orders->customer", orders, "o_custkey", cust, "c_custkey", False)
+        )
+        .unionByName(
+            edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey", True)
+        )
+        .orderBy("fk_edge")
+    )
+
+
+_r(
+    "r75_fk_orphan_audit",
+    "star-schema referential-integrity audit: per-FK-edge row and "
+    "orphan counts (anti-join data-quality gate)",
+    _r75,
+    """
+SELECT 'customer->nation' AS fk_edge,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'supplier->nation',
+       CAST((SELECT count(*) FROM supplier) AS BIGINT),
+       CAST((SELECT count(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+            AS BIGINT)
+ORDER BY fk_edge
+""",
+    ref="SURVEY.md §2.4 R07 family (anti-join surface)",
+)
+
+
+# ---------------------------------------------------------------------------
+# R76 — exact DISCRETE percentiles (p25/p50/p75) of order value per
+# customer: the value AT rank ceil(p*n), never interpolated — the
+# per-entity spend profile. Scale: ONE window partitioned by
+# o_custkey (high-cardinality key, bounded rows per customer — the
+# safe window shape; contrast r64 where the 3-value key forced the
+# binned plan). The oracle states the identical rank formulation
+# rather than quantile_disc so both engines share one definition.
+# ---------------------------------------------------------------------------
+
+
+def _r76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n"),
+    )
+
+    def pick(p_num: int, p_den: int, name: str):
+        # value at rank ceil(p*n): smallest rn with rn*p_den >= n*p_num
+        return F.min(
+            F.when(F.col("rn") * p_den >= F.col("n") * p_num, F.col("price"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.max("n").alias("n_orders"),
+            pick(1, 4, "p25"),
+            pick(2, 4, "p50"),
+            pick(3, 4, "p75"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_r(
+    "r76_percentile_disc",
+    "exact discrete p25/p50/p75 of order value per customer "
+    "(rank-at-ceil(p*n), no interpolation)",
+    _r76,
+    """
+WITH ranked AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       min(CASE WHEN rn * 4 >= n * 1 THEN price END) AS p25,
+       min(CASE WHEN rn * 4 >= n * 2 THEN price END) AS p50,
+       min(CASE WHEN rn * 4 >= n * 3 THEN price END) AS p75
+FROM ranked
+GROUP BY o_custkey ORDER BY o_custkey
+""",
+    ref="SURVEY.md §2.4 R24 family (exact percentile surface)",
+)
