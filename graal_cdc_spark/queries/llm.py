@@ -2874,3 +2874,315 @@ GROUP BY source ORDER BY source
 """,
     ref="SURVEY.md §2.4 L01/L39 family (dedup reporting)",
 )
+
+# ---------------------------------------------------------------------------
+# L59 — token-distribution drift between two corpus snapshots (split by
+# doc_id parity as the deterministic stand-in for crawl N vs crawl
+# N+1): add-1-smoothed KL divergence both directions over the union
+# vocabulary — the monitoring statistic that catches a source mix
+# shift before it poisons a training run. Scale: ONE hash aggregate
+# over the token stream (conditional sums per half — no join of two
+# token tables), O(vocab) rows after; ln/sum floored at 4 decimals per
+# protocol #6.
+# ---------------------------------------------------------------------------
+
+
+def _l59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(TX.tokens(F.col("text"))).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cnt_p"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cnt_q"),
+    )
+    tot = vocab.agg(
+        F.sum("cnt_p").alias("tot_p"),
+        F.sum("cnt_q").alias("tot_q"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = vocab.crossJoin(F.broadcast(tot))
+    p = (F.col("cnt_p") + 1).cast("double") / (F.col("tot_p") + F.col("v"))
+    q = (F.col("cnt_q") + 1).cast("double") / (F.col("tot_q") + F.col("v"))
+    return j.agg(
+        F.max("v").alias("vocab_size"),
+        F.max("tot_p").alias("tokens_p"),
+        F.max("tot_q").alias("tokens_q"),
+        (F.floor(F.sum(p * F.log(p / q)) * 10000) / 10000).alias("kl_pq"),
+        (F.floor(F.sum(q * F.log(q / p)) * 10000) / 10000).alias("kl_qp"),
+    )
+
+
+_l(
+    "l59_token_distribution_drift",
+    "add-1-smoothed KL divergence of token distributions between two "
+    "snapshot halves (corpus drift monitor)",
+    _l59,
+    """
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cnt_p,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cnt_q
+  FROM toks GROUP BY word
+), tot AS (
+  SELECT SUM(cnt_p) AS tot_p, SUM(cnt_q) AS tot_q, count(*) AS v
+  FROM vocab
+)
+SELECT CAST(max(v) AS BIGINT) AS vocab_size,
+       CAST(max(tot_p) AS BIGINT) AS tokens_p,
+       CAST(max(tot_q) AS BIGINT) AS tokens_q,
+       floor(SUM((CAST(cnt_p + 1 AS DOUBLE) / (tot_p + v))
+                 * ln((CAST(cnt_p + 1 AS DOUBLE) / (tot_p + v))
+                      / (CAST(cnt_q + 1 AS DOUBLE) / (tot_q + v))))
+             * 10000) / 10000 AS kl_pq,
+       floor(SUM((CAST(cnt_q + 1 AS DOUBLE) / (tot_q + v))
+                 * ln((CAST(cnt_q + 1 AS DOUBLE) / (tot_q + v))
+                      / (CAST(cnt_p + 1 AS DOUBLE) / (tot_p + v))))
+             * 10000) / 10000 AS kl_qp
+FROM vocab CROSS JOIN tot
+""",
+    ref="SURVEY.md §2.4 L34/L45 family (corpus statistics)",
+)
+
+# ---------------------------------------------------------------------------
+# L60 — token burstiness/dispersion profile for the top-20 corpus
+# tokens: document frequency, total count, max per-doc count and the
+# integer sum of squared per-doc counts (variance numerator) — the
+# function-word vs content-word separator tokenizer design reads.
+# Scale: per-(doc, word) counts are one hash aggregate; the top-20
+# vocab is a distributed TakeOrdered broadcast back as a semi-join
+# (l46 pattern). All outputs integer-exact.
+# ---------------------------------------------------------------------------
+
+
+def _l60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    per_doc = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        per_doc.groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+        .select("word")
+    )
+    return (
+        per_doc.join(F.broadcast(top), "word", "left_semi")
+        .groupBy("word")
+        .agg(
+            F.sum("c").alias("total_cnt"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("c").alias("max_doc_cnt"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "word")
+    )
+
+
+_l(
+    "l60_token_burstiness",
+    "dispersion profile of the top-20 tokens: doc frequency, max "
+    "per-doc count, integer variance numerator",
+    _l60,
+    """
+WITH per_doc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), top AS (
+  SELECT word FROM per_doc GROUP BY word
+  ORDER BY SUM(c) DESC, word LIMIT 20
+)
+SELECT word,
+       CAST(SUM(c) AS BIGINT) AS total_cnt,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(c) AS BIGINT) AS max_doc_cnt,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq
+FROM per_doc SEMI JOIN top USING (word)
+GROUP BY word
+ORDER BY total_cnt DESC, word
+""",
+    ref="SURVEY.md §2.4 L34/L46 family (vocabulary design)",
+)
+
+# ---------------------------------------------------------------------------
+# L61 — dedup-pipeline retention funnel: documents remaining after each
+# successive dedup stage (raw → exact text → normalized text →
+# first-16-token prefix key) in one monotone report — the census a
+# data lead reads before picking which stages to pay for at crawl
+# scale. Each stage is one distinct-count aggregate; stages reuse the
+# exact keys of l01/l54/l55 so the funnel is consistent with those
+# operators' outputs.
+# ---------------------------------------------------------------------------
+
+
+def _l61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    toks = TX.tokens(F.col("text"))
+    prefix_key = F.when(
+        F.size(toks) >= 16, F.md5(F.concat_ws(" ", F.slice(toks, 1, 16)))
+    ).otherwise(F.md5(F.col("text")))
+    keyed = docs.select(
+        F.col("text"),
+        norm.alias("norm"),
+        prefix_key.alias("pkey"),
+    )
+
+    def stage(order_, name, col_):
+        return keyed.agg(
+            F.lit(order_).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            (
+                F.count_distinct(col_)
+                if col_ is not None
+                else F.count(F.lit(1))
+            ).alias("docs_remaining"),
+        )
+
+    return (
+        stage(1, "raw", None)
+        .unionByName(stage(2, "exact_text", F.col("text")))
+        .unionByName(stage(3, "normalized_text", F.col("norm")))
+        .unionByName(stage(4, "prefix16_key", F.col("pkey")))
+        .orderBy("stage_order")
+    )
+
+
+_l(
+    "l61_dedup_funnel",
+    "retention funnel across successive dedup stages (raw, exact, "
+    "normalized, prefix-key)",
+    _l61,
+    """
+WITH keyed AS (
+  SELECT text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                            ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm,
+         CASE WHEN len(string_split(text, ' ')) >= 16
+              THEN md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+              ELSE md5(text) END AS pkey
+  FROM documents
+)
+SELECT 1 AS stage_order, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS docs_remaining FROM keyed
+UNION ALL
+SELECT 2, 'exact_text', CAST(count(DISTINCT text) AS BIGINT) FROM keyed
+UNION ALL
+SELECT 3, 'normalized_text', CAST(count(DISTINCT norm) AS BIGINT) FROM keyed
+UNION ALL
+SELECT 4, 'prefix16_key', CAST(count(DISTINCT pkey) AS BIGINT) FROM keyed
+ORDER BY stage_order
+""",
+    ref="SURVEY.md §2.4 L01/L54/L55 composition",
+)
+
+# ---------------------------------------------------------------------------
+# L62 — embedding-norm hygiene audit per label: distribution of int8-
+# quantized squared norms plus an INTEGER-EXACT outlier count (vectors
+# whose quantized norm² deviates from the label mean by more than 2x
+# the label's mean absolute deviation). Quantization (l19 semantics)
+# makes every comparison integer arithmetic — no float-boundary hash
+# risk. Scale: two hash aggregates on label (tiny key set but tiny
+# rows too — norms reduce per-row map-side first).
+# ---------------------------------------------------------------------------
+
+
+def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _par_table(spark, sf_dir, "embeddings")
+    q = S.int8_quantize(emb, "vec_id")
+    labels = emb.select("vec_id", "label")
+    normsq = (
+        q.join(labels, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                "q",
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
+            ).alias("nsq"),
+        )
+    )
+    stats = normsq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nsq").alias("s"),
+    )
+    j = normsq.join(F.broadcast(stats), "label")
+    # integer-exact deviation test: |nsq*n - s| > 2 * sum|nsq*n - s|/n
+    #   i.e. n * |nsq*n - s| * n > 2 * n * sum|...| — keep both sides
+    # integral: dev = |nsq*n - s| (scaled by n); mad_sum = sum(dev)
+    dev = F.abs(F.col("nsq") * F.col("n") - F.col("s"))
+    devs = j.select("label", "n", dev.alias("dev"))
+    mad = devs.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum("dev").alias("dev_sum"),
+        F.max("dev").alias("max_dev"),
+    )
+    out = devs.join(
+        F.broadcast(mad.select("label", F.col("dev_sum").alias("ds"))),
+        "label",
+    ).filter(F.col("dev") * F.col("n") > F.col("ds") * 2)
+    outliers = out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_outliers")
+    )
+    return (
+        mad.join(outliers, "label", "left")
+        .select(
+            "label",
+            "n",
+            "dev_sum",
+            "max_dev",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+_l(
+    "l62_embedding_norm_outliers",
+    "per-label quantized-norm outlier audit (integer-exact deviation "
+    "vs 2x mean absolute deviation)",
+    _l62,
+    """
+WITH q AS (
+  SELECT vec_id, label,
+         (SELECT COALESCE(SUM(CAST(round(x * 127.0 /
+                    (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)
+                  * CAST(round(x * 127.0 /
+                    (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)), 0)
+          FROM unnest(embedding) AS t(x)) AS nsq
+  FROM (SELECT vec_id, label, embedding,
+               (SELECT MAX(ABS(CAST(x AS DOUBLE)))
+                FROM unnest(embedding) AS t(x)) AS m
+        FROM embeddings)
+), stats AS (
+  SELECT label, count(*) AS n, SUM(nsq) AS s FROM q GROUP BY label
+), devs AS (
+  SELECT q.label, stats.n, ABS(q.nsq * stats.n - stats.s) AS dev
+  FROM q JOIN stats USING (label)
+), mad AS (
+  SELECT label, max(n) AS n, SUM(dev) AS dev_sum, max(dev) AS max_dev
+  FROM devs GROUP BY label
+)
+SELECT mad.label, CAST(mad.n AS BIGINT) AS n,
+       CAST(mad.dev_sum AS BIGINT) AS dev_sum,
+       CAST(mad.max_dev AS BIGINT) AS max_dev,
+       CAST(COALESCE((SELECT count(*) FROM devs d
+                      WHERE d.label = mad.label
+                        AND d.dev * d.n > mad.dev_sum * 2), 0) AS BIGINT)
+         AS n_outliers
+FROM mad ORDER BY mad.label
+""",
+    ref="SURVEY.md §2.4 L19/L30 family (embedding hygiene)",
+)

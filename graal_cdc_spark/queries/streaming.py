@@ -457,3 +457,42 @@ GROUP BY w ORDER BY window_start
         reference="SURVEY.md §2.2 (extension; exact windowed cardinality)",
     )
 )
+
+
+def _st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission control, batch twin: events from denylisted
+    users (customers with negative account balance — a static
+    moderation dim) are dropped by a stream-static LEFT ANTI join
+    before the tumbling-window count. The golden test runs the same
+    ``admitted_counts`` transform on ``readStream`` chunks."""
+    from graal_cdc_spark.streaming.windows import admitted_counts
+
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    deny = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return admitted_counts(ev, deny).orderBy("window_start", "event_type")
+
+
+register(
+    QuerySpec(
+        name="st12_stream_anti_join_admission",
+        category="streaming",
+        description="stream-static LEFT ANTI denylist admission + "
+        "tumbling-window counts of admitted traffic",
+        spark=_st12,
+        oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_admitted
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        reference="SURVEY.md §2.2 (extension; admission control)",
+    )
+)

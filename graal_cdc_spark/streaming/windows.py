@@ -179,3 +179,39 @@ def windowed_distinct_users(
             "n_events",
         )
     )
+
+
+def admitted_counts(
+    df: DataFrame,
+    denylist: DataFrame,
+    window: str = "10 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST12 — streaming admission control: drop events from denylisted
+    users (stream-static LEFT ANTI join — the denylist is a static
+    side, re-read per micro-batch, so updates to it apply from the
+    next batch on), then tumbling-window counts of the admitted
+    traffic per event_type.
+
+    Scale: the anti-join broadcasts the denylist (bounded: it is a
+    moderation/abuse list, not a fact table); the stream never
+    shuffles for the membership test. The windowed agg is the only
+    stateful operator — watermark-bounded state. (No distinct
+    aggregate here: streaming aggs cannot contain DISTINCT — the
+    chained-dedup formulation in ``windowed_distinct_users`` is the
+    supported shape for that.)
+
+    ``denylist`` must have a single ``user_id`` column.
+    """
+    admitted = _with_watermark(df, watermark).join(
+        F.broadcast(denylist), "user_id", "left_anti"
+    )
+    return (
+        admitted.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_admitted"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_admitted",
+        )
+    )

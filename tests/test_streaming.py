@@ -1150,3 +1150,37 @@ def test_tumbling_stream_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_anti_join_admission_matches_batch(spark, sf_dir, tmp_path):
+    """ST12 golden: stream-static LEFT ANTI denylist admission + window
+    counts over two micro-batches equals the batch twin — the anti
+    join must drop denylisted users in EVERY batch, and an empty
+    denylist must admit everything."""
+    from graal_cdc_spark.streaming.windows import admitted_counts
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    deny = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    assert deny.count() > 0, "fixture must have denylisted users"
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+    got = run_to_memory(
+        admitted_counts(stream, deny), output_mode="complete"
+    )
+    want = admitted_counts(events, deny)
+    assert _rows(spark, got) == _rows(spark, want)
+    # sanity: the denylist actually removed traffic
+    total_admitted = sum(r["n_admitted"] for r in want.collect())
+    assert total_admitted < events.count()
+
+    empty_deny = deny.filter(F.lit(False))
+    all_through = admitted_counts(events, empty_deny)
+    assert (
+        sum(r["n_admitted"] for r in all_through.collect()) == events.count()
+    )
