@@ -3100,19 +3100,23 @@ ORDER BY stage_order
 
 def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _par_table(spark, sf_dir, "embeddings")
-    q = S.int8_quantize(emb, "vec_id")
-    labels = emb.select("vec_id", "label")
-    normsq = (
-        q.join(labels, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.aggregate(
-                "q",
-                F.lit(0).cast("bigint"),
-                lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
-            ).alias("nsq"),
-        )
+    # inline the int8_quantize (operators/similarity.py:258) expression
+    # with label retained — joining the quantize output back to labels
+    # on vec_id would shuffle the corpus against itself for nothing
+    v = F.col("embedding")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx)
+    qcol = F.transform(
+        v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int")
+    )
+    normsq = emb.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            qcol,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
+        ).alias("nsq"),
     )
     stats = normsq.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

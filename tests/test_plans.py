@@ -38,6 +38,10 @@ _BNLJ_OK = {
     "l45_unigram_surprisal",
     # round 5: 1-row doc-total × 10-row decile-spine broadcasts
     "l56_heaps_vocab_growth",
+    # round 5 batch 2: 1-row aggregate cross joins (corpus totals /
+    # per-edge row+orphan count pairs)
+    "l59_token_distribution_drift",
+    "r75_fk_orphan_audit",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -288,6 +292,62 @@ def test_r64_no_full_group_sort_window(spark):
     windows = len(re.findall(r"\(\d+\) Window", a.plan))
     assert windows <= 5, a.plan
     assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch-2 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # banded lag windows + band-boundary window + per-table agg +
+        # sort — each exchange after the first carries O(bands) rows
+        ("c17_seq_gap_audit", 6),
+        ("r74_time_weighted_average", 3),     # user window + type agg + sort
+        # 4 independent FK edges; each edge = anti-join + two 1-row
+        # count aggregates (the 12 exchanges carry 1 row each)
+        ("r75_fk_orphan_audit", 13),
+        ("r76_percentile_disc", 2),           # custkey window reused by agg + sort
+        ("l59_token_distribution_drift", 6),  # token agg + 1-row totals + final agg
+        ("l60_token_burstiness", 8),          # (doc,word) agg + top-20 + semi + agg
+        ("l61_dedup_funnel", 11),             # 4 distinct-count stages + union
+        # two passes over the corpus by construction (MAD needs pass 1);
+        # every exchange after the scans carries O(labels) rows
+        ("l62_embedding_norm_outliers", 14),
+        ("st12_stream_anti_join_admission", 2),  # window agg + output sort
+    ],
+)
+def test_round5_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["c17_seq_gap_audit", "r74_time_weighted_average",
+     "r76_percentile_disc", "l59_token_distribution_drift",
+     "l60_token_burstiness", "l62_embedding_norm_outliers",
+     "st12_stream_anti_join_admission"],
+)
+def test_round5_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_st12_denylist_broadcasts(spark):
+    """The admission anti-join must broadcast the denylist — a
+    shuffled anti-join would repartition the whole stream on user_id
+    just for a membership test."""
+    a = _audit(spark, "st12_stream_anti_join_admission")
+    assert a.broadcast_joins >= 1, a.plan
+
+
+def test_l60_top_vocab_broadcasts(spark):
+    """The top-20 membership semi-join must broadcast the 20-row side,
+    never shuffle the per-(doc,word) table on word for it."""
+    a = _audit(spark, "l60_token_burstiness")
+    assert a.broadcast_joins >= 1, a.plan
 
 
 def test_l42_is_map_only(spark):
