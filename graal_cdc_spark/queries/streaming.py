@@ -496,3 +496,60 @@ ORDER BY 1, 2
         reference="SURVEY.md §2.2 (extension; admission control)",
     )
 )
+
+
+def _st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, window) quota admission, batch twin: the first 3
+    events (event order) per user per 10-minute tumbling window. The
+    streaming form is the custom ``quota_admission`` stateful operator
+    (``streaming/stateful.py``) — O(1) counter per live key with
+    EventTimeTimeout expiry; goldens prove prefix-chunked streaming
+    equals this window formulation and that expired-window state is
+    dropped."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.window("ts", "10 minutes").getField("start")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.date_format(
+                F.window("ts", "10 minutes").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_id",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("user_id", "window_start", "event_id")
+    )
+
+
+register(
+    QuerySpec(
+        name="st13_quota_admission",
+        category="streaming",
+        description="per-(user, 10-min window) quota admission: first "
+        "3 events in event order (custom stateful operator twin)",
+        spark=_st13,
+        oracle="""
+SELECT user_id,
+       strftime(time_bucket(INTERVAL '10 minutes', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_id,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL '10 minutes', ts)
+           ORDER BY ts, event_id) AS rank
+  FROM events
+)
+WHERE rank <= 3
+ORDER BY user_id, window_start, event_id
+""",
+        reference="SURVEY.md §2.2 (extension; rate-limit admission)",
+    )
+)

@@ -240,3 +240,105 @@ def running_topk_by_key(events: DataFrame, k: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-(key, window) quota admission
+# ---------------------------------------------------------------------------
+
+QUOTA_OUTPUT_SCHEMA = (
+    "user_id BIGINT, window_start TIMESTAMP, event_id BIGINT, rank INT"
+)
+_QUOTA_STATE_SCHEMA = "admitted INT"
+
+
+def _quota_update(k: int, grace_ms: int):
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed the window + grace: the quota counter
+            # can never admit again — drop it (bounded state lifetime)
+            state.remove()
+            return
+        admitted = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # event-order admission: ties broken (ts, event_id) so a
+            # prefix-chunked replay equals the batch twin exactly
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid in pdf["event_id"]:
+                if admitted >= k:
+                    break
+                admitted += 1
+                rows.append((int(eid), admitted))
+        if rows:
+            state.update((admitted,))
+        if state.exists and grace_ms >= 0:
+            ws = key[1]  # window-start timestamp from the grouping key
+            state.setTimeoutTimestamp(
+                int(ws.timestamp() * 1000) + grace_ms
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "window_start": [key[1]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "rank": [r[1] for r in rows],
+                }
+            )
+
+    return update
+
+
+def quota_admission(
+    events: DataFrame,
+    k: int = 3,
+    window: str = "10 minutes",
+    watermark: str | None = None,
+    grace: str | None = None,
+) -> DataFrame:
+    """Streaming per-(user, event-time-window) quota admission: admit
+    at most ``k`` events per user per tumbling window, in event order
+    (ts, event_id) — the rate-limit / sampling-cap operator an ingest
+    edge runs. Custom stateful operator (``applyInPandasWithState``)
+    with an O(1) counter per live (user, window) key.
+
+    With ``watermark`` + ``grace`` set, state uses EventTimeTimeout:
+    once the watermark passes window_start + grace the counter is
+    removed — state is bounded by the number of windows inside the
+    watermark horizon, not by history. Without a watermark the
+    operator runs with NoTimeout (test/replay mode).
+
+    The batch twin (one big micro-batch, event-order arrival) is
+    exactly ``row_number() OVER (PARTITION BY user_id, window ORDER BY
+    ts, event_id) <= k`` — the st13 oracle gate.
+
+    Scale: one shuffle on (user_id, window_start); state is a single
+    INT per live key; Arrow-batched per group-partition.
+    """
+    from pyspark.sql import functions as F
+
+    src = events
+    timeout = GroupStateTimeout.NoTimeout
+    grace_ms = -1
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+        n, unit = (grace or "10 minutes").split()
+        unit_ms = {"seconds": 1000, "minutes": 60_000, "hours": 3_600_000}
+        grace_ms = int(n) * unit_ms[unit]
+    keyed = src.select(
+        "user_id",
+        F.window("ts", window).getField("start").alias("window_start"),
+        "ts",
+        "event_id",
+    )
+    return keyed.groupBy("user_id", "window_start").applyInPandasWithState(
+        _quota_update(k, grace_ms),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -317,6 +317,7 @@ def test_r64_no_full_group_sort_window(spark):
         # every exchange after the scans carries O(labels) rows
         ("l62_embedding_norm_outliers", 14),
         ("st12_stream_anti_join_admission", 2),  # window agg + output sort
+        ("st13_quota_admission", 2),             # (user,window) rank + sort
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):

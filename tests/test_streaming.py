@@ -1184,3 +1184,91 @@ def test_stream_anti_join_admission_matches_batch(spark, sf_dir, tmp_path):
     assert (
         sum(r["n_admitted"] for r in all_through.collect()) == events.count()
     )
+
+
+def test_quota_admission_stream_matches_batch(spark, sf_dir, tmp_path):
+    """ST13 golden: prefix-chunked streaming quota admission equals
+    the batch ranking-window twin (chunk boundary on the ts median so
+    arrival order == event order across chunks)."""
+    from graal_cdc_spark.streaming.stateful import quota_admission
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    replay = str(tmp_path / "replay")
+    lhs = events.filter(F.unix_micros("ts") <= mid)
+    rhs = events.filter(F.unix_micros("ts") > mid)
+    append_chunk(lhs.coalesce(1), replay)
+    append_chunk(rhs.coalesce(1), replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA)
+    got = run_to_memory(quota_admission(stream), output_mode="update")
+    want = (
+        spark.createDataFrame(
+            __import__("graal_cdc_spark.queries.streaming",
+                       fromlist=["_st13"])._st13(spark, sf_dir).collect()
+        )
+    )
+    got_rows = sorted(
+        (r["user_id"], r["window_start"].strftime("%Y-%m-%d %H:%M:%S"),
+         r["event_id"], r["rank"])
+        for r in got.collect()
+    )
+    want_rows = sorted(
+        (r["user_id"], r["window_start"], r["event_id"], r["rank"])
+        for r in want.collect()
+    )
+    assert got_rows == want_rows
+    # no (user, window) admits more than 3 (the cap BINDING — rejection
+    # of a 4th event — is proven in the expiry golden's burst)
+    from collections import Counter
+    per_key = Counter((u, w) for u, w, _, _ in got_rows)
+    assert max(per_key.values()) <= 3
+    assert len(got_rows) <= events.count()
+
+
+def test_quota_admission_state_expires_and_readmits(spark, tmp_path):
+    """ST13 expiry golden: with watermark + EventTimeTimeout, an
+    expired (user, window) counter is REMOVED — an event for that
+    window arriving after expiry (but inside a fresh run) re-admits
+    from rank 1, proving the state did not linger. Run two separate
+    streams over the same checkpoint-free replay dirs."""
+    from graal_cdc_spark.streaming.stateful import quota_admission
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    early = [(1, t0 + dt.timedelta(seconds=s), 100 + s) for s in range(5)]
+    late_advancer = [(2, t0 + dt.timedelta(hours=2), 900)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, ts, e, "click", 1.0, "{}") for u, ts, e in rows],
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double, props string",
+        )
+
+    replay = str(tmp_path / "replay")
+    append_chunk(mk(early).coalesce(1), replay)
+    # batch 2 advances the watermark far past window+grace -> timer fires
+    append_chunk(mk(late_advancer).coalesce(1), replay)
+
+    stream = read_file_stream(
+        spark,
+        replay,
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double, props string",
+    )
+    got = run_to_memory(
+        quota_admission(
+            stream, k=3, watermark="10 minutes", grace="20 minutes"
+        ),
+        output_mode="update",
+    )
+    rows = [
+        (r["user_id"], r["event_id"], r["rank"]) for r in got.collect()
+    ]
+    # only 3 of user 1's 5 events admitted, ranks 1..3 in event order
+    assert sorted(r for r in rows if r[0] == 1) == [
+        (1, 100, 1), (1, 101, 2), (1, 102, 3)
+    ]
+    assert (2, 900, 1) in rows
