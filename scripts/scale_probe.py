@@ -78,6 +78,19 @@ PROBES = [
     "l58_dedup_survivorship",
     "st11_windowed_distinct_users",
     "r64_weighted_median",
+    # round 5, second batch (banded gap windows, per-user lead window,
+    # big-big anti join, token drift/burstiness aggregates, funnel
+    # distincts, two-pass embedding audit, stateful-twin windows)
+    "c17_seq_gap_audit",
+    "r74_time_weighted_average",
+    "r75_fk_orphan_audit",
+    "r76_percentile_disc",
+    "l59_token_distribution_drift",
+    "l60_token_burstiness",
+    "l61_dedup_funnel",
+    "l62_embedding_norm_outliers",
+    "st12_stream_anti_join_admission",
+    "st13_quota_admission",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)

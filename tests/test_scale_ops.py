@@ -640,3 +640,93 @@ def test_minhash_estimate_audit_accuracy(spark, sf_dir):
 
     n_cands = minhash_lsh_candidates(docs, "doc_id", "text").count()
     assert len(audit_rows) == n_cands
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (operators/ann_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_build_probe_and_recall(spark, sf_dir, tmp_path):
+    """Build → probe returns the ivf_topk contract; recall vs the
+    exact cosine top-k stays above the same bound the in-session IVF
+    (l33) asserts; reload answers identically (the index is the
+    state, not the session)."""
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.operators.similarity import cosine_topk_exact
+    from graal_cdc_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    manifest = AI.build_ivf_index(emb, idx)
+    assert manifest["n_rows"] == emb.count()
+    assert manifest["n_cells"] == 8
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = AI.query_ivf_index(spark, idx, queries, k=5, n_probe=2)
+    rows = got.collect()
+    assert rows, "probe returned nothing"
+    assert {r["qid"] for r in rows} <= set(range(10))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+    exact = cosine_topk_exact(emb, queries, k=5).collect()
+    exact_pairs = {(r["qid"], r["neighbor_id"]) for r in exact}
+    got_pairs = {(r["qid"], r["neighbor_id"]) for r in rows}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"recall {recall:.2f} below the l33 bound"
+
+    again = AI.query_ivf_index(spark, idx, queries, k=5, n_probe=2)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe plan must read only the probed cells' partitions —
+    the inverted-list layout is pointless if the scan touches every
+    cell directory."""
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    import re
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    AI.build_ivf_index(emb, idx)
+
+    one_query = emb.filter(F.col("vec_id") == 3)
+    plan = AI.query_ivf_index(
+        spark, idx, one_query, k=5, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # one query probing 2 of 8 cells: the vectors scan must carry a
+    # non-empty partition filter on cell in its FileSourceScan
+    m = re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    assert m, plan
+
+
+def test_ivf_index_rebuild_is_atomic_replace(spark, sf_dir, tmp_path):
+    """Rebuilding over an existing index replaces it (no stale or
+    doubled rows) and leaves no tmp/old residue behind."""
+    import os
+
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    AI.build_ivf_index(emb, idx)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    m2 = AI.build_ivf_index(half, idx)
+    assert m2["n_rows"] == half.count()
+    stored = spark.read.parquet(f"{idx}/vectors.parquet")
+    assert stored.count() == half.count()
+    siblings = [
+        d for d in os.listdir(tmp_path)
+        if d.startswith("ivf_index.") and ("tmp" in d or "old" in d)
+    ]
+    assert siblings == [], siblings
