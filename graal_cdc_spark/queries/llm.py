@@ -3190,3 +3190,129 @@ FROM mad ORDER BY mad.label
 """,
     ref="SURVEY.md §2.4 L19/L30 family (embedding hygiene)",
 )
+
+# ---------------------------------------------------------------------------
+# L63 — cross-source duplication matrix: for every source pair, how
+# many distinct texts appear in BOTH — the corpus-license/provenance
+# view that tells you which feeds are re-crawls of each other before
+# you weight them independently. Scale: texts reduce to (md5, source)
+# pairs (hash aggregate), the pair join is on the hash key (even
+# shuffle); output is O(sources²) — tiny.
+# ---------------------------------------------------------------------------
+
+
+def _l63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .distinct()
+    )
+    a = hs.select("h", F.col("source").alias("src_a"))
+    b = hs.select("h", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_l(
+    "l63_cross_source_dup_matrix",
+    "distinct texts shared between each source pair (provenance "
+    "duplication matrix)",
+    _l63,
+    """
+WITH hs AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    ref="SURVEY.md §2.4 L01/L58 family (dedup analytics)",
+)
+
+# ---------------------------------------------------------------------------
+# L64 — end-to-end pretraining-pipeline census: ONE DAG running the
+# full ingest chain — quality gate (l51 bounds) → exact dedup (keep
+# min doc_id per text) → deterministic 90/5/5 split (the exact l49 hex-prefix rule) —
+# and reporting per-split document and token counts. The flagship
+# composition: every stage is an operator the registry gates
+# individually; this query pins that they compose without collects or
+# extra shuffles beyond each stage's own. Scale: gate is map-side,
+# dedup is one (hash → min-id) aggregate + self-join on the winner
+# ids, split assignment is a pure hash map; final rollup is O(3).
+# ---------------------------------------------------------------------------
+
+
+def _l64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*TX.STOPWORDS)))
+    gated = docs.filter(
+        (n_words >= 20)
+        & (n_words <= 1000)
+        & (n_stop * 100 >= n_words * 5)
+        & (n_stop * 100 <= n_words * 60)
+    ).select("doc_id", "text", n_words.alias("n_tokens"))
+    winners = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(winners.select("doc_id"), "doc_id", "left_semi")
+    # hex-prefix buckets, the exact l49 rule (engine-portable: pure
+    # string comparison, no hex->int cast divergence)
+    b = F.substring(F.md5(F.col("text")), 1, 2)
+    split = (
+        F.when(b < F.lit("e6"), "train")
+        .when(b < F.lit("f3"), "val")
+        .otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+_l(
+    "l64_pipeline_census",
+    "end-to-end quality-gate -> exact-dedup -> hash-split census "
+    "(per-split doc and token counts in one DAG)",
+    _l64,
+    """
+WITH gated AS (
+  SELECT doc_id, text, n_words AS n_tokens
+  FROM (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS n_stop
+    FROM documents
+  )
+  WHERE n_words >= 20 AND n_words <= 1000
+    AND n_stop * 100 >= n_words * 5
+    AND n_stop * 100 <= n_words * 60
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
+), kept AS (
+  SELECT g.* FROM gated g SEMI JOIN winners w ON g.doc_id = w.doc_id
+)
+SELECT CASE WHEN b < 'e6' THEN 'train'
+            WHEN b < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM (
+  SELECT n_tokens, substr(md5(text), 1, 2) AS b
+  FROM kept
+)
+GROUP BY 1 ORDER BY split
+""",
+    ref="SURVEY.md §2.4 L49/L51 composition (the full ingest chain)",
+)

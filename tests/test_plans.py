@@ -318,6 +318,8 @@ def test_r64_no_full_group_sort_window(spark):
         ("l62_embedding_norm_outliers", 14),
         ("st12_stream_anti_join_admission", 2),  # window agg + output sort
         ("st13_quota_admission", 2),             # (user,window) rank + sort
+        ("l63_cross_source_dup_matrix", 4),      # (h,source) dedup + hash join + agg
+        ("l64_pipeline_census", 5),              # gate map + dedup agg + semi + census
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):
@@ -330,7 +332,8 @@ def test_round5_shuffle_budget(spark, name, max_shuffles):
     ["c17_seq_gap_audit", "r74_time_weighted_average",
      "r76_percentile_disc", "l59_token_distribution_drift",
      "l60_token_burstiness", "l62_embedding_norm_outliers",
-     "st12_stream_anti_join_admission"],
+     "st12_stream_anti_join_admission", "l63_cross_source_dup_matrix",
+     "l64_pipeline_census"],
 )
 def test_round5_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
