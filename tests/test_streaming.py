@@ -1272,3 +1272,67 @@ def test_quota_admission_state_expires_and_readmits(spark, tmp_path):
         (1, 100, 1), (1, 101, 2), (1, 102, 3)
     ]
     assert (2, 900, 1) in rows
+
+
+def test_snapshot_then_stream_bootstrap(spark, sf_dir, tmp_path):
+    """Debezium-parity bootstrap: the initial snapshot seeds the
+    replay dir as op='r' envelopes below every log seq; the UNCHANGED
+    compaction stream then consumes snapshot-then-log and converges to
+    latest-by-key over both — snapshot-only keys survive as 'r', keys
+    the log touches show the log's latest."""
+    from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+    from graal_cdc_spark.sources.bootstrap import (
+        bootstrap_replay_dir,
+        snapshot_envelopes,
+    )
+    from graal_cdc_spark.streaming.compaction import run_cdc_compaction_stream
+
+    log = build_cdc_events(spark, sf_dir)
+    some_log_keys = [
+        int(r["key"])
+        for r in parse_envelope(log).select("key").distinct().limit(3).collect()
+    ]
+    snap_ids = some_log_keys + [900001, 900002, 900003]
+    snap = spark.createDataFrame(
+        [(i, f"snap-{i}") for i in snap_ids], "user_id long, payload string"
+    )
+    env = snapshot_envelopes(
+        snap,
+        "user_id",
+        table=F.when(F.col("user_id") % 2 == 0, "users").otherwise("orders"),
+    )
+    # envelopes pass the filter chain as op='r' with routed tables
+    parsed_snap = parse_envelope(env)
+    assert parsed_snap.count() == len(snap_ids)
+    assert {r["op"] for r in parsed_snap.collect()} == {"r"}
+    assert {r["tbl"] for r in parsed_snap.collect()} <= {"users", "orders"}
+
+    replay = str(tmp_path / "replay")
+    bootstrap_replay_dir(env.coalesce(1), replay)
+    append_chunk(log.coalesce(2), replay)
+
+    sink = run_cdc_compaction_stream(
+        spark, replay, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    got = {r["key"]: (r["seq"], r["op"]) for r in sink.current_table().collect()}
+    want = {
+        r["key"]: (r["seq"], r["op"])
+        for r in compact_cdc(
+            parse_envelope(env).unionByName(parse_envelope(log))
+        ).collect()
+    }
+    assert got == want
+    # snapshot-only keys live on as the snapshot row
+    for i in (900001, 900002, 900003):
+        assert got[str(i)] == (-1, "r")
+    # keys the log touched were won by the log (seq > -1)
+    for k in some_log_keys:
+        key = str(k)
+        if key in got:
+            assert got[key][0] > -1
+
+    # seeding over an existing log is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="oldest segment"):
+        bootstrap_replay_dir(env, replay)
