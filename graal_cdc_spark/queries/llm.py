@@ -3316,3 +3316,164 @@ GROUP BY 1 ORDER BY split
 """,
     ref="SURVEY.md §2.4 L49/L51 composition (the full ingest chain)",
 )
+
+# ---------------------------------------------------------------------------
+# L65 — PMI collocations: top-50 adjacent word pairs by pointwise
+# mutual information, min-count 5 — the classic collocation miner a
+# tokenizer team runs to decide merge candidates. PMI = ln(c12 * N /
+# (c1 * c2)) over adjacent-pair counts; counts exact, PMI floored at
+# 4 decimals (protocol #6), ranked by (pmi, w1, w2) with a
+# distributed TakeOrdered — never a global sort of the vocab.
+# Scale: bigram + unigram aggregates shuffle on the gram keys (even,
+# high-cardinality); the two count joins are shuffle joins BY INTENT
+# (a corpus-scale vocab cannot broadcast — the l53 rule).
+# ---------------------------------------------------------------------------
+
+
+def _l65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.filter(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    pmi = F.floor(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n")
+            / (F.col("ca") * F.col("cb"))
+        )
+        * 10000
+    ) / 10000
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+_l(
+    "l65_pmi_collocations",
+    "top-50 adjacent-pair collocations by PMI (min count 5)",
+    _l65,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), ucnt AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), n AS (SELECT SUM(c) AS n FROM ucnt),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       floor(ln(CAST(c12 AS DOUBLE) * n.n / (a.c * b.c)) * 10000) / 10000
+         AS pmi
+FROM big
+JOIN ucnt a ON a.w = big.w1
+JOIN ucnt b ON b.w = big.w2
+CROSS JOIN n
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+    ref="SURVEY.md §2.4 L53 family (bigram statistics)",
+)
+
+# ---------------------------------------------------------------------------
+# L66 — duplicate-ngram coverage per doc: what fraction (basis
+# points) of each document's word-5-gram occurrences also occur in at
+# least one OTHER document — the per-doc "how much of this is copied
+# boilerplate" score (l43 finds the shingles; this charges them back
+# to documents). Scale: gram doc-frequency is one hash aggregate;
+# the membership join is on the gram hash (even shuffle); per-doc
+# rollup shuffles once on doc_id. Integer basis points — bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _l66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 5
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.filter(F.size(toks) >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i, k))
+                ),
+            )
+        ).alias("g"),
+    )
+    # docs containing each gram (distinct doc per gram, one aggregate)
+    df_per_gram = grams.distinct().groupBy("g").agg(
+        F.count(F.lit(1)).alias("ndocs")
+    )
+    return (
+        grams.join(df_per_gram, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .withColumn("shared_bp", F.expr("10000 * n_shared div n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l66_dup_ngram_coverage",
+    "per-doc share (bp) of word-5-gram occurrences that appear in "
+    "other documents (copied-content score)",
+    _l66,
+    """
+WITH grams AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i:i+4], ' ')) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+  WHERE len(t) >= 5
+), dfg AS (
+  SELECT g, count(*) AS ndocs
+  FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       (10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) // count(*)
+         AS shared_bp
+FROM grams JOIN dfg USING (g)
+GROUP BY doc_id ORDER BY doc_id
+""",
+    ref="SURVEY.md §2.4 L43/L52 family (contamination accounting)",
+)

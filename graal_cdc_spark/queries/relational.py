@@ -3564,3 +3564,70 @@ GROUP BY o_custkey ORDER BY o_custkey
 """,
     ref="SURVEY.md §2.4 R24 family (exact percentile surface)",
 )
+
+
+# ---------------------------------------------------------------------------
+# R77 — percent-of-total analytics (ratio_to_report): each nation's
+# share of its region's customer account balance, in integer basis
+# points over floor-cents — the standard report-share window. Scale:
+# one aggregate to nation grain (tiny), then the share window runs
+# over O(nations) rows — the window NEVER sees the customer table
+# (same pre-reduce discipline as c15/r64).
+# ---------------------------------------------------------------------------
+
+
+def _r77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("bal_cents")
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    "n_name",
+                    "n_regionkey",
+                )
+            ),
+            "c_nationkey",
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        per_nation.withColumn(
+            "region_cents", F.sum("bal_cents").over(w)
+        )
+        .select(
+            "n_regionkey",
+            "n_name",
+            "bal_cents",
+            F.expr("10000 * bal_cents div region_cents").alias("share_bp"),
+        )
+        .orderBy("n_regionkey", "n_name")
+    )
+
+
+_r(
+    "r77_percent_of_total",
+    "each nation's basis-point share of its region's account balance "
+    "(ratio_to_report window over the pre-reduced grain)",
+    _r77,
+    """
+WITH per_nation AS (
+  SELECT c_nationkey,
+         SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_cents
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n_regionkey, n_name, CAST(bal_cents AS BIGINT) AS bal_cents,
+       (10000 * bal_cents) // SUM(bal_cents) OVER (PARTITION BY n_regionkey)
+         AS share_bp
+FROM per_nation JOIN nation ON n_nationkey = c_nationkey
+ORDER BY n_regionkey, n_name
+""",
+    ref="SURVEY.md §2.4 R31 family (distribution windows)",
+)

@@ -42,6 +42,7 @@ _BNLJ_OK = {
     # per-edge row+orphan count pairs)
     "l59_token_distribution_drift",
     "r75_fk_orphan_audit",
+    "l65_pmi_collocations",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -320,6 +321,9 @@ def test_r64_no_full_group_sort_window(spark):
         ("st13_quota_admission", 2),             # (user,window) rank + sort
         ("l63_cross_source_dup_matrix", 4),      # (h,source) dedup + hash join + agg
         ("l64_pipeline_census", 5),              # gate map + dedup agg + semi + census
+        ("l65_pmi_collocations", 9),             # gram/vocab aggs + two count joins + TakeOrdered
+        ("l66_dup_ngram_coverage", 6),           # gram df agg + membership join + doc rollup
+        ("r77_percent_of_total", 3),             # nation agg + O(nations) window + sort
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):
