@@ -3631,3 +3631,66 @@ ORDER BY n_regionkey, n_name
 """,
     ref="SURVEY.md §2.4 R31 family (distribution windows)",
 )
+
+
+# ---------------------------------------------------------------------------
+# R78 — inline() generator over collected struct arrays: nest each
+# order's lineitems into ARRAY<STRUCT>, then flatten back with
+# `inline` and compute the per-order fill profile (first/last line
+# quantities + total). Completes the generator surface (r26
+# posexplode, r43 explode_outer, r47 UDTF): `inline` is the
+# struct-array flattener a denormalized lake schema (orders with an
+# embedded items array) reads through. Scale: ONE shuffle on
+# l_orderkey builds bounded per-order arrays; inline is map-side.
+# ---------------------------------------------------------------------------
+
+
+def _r78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                )
+            )
+        ).alias("items")
+    )
+    flat = nested.select("l_orderkey", F.inline("items"))
+    w = Window.partitionBy("l_orderkey")
+    return (
+        flat.withColumn("n_items", F.count(F.lit(1)).over(w))
+        .withColumn("total_qty", F.sum("qty").over(w))
+        .filter((F.col("ln") == 1))
+        .select(
+            "l_orderkey",
+            "n_items",
+            F.col("qty").alias("first_line_qty"),
+            F.col("total_qty").cast("string").alias("total_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_r(
+    "r78_inline_struct_array",
+    "inline() flattening of per-order item struct arrays + first-line "
+    "fill profile (generator-surface member)",
+    _r78,
+    """
+WITH flat AS (
+  SELECT l_orderkey, l_linenumber AS ln,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_items,
+       qty AS first_line_qty,
+       CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS VARCHAR) AS total_qty
+FROM flat
+QUALIFY ln = 1
+ORDER BY l_orderkey
+""",
+    ref="SURVEY.md §2.4 R26/R43 family (generator functions)",
+)

@@ -553,3 +553,55 @@ ORDER BY user_id, window_start, event_id
         reference="SURVEY.md §2.2 (extension; rate-limit admission)",
     )
 )
+
+
+def _st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked interval join, batch twin: every
+    purchase paired with errors in its 30-minute lookback, PLUS
+    unmatched purchases (null error) AND unmatched errors (null
+    purchase) — completes the stream-stream join family (st4 inner,
+    st7 left outer). In streaming both sides' unmatched rows emit
+    once the watermark passes their join window."""
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return (
+        interval_pairs(purchases, errors, lookback="30 minutes", how="full_outer")
+        .withColumnRenamed("left_id", "purchase_id")
+        .withColumnRenamed("right_id", "error_id")
+        .orderBy(
+            "user_id",
+            F.col("purchase_id").asc_nulls_first(),
+            F.col("error_id").asc_nulls_first(),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        name="st14_stream_stream_full_outer",
+        category="streaming",
+        description="FULL OUTER watermarked interval join (both sides "
+        "null-padded; completes the st4/st7 join family)",
+        spark=_st14,
+        oracle="""
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'error')
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       e.event_id AS error_id
+FROM p FULL OUTER JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 30 MINUTE
+ AND e.ts <= p.ts
+ORDER BY user_id,
+         purchase_id NULLS FIRST,
+         error_id NULLS FIRST
+""",
+        reference="SURVEY.md §2.2 (extension; outer interval joins)",
+    )
+)

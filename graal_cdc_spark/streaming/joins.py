@@ -74,7 +74,14 @@ def interval_pairs(
         & (r["r_ts"] >= l["l_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (r["r_ts"] <= l["l_ts"])
     )
-    cols = [F.col("k").alias(key), F.col("left_id"), F.col("right_id")]
+    # coalesce the key: for full_outer, right-unmatched rows carry the
+    # key only on the right side (no-op for inner/left_outer, where k
+    # is never null)
+    cols = [
+        F.coalesce(F.col("k"), F.col("r_k")).alias(key),
+        F.col("left_id"),
+        F.col("right_id"),
+    ]
     if keep_ts:
         cols.insert(1, F.col("l_ts"))
     return l.join(r, cond, how).select(*cols)

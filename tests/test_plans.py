@@ -324,6 +324,8 @@ def test_r64_no_full_group_sort_window(spark):
         ("l65_pmi_collocations", 9),             # gram/vocab aggs + two count joins + TakeOrdered
         ("l66_dup_ngram_coverage", 6),           # gram df agg + membership join + doc rollup
         ("r77_percent_of_total", 3),             # nation agg + O(nations) window + sort
+        ("st14_stream_stream_full_outer", 3),    # key-shuffled join + sort
+        ("r78_inline_struct_array", 2),          # order-key shuffle reused by window + sort
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):

@@ -1336,3 +1336,57 @@ def test_snapshot_then_stream_bootstrap(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="oldest segment"):
         bootstrap_replay_dir(env, replay)
+
+
+def test_full_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """ST14 golden: watermarked FULL OUTER stream-stream join equals
+    the batch twin — unmatched rows on BOTH sides emit once the
+    watermark passes their windows (same two-sentinel-chunk discipline
+    as the left-outer golden)."""
+    from graal_cdc_spark.streaming.joins import interval_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+    far = events.agg(F.max("ts").alias("m")).collect()[0]["m"] + dt.timedelta(
+        days=30
+    )
+    for i, delay in enumerate([dt.timedelta(), dt.timedelta(days=30)]):
+        sentinel = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far + delay, -1, "purchase", 0.0, "{}"),
+                (10**9 + 2 * i + 1, far + delay, -1, "error", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        )
+        append_chunk(sentinel, replay)
+
+    stream = read_file_stream(spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        interval_pairs(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "error"),
+            watermark="1 hour",
+            how="full_outer",
+        ),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).filter(F.col("user_id") >= 0)
+
+    want = interval_pairs(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "error"),
+        how="full_outer",
+    )
+
+    def rows_nullsafe(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rows_nullsafe(got) == rows_nullsafe(want)
+    # both outer sides are real
+    assert got.filter(F.col("right_id").isNull()).count() > 0
+    assert got.filter(F.col("left_id").isNull()).count() > 0
