@@ -686,6 +686,10 @@ def _l18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.sampling import stratified_sample
 
     docs = load_table(spark, sf_dir, "documents")
+    # driver-side enumeration is safe ONLY because `lang` is a
+    # language-code column (bounded, a few hundred values at any
+    # corpus size — pivot-style). Do NOT copy this pattern onto an
+    # unbounded key; derive per-stratum config distributively instead.
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     thresholds = {lg: ("0d" if lg == "en" else "33") for lg in langs}
     return (
