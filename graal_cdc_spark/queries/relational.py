@@ -3694,3 +3694,96 @@ ORDER BY l_orderkey
 """,
     ref="SURVEY.md §2.4 R26/R43 family (generator functions)",
 )
+
+
+# ---------------------------------------------------------------------------
+# R79 — quantized PageRank, 2 unrolled iterations over the
+# customer↔supplier trading graph (edges from orders ⋈ lineitem,
+# symmetrized) — the second oracle-gated ITERATIVE algorithm after
+# the l31 k-means family, and the same determinism trick: scores live
+# on an integer micro-unit grid (init 1e6; update = 150000 +
+# (85 * incoming) DIV 100 with per-edge contribution score DIV
+# out-degree), so both engines do exact integer arithmetic and the
+# hash gate is stable. Scale: each iteration is one join of the edge
+# list against O(nodes) scores (shuffle on node key) + one aggregate;
+# the loop builds the DAG in Python, moves nothing to the driver.
+# ---------------------------------------------------------------------------
+
+
+def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    scores = deg.select("a", F.lit(1_000_000).cast("bigint").alias("score"))
+    for _ in range(2):
+        contrib = (
+            edges.join(scores, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.expr("score DIV outdeg").alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("node").alias("a"),
+                (F.lit(150_000) + F.expr("(85 * inc) DIV 100"))
+                .cast("bigint")
+                .alias("score"),
+            )
+        )
+    return (
+        scores.select(F.col("a").alias("node"), "score")
+        .orderBy(F.col("score").desc(), "node")
+        .limit(20)
+    )
+
+
+_r(
+    "r79_pagerank_quantized",
+    "2-iteration integer-quantized PageRank over the symmetrized "
+    "customer-supplier trading graph (top-20 nodes)",
+    _r79,
+    """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT a, count(*) AS outdeg FROM edges GROUP BY a
+), s0 AS (
+  SELECT a, CAST(1000000 AS BIGINT) AS score FROM deg
+), s1 AS (
+  SELECT e.b AS a,
+         CAST(150000 + (85 * SUM(s0.score // d.outdeg)) // 100 AS BIGINT)
+           AS score
+  FROM edges e JOIN s0 ON e.a = s0.a JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), s2 AS (
+  SELECT e.b AS a,
+         CAST(150000 + (85 * SUM(s1.score // d.outdeg)) // 100 AS BIGINT)
+           AS score
+  FROM edges e JOIN s1 ON e.a = s1.a JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+)
+SELECT a AS node, score FROM s2
+ORDER BY score DESC, node LIMIT 20
+""",
+    ref="SURVEY.md §2.4 L31 family (oracle-gated iterative algorithms)",
+)

@@ -326,6 +326,10 @@ def test_r64_no_full_group_sort_window(spark):
         ("r77_percent_of_total", 3),             # nation agg + O(nations) window + sort
         ("st14_stream_stream_full_outer", 3),    # key-shuffled join + sort
         ("r78_inline_struct_array", 2),          # order-key shuffle reused by window + sort
+        # per iteration: edge⋈score join + dst aggregate; 2 unrolled
+        # iterations + degree/edge prep + TakeOrdered — every exchange
+        # after edge construction carries O(nodes) or O(edges) rows
+        ("r79_pagerank_quantized", 18),
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):

@@ -183,3 +183,128 @@ def test_c14_diff_equals_naive(spark, rows):
         for r in changed.groupBy("field").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == _naive_changed_counts(rows)
+
+
+# ---------------------------------------------------------------------------
+# c17: banded two-level seq-delta decomposition == naive sorted-scan
+# ---------------------------------------------------------------------------
+
+_seqs = st.lists(
+    st.tuples(
+        st.sampled_from(["t1", "t2"]),                 # table
+        st.integers(min_value=0, max_value=100_000),   # seq
+    ),
+    min_size=1,
+    max_size=80,
+    unique=True,
+)
+
+
+def _banded_gap_stats(df, band: int):
+    """The c17 plan shape, parameterized for arbitrary input."""
+    banded = df.withColumn("band", F.expr(f"seq DIV {band}"))
+    w_in = Window.partitionBy("tbl", "band").orderBy("seq")
+    inner = banded.withColumn(
+        "delta", F.col("seq") - F.lag("seq").over(w_in)
+    ).filter(F.col("delta").isNotNull())
+    bands = banded.groupBy("tbl", "band").agg(
+        F.min("seq").alias("bmin"), F.max("seq").alias("bmax")
+    )
+    w_b = Window.partitionBy("tbl").orderBy("band")
+    cross = bands.withColumn(
+        "delta", F.col("bmin") - F.lag("bmax").over(w_b)
+    ).filter(F.col("delta").isNotNull())
+    deltas = inner.select("tbl", "delta").unionByName(
+        cross.select("tbl", "delta")
+    )
+    return deltas.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.max("delta").alias("max_gap"),
+        F.sum("delta").alias("span"),
+    )
+
+
+def _naive_gap_stats(rows):
+    per = {}
+    for t, s in rows:
+        per.setdefault(t, []).append(s)
+    out = {}
+    for t, seqs in per.items():
+        seqs.sort()
+        deltas = [b - a for a, b in zip(seqs, seqs[1:])]
+        if deltas:
+            out[t] = (len(deltas), max(deltas), sum(deltas))
+    return out
+
+
+@_SETTINGS
+@given(rows=_seqs, band=st.sampled_from([1, 3, 64, 1_000_000]))
+def test_c17_banded_gaps_equal_naive(spark, rows, band):
+    df = spark.createDataFrame(rows, "tbl string, seq long")
+    got = {
+        r["tbl"]: (r["n_deltas"], r["max_gap"], r["span"])
+        for r in _banded_gap_stats(df, band).collect()
+    }
+    assert got == _naive_gap_stats(rows)
+
+
+# ---------------------------------------------------------------------------
+# r76: rank-at-ceil(p*n) discrete percentile == naive sorted pick
+# ---------------------------------------------------------------------------
+
+_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # custkey
+        st.integers(min_value=0, max_value=10_000),     # price cents
+        st.integers(min_value=1, max_value=1_000_000),  # orderkey tiebreak
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[2],
+)
+
+
+def _disc_percentiles(df):
+    """The r76 plan shape over (g, v, id)."""
+    w = Window.partitionBy("g").orderBy("v", "id")
+    ranked = df.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+
+    def pick(num, den, name):
+        return F.min(
+            F.when(F.col("rn") * den >= F.col("n") * num, F.col("v"))
+        ).alias(name)
+
+    return ranked.groupBy("g").agg(
+        pick(1, 4, "p25"), pick(2, 4, "p50"), pick(3, 4, "p75")
+    )
+
+
+def _naive_disc(rows):
+    import math
+
+    per = {}
+    for g, v, i in rows:
+        per.setdefault(g, []).append((v, i))
+    out = {}
+    for g, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        pk = lambda p: vs[math.ceil(p * n) - 1][0]
+        out[g] = (pk(0.25), pk(0.5), pk(0.75))
+    return out
+
+
+@_SETTINGS
+@given(rows=_orders)
+def test_r76_discrete_percentiles_equal_naive(spark, rows):
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in _disc_percentiles(df).collect()
+    }
+    assert got == _naive_disc(rows)
