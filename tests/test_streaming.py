@@ -1390,3 +1390,55 @@ def test_full_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     # both outer sides are real
     assert got.filter(F.col("right_id").isNull()).count() > 0
     assert got.filter(F.col("left_id").isNull()).count() > 0
+
+
+def test_stream_to_lake_partitioned_sink_is_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end: windowed streaming aggregate → foreachBatch →
+    dynamic-partition-overwrite lake sink. Each micro-batch rewrites
+    ONLY the (event-date) partitions it touches, so (a) the final
+    lake equals the batch twin, and (b) losing the checkpoint and
+    replaying the whole stream converges to the same lake (the
+    at-least-once + partition-overwrite idempotence contract)."""
+    from graal_cdc_spark.sinks.lake import write_partitioned
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+    lake = str(tmp_path / "lake")
+
+    def daily(df):
+        return (
+            df.groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def sink(batch_df, batch_id):
+        write_partitioned(batch_df, lake, ["day"])
+
+    def run(ckpt):
+        stream = read_file_stream(
+            spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+        )
+        q = (
+            daily(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    got1 = _rows(spark, spark.read.parquet(lake).select("day", "event_type", "n"))
+    want = _rows(spark, daily(events))
+    assert got1 == want
+
+    # checkpoint lost → full replay over the existing lake: converges
+    run(str(tmp_path / "ckpt2"))
+    got2 = _rows(spark, spark.read.parquet(lake).select("day", "event_type", "n"))
+    assert got2 == want
