@@ -155,6 +155,9 @@ def build_ivf_index(
         if fs.exists(old):
             fs.delete(old)
         fs.rename(index_dir, old)
+        # crash window between these two renames: the live dir is
+        # briefly absent, but the .old dir is complete — read_manifest
+        # rolls it back (see _recover), so readers never lose the index
         fs.rename(tmp, index_dir)
         fs.delete(old)
     else:
@@ -162,8 +165,36 @@ def build_ivf_index(
     return manifest
 
 
+def _recover(spark: SparkSession, index_dir: str) -> bool:
+    """Roll back a crashed publish: if the live dir is missing but a
+    complete ``.old-*`` sibling exists (crash between the two publish
+    renames), restore it. Returns True when an index is live."""
+    fs = _IndexFs(spark, index_dir)
+    if fs.exists(index_dir):
+        return True
+    import posixpath
+
+    parent = posixpath.dirname(index_dir.rstrip("/")) or "."
+    base = posixpath.basename(index_dir.rstrip("/"))
+    try:
+        names = [
+            s.getPath().toString()
+            for s in fs._fs.listStatus(fs._Path(parent))
+        ]
+    except Exception:
+        return False
+    olds = [n for n in names if posixpath.basename(n).startswith(f"{base}.old-")]
+    for cand in sorted(olds, reverse=True):
+        if fs.exists(f"{cand}/{MANIFEST}"):  # complete index only
+            fs.rename(cand, index_dir)
+            return True
+    return False
+
+
 def read_manifest(spark: SparkSession, index_dir: str) -> dict:
     fs = _IndexFs(spark, index_dir)
+    if not fs.exists(index_dir) and not _recover(spark, index_dir):
+        raise FileNotFoundError(f"no index at {index_dir}")
     m = json.loads(fs.read_text(f"{index_dir}/{MANIFEST}"))
     if m.get("version") != VERSION:
         raise ValueError(f"unsupported index version: {m.get('version')}")

@@ -730,3 +730,44 @@ def test_ivf_index_rebuild_is_atomic_replace(spark, sf_dir, tmp_path):
         if d.startswith("ivf_index.") and ("tmp" in d or "old" in d)
     ]
     assert siblings == [], siblings
+
+
+def test_ivf_index_recovers_from_crash_between_publish_renames(
+    spark, sf_dir, tmp_path
+):
+    """A crash between 'live -> .old' and '.tmp -> live' leaves no
+    live dir; the next read must roll the complete .old back in and
+    answer queries — readers never lose the index."""
+    import os
+    import shutil
+
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    AI.build_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, AI.query_ivf_index(spark, idx, queries).collect())
+    )
+
+    # simulate the crash window: live renamed away, tmp never landed
+    shutil.move(idx, idx + ".old-crashtoken")
+    assert not os.path.isdir(idx)
+
+    after = sorted(
+        map(tuple, AI.query_ivf_index(spark, idx, queries).collect())
+    )
+    assert after == before
+    assert os.path.isdir(idx)
+    assert not os.path.isdir(idx + ".old-crashtoken")
+
+    # an INCOMPLETE .old (no manifest) must not be restored
+    shutil.move(idx, idx + ".old-crashtoken2")
+    os.remove(idx + ".old-crashtoken2/" + AI.MANIFEST)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no index"):
+        AI.read_manifest(spark, idx)
