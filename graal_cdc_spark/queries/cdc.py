@@ -838,3 +838,62 @@ GROUP BY tbl ORDER BY tbl
         reference="DebeziumEngineRecordHandler.java:130-146; SURVEY.md §2.3",
     )
 )
+
+
+def _c18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-sequence validity audit: per routed table, counts of ILLEGAL
+    per-key op transitions in the log — an update or delete of a key
+    that is currently deleted ('d'→'u', 'd'→'d'), or a create of a
+    key that is currently live ('c'→'c') — the log-integrity monitor
+    that catches producer bugs and reordering faults before a
+    consumer materializes garbage. The lag window partitions on the
+    high-cardinality key (bounded rows per key — the safe window
+    shape); output is O(tables × transition kinds).
+    Reference: SURVEY.md §2.3 (Q3 per-key order is what makes these
+    transitions well-defined).
+    """
+    parsed = _parsed(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("seq")
+    trans = parsed.select(
+        "tbl",
+        "op",
+        F.lag("op").over(w).alias("prev_op"),
+    ).filter(F.col("prev_op").isNotNull())
+    illegal = (
+        ((F.col("prev_op") == "d") & F.col("op").isin("u", "d"))
+        | ((F.col("prev_op") == "c") & (F.col("op") == "c"))
+    )
+    return (
+        trans.filter(illegal)
+        .groupBy("tbl", "prev_op", "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tbl", "prev_op", "op")
+    )
+
+
+register(
+    QuerySpec(
+        name="c18_op_transition_audit",
+        category="cdc",
+        description="illegal per-key op transitions per table "
+        "(update/delete of a deleted key, create of a live key)",
+        spark=_c18,
+        oracle=cdc_parsed_cte()
+        + """
+, trans AS (
+  SELECT tbl, op,
+         lag(op) OVER (PARTITION BY key ORDER BY seq) AS prev_op
+  FROM cdc_parsed
+)
+SELECT tbl, prev_op, op, CAST(count(*) AS BIGINT) AS n
+FROM trans
+WHERE prev_op IS NOT NULL
+  AND ((prev_op = 'd' AND op IN ('u', 'd'))
+       OR (prev_op = 'c' AND op = 'c'))
+GROUP BY tbl, prev_op, op
+ORDER BY tbl, prev_op, op
+""",
+        reference="SURVEY.md §2.3 (per-key replay order); "
+        "DebeziumEngineRecordHandler.java:168-172 (op codes)",
+    )
+)

@@ -3787,3 +3787,87 @@ ORDER BY score DESC, node LIMIT 20
 """,
     ref="SURVEY.md §2.4 L31 family (oracle-gated iterative algorithms)",
 )
+
+
+# ---------------------------------------------------------------------------
+# R80 — sessionized conversion rate: 30-minute-gap sessions per user
+# (gaps-and-islands), a session converts if it contains a purchase;
+# daily session count + conversion in basis points. Composes the r55
+# islands machinery into the product-metric every funnel dashboard
+# starts with. Scale: both windows partition on user_id
+# (high-cardinality); the rollup input is session grain.
+# ---------------------------------------------------------------------------
+
+
+def _r80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = flagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        sessions.groupBy(F.to_date("start_ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .withColumn("conv_bp", F.expr("10000 * n_converted div n_sessions"))
+        .orderBy("day")
+    )
+
+
+_r(
+    "r80_session_conversion",
+    "30-min-gap sessionization + daily conversion rate in basis "
+    "points (islands machinery into the funnel product metric)",
+    _r80,
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))
+              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         min(ts) AS start_ts,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT CAST(CAST(start_ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       (10000 * SUM(converted)) // count(*) AS conv_bp
+FROM sessions
+GROUP BY 1 ORDER BY day
+""",
+    ref="SURVEY.md §2.4 R53/R55 family (funnel/session analytics)",
+)

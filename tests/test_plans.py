@@ -330,6 +330,8 @@ def test_r64_no_full_group_sort_window(spark):
         # iterations + degree/edge prep + TakeOrdered — every exchange
         # after edge construction carries O(nodes) or O(edges) rows
         ("r79_pagerank_quantized", 18),
+        ("c18_op_transition_audit", 4),          # key lag window + tiny agg + sort
+        ("r80_session_conversion", 4),           # ONE user exchange feeds both windows + rollup
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):
