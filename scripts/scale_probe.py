@@ -91,6 +91,19 @@ PROBES = [
     "l62_embedding_norm_outliers",
     "st12_stream_anti_join_admission",
     "st13_quota_admission",
+    # round 5, batch 3-5 (provenance join, pipeline census, PMI
+    # collocations, dup-gram coverage, iterative pagerank, sessions,
+    # op-transition lag, full-outer interval join, inline arrays)
+    "l63_cross_source_dup_matrix",
+    "l64_pipeline_census",
+    "l65_pmi_collocations",
+    "l66_dup_ngram_coverage",
+    "r77_percent_of_total",
+    "r78_inline_struct_array",
+    "r79_pagerank_quantized",
+    "r80_session_conversion",
+    "c18_op_transition_audit",
+    "st14_stream_stream_full_outer",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)
