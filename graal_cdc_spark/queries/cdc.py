@@ -897,3 +897,135 @@ ORDER BY tbl, prev_op, op
         "DebeziumEngineRecordHandler.java:168-172 (op codes)",
     )
 )
+
+
+def _c19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before-image reconstruction + net value drift: the synthetic
+    envelope (like many Debezium setups with ``REPLICA IDENTITY
+    DEFAULT``) carries ``before: null``, so the previous row image must
+    be RECONSTRUCTED from the per-key log — lag(after.value) over the
+    Q3 replay order. For every update whose predecessor carries a
+    value, the per-table net drift sum(after - prev_after) is the
+    consistency signal a reconciliation monitor alarms on.
+
+    Scale: one lag window partitioned on the high-cardinality key,
+    one typed JSON path, then a map-side partial aggregate to
+    O(tables) rows.
+    Reference: SURVEY.md §2.3 (per-key replay order);
+    DebeziumEngineRecordHandler.java:168-179 (after-image handling).
+    """
+    parsed = _parsed(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("seq")
+    vals = parsed.withColumn(
+        "val",
+        F.get_json_object("after_json", "$.value").cast("decimal(18,2)"),
+    ).select(
+        "tbl", "op", "val", F.lag("val").over(w).alias("prev_val")
+    )
+    upd = vals.filter(
+        (F.col("op") == "u")
+        & F.col("val").isNotNull()
+        & F.col("prev_val").isNotNull()
+    )
+    return (
+        upd.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_updates"),
+            F.sum(F.col("val") - F.col("prev_val"))
+            .cast("string")
+            .alias("net_drift"),
+        )
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c19_before_image_drift",
+        category="cdc",
+        description="reconstructed before-image value drift per table "
+        "(lag over per-key replay order; REPLICA IDENTITY DEFAULT "
+        "compensation)",
+        spark=_c19,
+        oracle=cdc_events_cte()
+        + """,
+parsed_vals AS (
+  SELECT CAST(floor(seq / 10) AS BIGINT) AS event_id, seq, key,
+         json_extract_string(value, '$.payload.op') AS op,
+         json_extract_string(value, '$.payload.source.table') AS tbl,
+         CAST(json_extract_string(value, '$.payload.after.value')
+              AS DECIMAL(18,2)) AS val
+  FROM cdc_events
+  WHERE value IS NOT NULL
+    AND json_extract(value, '$.payload') IS NOT NULL
+    AND json_extract(value, '$.payload.ddl') IS NULL
+    AND json_extract_string(value, '$.payload.op') IN ('c','u','d','r')
+    AND value LIKE '%"after"%'
+), lagged AS (
+  SELECT tbl, op, val,
+         lag(val) OVER (PARTITION BY key ORDER BY seq) AS prev_val
+  FROM parsed_vals
+)
+SELECT tbl, CAST(count(*) AS BIGINT) AS n_updates,
+       CAST(SUM(val - prev_val) AS VARCHAR) AS net_drift
+FROM lagged
+WHERE op = 'u' AND val IS NOT NULL AND prev_val IS NOT NULL
+GROUP BY tbl ORDER BY tbl
+""",
+        reference="SURVEY.md §2.3 (Q3 replay order); "
+        "DebeziumEngineRecordHandler.java:168-179",
+    )
+)
+
+
+def _c20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan first-op audit: keys whose FIRST op in the log is an
+    update or delete — rows with no creating event ('c') or snapshot
+    read ('r') in the captured window. These are the keys a
+    materializing consumer cannot fully reconstruct (the complement
+    of c18's illegal TRANSITIONS: here the defect is a missing
+    history head, not a bad step). Per (table, first-op) counts.
+
+    Scale: first-row-per-key is a row_number over the per-key order
+    (bounded rows per key), then O(tables x ops) output.
+    Reference: SURVEY.md §2.3 (snapshot 'r' + log completeness).
+    """
+    parsed = _parsed(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("seq")
+    first = (
+        parsed.select("tbl", "op", "key", "seq")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        first.filter(F.col("op").isin("u", "d"))
+        .groupBy("tbl", "op")
+        .agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+        .orderBy("tbl", "op")
+    )
+
+
+register(
+    QuerySpec(
+        name="c20_orphan_first_op_audit",
+        category="cdc",
+        description="keys whose first logged op is 'u'/'d' (no create "
+        "or snapshot head) per table — unreconstructable-state audit",
+        spark=_c20,
+        oracle=cdc_parsed_cte()
+        + """
+, firsts AS (
+  SELECT tbl, op,
+         row_number() OVER (PARTITION BY key ORDER BY seq) AS rn
+  FROM cdc_parsed
+)
+SELECT tbl, op, CAST(count(*) AS BIGINT) AS n_orphan_keys
+FROM firsts
+WHERE rn = 1 AND op IN ('u', 'd')
+GROUP BY tbl, op
+ORDER BY tbl, op
+""",
+        reference="SURVEY.md §2.3 (snapshot/log completeness); "
+        "DebeziumEngineManager.java:76-121 (snapshot bootstrap)",
+    )
+)

@@ -3481,3 +3481,257 @@ GROUP BY doc_id ORDER BY doc_id
 """,
     ref="SURVEY.md §2.4 L43/L52 family (contamination accounting)",
 )
+
+# ---------------------------------------------------------------------------
+# L67 — hard-negative mining for contrastive training: for each query
+# vector, the single most-similar vector with a DIFFERENT label (the
+# hardest negative). Same broadcast-queries x one-corpus-scan shape as
+# l04 — no shuffle of the corpus, JVM-side cosine fold — plus the
+# label inequality pushed into the pair filter. Scale path for the
+# full-corpus variant is the IVF index (l33); this is the exact gate.
+# ---------------------------------------------------------------------------
+
+
+def _l67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("qlabel") != F.col("neg_label"))
+    sim = S.cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim_raw").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("sim_raw", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "qlabel",
+            "neg_id",
+            "neg_label",
+            (F.round(F.col("sim_raw"), 4) + F.lit(0.0)).alias("sim"),
+        )
+        .orderBy("qid")
+    )
+
+
+_l(
+    "l67_hard_negative_mining",
+    "hardest different-label neighbor (top-1 cosine) per query vector "
+    "— contrastive-training negative mining",
+    _l67,
+    """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 30
+),
+c AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+sims AS (
+  SELECT qid, qlabel, neg_id, neg_label,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) *
+          sqrt(list_dot_product(cv, cv))) AS sim_raw
+  FROM q, c
+  WHERE qlabel <> neg_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim_raw DESC, neg_id) AS rn
+  FROM sims
+)
+SELECT qid, qlabel, neg_id, neg_label, round(sim_raw, 4) + 0 AS sim
+FROM ranked WHERE rn = 1
+ORDER BY qid
+""",
+    ref="SURVEY.md §2.4 L04 family (similarity search for training "
+    "data); hard-negative mining is the contrastive-pair op",
+)
+
+# ---------------------------------------------------------------------------
+# L68 — winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS): hash
+# every word-5-gram, then keep only each window-of-4's MINIMUM hash —
+# the classic guarantee that any shared run of >= w+k-1 tokens shares
+# a selected fingerprint, at ~1/w the storage of all-shingles (l43/
+# l66 keep every gram; this is the sublinear-index variant an actual
+# 100 TB dedup index stores). The fingerprint SET is well-defined
+# independent of tie-breaks because selection is by window-min VALUE.
+# Everything is built-ins: md5 grams, a min over a 4-row window
+# partitioned by the high-cardinality doc key, one distinct, one
+# doc-frequency aggregate, one membership join on the fingerprint
+# hash (even shuffle).
+# ---------------------------------------------------------------------------
+
+
+def _l68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k, w = 5, 4
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.filter(F.size(toks) >= k + w - 1).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    fps = (
+        grams.withColumn("winmin", F.min("g").over(win))
+        .filter(F.col("pos") >= w - 1)  # full windows only
+        .select("doc_id", F.col("winmin").alias("fp"))
+        .distinct()
+    )
+    dfp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        fps.join(dfp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .withColumn("shared_bp", F.expr("10000 * n_shared div n_fp"))
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l68_winnowing_fingerprints",
+    "winnowed (window-min) 5-gram fingerprints per doc + cross-doc "
+    "shared-fingerprint share (MOSS-style sublinear dup index)",
+    _l68,
+    """
+WITH grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+4], ' ')) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+  WHERE len(t) >= 8
+), winmins AS (
+  SELECT doc_id, pos,
+         min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, winmin AS fp
+  FROM winmins WHERE pos >= 3
+), dfp AS (
+  SELECT fp, count(*) AS ndocs FROM fps GROUP BY fp
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       (10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) // count(*)
+         AS shared_bp
+FROM fps JOIN dfp USING (fp)
+GROUP BY doc_id ORDER BY doc_id
+""",
+    ref="Schleimer et al., Winnowing (SIGMOD'03); SURVEY.md §2.4 "
+    "L43/L66 family at sublinear index size",
+)
+
+# ---------------------------------------------------------------------------
+# L69 — source-pair vocabulary Jaccard: token-set overlap between
+# every pair of sources — the corpus-provenance redundancy matrix at
+# the VOCABULARY level (l63 is the shared-whole-text matrix). Per-
+# source distinct tokens reduce first (hash aggregate), the pair
+# intersection is an equality join on the token (even shuffle), and
+# sizes come from one tiny broadcast join; output is O(sources^2).
+# ---------------------------------------------------------------------------
+
+
+def _l69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "w")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("sz").alias("sz_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("sz").alias("sz_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
+            F.expr(
+                "10000 * inter div (sz_a + sz_b - inter)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_l(
+    "l69_source_vocab_jaccard",
+    "pairwise source vocabulary Jaccard matrix in basis points "
+    "(provenance redundancy at the token level)",
+    _l69,
+    """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS sz FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM vocab a JOIN vocab b USING (w)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni,
+       (10000 * inter) // (sa.sz + sb.sz - inter) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""",
+    ref="SURVEY.md §2.4 L63 family (cross-source redundancy)",
+)

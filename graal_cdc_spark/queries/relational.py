@@ -3871,3 +3871,370 @@ GROUP BY 1 ORDER BY day
 """,
     ref="SURVEY.md §2.4 R53/R55 family (funnel/session analytics)",
 )
+
+# ---------------------------------------------------------------------------
+# R81 — robust outlier gate: exact median + MAD per group, both through
+# the reusable binned two-pass operator (operators/robust.py), so the
+# profile stays scale-safe on a 3-value group key where a cumulative
+# window would sort the whole table inside 3 tasks (the r64 lesson,
+# factored into a reusable operator and applied twice: the MAD is a
+# median of deviations from the median). Output floor-scaled to cents
+# — integer-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+def _r81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.robust import mad_outlier_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = mad_outlier_profile(
+        o, "o_orderstatus", "o_totalprice", k=3.0, bin_width=64.0
+    )
+    return prof.select(
+        "o_orderstatus",
+        F.floor(F.col("median") * 100).cast("long").alias("median_cents"),
+        F.floor(F.col("mad") * 100).cast("long").alias("mad_cents"),
+        "n",
+        "n_outliers",
+    ).orderBy("o_orderstatus")
+
+
+_r(
+    "r81_mad_outliers",
+    "exact median + MAD + robust 3-sigma-equivalent outlier counts per "
+    "group (two-pass binned medians, no full-group sort)",
+    _r81,
+    """
+WITH ranked AS (
+  SELECT o_orderstatus AS g, o_totalprice AS v,
+         COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS t
+  FROM orders
+), med AS (
+  SELECT g, min(v) AS median FROM ranked WHERE c * 2 >= t GROUP BY g
+), dev AS (
+  SELECT o.o_orderstatus AS g, m.median,
+         abs(o.o_totalprice - m.median) AS d
+  FROM orders o JOIN med m ON m.g = o.o_orderstatus
+), rdev AS (
+  SELECT g, d,
+         COUNT(*) OVER (PARTITION BY g ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY g) AS t
+  FROM dev
+), mad AS (
+  SELECT g, min(d) AS mad FROM rdev WHERE c * 2 >= t GROUP BY g
+)
+SELECT dev.g AS o_orderstatus,
+       CAST(floor(any_value(dev.median) * 100) AS BIGINT) AS median_cents,
+       CAST(floor(any_value(mad.mad) * 100) AS BIGINT) AS mad_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON mad.g = dev.g
+GROUP BY dev.g
+ORDER BY o_orderstatus
+""",
+    ref="SURVEY.md §2.2 aggregate checklist; VERDICT r4 #3 (binned "
+    "two-pass quantile, now a reusable operator)",
+)
+
+# ---------------------------------------------------------------------------
+# R82 — strict consecutive sequence match (MATCH_RECOGNIZE shape):
+# view -> click -> purchase with NO intervening event, per user in
+# event-time order. lead() over the per-user ordered stream — the
+# window partitions on the high-cardinality user key, so state per
+# task is one user's events; the pattern test is row-local after the
+# single shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _r82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("user_id")
+    )
+
+
+_r(
+    "r82_strict_sequence_match",
+    "strictly-consecutive view->click->purchase pattern count per user "
+    "(MATCH_RECOGNIZE emulation via lead windows)",
+    _r82,
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM seq
+WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    ref="SURVEY.md §2.4 R60 family (ordered-stream pattern ops)",
+)
+
+# ---------------------------------------------------------------------------
+# R83 — interval-union length per user: each event opens a 30-minute
+# interval; overlapping intervals merge (classic islands via running
+# max of interval end), and the covered time is the sum of island
+# spans. Integer microseconds end to end — bit-exact. One shuffle on
+# the high-cardinality user key.
+# ---------------------------------------------------------------------------
+
+
+def _r83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = 1_800_000_000  # 30 min in microseconds
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span)).alias("e"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") >= F.coalesce(F.max("e").over(w), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(wrun)
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len_us").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_r(
+    "r83_interval_union_length",
+    "per-user union length of overlapping 30-min event intervals "
+    "(islands via running max-end, integer microseconds)",
+    _r83,
+    """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN s >= coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM base
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, max(e) - min(s) AS len_us
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len_us) AS BIGINT) AS covered_us
+FROM per_island
+GROUP BY user_id ORDER BY user_id
+""",
+    ref="SURVEY.md §2.4 R55/R56 family (interval analytics)",
+)
+
+# ---------------------------------------------------------------------------
+# R84 — largest-remainder proportional allocation (Hamilton
+# apportionment): distribute a 10000-unit budget across each order's
+# lineitems proportionally to extended price, integer floor shares
+# plus +1 for the largest remainders so every order reconciles to
+# EXACTLY 10000. Pure integer arithmetic; the remainder rank windows
+# on the high-cardinality order key. Output is the global
+# reconciliation audit (one row), so the gate checks every order's
+# allocation arithmetic at once.
+# ---------------------------------------------------------------------------
+
+
+def _r84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    wtot = Window.partitionBy("l_orderkey")
+    t = li.withColumn("tot", F.sum("w").over(wtot)).withColumn(
+        "base", F.expr("(10000 * w) div tot")
+    ).withColumn("rem", F.expr("(10000 * w) % tot"))
+    t = t.withColumn("deficit", F.lit(10000) - F.sum("base").over(wtot))
+    wrank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc()
+    )
+    alloc = t.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "alloc",
+        F.col("base") + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc").alias("order_alloc"),
+        F.max("alloc").alias("max_alloc"),
+        F.min("alloc").alias("min_alloc"),
+        F.sum(F.when(F.col("alloc") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("order_alloc").alias("total_alloc"),
+        F.sum(F.when(F.col("order_alloc") == 10000, 1).otherwise(0)).alias(
+            "n_reconciled"
+        ),
+        F.max("max_alloc").alias("max_alloc"),
+        F.min("min_alloc").alias("min_alloc"),
+        F.sum("n_zero").alias("n_zero_alloc"),
+    )
+
+
+_r(
+    "r84_largest_remainder_allocation",
+    "10000-unit largest-remainder allocation across each order's "
+    "lineitems; global integer reconciliation audit",
+    _r84,
+    """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem
+), t AS (
+  SELECT l_orderkey, l_linenumber, w,
+         SUM(w) OVER (PARTITION BY l_orderkey) AS tot
+  FROM w
+), shares AS (
+  SELECT l_orderkey, l_linenumber,
+         (10000 * w) // tot AS base,
+         (10000 * w) % tot AS rem,
+         10000 - SUM((10000 * w) // tot)
+           OVER (PARTITION BY l_orderkey) AS deficit
+  FROM t
+), alloc AS (
+  SELECT l_orderkey,
+         base + CASE WHEN row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY rem DESC, l_linenumber) <= deficit
+           THEN 1 ELSE 0 END AS alloc
+  FROM shares
+), per_order AS (
+  SELECT l_orderkey, SUM(alloc) AS order_alloc, MAX(alloc) AS max_alloc,
+         MIN(alloc) AS min_alloc,
+         SUM(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS n_zero,
+         COUNT(*) AS n_lines
+  FROM alloc GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(order_alloc) AS BIGINT) AS total_alloc,
+       CAST(SUM(CASE WHEN order_alloc = 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reconciled,
+       CAST(MAX(max_alloc) AS BIGINT) AS max_alloc,
+       CAST(MIN(min_alloc) AS BIGINT) AS min_alloc,
+       CAST(SUM(n_zero) AS BIGINT) AS n_zero_alloc
+FROM per_order
+""",
+    ref="SURVEY.md §2.2 (integer window arithmetic); Hamilton "
+    "largest-remainder method",
+)
+
+# ---------------------------------------------------------------------------
+# R85 — chi-square independence audit (event_type x day-of-week):
+# per-cell contribution (O*N - r*c)^2 * 1e6 / (r*c*N) in EXACT integer
+# micro-units via DECIMAL(38,0) integral division — no floating point
+# anywhere, so the statistic is bit-identical across engines. The
+# contingency table is O(types x 7) rows; every window below runs over
+# that tiny frame, with the raw counts reduced by one map-side
+# partial aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _r85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wn = Window.partitionBy()
+    t = (
+        cell.withColumn("r", F.sum("o").over(wr))
+        .withColumn("c", F.sum("o").over(wc))
+        .withColumn("n", F.sum("o").over(wn))
+    )
+    contrib = F.expr(
+        "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        " * 1000000 div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
+    )
+    return (
+        t.select("event_type", "dow", "o", contrib.alias("contrib_micro"))
+        .orderBy("event_type", "dow")
+    )
+
+
+_r(
+    "r85_chi2_independence",
+    "chi-square independence contributions (event_type x weekday) in "
+    "exact integer micro-units",
+    _r85,
+    """
+WITH cell AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY dow) AS c,
+         SUM(o) OVER () AS n
+  FROM cell
+)
+SELECT event_type, dow, CAST(o AS BIGINT) AS o,
+       CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+            * 1000000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT)
+         AS contrib_micro
+FROM t
+ORDER BY event_type, dow
+""",
+    ref="SURVEY.md §2.2 statistics checklist (R35/R62 family)",
+)

@@ -43,6 +43,9 @@ _BNLJ_OK = {
     "l59_token_distribution_drift",
     "r75_fk_orphan_audit",
     "l65_pmi_collocations",
+    # round 5 batch 3: l67 broadcasts the 30-row query set (same
+    # shape as l04)
+    "l67_hard_negative_mining",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -374,3 +377,55 @@ def test_l42_is_map_only(spark):
     assert not a.has("HashAggregate"), a.plan
     assert not a.has("Window"), a.plan
     assert a.python_evals == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch-3 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("c19_before_image_drift", 4),        # key lag window + tiny agg + sort
+        ("c20_orphan_first_op_audit", 4),     # key rn window + tiny agg + sort
+        # two binned-median passes + profile: every exchange after the
+        # scans carries O(groups x bins) histogram rows; the fact table
+        # is touched only by hash aggregates and broadcast-joined
+        # median lookups
+        ("r81_mad_outliers", 20),
+        ("r82_strict_sequence_match", 3),     # ONE user exchange: lead window + agg
+        ("r83_interval_union_length", 3),     # ONE user exchange: 2 windows + 2 aggs
+        ("r84_largest_remainder_allocation", 3),  # ONE order exchange + audit aggs
+        ("r85_chi2_independence", 4),         # cell agg + 3 windows over 35 rows
+        ("l67_hard_negative_mining", 3),      # broadcast q x scan + qid window
+        ("l68_winnowing_fingerprints", 7),    # doc window + fp dedup/df + join + rollup
+        ("l69_source_vocab_jaccard", 13),     # vocab dedup x2 + token join + pair agg
+    ],
+)
+def test_round5_batch3_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["c19_before_image_drift", "r81_mad_outliers",
+     "r82_strict_sequence_match", "r83_interval_union_length",
+     "r84_largest_remainder_allocation", "r85_chi2_independence",
+     "l68_winnowing_fingerprints", "l69_source_vocab_jaccard"],
+)
+def test_round5_batch3_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_r81_no_full_group_sort_window(spark):
+    """Both medians (value and deviation) must run through the binned
+    two-pass operator: no Window may sit directly above the orders
+    scan (that would sort ~1/3 of the table per task on the 3-value
+    status key — the r64 anti-pattern the operator exists to avoid)."""
+    import re
+
+    a = _audit(spark, "r81_mad_outliers")
+    assert a.broadcast_joins >= 2, a.plan  # median + MAD lookup sides
+    assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
