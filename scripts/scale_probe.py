@@ -104,6 +104,15 @@ PROBES = [
     "r80_session_conversion",
     "c18_op_transition_audit",
     "st14_stream_stream_full_outer",
+    # round 5, batch 3 (two-pass binned medians, interval islands,
+    # remainder allocation windows, winnowing gram window, vocab
+    # self-join, before-image lag)
+    "c19_before_image_drift",
+    "r81_mad_outliers",
+    "r83_interval_union_length",
+    "r84_largest_remainder_allocation",
+    "l68_winnowing_fingerprints",
+    "l69_source_vocab_jaccard",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)
@@ -164,7 +173,13 @@ def time_spec(spark, name, sf_dir) -> float:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # usage: scale_probe.py [replicas] [--only n1,n2,...]
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    replicas = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -186,6 +201,8 @@ def main() -> None:
 
     print(f"{'operator':40s} {'1x':>8s} {'10x':>8s} {'factor':>7s}")
     for name in PROBES:
+        if only is not None and name not in only:
+            continue
         t1 = time_spec(spark, name, SRC)
         t10 = time_spec(spark, name, DST)
         print(f"{name:40s} {t1:8.2f} {t10:8.2f} {t10 / t1:7.1f}")
