@@ -1029,3 +1029,78 @@ ORDER BY tbl, op
         "DebeziumEngineManager.java:76-121 (snapshot bootstrap)",
     )
 )
+
+
+def _c21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-order inversion audit: within each key's replay order
+    (by seq), count adjacent row-image pairs whose embedded event time
+    (``after.ts``) goes BACKWARDS — the signal that the capture
+    pipeline reordered commits (or the source clock jumped). ISO-8601
+    strings compare lexicographically, so the check needs no timestamp
+    parsing and is bit-portable across engines.
+
+    Scale: one lag window on the high-cardinality key, O(tables)
+    output. Reference: SURVEY.md §2.3 (Q3 replay order is the invariant
+    being audited).
+    """
+    parsed = _parsed(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("seq")
+    lagged = parsed.select(
+        "tbl",
+        "key",
+        "seq",
+        F.get_json_object("after_json", "$.ts").alias("ts_iso"),
+    ).withColumn("prev_iso", F.lag("ts_iso").over(w))
+    pairs = lagged.filter(
+        F.col("ts_iso").isNotNull() & F.col("prev_iso").isNotNull()
+    )
+    return (
+        pairs.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("prev_iso") > F.col("ts_iso"), 1).otherwise(0)
+            ).alias("n_inversions"),
+        )
+        .withColumn("inv_bp", F.expr("10000 * n_inversions div n_pairs"))
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c21_capture_order_inversions",
+        category="cdc",
+        description="per-table event-time inversions within per-key "
+        "replay order (capture reordering / clock-skew audit)",
+        spark=_c21,
+        oracle=cdc_events_cte()
+        + """,
+pv AS (
+  SELECT seq, key,
+         json_extract_string(value, '$.payload.source.table') AS tbl,
+         json_extract_string(value, '$.payload.after.ts') AS ts_iso
+  FROM cdc_events
+  WHERE value IS NOT NULL
+    AND json_extract(value, '$.payload') IS NOT NULL
+    AND json_extract(value, '$.payload.ddl') IS NULL
+    AND json_extract_string(value, '$.payload.op') IN ('c','u','d','r')
+    AND value LIKE '%"after"%'
+), lagged AS (
+  SELECT tbl, ts_iso,
+         lag(ts_iso) OVER (PARTITION BY key ORDER BY seq) AS prev_iso
+  FROM pv
+)
+SELECT tbl, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN prev_iso > ts_iso THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions,
+       (10000 * SUM(CASE WHEN prev_iso > ts_iso THEN 1 ELSE 0 END))
+         // count(*) AS inv_bp
+FROM lagged
+WHERE ts_iso IS NOT NULL AND prev_iso IS NOT NULL
+GROUP BY tbl ORDER BY tbl
+""",
+        reference="SURVEY.md §2.3 (Q3 replay-order invariant); "
+        "DebeziumEngineRecordHandler.java:130-146",
+    )
+)

@@ -3735,3 +3735,229 @@ ORDER BY src_a, src_b
 """,
     ref="SURVEY.md §2.4 L63 family (cross-source redundancy)",
 )
+
+# ---------------------------------------------------------------------------
+# L70 — BPE pair statistics: the first iteration of byte-pair-encoding
+# tokenizer training — adjacent CHARACTER pair frequencies across the
+# corpus, weighted by word frequency (l65 is word-level PMI; this is
+# the subword op). The distinct-word reduction happens FIRST (hash
+# aggregate), so the per-character explode runs over the vocabulary,
+# not the corpus — at 100 TB that is the difference between millions
+# and trillions of generated rows. Top-50 pairs, exact counts.
+# ---------------------------------------------------------------------------
+
+
+def _l70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    pairs = wc.select(
+        "wcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("c1"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("c2"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("wcnt", "p.c1", "p.c2")
+        .groupBy("c1", "c2")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "c1", "c2")
+        .limit(50)
+    )
+
+
+_l(
+    "l70_bpe_pair_frequencies",
+    "adjacent character-pair frequencies weighted by word frequency "
+    "(BPE tokenizer-training round 1), top-50",
+    _l70,
+    """
+WITH wc AS (
+  SELECT w, count(*) AS wcnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+), pairs AS (
+  SELECT substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2, wcnt
+  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+)
+SELECT c1, c2, CAST(SUM(wcnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY c1, c2
+ORDER BY cnt DESC, c1, c2
+LIMIT 50
+""",
+    ref="Sennrich et al., BPE (ACL'16); SURVEY.md §2.4 L34/L65 family",
+)
+
+# ---------------------------------------------------------------------------
+# L71 — embedding-dimension covariance pairs: integer-exact covariance
+# numerators (n*Σxy − Σx·Σy over milli-quantized values) for every
+# dimension pair, top-20 by magnitude — the redundancy audit that says
+# which dimensions carry duplicated signal (PCA/whitening candidates).
+# NO self-join: each vector generates its own upper-triangle products
+# via nested array lambdas map-side, and partial aggregation collapses
+# them to O(d^2) keys before the only shuffle. Dimension sums ride a
+# 64-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _l71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    qd = emb.select(q.alias("q"))
+    prods = qd.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("q") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("q")),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(F.col("q"), i)
+                                * F.element_at(F.col("q"), j)
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    sxy = prods.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    dims = (
+        emb.select(F.posexplode(q).alias("d0", "x"))
+        .select((F.col("d0") + 1).alias("d"), "x")
+        .groupBy("d")
+        .agg(F.sum("x").alias("sx"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        sxy.join(
+            F.broadcast(dims.select(F.col("d").alias("i"), F.col("sx").alias("sxi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(dims.select(F.col("d").alias("j"), F.col("sx").alias("sxj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")).alias(
+                "cov_num"
+            ),
+        )
+    )
+    return out.orderBy(F.abs(F.col("cov_num")).desc(), "i", "j").limit(20)
+
+
+_l(
+    "l71_dim_covariance_pairs",
+    "top-20 embedding-dimension pairs by integer-exact covariance "
+    "numerator (redundancy audit; upper-triangle products map-side)",
+    _l71,
+    """
+WITH qd AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+), prods AS (
+  SELECT i, j, q[i] * q[j] AS xy
+  FROM qd,
+       LATERAL (SELECT unnest(generate_series(1, len(q) - 1)) AS i),
+       LATERAL (SELECT unnest(generate_series(i + 1, len(q))) AS j)
+), sxy AS (
+  SELECT i, j, SUM(xy) AS sxy FROM prods GROUP BY i, j
+), dims AS (
+  SELECT d, SUM(q[d]) AS sx
+  FROM qd, LATERAL (SELECT unnest(generate_series(1, len(q))) AS d)
+  GROUP BY d
+), n AS (SELECT count(*) AS n FROM qd)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(n.n * sxy - di.sx * dj.sx AS BIGINT) AS cov_num
+FROM sxy
+JOIN dims di ON di.d = sxy.i
+JOIN dims dj ON dj.d = sxy.j
+CROSS JOIN n
+ORDER BY abs(n.n * sxy - di.sx * dj.sx) DESC, i, j
+LIMIT 20
+""",
+    ref="SURVEY.md §2.4 L30 family (embedding-space audits)",
+)
+
+# ---------------------------------------------------------------------------
+# L72 — quality-gate ablation census: document counts for every
+# combination of three independent quality gates (length, word count,
+# digit ratio) — the curation question "which filter actually removes
+# what, and how much do they overlap". One pass computes all flags
+# (integer-exact digit ratio via length difference), one tiny 8-row
+# aggregate, shares against the broadcast total.
+# ---------------------------------------------------------------------------
+
+
+def _l72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    flags = docs.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("g_len"),
+        F.when(F.size(toks) >= 40, 1).otherwise(0).alias("g_words"),
+        F.when(digits * 100 < F.length("text") * 5, 1)
+        .otherwise(0)
+        .alias("g_digit"),
+    )
+    cells = flags.groupBy("g_len", "g_words", "g_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.withColumn(
+            "share_bp",
+            F.expr("10000 * n div sum(n) over ()"),
+        )
+        .orderBy("g_len", "g_words", "g_digit")
+    )
+
+
+_l(
+    "l72_quality_gate_ablation",
+    "doc counts + shares for every combination of three quality gates "
+    "(filter-ablation census)",
+    _l72,
+    """
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS g_len,
+         CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+           AS g_words,
+         CASE WHEN (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 100 < len(text) * 5 THEN 1 ELSE 0 END AS g_digit
+  FROM documents
+), cells AS (
+  SELECT g_len, g_words, g_digit, count(*) AS n
+  FROM flags GROUP BY 1, 2, 3
+)
+SELECT g_len, g_words, g_digit, CAST(n AS BIGINT) AS n,
+       (10000 * n) // SUM(n) OVER () AS share_bp
+FROM cells
+ORDER BY g_len, g_words, g_digit
+""",
+    ref="SURVEY.md §2.4 L09/L51 family (quality gates); ablation "
+    "censuses are the curation-tuning op",
+)

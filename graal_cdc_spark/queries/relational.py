@@ -4238,3 +4238,323 @@ ORDER BY event_type, dow
 """,
     ref="SURVEY.md §2.2 statistics checklist (R35/R62 family)",
 )
+
+# ---------------------------------------------------------------------------
+# R86 — exact-distinct re-aggregation: daily distinct users per event
+# type, rolled up to per-type totals from the SAME pre-deduplicated
+# frame. Distinct counts do not add across days (sum(daily) >= total),
+# so the only correct rollup deduplicates at the finest grain once and
+# re-counts at each coarser grain — the canonical pattern for exact
+# distinct hierarchies at scale (one dedup shuffle feeds every grain).
+# ---------------------------------------------------------------------------
+
+
+def _r86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    triples = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    daily = triples.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("du")
+    )
+    per_type_daily = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").alias("sum_daily_distinct"),
+        F.max("du").alias("peak_daily_distinct"),
+    )
+    per_type_total = (
+        triples.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total_distinct"))
+    )
+    return (
+        per_type_daily.join(per_type_total, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "sum_daily_distinct",
+            "peak_daily_distinct",
+            "total_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r86_distinct_rollup",
+    "exact distinct-user rollup across grains from one deduplicated "
+    "frame (daily sum vs true total — distincts do not add)",
+    _r86,
+    """
+WITH triples AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+), daily AS (
+  SELECT event_type, d, count(*) AS du FROM triples GROUP BY 1, 2
+), per_type_daily AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(SUM(du) AS BIGINT) AS sum_daily_distinct,
+         CAST(MAX(du) AS BIGINT) AS peak_daily_distinct
+  FROM daily GROUP BY event_type
+), per_type_total AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS total_distinct
+  FROM (SELECT DISTINCT event_type, user_id FROM triples)
+  GROUP BY event_type
+)
+SELECT event_type, n_days, sum_daily_distinct, peak_daily_distinct,
+       total_distinct
+FROM per_type_daily JOIN per_type_total USING (event_type)
+ORDER BY event_type
+""",
+    ref="SURVEY.md §2.4 R11/R57 family (exact distinct at scale)",
+)
+
+# ---------------------------------------------------------------------------
+# R87 — first-touch attribution: for every purchase, the user's FIRST
+# view in the prior 7 days (r09 finds the LAST prior event, r63 the
+# NEXT — this is the bounded-window FIRST, the marketing-attribution
+# op). The (ts, event_id) pair is encoded as a zero-padded string so
+# one MIN over a RANGE frame yields the earliest view with a
+# deterministic tiebreak — portable to any engine without struct-min.
+# One range window on the high-cardinality user key.
+# ---------------------------------------------------------------------------
+
+
+def _r87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+    )
+    enc = F.when(
+        F.col("event_type") == "view",
+        F.concat(
+            F.lpad(F.col("s").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    tagged = ev.withColumn("first_view", F.min(enc).over(w))
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.substring("first_view", 22, 12).cast("bigint").alias(
+                "first_view_event_id"
+            ),
+            F.expr(
+                "(s - cast(substring(first_view, 1, 20) as bigint)) "
+                "div 1000000"
+            ).alias("wait_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_r(
+    "r87_first_touch_attribution",
+    "first view within 7 days before each purchase per user "
+    "(bounded-window as-of-first via encoded min over a range frame)",
+    _r87,
+    """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS s FROM events
+), tagged AS (
+  SELECT user_id, event_type, event_id, s,
+         min(CASE WHEN event_type = 'view'
+                  THEN lpad(CAST(s AS VARCHAR), 20, '0') || '-' ||
+                       lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+           OVER (PARTITION BY user_id ORDER BY s
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+           AS first_view
+  FROM ev
+)
+SELECT event_id, user_id,
+       CAST(substring(first_view, 22, 12) AS BIGINT)
+         AS first_view_event_id,
+       (s - CAST(substring(first_view, 1, 20) AS BIGINT)) // 1000000
+         AS wait_s
+FROM tagged
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+    ref="SURVEY.md §2.4 R09/R63 family (as-of joins); first-touch "
+    "attribution",
+)
+
+# ---------------------------------------------------------------------------
+# R88 — exact equi-depth (quartile) boundaries per group through the
+# generalized binned two-pass quantile operator: ONE histogram build
+# locates p25/p50/p75 together; pass 2 touches only the needed bins.
+# The scale-safe form of global/low-cardinality-group percentiles —
+# a plain ntile/percentile window would sort the whole table in one
+# task per group (r24/r76 window the HIGH-cardinality customer key;
+# this is the other, harder case).
+# ---------------------------------------------------------------------------
+
+
+def _r88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    q = binned_group_quantiles(
+        o, "o_orderstatus", "o_totalprice",
+        probabilities=(0.25, 0.5, 0.75), bin_width=64.0,
+    )
+    return q.select(
+        "o_orderstatus",
+        (F.col("p") * 100).cast("int").alias("pct"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    ).orderBy("o_orderstatus", "pct")
+
+
+_r(
+    "r88_equi_depth_quantiles",
+    "exact discrete p25/p50/p75 per 3-value group via the binned "
+    "two-pass quantile operator (no full-group sort)",
+    _r88,
+    """
+WITH ranked AS (
+  SELECT o_orderstatus AS g, o_totalprice AS v,
+         COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS t
+  FROM orders
+), ps AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+SELECT g AS o_orderstatus, CAST(p * 100 AS INT) AS pct,
+       CAST(floor(min(v) FILTER (WHERE c >= ceil(p * t)) * 100) AS BIGINT)
+         AS value_cents
+FROM ranked CROSS JOIN ps
+GROUP BY g, p
+ORDER BY o_orderstatus, pct
+""",
+    ref="SURVEY.md §2.4 R24/R76 family; operators/robust.py "
+    "binned_group_quantiles",
+)
+
+# ---------------------------------------------------------------------------
+# R89 — time-series gap interpolation: daily value totals per event
+# type with missing days LINEARLY interpolated between the nearest
+# observed neighbors (r37/r54 fill gaps with zero; interpolation is
+# the TSDB `interpolate()` op). All integer cents: interp = prev +
+# (next-prev) * (d-pd) / (nd-pd) under integer floor division. The
+# spine is O(types x days); every window runs on that tiny frame
+# after one map-side daily aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _r89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("d"),
+    )
+    g = spine.join(daily, ["event_type", "d"], "left")
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pd_ = F.last(
+        F.when(F.col("cents").isNotNull(), F.col("d")), ignorenulls=True
+    ).over(wprev)
+    pv = F.last("cents", ignorenulls=True).over(wprev)
+    nd = F.first(
+        F.when(F.col("cents").isNotNull(), F.col("d")), ignorenulls=True
+    ).over(wnext)
+    nv = F.first("cents", ignorenulls=True).over(wnext)
+    filled = g.select(
+        "event_type",
+        "d",
+        "cents",
+        pd_.alias("pd"),
+        pv.alias("pv"),
+        nd.alias("nd"),
+        nv.alias("nv"),
+    ).withColumn(
+        "filled_cents",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + F.expr(
+                "(nv - pv) * datediff(d, pd) div datediff(nd, pd)"
+            ),
+        )
+        .otherwise(F.coalesce("pv", "nv")),
+    )
+    return filled.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("interpolated"),
+        "filled_cents",
+    ).orderBy("event_type", "day")
+
+
+_r(
+    "r89_linear_interpolation",
+    "daily per-type totals with missing days linearly interpolated "
+    "between observed neighbors (integer cents)",
+    _r89,
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+spine AS (
+  SELECT t.event_type, CAST(s.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+      INTERVAL 1 DAY)) AS d) s
+), g AS (
+  SELECT s.event_type, s.d, daily.cents
+  FROM spine s LEFT JOIN daily USING (event_type, d)
+), ctx AS (
+  SELECT event_type, d, cents,
+         max(CASE WHEN cents IS NOT NULL THEN d END)
+           OVER (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS pd,
+         last_value(cents IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS pv,
+         min(CASE WHEN cents IS NOT NULL THEN d END)
+           OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+         first_value(cents IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM g
+)
+SELECT event_type, CAST(d AS VARCHAR) AS day,
+       CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated,
+       CASE WHEN cents IS NOT NULL THEN cents
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * date_diff('day', pd, d)
+                      // date_diff('day', pd, nd)
+            ELSE coalesce(pv, nv) END AS filled_cents
+FROM ctx
+ORDER BY event_type, day
+""",
+    ref="SURVEY.md §2.4 R37/R38 family (gap fill); TSDB interpolate()",
+)

@@ -605,3 +605,50 @@ ORDER BY user_id,
         reference="SURVEY.md §2.2 (extension; outer interval joins)",
     )
 )
+
+
+def _st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.windows import session_coverage
+
+    return session_coverage(_events(spark, sf_dir), gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+register(
+    QuerySpec(
+        name="st15_session_coverage",
+        category="streaming",
+        description="per-session covered time via session_window "
+        "(30-min gap): the streaming-capable interval-union twin of "
+        "r83; microsecond-exact span = last event + gap - first event",
+        spark=_st15,
+        # Gaps-and-islands twin: session span = max(ts) + gap - min(ts)
+        oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(epoch_us(max(ts)) + 1800000000 - epoch_us(min(ts)) AS BIGINT)
+         AS covered_us
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+        reference="SURVEY.md §2.4 ST3/R83 family (session interval "
+        "union); DebeziumEngineRecordHandler.java:130-146 (no "
+        "event-time in the reference)",
+    )
+)

@@ -20,6 +20,7 @@ identically in batch (the gated oracle twin) and on ``readStream``
 
 from graal_cdc_spark.streaming.windows import (
     session_counts,
+    session_coverage,
     sliding_counts,
     tumbling_counts,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "session_coverage",
     "append_chunk",
     "read_file_stream",
     "run_to_memory",

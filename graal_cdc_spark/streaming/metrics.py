@@ -15,6 +15,13 @@ Streaming: attach a QualityMetricsListener, wrap the stream with
 
 Reference: SURVEY.md §2.2 (monitoring/ops checklist — absent in the
 reference); the bundle shape follows Spark's Observation API docs.
+
+Gotcha (observed empirically): metrics count ROW PASSES, not distinct
+rows — a ``foreachBatch`` body that runs several actions re-executes
+the source scan per action and inflates the counts. Persist the batch
+DataFrame first (``batch.persist()``) so the plan above the
+observation runs once; the sink-per-query path (no foreachBatch) is
+immune.
 """
 
 from __future__ import annotations

@@ -98,6 +98,34 @@ def session_counts(
     )
 
 
+def session_coverage(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST15 — per-session covered time: each event opens a ``gap``
+    interval; Spark's session_window merges overlaps, and the session
+    span (end - start = last event + gap - first event) IS the
+    interval-union length of that island — the streaming-capable twin
+    of the batch islands formulation (r83). Microsecond-exact.
+
+    Output: (user_id, session_start STRING, n, covered_us BIGINT).
+    """
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n",
+            (F.unix_micros("w.end") - F.unix_micros("w.start")).alias(
+                "covered_us"
+            ),
+        )
+    )
+
+
 def hourly_rollup_of_tumbling(
     df: DataFrame,
     window: str = "10 minutes",

@@ -113,6 +113,15 @@ PROBES = [
     "r84_largest_remainder_allocation",
     "l68_winnowing_fingerprints",
     "l69_source_vocab_jaccard",
+    # round 5, batch 4 (distinct rollup, range-frame attribution,
+    # generalized binned quantiles, vocab char pairs, map-side
+    # covariance products, session coverage)
+    "r86_distinct_rollup",
+    "r87_first_touch_attribution",
+    "r88_equi_depth_quantiles",
+    "l70_bpe_pair_frequencies",
+    "l71_dim_covariance_pairs",
+    "st15_session_coverage",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)

@@ -46,6 +46,10 @@ _BNLJ_OK = {
     # round 5 batch 3: l67 broadcasts the 30-row query set (same
     # shape as l04)
     "l67_hard_negative_mining",
+    # round 5 batch 4: 1-row broadcast cross joins (date bounds spine /
+    # vector-count total)
+    "r89_linear_interpolation",
+    "l71_dim_covariance_pairs",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -429,3 +433,53 @@ def test_r81_no_full_group_sort_window(spark):
     a = _audit(spark, "r81_mad_outliers")
     assert a.broadcast_joins >= 2, a.plan  # median + MAD lookup sides
     assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch-4 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # one triple-dedup shuffle feeds every grain; joins are tiny
+        ("r86_distinct_rollup", 7),
+        ("r87_first_touch_attribution", 3),   # ONE user range window + sort
+        # histogram build + (group,p) windows over the tiny cumulative
+        # frame + broadcast bin lookup + value window + sort
+        ("r88_equi_depth_quantiles", 7),
+        ("r89_linear_interpolation", 5),      # daily agg + spine join + type windows
+        ("l70_bpe_pair_frequencies", 4),      # vocab agg -> pair agg -> TakeOrdered
+        # NO self-join: upper-triangle products explode map-side and
+        # partial-aggregate to O(d^2) keys before the only shuffle
+        ("l71_dim_covariance_pairs", 5),
+        ("l72_quality_gate_ablation", 4),     # flag map + 8-row agg + share window
+        ("c21_capture_order_inversions", 4),  # key lag window + tiny agg + sort
+        ("st15_session_coverage", 3),         # ONE user session-window agg + sort
+    ],
+)
+def test_round5_batch4_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["r86_distinct_rollup", "r88_equi_depth_quantiles",
+     "r89_linear_interpolation", "l70_bpe_pair_frequencies",
+     "l71_dim_covariance_pairs", "l72_quality_gate_ablation",
+     "c21_capture_order_inversions", "st15_session_coverage"],
+)
+def test_round5_batch4_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_l71_no_vector_self_join(spark):
+    """The covariance pairs must come from per-row array lambdas, not a
+    corpus self-join on vec_id — a self-join would shuffle the whole
+    embedding table twice at any scale."""
+    a = _audit(spark, "l71_dim_covariance_pairs")
+    assert a.sortmerge_joins == 0, a.plan
+    # the only joins are 64-row dim-sum broadcasts + the 1-row count
+    assert a.shuffles <= 5, a.plan

@@ -308,3 +308,195 @@ def test_r76_discrete_percentiles_equal_naive(spark, rows):
         for r in _disc_percentiles(df).collect()
     }
     assert got == _naive_disc(rows)
+
+
+# ---------------------------------------------------------------------------
+# operators/robust.py: binned quantiles == naive rank-at-ceil(p*n)
+# ---------------------------------------------------------------------------
+
+_qrows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=-2000, max_value=5000),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=_qrows, bin_width=st.sampled_from([1, 7, 64, 10_000]))
+@_SETTINGS
+def test_binned_quantiles_equal_naive(spark, rows, bin_width):
+    """binned_group_quantiles == sorted-list indexing at ceil(p*n)-1,
+    for any values (negatives, duplicates, single-row groups) and any
+    bin width — correctness must be bin-width independent."""
+    import math
+
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    ps = (0.25, 0.5, 0.75)
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in binned_group_quantiles(
+            df, "g", "v", probabilities=ps, bin_width=float(bin_width)
+        ).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for p in ps:
+            want = vals[math.ceil(p * len(vals)) - 1]
+            assert got[(g, p)] == want, (g, p, vals)
+
+
+@given(rows=_qrows)
+@_SETTINGS
+def test_mad_profile_equals_naive(spark, rows):
+    """mad_outlier_profile == naive two-step median/MAD with lower
+    medians and strict k*MAD outlier threshold."""
+    from graal_cdc_spark.operators.robust import mad_outlier_profile
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["median"], r["mad"], r["n"], r["n_outliers"])
+        for r in mad_outlier_profile(
+            df, "g", "v", k=3.0, bin_width=16.0
+        ).collect()
+    }
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        tot = len(vals)
+        cum = 0
+        for v in vals:
+            cum += 1
+            if cum * 2 >= tot:
+                return v
+
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        med = lower_median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = lower_median(devs)
+        outl = sum(1 for d in devs if d > 3.0 * mad)
+        assert got[g] == (med, mad, len(vals), outl), (g, vals, got[g])
+
+
+# ---------------------------------------------------------------------------
+# r84 largest-remainder allocation: exact reconciliation on ANY input
+# ---------------------------------------------------------------------------
+
+_arows = st.lists(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1,
+             max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(groups=_arows)
+@_SETTINGS
+def test_largest_remainder_allocation_properties(spark, groups):
+    """For any weights: per-group allocations sum EXACTLY to the
+    budget, every allocation is >= floor share (never negative), and
+    allocations differ from the exact proportional share by < 1 unit
+    in floor terms (the Hamilton-method guarantee)."""
+    rows = [
+        (gi, li, w)
+        for gi, ws in enumerate(groups)
+        for li, w in enumerate(ws)
+    ]
+    df = spark.createDataFrame(rows, "k long, line long, w long")
+    B = 10_000
+    wtot = Window.partitionBy("k")
+    t = (
+        df.withColumn("tot", F.sum("w").over(wtot))
+        .withColumn("base", F.expr(f"({B} * w) div tot"))
+        .withColumn("rem", F.expr(f"({B} * w) % tot"))
+        .withColumn("deficit", F.lit(B) - F.sum("base").over(wtot))
+    )
+    wrank = Window.partitionBy("k").orderBy(
+        F.col("rem").desc(), F.col("line").asc()
+    )
+    alloc = t.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "alloc",
+        F.col("base")
+        + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0),
+    )
+    out = alloc.collect()
+    per_k: dict[int, int] = {}
+    for r in out:
+        per_k[r["k"]] = per_k.get(r["k"], 0) + r["alloc"]
+        tot = sum(groups[r["k"]])
+        exact_floor = (B * r["w"]) // tot
+        assert r["alloc"] in (exact_floor, exact_floor + 1)
+    for k, ws in enumerate(groups):
+        assert per_k[k] == B, (k, ws, per_k[k])
+
+
+# ---------------------------------------------------------------------------
+# l68 winnowing: density + coverage guarantees on ANY token stream
+# ---------------------------------------------------------------------------
+
+_docs = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=8, max_size=60),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_docs)
+@_SETTINGS
+def test_winnowing_fingerprint_guarantees(spark, docs):
+    """Window-min selection (w=4, k=5): (1) the selected set equals the
+    naive per-window minimum computed in Python; (2) every window of w
+    consecutive grams contributes at least one selected fingerprint
+    (the winnowing coverage guarantee)."""
+    import hashlib
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+    toks = F.split(F.col("text"), " ")
+    grams = df.filter(F.size(toks) >= k + w - 1).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in grams.withColumn("winmin", F.min("g").over(win))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", F.col("winmin").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    for i, tk in enumerate(docs):
+        n = len(tk) - k + 1
+        if n < w:
+            assert not {f for (d, f) in got if d == i}
+            continue
+        hashes = [
+            hashlib.md5(" ".join(tk[p : p + k]).encode()).hexdigest()
+            for p in range(n)
+        ]
+        want = {min(hashes[p - w + 1 : p + 1]) for p in range(w - 1, n)}
+        have = {f for (d, f) in got if d == i}
+        assert have == want, (i, tk)
+        # coverage: every w-window of grams intersects the selection
+        for p in range(w - 1, n):
+            assert any(
+                h in want for h in hashes[p - w + 1 : p + 1]
+            )

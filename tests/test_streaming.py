@@ -1442,3 +1442,34 @@ def test_stream_to_lake_partitioned_sink_is_replay_idempotent(
     run(str(tmp_path / "ckpt2"))
     got2 = _rows(spark, spark.read.parquet(lake).select("day", "event_type", "n"))
     assert got2 == want
+
+
+def test_session_coverage_stream_match_batch(spark, sf_dir, tmp_path):
+    """ST15: session_window interval-union coverage on readStream ==
+    the oracle-gated batch twin, across multi-batch chunked arrival
+    (state merges sessions that span chunk boundaries)."""
+    from graal_cdc_spark.streaming import session_coverage
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    # two chunks split by event id parity: sessions straddle chunks
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+
+    got = run_to_memory(
+        session_coverage(stream, gap="30 minutes", watermark="1 hour"),
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt_cov"),
+    )
+    want = session_coverage(events, gap="30 minutes")
+    assert _rows(spark, got) == _rows(spark, want)
+    # and the streaming result equals the r83 islands math: total
+    # coverage = sum over sessions of (last + gap - first)
+    total = sum(r[-1] for r in _rows(spark, got))
+    from graal_cdc_spark.queries import all_specs
+
+    r83 = all_specs()["r83_interval_union_length"].spark(spark, sf_dir)
+    assert total == sum(r.covered_us for r in r83.collect())
