@@ -3961,3 +3961,114 @@ ORDER BY g_len, g_words, g_digit
     ref="SURVEY.md §2.4 L09/L51 family (quality gates); ablation "
     "censuses are the curation-tuning op",
 )
+
+# ---------------------------------------------------------------------------
+# L73 — target-mixture reweighting: per-source acceptance rates (bp)
+# that reshape the corpus toward a uniform source mixture under a
+# fixed total budget — the static domain-reweighting op (the DoReMi /
+# data-mixture family, deterministic form). Capped at 10000 bp (never
+# upsample), integer arithmetic throughout; O(sources) frame after
+# one count aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _l73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _par_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy()
+    t = counts.withColumn("total", F.sum("n").over(wtot)).withColumn(
+        "n_sources", F.count(F.lit(1)).over(wtot)
+    )
+    t = t.withColumn(
+        "target_n", F.expr("total div n_sources")
+    ).withColumn(
+        "rate_bp",
+        F.least(F.lit(10000), F.expr("10000 * target_n div n")),
+    ).withColumn(
+        "expected_n", F.expr("n * rate_bp div 10000")
+    )
+    return t.select(
+        "source", "n", "target_n", "rate_bp", "expected_n"
+    ).orderBy("source")
+
+
+_l(
+    "l73_mixture_reweighting",
+    "per-source acceptance rates (bp) toward a uniform source mixture "
+    "under the corpus budget (static domain reweighting, never "
+    "upsampled)",
+    _l73,
+    """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT source, n,
+         SUM(n) OVER () AS total,
+         COUNT(*) OVER () AS n_sources
+  FROM counts
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(total // n_sources AS BIGINT) AS target_n,
+       CAST(least(10000, (10000 * (total // n_sources)) // n) AS BIGINT)
+         AS rate_bp,
+       CAST(n * least(10000, (10000 * (total // n_sources)) // n) // 10000
+            AS BIGINT) AS expected_n
+FROM t
+ORDER BY source
+""",
+    ref="SURVEY.md §2.4 L38/L26 family (mixture shaping); DoReMi-style "
+    "static reweighting",
+)
+
+# ---------------------------------------------------------------------------
+# L74 — tokenizer fertility: BPE-ish tokens per whitespace word, per
+# language, in milli-units — the standard tokenizer-efficiency metric
+# (fertility ~1 means the pre-tokenizer rarely splits words; high
+# fertility = the language pays more sequence length per word). Both
+# counts are existing JVM-side expressions; one aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _l74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("words"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("words"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_milli", F.expr("1000 * bpe_tokens div words")
+        )
+        .orderBy("lang")
+    )
+
+
+_l(
+    "l74_tokenizer_fertility",
+    "BPE-ish tokens per whitespace word (fertility, milli-units) per "
+    "language — tokenizer-efficiency audit",
+    _l74,
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+       (1000 * SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))))
+         // SUM(len(string_split(text, ' '))) AS fertility_milli
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    ref="SURVEY.md §2.4 L09/L34 family (tokenizer stats); fertility is "
+    "the standard sequence-length-cost metric",
+)

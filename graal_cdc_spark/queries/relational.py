@@ -4558,3 +4558,154 @@ ORDER BY event_type, day
 """,
     ref="SURVEY.md §2.4 R37/R38 family (gap fill); TSDB interpolate()",
 )
+
+# ---------------------------------------------------------------------------
+# R90 — per-group trend detection: integer-exact least-squares slope
+# NUMERATOR and denominator (n*Σxy − Σx·Σy, n*Σxx − (Σx)²) of daily
+# event volume over day index, per event type — sign and magnitude
+# comparisons between groups without a single float (the l71 moment
+# trick applied to time series). One daily aggregate, one tiny
+# per-type reduction.
+# ---------------------------------------------------------------------------
+
+
+def _r90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+            F.when(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") > 0, 1
+            )
+            .when(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") < 0, -1
+            )
+            .otherwise(0)
+            .alias("trend_sign"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r90_trend_regression",
+    "integer-exact least-squares slope numerator/denominator of daily "
+    "volume per event type (trend detection without floats)",
+    _r90,
+    """
+WITH daily AS (
+  SELECT event_type, CAST(dayofmonth(ts) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
+       CASE WHEN count(*) * SUM(x*y) - SUM(x) * SUM(y) > 0 THEN 1
+            WHEN count(*) * SUM(x*y) - SUM(x) * SUM(y) < 0 THEN -1
+            ELSE 0 END AS trend_sign
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ref="SURVEY.md §2.4 R35 family (moment statistics, exact form)",
+)
+
+# ---------------------------------------------------------------------------
+# R91 — as-of join with STALENESS TOLERANCE: last prior error per
+# purchase (r09), but matches older than 10 minutes are rejected to
+# NULL — the TSDB `ASOF JOIN ... TOLERANCE` parameter. The match and
+# its age ride the same encoded min/max trick as r87 (single window,
+# no second join); rejection is a post-filter on the decoded age.
+# ---------------------------------------------------------------------------
+
+
+def _r91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+    )
+    enc = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lpad(F.col("s").cast("string"), 20, "0"),
+            F.lit("-"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tol_us = 10 * 60 * 1_000_000
+    tagged = ev.withColumn("last_err", F.max(enc).over(w))
+    age = F.col("s") - F.substring("last_err", 1, 20).cast("bigint")
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                age <= tol_us,
+                F.substring("last_err", 22, 12).cast("bigint"),
+            ).alias("err_event_id"),
+            F.when(age <= tol_us, F.expr(
+                "(s - cast(substring(last_err, 1, 20) as bigint)) div 1000000"
+            )).alias("age_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_r(
+    "r91_asof_tolerance_join",
+    "as-of backward join with 10-min staleness tolerance: stale "
+    "matches reject to NULL (TSDB ASOF ... TOLERANCE)",
+    _r91,
+    """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS s FROM events
+), tagged AS (
+  SELECT user_id, event_type, event_id, s,
+         max(CASE WHEN event_type = 'error'
+                  THEN lpad(CAST(s AS VARCHAR), 20, '0') || '-' ||
+                       lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_err
+  FROM ev
+)
+SELECT event_id, user_id,
+       CASE WHEN s - CAST(substring(last_err, 1, 20) AS BIGINT) <= 600000000
+            THEN CAST(substring(last_err, 22, 12) AS BIGINT) END
+         AS err_event_id,
+       CASE WHEN s - CAST(substring(last_err, 1, 20) AS BIGINT) <= 600000000
+            THEN (s - CAST(substring(last_err, 1, 20) AS BIGINT)) // 1000000
+            END AS age_s
+FROM tagged
+WHERE event_type = 'purchase'
+ORDER BY event_id
+""",
+    ref="SURVEY.md §2.4 R09 family; TSDB ASOF JOIN TOLERANCE",
+)

@@ -483,3 +483,26 @@ def test_l71_no_vector_self_join(spark):
     assert a.sortmerge_joins == 0, a.plan
     # the only joins are 64-row dim-sum broadcasts + the 1-row count
     assert a.shuffles <= 5, a.plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("r90_trend_regression", 4),       # daily agg + tiny type agg + sort
+        ("r91_asof_tolerance_join", 3),    # ONE user window + sort
+        ("l73_mixture_reweighting", 4),    # source agg + O(sources) window
+        ("l74_tokenizer_fertility", 4),    # lang agg + sort
+    ],
+)
+def test_round5_batch5_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["r90_trend_regression", "l73_mixture_reweighting",
+     "l74_tokenizer_fertility"],
+)
+def test_round5_batch5_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
