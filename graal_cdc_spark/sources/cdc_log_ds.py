@@ -43,11 +43,16 @@ import json
 import os
 from dataclasses import dataclass
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "seq BIGINT, key STRING, value STRING"
@@ -194,8 +199,126 @@ class CdcLogStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class CdcLogCommit(WriterCommitMessage):
+    staged: str  # absolute path of the staged jsonl file
+    rows: int
+
+
+def _stage_rows(path: str, iterator) -> CdcLogCommit:
+    """Executor side: write one partition to a staged file."""
+    staging = os.path.join(path, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    full = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(full, "w", encoding="utf-8") as f:
+        for row in iterator:
+            f.write(
+                json.dumps(
+                    {
+                        "seq": row["seq"],
+                        "key": row["key"],
+                        "value": row["value"],
+                    }
+                )
+                + "\n"
+            )
+            n += 1
+    return CdcLogCommit(staged=full, rows=n)
+
+
+def _publish(path: str, staged: list[str]) -> list[str]:
+    """Driver side: rename staged files into the next sealed segment
+    slots (lexicographic order = commit order). rename() is atomic on
+    a POSIX filesystem, and readers only ever see fully-written
+    segments because staged files live under a dot-directory the
+    reader ignores."""
+    os.makedirs(path, exist_ok=True)
+    existing = len(_segments(path))
+    out = []
+    for i, f in enumerate(staged):
+        name = f"segment-{existing + i:08d}.jsonl"
+        os.rename(f, os.path.join(path, name))
+        out.append(name)
+    return out
+
+
+class CdcLogBatchWriter(DataSourceWriter):
+    """Batch sink: stage per-partition files, publish on commit —
+    readers never observe a partial write; abort deletes the staged
+    files and publishes nothing."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graal_cdc_log requires a path")
+        if overwrite:
+            raise ValueError(
+                "graal_cdc_log is an append-only log; overwrite mode "
+                "is not supported"
+            )
+
+    def write(self, iterator) -> CdcLogCommit:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _publish(
+            self.path,
+            [m.staged for m in messages if m is not None and m.rows > 0],
+        )
+        for m in messages:
+            if m is not None and m.rows == 0 and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class CdcLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with IDEMPOTENT epoch commits: each micro-batch
+    publishes its staged files once; a replayed batchId (restart after
+    a crash between sink commit and checkpoint advance) finds its
+    epoch marker and discards the duplicate staging — the file-log
+    analog of the id-keyed idempotent ES upsert (SURVEY.md §2.3).
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graal_cdc_log requires a path")
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, ".epochs", f"{batch_id}.done")
+
+    def write(self, iterator) -> CdcLogCommit:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = self._marker(batchId)
+        staged = [
+            m.staged for m in messages if m is not None and m.rows > 0
+        ]
+        if os.path.exists(marker):  # replayed epoch — drop duplicates
+            for f in staged:
+                if os.path.exists(f):
+                    os.remove(f)
+            return
+        _publish(self.path, staged)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(str(len(staged)))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class CdcLogDataSource(DataSource):
-    """``graal_cdc_log`` — CDC segment-log source (batch + streaming)."""
+    """``graal_cdc_log`` — CDC segment-log connector (batch + streaming
+    read AND write)."""
 
     @classmethod
     def name(cls) -> str:
@@ -209,6 +332,12 @@ class CdcLogDataSource(DataSource):
 
     def streamReader(self, schema) -> CdcLogStreamReader:
         return CdcLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> CdcLogBatchWriter:
+        return CdcLogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> CdcLogStreamWriter:
+        return CdcLogStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -128,3 +128,87 @@ def test_source_feeds_envelope_data_plane(spark, log_dir):
     rows = parsed.collect()
     assert len(rows) == 1
     assert (rows[0].op, rows[0].db, rows[0].tbl) == ("c", "appdb", "users")
+
+
+def test_batch_write_round_trip_and_append(spark, log_dir, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z")],
+        "seq long, key string, value string",
+    )
+    # Python data sources accept only Append/Overwrite save modes;
+    # append IS the log's native semantic
+    df.write.mode("append").format("graal_cdc_log").save(log_dir)
+    back = spark.read.format("graal_cdc_log").load(log_dir)
+    assert {(r.seq, r.key, r.value) for r in back.collect()} == {
+        (1, "a", "x"), (2, "b", None), (3, "c", "z"),
+    }
+    # second write APPENDS new sealed segments (log semantics)
+    spark.createDataFrame(
+        [(4, "d", "w")], "seq long, key string, value string"
+    ).write.mode("append").format("graal_cdc_log").save(log_dir)
+    assert spark.read.format("graal_cdc_log").load(log_dir).count() == 4
+    # no staged leftovers
+    staging = os.path.join(log_dir, ".staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_batch_write_overwrite_rejected(spark, log_dir):
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "seq long, key string, value string"
+    )
+    with pytest.raises(Exception, match="append-only"):
+        df.write.mode("overwrite").format("graal_cdc_log").save(log_dir)
+
+
+def test_stream_writer_epoch_commit_idempotent(tmp_path):
+    """A replayed micro-batch (same batchId after a crash between sink
+    commit and checkpoint advance) must publish NOTHING the second
+    time — the epoch marker makes the sink exactly-once."""
+    from graal_cdc_spark.sources.cdc_log_ds import (
+        CdcLogStreamWriter,
+        _stage_rows,
+    )
+    from pyspark.sql import Row
+
+    log = str(tmp_path / "log")
+    w = CdcLogStreamWriter({"path": log}, overwrite=False)
+    rows = [Row(seq=1, key="a", value="x"), Row(seq=2, key="b", value="y")]
+    m1 = _stage_rows(log, iter(rows))
+    w.commit([m1], batchId=7)
+    assert len(DS._segments(log)) == 1
+    # replay of the same epoch: new staged file, same batchId
+    m2 = _stage_rows(log, iter(rows))
+    w.commit([m2], batchId=7)
+    assert len(DS._segments(log)) == 1  # nothing new published
+    assert not os.listdir(os.path.join(log, ".staging"))
+    # next epoch publishes normally
+    m3 = _stage_rows(log, iter(rows))
+    w.commit([m3], batchId=8)
+    assert len(DS._segments(log)) == 2
+
+
+def test_stream_relay_log_to_log(spark, tmp_path, log_dir):
+    """End-to-end relay: readStream from one log, writeStream into
+    another through the same connector — the downstream log holds
+    exactly the upstream rows (the fan-out pattern the reference runs
+    between its queue and consumers)."""
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    DS.append_segment(log_dir, [(1, "a", "x"), (2, "b", None)])
+    DS.append_segment(log_dir, [(3, "c", "z")], seal=True)
+    q = (
+        spark.readStream.format("graal_cdc_log")
+        .load(log_dir)
+        .writeStream.format("graal_cdc_log")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.seq, r.key, r.value)
+        for r in spark.read.format("graal_cdc_log").load(dst).collect()
+    }
+    assert got == {(1, "a", "x"), (2, "b", None), (3, "c", "z")}
