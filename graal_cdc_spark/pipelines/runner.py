@@ -63,6 +63,10 @@ class PipelineRunner:
     replay_dir: str
     checkpoint_root: str
     envelope_schema: str = "seq BIGINT, key STRING, value STRING"
+    # "parquet-replay" (directory file stream, the default) or
+    # "graal_cdc_log" (the custom segment-log connector — same frame,
+    # line-level offsets instead of file-level)
+    source_format: str = "parquet-replay"
     _running: dict[str, RunningPipeline] = field(default_factory=dict)
 
     def start(
@@ -76,12 +80,20 @@ class PipelineRunner:
         if active is not None and active.query.isActive:
             return active  # C1: one engine per identity
 
-        from pyspark.sql.types import _parse_datatype_string
+        if self.source_format == "graal_cdc_log":
+            from graal_cdc_spark.sources import cdc_log_ds
 
-        schema = _parse_datatype_string(self.envelope_schema)
-        raw = read_file_stream(
-            self.spark, self.replay_dir, schema, max_files_per_trigger
-        )
+            cdc_log_ds.register(self.spark)
+            raw = self.spark.readStream.format("graal_cdc_log").load(
+                self.replay_dir
+            )
+        else:
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(self.envelope_schema)
+            raw = read_file_stream(
+                self.spark, self.replay_dir, schema, max_files_per_trigger
+            )
         # the reference's hot path per pipeline: filter chain →
         # projection → per-pipeline routing on the stream; the USER
         # transform runs inside foreachBatch, where the full batch

@@ -397,3 +397,62 @@ def test_hot_reload_restarts_query_from_same_checkpoint(spark, sf_dir, tmp_path)
     assert v1 and v2 and v1.isdisjoint(v2)  # no replay across the reload
     want = {r.seq for r in parse_envelope(cdc).collect()}
     assert v1 | v2 == want  # nothing lost across the restart
+
+
+def test_runner_with_graal_cdc_log_source(spark, sf_dir, tmp_path):
+    """The runner's source is pluggable: the same pipeline code runs
+    from the custom graal_cdc_log connector (line-level offsets)
+    instead of the parquet file replay — and resumes from its
+    checkpoint when the log grows while the query is down."""
+    from graal_cdc_spark.cdc.envelope import build_cdc_events
+    from graal_cdc_spark.pipelines import PipelineRegistry
+    from graal_cdc_spark.pipelines.runner import PipelineRunner
+    from graal_cdc_spark.sources import cdc_log_ds as DS
+
+    pdir = tmp_path / "scripts"
+    pdir.mkdir()
+    (pdir / "logpipe.py").write_text(FANOUT_PIPE % {"name": "logpipe"})
+    reg = PipelineRegistry()
+    reg.refresh(pdir)
+
+    events = build_cdc_events(spark, sf_dir).orderBy("seq").limit(200)
+    rows = [(r.seq, r.key, r.value) for r in events.collect()]
+    log = str(tmp_path / "log")
+    DS.append_segment(log, rows[:150])
+
+    delivered: list[int] = []
+
+    def sink(batch_df, batch_id):
+        delivered.extend(r.seq for r in batch_df.collect())
+
+    runner = PipelineRunner(
+        spark,
+        replay_dir=log,
+        checkpoint_root=str(tmp_path / "ckpt"),
+        source_format="graal_cdc_log",
+    )
+    run = runner.start(reg.pipelines()["logpipe"], sink)
+    run.query.awaitTermination()
+
+    from graal_cdc_spark.cdc.envelope import parse_envelope
+
+    want = sorted(
+        r.seq
+        for r in parse_envelope(
+            spark.createDataFrame(rows[:150], "seq long, key string, value string")
+        ).collect()
+    )
+    assert sorted(delivered) == want
+
+    # log grows while down; restart resumes at the line-level cursor
+    DS.append_segment(log, rows[150:], seal=True)
+    runner._running.clear()
+    run2 = runner.start(reg.pipelines()["logpipe"], sink)
+    run2.query.awaitTermination()
+    want_all = sorted(
+        r.seq
+        for r in parse_envelope(
+            spark.createDataFrame(rows, "seq long, key string, value string")
+        ).collect()
+    )
+    assert sorted(delivered) == want_all  # no duplicates, nothing lost
