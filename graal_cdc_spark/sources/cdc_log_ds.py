@@ -95,8 +95,16 @@ def _count_lines(full: str) -> int:
     return n
 
 
-def _read_lines(path: str, segment: str, start: int, end: int):
-    """Yield (seq, key, value) for lines [start, end) of a segment."""
+def _read_lines(
+    path: str, segment: str, start: int, end: int, bad_records: str = "fail"
+):
+    """Yield (seq, key, value) for lines [start, end) of a segment.
+
+    ``bad_records``: "fail" raises on an unparseable line (default —
+    a corrupt durable log is an operator emergency); "null" yields
+    ``(None, None, raw_line)`` so the malformed-envelope filter (F4)
+    quarantines it downstream instead of killing the query.
+    """
     full = os.path.join(path, segment)
     with open(full, encoding="utf-8") as f:
         for i, line in enumerate(f):
@@ -106,7 +114,15 @@ def _read_lines(path: str, segment: str, start: int, end: int):
                 continue
             if not line.strip():
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                if bad_records == "null":
+                    yield (None, None, line.rstrip("\n"))
+                    continue
+                raise ValueError(
+                    f"corrupt log line {segment}:{i}: {line[:120]!r}"
+                )
             yield (rec.get("seq"), rec.get("key"), rec.get("value"))
 
 
@@ -116,6 +132,7 @@ class CdcLogPartition(InputPartition):
     segment: str
     start: int
     end: int
+    bad_records: str = "fail"
 
 
 class CdcLogBatchReader(DataSourceReader):
@@ -123,17 +140,27 @@ class CdcLogBatchReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graal_cdc_log requires a path")
+        self.bad_records = options.get("badrecords", "fail")
 
     def partitions(self):
         return [
-            CdcLogPartition(self.path, seg, 0, _count_lines(
-                os.path.join(self.path, seg)))
+            CdcLogPartition(
+                self.path,
+                seg,
+                0,
+                _count_lines(os.path.join(self.path, seg)),
+                self.bad_records,
+            )
             for seg in _segments(self.path)
         ]
 
     def read(self, partition: CdcLogPartition):
         yield from _read_lines(
-            partition.path, partition.segment, partition.start, partition.end
+            partition.path,
+            partition.segment,
+            partition.start,
+            partition.end,
+            partition.bad_records,
         )
 
 
@@ -150,12 +177,20 @@ class CdcLogStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graal_cdc_log requires a path")
+        self.bad_records = options.get("badrecords", "fail")
+        # admission-rate knob (maxFilesPerTrigger analog at line
+        # granularity): each trigger advances the offset by at most
+        # this many lines, in segment order — deterministic
+        # micro-batch boundaries for tests and backfill throttling.
+        mlpt = options.get("maxlinespertrigger")
+        self.max_lines = int(mlpt) if mlpt else None
         self._sealed_counts: dict[str, int] = {}
+        self._last: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         return {"pos": {}}
 
-    def latestOffset(self) -> dict:
+    def _full_latest(self) -> dict[str, int]:
         pos: dict[str, int] = {}
         segs = _segments(self.path)
         for i, seg in enumerate(segs):
@@ -167,15 +202,42 @@ class CdcLogStreamReader(DataSourceStreamReader):
             if not last:
                 self._sealed_counts[seg] = n
             pos[seg] = n
-        return {"pos": pos}
+        return pos
+
+    def latestOffset(self) -> dict:
+        pos = self._full_latest()
+        if self.max_lines is None:
+            self._last = dict(pos)
+            return {"pos": pos}
+        # cap the advance at max_lines past the previously REPORTED
+        # offset (Spark always plans start=previous end, so the
+        # reported sequence is the batch-boundary sequence)
+        budget = self.max_lines
+        capped: dict[str, int] = {}
+        for seg in sorted(pos):
+            lo = self._last.get(seg, 0)
+            hi = pos[seg]
+            take = min(hi - lo, budget) if budget > 0 else 0
+            capped[seg] = lo + max(take, 0)
+            budget -= max(take, 0)
+        self._last = dict(capped)
+        return {"pos": capped}
 
     def partitions(self, start: dict, end: dict):
         s, e = start.get("pos", {}), end.get("pos", {})
+        # restart sync: after recovery the checkpointed start can be
+        # ahead of this (fresh) reader's rate-limit cursor — never cap
+        # below a position Spark has already committed past
+        for seg, lo in s.items():
+            if self._last.get(seg, 0) < lo:
+                self._last[seg] = lo
         out = []
         for seg, hi in sorted(e.items()):
             lo = s.get(seg, 0)
             if hi > lo:
-                out.append(CdcLogPartition(self.path, seg, lo, hi))
+                out.append(
+                    CdcLogPartition(self.path, seg, lo, hi, self.bad_records)
+                )
         if not out:
             # Spark requires >= 1 partition per planned batch; emit an
             # empty range when start == end (no new data at trigger).
@@ -190,6 +252,7 @@ class CdcLogStreamReader(DataSourceStreamReader):
                 partition.segment,
                 partition.start,
                 partition.end,
+                partition.bad_records,
             )
 
     def commit(self, end: dict) -> None:

@@ -212,3 +212,58 @@ def test_stream_relay_log_to_log(spark, tmp_path, log_dir):
         for r in spark.read.format("graal_cdc_log").load(dst).collect()
     }
     assert got == {(1, "a", "x"), (2, "b", None), (3, "c", "z")}
+
+
+def test_max_lines_per_trigger_batches(spark, tmp_path, log_dir):
+    """The line-granular rate limit yields deterministic micro-batch
+    boundaries: 10 lines at maxLinesPerTrigger=4 -> batches of
+    4/4/2, all rows delivered exactly once."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    DS.append_segment(log_dir, [(i, f"k{i}", "v") for i in range(6)])
+    DS.append_segment(log_dir, [(i, f"k{i}", "v") for i in range(6, 10)],
+                      seal=True)
+    q = (
+        spark.readStream.format("graal_cdc_log")
+        .option("maxLinesPerTrigger", "4")
+        .load(log_dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import glob
+
+    got = spark.read.parquet(out)
+    assert sorted(r.seq for r in got.collect()) == list(range(10))
+    # one committed offset entry per non-empty batch: ceil(10/4) == 3+
+    offsets = glob.glob(os.path.join(ck, "offsets", "*"))
+    assert len(offsets) >= 3
+
+
+def test_bad_records_null_mode_feeds_f4_filter(spark, log_dir, tmp_path):
+    """badRecords=null quarantines corrupt lines as (null, null, raw)
+    instead of failing the scan — and the F4 malformed filter drops
+    them downstream (fail mode raises)."""
+    seg = os.path.join(log_dir, "segment-00000000.jsonl")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(seg, "w", encoding="utf-8") as f:
+        f.write('{"seq": 1, "key": "a", "value": "x"}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"seq": 2, "key": "b", "value": "y"}\n')
+
+    rows = (
+        spark.read.format("graal_cdc_log")
+        .option("badRecords", "null")
+        .load(log_dir)
+        .collect()
+    )
+    assert len(rows) == 3
+    bad = [r for r in rows if r.seq is None]
+    assert len(bad) == 1 and bad[0].value == "THIS IS NOT JSON"
+
+    with pytest.raises(Exception, match="corrupt log line"):
+        spark.read.format("graal_cdc_log").load(log_dir).collect()
