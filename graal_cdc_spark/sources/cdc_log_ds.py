@@ -182,6 +182,11 @@ class CdcLogStreamReader(DataSourceStreamReader):
         # granularity): each trigger advances the offset by at most
         # this many lines, in segment order — deterministic
         # micro-batch boundaries for tests and backfill throttling.
+        # CAVEAT (pinned by test): Trigger.AvailableNow snapshots ONE
+        # capped latestOffset as the run's end target, so an
+        # availableNow run with the cap drains exactly one capped
+        # batch and stops — use a processingTime trigger (or repeated
+        # runs) with the cap; uncapped availableNow drains fully.
         mlpt = options.get("maxlinespertrigger")
         self.max_lines = int(mlpt) if mlpt else None
         self._sealed_counts: dict[str, int] = {}

@@ -267,3 +267,37 @@ def test_bad_records_null_mode_feeds_f4_filter(spark, log_dir, tmp_path):
 
     with pytest.raises(Exception, match="corrupt log line"):
         spark.read.format("graal_cdc_log").load(log_dir).collect()
+
+
+def test_available_now_with_cap_drains_one_batch_per_run(
+    spark, tmp_path, log_dir
+):
+    """Pinned semantic: Trigger.AvailableNow snapshots ONE capped
+    latestOffset as the run target, so each run with maxLinesPerTrigger
+    drains exactly one capped batch (repeated runs make progress from
+    the checkpoint; an uncapped availableNow drains fully)."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    DS.append_segment(log_dir, [(i, f"k{i}", "v") for i in range(10)])
+
+    def run_once():
+        q = (
+            spark.readStream.format("graal_cdc_log")
+            .option("maxLinesPerTrigger", "4")
+            .load(log_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 4
+    run_once()
+    assert spark.read.parquet(out).count() == 8
+    run_once()
+    assert sorted(
+        r.seq for r in spark.read.parquet(out).collect()
+    ) == list(range(10))
