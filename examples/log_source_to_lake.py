@@ -80,24 +80,25 @@ def main() -> None:
         # otherwise re-read the source per action — and every re-read
         # re-counts in the observed metrics (see streaming/metrics.py)
         batch.persist()
-        parsed = parse_envelope(batch)
-        if parsed.isEmpty():
-            return
-        state = latest_by_key(parsed, ["key"], "seq").filter(
-            F.col("op") != "d"
-        )
-        merged = state.select("key", "op", "seq", "tbl", "after_json")
-        prev = None
-        if os.path.isdir(lake):
-            prev = batch.sparkSession.read.parquet(lake)
-            merged = latest_by_key(
-                prev.unionByName(merged), ["key"], "seq"
-            ).filter(F.col("op") != "d")
-        merged.write.mode("overwrite").parquet(lake + ".tmp")
-        out = batch.sparkSession.read.parquet(lake + ".tmp")
-        out.write.mode("overwrite").parquet(lake)
-        shutil.rmtree(lake + ".tmp", ignore_errors=True)
-        batch.unpersist()
+        try:
+            parsed = parse_envelope(batch)
+            if parsed.isEmpty():
+                return
+            state = latest_by_key(parsed, ["key"], "seq").filter(
+                F.col("op") != "d"
+            )
+            merged = state.select("key", "op", "seq", "tbl", "after_json")
+            if os.path.isdir(lake):
+                prev = batch.sparkSession.read.parquet(lake)
+                merged = latest_by_key(
+                    prev.unionByName(merged), ["key"], "seq"
+                ).filter(F.col("op") != "d")
+            merged.write.mode("overwrite").parquet(lake + ".tmp")
+            out = batch.sparkSession.read.parquet(lake + ".tmp")
+            out.write.mode("overwrite").parquet(lake)
+            shutil.rmtree(lake + ".tmp", ignore_errors=True)
+        finally:
+            batch.unpersist()
 
     q = (
         observed.writeStream.foreachBatch(upsert)

@@ -38,64 +38,15 @@ def binned_group_median(
 ) -> DataFrame:
     """Exact lower median of ``value_col`` per ``group_col``.
 
-    Returns (group_col, median). ``bin_width`` trades histogram size
-    against pass-2 bin population; correctness is independent of it.
+    The p=0.5 case of :func:`binned_group_quantiles` (lower median =
+    min v with cum*2 >= tot = rank-at-ceil(0.5*n)); one code path so
+    every fix to the two-pass logic lands everywhere.
+    Returns (group_col, median).
     """
-    src = df.select(group_col, F.col(value_col).alias("__v")).withColumn(
-        "__bin", F.floor(F.col("__v") / F.lit(bin_width)).cast("long")
+    q = binned_group_quantiles(
+        df, group_col, value_col, probabilities=(0.5,), bin_width=bin_width
     )
-
-    hist = src.groupBy(group_col, "__bin").agg(
-        F.count(F.lit(1)).alias("__bw")
-    )
-    wbin = (
-        Window.partitionBy(group_col)
-        .orderBy("__bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy(group_col)
-    hist = hist.withColumn("__cum", F.sum("__bw").over(wbin)).withColumn(
-        "__tot", F.sum("__bw").over(wtot)
-    )
-    med_bin = (
-        hist.filter(F.col("__cum") * 2 >= F.col("__tot"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(group_col).orderBy("__bin")
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(group_col).alias("__mg"),
-            F.col("__bin").alias("__mbin"),
-            (F.col("__cum") - F.col("__bw")).alias("__prev_cum"),
-            "__tot",
-        )
-    )
-
-    inbin = src.join(
-        F.broadcast(med_bin),
-        (F.col(group_col) == F.col("__mg"))
-        & (F.col("__bin") == F.col("__mbin")),
-    ).select(group_col, "__v", "__prev_cum", "__tot")
-
-    vals = inbin.groupBy(group_col, "__v", "__prev_cum", "__tot").agg(
-        F.count(F.lit(1)).alias("__vw")
-    )
-    wval = (
-        Window.partitionBy(group_col)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        vals.withColumn(
-            "__cum", F.col("__prev_cum") + F.sum("__vw").over(wval)
-        )
-        .filter(F.col("__cum") * 2 >= F.col("__tot"))
-        .groupBy(group_col)
-        .agg(F.min("__v").alias("median"))
-    )
+    return q.select(group_col, F.col("value").alias("median"))
 
 
 def mad_outlier_profile(
@@ -168,12 +119,37 @@ def binned_group_quantiles(
     hist = hist.withColumn("__cum", F.sum("__bw").over(wbin)).withColumn(
         "__tot", F.sum("__bw").over(wtot)
     )
+    # integer-exact target ranks: ceil(p*n) computed as
+    # (num*n + den - 1) div den from p's exact decimal rational —
+    # double arithmetic (0.2*10 = 2.0000000000000004) would ceil to
+    # the wrong order statistic for non-dyadic p
+    from fractions import Fraction
+
+    fracs = [Fraction(str(float(p))) for p in probabilities]
     ps = F.explode(
-        F.array(*[F.lit(float(p)) for p in probabilities])
-    ).alias("p")
-    targets = hist.select(group_col, "__bin", "__bw", "__cum", "__tot", ps)
-    targets = targets.withColumn(
-        "__target", F.ceil(F.col("p") * F.col("__tot")).cast("long")
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(p)).alias("p"),
+                    F.lit(fr.numerator).alias("num"),
+                    F.lit(fr.denominator).alias("den"),
+                )
+                for p, fr in zip(probabilities, fracs)
+            ]
+        )
+    ).alias("__pr")
+    targets = hist.select(
+        group_col, "__bin", "__bw", "__cum", "__tot", ps
+    ).select(
+        group_col,
+        "__bin",
+        "__bw",
+        "__cum",
+        "__tot",
+        F.col("__pr.p").alias("p"),
+        F.expr(
+            "CAST((__pr.num * __tot + __pr.den - 1) div __pr.den AS BIGINT)"
+        ).alias("__target"),
     )
     tbin = (
         targets.filter(F.col("__cum") >= F.col("__target"))

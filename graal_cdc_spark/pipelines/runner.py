@@ -75,6 +75,7 @@ class PipelineRunner:
         sink: BatchSink,
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
+        max_lines_per_trigger: int | None = None,
     ) -> RunningPipeline:
         active = self._running.get(pipeline.name)
         if active is not None and active.query.isActive:
@@ -84,9 +85,20 @@ class PipelineRunner:
             from graal_cdc_spark.sources import cdc_log_ds
 
             cdc_log_ds.register(self.spark)
-            raw = self.spark.readStream.format("graal_cdc_log").load(
-                self.replay_dir
-            )
+            reader = self.spark.readStream.format("graal_cdc_log")
+            if max_files_per_trigger is not None:
+                # the log connector's admission unit is the LINE; a
+                # caller's per-trigger cap must not be silently dropped
+                raise ValueError(
+                    "graal_cdc_log throttles by line, not file: pass "
+                    "max_lines_per_trigger instead of "
+                    "max_files_per_trigger"
+                )
+            if max_lines_per_trigger is not None:
+                reader = reader.option(
+                    "maxLinesPerTrigger", str(max_lines_per_trigger)
+                )
+            raw = reader.load(self.replay_dir)
         else:
             from pyspark.sql.types import _parse_datatype_string
 

@@ -4327,13 +4327,15 @@ def _r87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("s"),
     )
+    from graal_cdc_spark.operators.asof import (
+        decode_id,
+        decode_ts,
+        encode_ts_id,
+    )
+
     enc = F.when(
         F.col("event_type") == "view",
-        F.concat(
-            F.lpad(F.col("s").cast("string"), 20, "0"),
-            F.lit("-"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ),
+        encode_ts_id(F.col("s"), F.col("event_id")),
     )
     w = (
         Window.partitionBy("user_id")
@@ -4346,13 +4348,11 @@ def _r87(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.substring("first_view", 22, 12).cast("bigint").alias(
-                "first_view_event_id"
-            ),
-            F.expr(
-                "(s - cast(substring(first_view, 1, 20) as bigint)) "
-                "div 1000000"
-            ).alias("wait_s"),
+            decode_id(F.col("first_view")).alias("first_view_event_id"),
+            F.floor(
+                (F.col("s") - decode_ts(F.col("first_view")))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("wait_s"),
         )
         .orderBy("event_id")
     )
@@ -4645,13 +4645,15 @@ def _r91(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("s"),
     )
+    from graal_cdc_spark.operators.asof import (
+        decode_id,
+        decode_ts,
+        encode_ts_id,
+    )
+
     enc = F.when(
         F.col("event_type") == "error",
-        F.concat(
-            F.lpad(F.col("s").cast("string"), 20, "0"),
-            F.lit("-"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        ),
+        encode_ts_id(F.col("s"), F.col("event_id")),
     )
     w = (
         Window.partitionBy("user_id")
@@ -4660,19 +4662,19 @@ def _r91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tol_us = 10 * 60 * 1_000_000
     tagged = ev.withColumn("last_err", F.max(enc).over(w))
-    age = F.col("s") - F.substring("last_err", 1, 20).cast("bigint")
+    age = F.col("s") - decode_ts(F.col("last_err"))
     return (
         tagged.filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
             "user_id",
+            F.when(age <= tol_us, decode_id(F.col("last_err"))).alias(
+                "err_event_id"
+            ),
             F.when(
                 age <= tol_us,
-                F.substring("last_err", 22, 12).cast("bigint"),
-            ).alias("err_event_id"),
-            F.when(age <= tol_us, F.expr(
-                "(s - cast(substring(last_err, 1, 20) as bigint)) div 1000000"
-            )).alias("age_s"),
+                F.floor(age / F.lit(1_000_000)).cast("bigint"),
+            ).alias("age_s"),
         )
         .orderBy("event_id")
     )

@@ -69,7 +69,7 @@ def append_segment(path: str, rows, seal: bool = False) -> str:
     os.makedirs(path, exist_ok=True)
     segs = sorted(n for n in os.listdir(path) if n.endswith(".jsonl"))
     if not segs or seal:
-        name = f"segment-{len(segs):08d}.jsonl"
+        name = f"segment-{_next_index(segs):08d}.jsonl"
     else:
         name = segs[-1]
     full = os.path.join(path, name)
@@ -79,6 +79,20 @@ def append_segment(path: str, rows, seal: bool = False) -> str:
                 json.dumps({"seq": seq, "key": key, "value": value}) + "\n"
             )
     return full
+
+
+def _next_index(segs: list[str]) -> int:
+    """Next segment index = max existing index + 1 — NEVER the segment
+    COUNT: after retention deletes old segments, count-based naming
+    would collide with (and os.rename would silently overwrite) a
+    surviving sealed segment."""
+    mx = -1
+    for n in segs:
+        stem = n.rsplit(".", 1)[0]
+        tail = stem.rsplit("-", 1)[-1]
+        if tail.isdigit():
+            mx = max(mx, int(tail))
+    return mx + 1
 
 
 def _segments(path: str) -> list[str]:
@@ -108,7 +122,7 @@ def _read_lines(
     full = os.path.join(path, segment)
     with open(full, encoding="utf-8") as f:
         for i, line in enumerate(f):
-            if i >= end:
+            if end >= 0 and i >= end:
                 break
             if i < start:
                 continue
@@ -143,14 +157,11 @@ class CdcLogBatchReader(DataSourceReader):
         self.bad_records = options.get("badrecords", "fail")
 
     def partitions(self):
+        # end=-1: read to EOF on the executor — the driver never
+        # line-counts the log (segments are immutable during a batch
+        # read, so EOF is a stable bound)
         return [
-            CdcLogPartition(
-                self.path,
-                seg,
-                0,
-                _count_lines(os.path.join(self.path, seg)),
-                self.bad_records,
-            )
+            CdcLogPartition(self.path, seg, 0, -1, self.bad_records)
             for seg in _segments(self.path)
         ]
 
@@ -302,13 +313,27 @@ def _publish(path: str, staged: list[str]) -> list[str]:
     segments because staged files live under a dot-directory the
     reader ignores."""
     os.makedirs(path, exist_ok=True)
-    existing = len(_segments(path))
+    base = _next_index(_segments(path))
     out = []
     for i, f in enumerate(staged):
-        name = f"segment-{existing + i:08d}.jsonl"
+        name = f"segment-{base + i:08d}.jsonl"
         os.rename(f, os.path.join(path, name))
         out.append(name)
     return out
+
+
+def _execute_plan(path: str, plan: list[tuple[str, str]]) -> None:
+    """Idempotently complete a publish plan: rename every staged file
+    whose target does not exist yet; skip pairs already completed (a
+    crash mid-loop leaves a prefix done — re-running finishes it)."""
+    for staged, name in plan:
+        target = os.path.join(path, name)
+        if os.path.exists(target):
+            if os.path.exists(staged):
+                os.remove(staged)  # both exist: duplicate staging
+            continue
+        if os.path.exists(staged):
+            os.rename(staged, target)
 
 
 class CdcLogBatchWriter(DataSourceWriter):
@@ -345,11 +370,21 @@ class CdcLogBatchWriter(DataSourceWriter):
 
 
 class CdcLogStreamWriter(DataSourceStreamWriter):
-    """Streaming sink with IDEMPOTENT epoch commits: each micro-batch
-    publishes its staged files once; a replayed batchId (restart after
-    a crash between sink commit and checkpoint advance) finds its
-    epoch marker and discards the duplicate staging — the file-log
-    analog of the id-keyed idempotent ES upsert (SURVEY.md §2.3).
+    """Streaming sink with CRASH-SAFE idempotent epoch commits.
+
+    Two-phase publish per micro-batch: (1) write an INTENT marker
+    recording the (staged file -> segment name) plan — an fsync'd
+    temp-file rename, so the marker is atomic; (2) execute the
+    renames. A replayed batchId (crash anywhere between marker write
+    and checkpoint advance) finds the marker and idempotently
+    COMPLETES the recorded plan: targets that already exist are
+    skipped, missing ones are renamed from their surviving staged
+    files, and the replay's fresh duplicate staging is deleted. No
+    single crash point can double-publish an epoch: before the marker
+    exists nothing has been renamed (the replay restages and plans
+    anew); once it exists the plan's target names are fixed. The
+    file-log analog of the id-keyed idempotent ES upsert
+    (SURVEY.md §2.3).
     """
 
     def __init__(self, options, overwrite: bool):
@@ -358,7 +393,7 @@ class CdcLogStreamWriter(DataSourceStreamWriter):
             raise ValueError("graal_cdc_log requires a path")
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.path, ".epochs", f"{batch_id}.done")
+        return os.path.join(self.path, ".epochs", f"{batch_id}.json")
 
     def write(self, iterator) -> CdcLogCommit:
         return _stage_rows(self.path, iterator)
@@ -368,15 +403,39 @@ class CdcLogStreamWriter(DataSourceStreamWriter):
         staged = [
             m.staged for m in messages if m is not None and m.rows > 0
         ]
-        if os.path.exists(marker):  # replayed epoch — drop duplicates
-            for f in staged:
+        # empty-partition stagings are deleted either way (one 0-row
+        # file per shuffle partition per batch would grow .staging
+        # without bound; the batch writer already does this)
+        empties = [
+            m.staged for m in messages if m is not None and m.rows == 0
+        ]
+        if os.path.exists(marker):
+            # replayed epoch: complete the RECORDED plan, then drop
+            # the replay's duplicate staging
+            with open(marker, encoding="utf-8") as f:
+                plan = [tuple(p) for p in json.load(f)["plan"]]
+            _execute_plan(self.path, plan)
+            for f in staged + empties:
                 if os.path.exists(f):
                     os.remove(f)
             return
-        _publish(self.path, staged)
+        os.makedirs(self.path, exist_ok=True)
+        base = _next_index(_segments(self.path))
+        plan = [
+            (f, f"segment-{base + i:08d}.jsonl")
+            for i, f in enumerate(staged)
+        ]
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write(str(len(staged)))
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"plan": plan}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)  # the intent is now durable + atomic
+        _execute_plan(self.path, plan)
+        for f in empties:
+            if os.path.exists(f):
+                os.remove(f)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

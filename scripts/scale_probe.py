@@ -183,11 +183,20 @@ def time_spec(spark, name, sf_dir) -> float:
 
 def main() -> None:
     # usage: scale_probe.py [replicas] [--only n1,n2,...]
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    argv = sys.argv[1:]
     only = None
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--only":
+            i += 1
+            only = set(argv[i].split(",")) if i < len(argv) else set()
+        else:
+            args.append(a)
+        i += 1
     replicas = int(args[0]) if args else 10
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -301,3 +301,92 @@ def test_available_now_with_cap_drains_one_batch_per_run(
     assert sorted(
         r.seq for r in spark.read.parquet(out).collect()
     ) == list(range(10))
+
+
+def test_segment_naming_survives_retention_gap(spark, log_dir):
+    """After retention deletes old segments, new names must come from
+    max-index+1, never the segment COUNT — count-based naming would
+    silently overwrite a surviving sealed segment."""
+    for i in range(3):
+        DS.append_segment(log_dir, [(i, f"k{i}", "v")], seal=True)
+    os.remove(os.path.join(log_dir, "segment-00000000.jsonl"))  # retention
+    f = DS.append_segment(log_dir, [(9, "k9", "v")], seal=True)
+    assert f.endswith("segment-00000003.jsonl")
+    rows = sorted(
+        r.seq
+        for r in spark.read.format("graal_cdc_log").load(log_dir).collect()
+    )
+    assert rows == [1, 2, 9]  # nothing clobbered
+
+    # the writers allocate the same way
+    spark.createDataFrame(
+        [(20, "x", "y")], "seq long, key string, value string"
+    ).write.mode("append").format("graal_cdc_log").save(log_dir)
+    rows = sorted(
+        r.seq
+        for r in spark.read.format("graal_cdc_log").load(log_dir).collect()
+    )
+    assert rows == [1, 2, 9, 20]
+
+
+def test_stream_writer_crash_between_marker_and_publish(tmp_path):
+    """Crash-safety of the two-phase epoch commit: once the intent
+    marker exists, a replay COMPLETES the recorded plan exactly once —
+    whether the crash happened before any rename, mid-loop, or after
+    all renames."""
+    import json as _json
+
+    from graal_cdc_spark.sources.cdc_log_ds import (
+        CdcLogStreamWriter,
+        _stage_rows,
+    )
+    from pyspark.sql import Row
+
+    log = str(tmp_path / "log")
+    w = CdcLogStreamWriter({"path": log}, overwrite=False)
+    rows = [Row(seq=1, key="a", value="x")]
+    rows2 = [Row(seq=2, key="b", value="y")]
+
+    # simulate: marker written, crash BEFORE the renames ran
+    m1 = _stage_rows(log, iter(rows))
+    m2 = _stage_rows(log, iter(rows2))
+    plan = [
+        (m1.staged, "segment-00000000.jsonl"),
+        (m2.staged, "segment-00000001.jsonl"),
+    ]
+    os.makedirs(os.path.join(log, ".epochs"), exist_ok=True)
+    with open(os.path.join(log, ".epochs", "3.json"), "w") as f:
+        _json.dump({"plan": plan}, f)
+    # partial crash: first rename completed, second did not
+    os.rename(m1.staged, os.path.join(log, "segment-00000000.jsonl"))
+
+    # replayed epoch 3 with fresh duplicate staging
+    d1 = _stage_rows(log, iter(rows))
+    d2 = _stage_rows(log, iter(rows2))
+    w.commit([d1, d2], batchId=3)
+
+    segs = DS._segments(log)
+    assert segs == ["segment-00000000.jsonl", "segment-00000001.jsonl"]
+    assert not os.listdir(os.path.join(log, ".staging"))
+    # content appears exactly once
+    seqs = []
+    for seg in segs:
+        with open(os.path.join(log, seg)) as f:
+            seqs += [_json.loads(l)["seq"] for l in f if l.strip()]
+    assert sorted(seqs) == [1, 2]
+
+
+def test_stream_writer_cleans_empty_partition_staging(tmp_path):
+    from graal_cdc_spark.sources.cdc_log_ds import (
+        CdcLogStreamWriter,
+        _stage_rows,
+    )
+    from pyspark.sql import Row
+
+    log = str(tmp_path / "log")
+    w = CdcLogStreamWriter({"path": log}, overwrite=False)
+    empty = _stage_rows(log, iter([]))
+    full = _stage_rows(log, iter([Row(seq=1, key="a", value="x")]))
+    w.commit([empty, full], batchId=0)
+    assert not os.listdir(os.path.join(log, ".staging"))
+    assert len(DS._segments(log)) == 1

@@ -329,13 +329,16 @@ _qrows = st.lists(
 def test_binned_quantiles_equal_naive(spark, rows, bin_width):
     """binned_group_quantiles == sorted-list indexing at ceil(p*n)-1,
     for any values (negatives, duplicates, single-row groups) and any
-    bin width — correctness must be bin-width independent."""
-    import math
+    bin width — correctness must be bin-width independent. 0.2 is the
+    non-dyadic regression case: double arithmetic gives
+    0.2*10 = 2.0000000000000004 whose ceil is the WRONG rank; the
+    operator must compute the target from p's exact decimal rational."""
+    from fractions import Fraction
 
     from graal_cdc_spark.operators.robust import binned_group_quantiles
 
     df = spark.createDataFrame(rows, "g string, v long")
-    ps = (0.25, 0.5, 0.75)
+    ps = (0.2, 0.25, 0.5, 0.75)
     got = {
         (r["g"], r["p"]): r["value"]
         for r in binned_group_quantiles(
@@ -348,7 +351,9 @@ def test_binned_quantiles_equal_naive(spark, rows, bin_width):
     for g, vals in by_g.items():
         vals.sort()
         for p in ps:
-            want = vals[math.ceil(p * len(vals)) - 1]
+            fr = Fraction(str(p))
+            rank = -((-fr.numerator * len(vals)) // fr.denominator)
+            want = vals[max(rank, 1) - 1]
             assert got[(g, p)] == want, (g, p, vals)
 
 
