@@ -19,9 +19,14 @@ Example config::
       "replay_dir": "/data/queue",
       "checkpoint_root": "/data/offset",
       "pipelines_dir": "/data/scripts",
+      "source_format": "graal_cdc_log",
       "sink": {"type": "elasticsearch", "url": "http://es:9200/idx",
                "username": "u", "password": "p", "id_key": "key"}
     }
+
+(``source_format`` selects the replay reader: ``parquet-replay``
+directory file stream, or ``graal_cdc_log`` — the custom segment-log
+connector with line-level offsets.)
 """
 
 from __future__ import annotations
@@ -46,6 +51,7 @@ class AppConfig:
     pipelines_dir: str
     sink_type: str
     sink_params: dict
+    source_format: str = "parquet-replay"
 
     @classmethod
     def from_dict(cls, raw: dict, origin: str = "<dict>") -> AppConfig:
@@ -60,12 +66,18 @@ class AppConfig:
         sink_type = sink.pop("type")
         if sink_type not in ("elasticsearch", "noop"):
             raise ValueError(f"{origin}: unknown sink type {sink_type!r}")
+        source_format = raw.get("source_format", "parquet-replay")
+        if source_format not in ("parquet-replay", "graal_cdc_log"):
+            raise ValueError(
+                f"{origin}: unknown source_format {source_format!r}"
+            )
         return cls(
             replay_dir=raw["replay_dir"],
             checkpoint_root=raw["checkpoint_root"],
             pipelines_dir=raw["pipelines_dir"],
             sink_type=sink_type,
             sink_params=sink,
+            source_format=source_format,
         )
 
     @classmethod
@@ -118,6 +130,7 @@ def run_app(
         spark=spark,
         replay_dir=cfg.replay_dir,
         checkpoint_root=cfg.checkpoint_root,
+        source_format=cfg.source_format,
     )
     sink = cfg.build_sink(transport_factory=transport_factory)
     for pipe in registry.pipelines().values():

@@ -456,3 +456,39 @@ def test_runner_with_graal_cdc_log_source(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert sorted(delivered) == want_all  # no duplicates, nothing lost
+
+
+def test_app_config_source_format(spark, sf_dir, tmp_path):
+    """run_app boots the whole control plane from config with the
+    graal_cdc_log connector as the replay source."""
+    from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+    from graal_cdc_spark.pipelines.app import AppConfig, run_app
+    from graal_cdc_spark.sources import cdc_log_ds as DS
+
+    with pytest.raises(ValueError, match="unknown source_format"):
+        AppConfig.from_dict({
+            "replay_dir": "x", "checkpoint_root": "y",
+            "pipelines_dir": "z", "sink": {"type": "noop"},
+            "source_format": "kafka",
+        })
+
+    pdir = tmp_path / "scripts"
+    pdir.mkdir()
+    (pdir / "p.py").write_text(FANOUT_PIPE % {"name": "applog"})
+    rows = [
+        (r.seq, r.key, r.value)
+        for r in build_cdc_events(spark, sf_dir).orderBy("seq").limit(50).collect()
+    ]
+    log = str(tmp_path / "log")
+    DS.append_segment(log, rows)
+
+    app = run_app(spark, {
+        "replay_dir": log,
+        "checkpoint_root": str(tmp_path / "ck"),
+        "pipelines_dir": str(pdir),
+        "sink": {"type": "noop"},
+        "source_format": "graal_cdc_log",
+    })
+    app.runner.await_all()
+    assert app.config.source_format == "graal_cdc_log"
+    assert "applog" in app.registry.pipelines()
