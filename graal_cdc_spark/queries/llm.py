@@ -4072,3 +4072,207 @@ ORDER BY lang
     ref="SURVEY.md §2.4 L09/L34 family (tokenizer stats); fertility is "
     "the standard sequence-length-cost metric",
 )
+
+# ---------------------------------------------------------------------------
+# L75 — SemDeDup census (Abbas et al. 2023): semantic dedup = cluster
+# the embedding space (the memoized integer-exact k-means, shared with
+# l31/l32/l33), then find near-duplicate pairs ONLY within a cluster
+# and keep the lowest id per dup relation. Pair work is bounded by the
+# cluster size — the whole point of SemDeDup at scale is that k grows
+# with the corpus (production: k ~ sqrt(n)) so no all-pairs join ever
+# happens; here k=8 keeps the oracle CTE unroll tractable.
+#
+# Everything is integer-exact so DuckDB replays it bit-for-bit:
+# cos(a,b) >= 0.3  <=>  dot > 0 AND 100*dot^2 >= 9*|a|^2*|b|^2, with
+# dot/norms on the scale=10^4 integer grid. dot <= 64*1e8 = 6.4e9, so
+# dot^2 needs 128-bit: decimal(38,0) on Spark, HUGEINT in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _l75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.clustering import (
+        kmeans_quantized,
+        quantize_points,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cc = kmeans_quantized(emb, k=8, iters=2, scale=10_000)
+    pts = quantize_points(emb, scale=10_000)
+    n2 = F.aggregate(
+        F.transform(F.col("x"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    m = cc.join(pts, "pid").select("pid", "cid", "x", n2.alias("n2"))
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.x"), F.col("b.x"), lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dd = dot.cast("decimal(38,0)")
+    sim = (dot > 0) & (
+        dd * dd * F.lit(100)
+        >= F.lit(9)
+        * F.col("a.n2").cast("decimal(38,0)")
+        * F.col("b.n2").cast("decimal(38,0)")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .filter(sim)
+        .select(F.col("a.cid").alias("cid"), F.col("b.pid").alias("pb"))
+    )
+    stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("pb").alias("n_dropped"),
+    )
+    sizes = cc.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        sizes.join(stats, "cid", "left")
+        .select(
+            "cid",
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )
+
+
+_l(
+    "l75_semdedup_census",
+    "SemDeDup: within-cluster cosine>=0.3 near-dup pairs per k-means "
+    "cluster; survivors keep the lowest id (integer-exact)",
+    _l75,
+    _kmeans_oracle(
+        final_sql="""
+, m AS (
+  SELECT f.pid, f.cid, p.x,
+         CAST(list_sum(list_transform(p.x, v -> v * v)) AS BIGINT) AS n2
+  FROM fin f JOIN pts p USING (pid)
+), prs AS (
+  SELECT a.cid, b.pid AS pb
+  FROM m a JOIN m b ON a.cid = b.cid AND a.pid < b.pid
+  WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> a.x[i] * b.x[i])) AS HUGEINT) > 0
+    AND CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> a.x[i] * b.x[i])) AS HUGEINT)
+      * CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> a.x[i] * b.x[i])) AS HUGEINT) * 100
+      >= 9 * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)
+), stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT pb) AS BIGINT) AS n_dropped
+  FROM prs GROUP BY cid
+)
+SELECT CAST(f.cid AS INT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_points,
+       COALESCE(any_value(s.n_pairs), 0) AS n_pairs,
+       COALESCE(any_value(s.n_dropped), 0) AS n_dropped
+FROM fin f LEFT JOIN stats s ON s.cid = f.cid
+GROUP BY f.cid
+ORDER BY cid
+"""
+    ),
+    ref="SURVEY.md §2.4 L31/L08 family; SemDeDup (Abbas et al. 2023)",
+)
+
+# ---------------------------------------------------------------------------
+# L76 — model-based quality gating with a FIXED-weight linear scorer:
+# integer milli-unit features (unique-token ratio, stopword ratio,
+# avg word length) combined with published-style static weights into a
+# score, bucketed into bands, censused per source. This is the shape
+# of classifier-based filtering (e.g. fasttext quality classifiers)
+# with the model made deterministic so an oracle can replay it — the
+# Spark plan (scan -> per-row JVM expressions -> hash aggregate) is
+# identical to what a real linear scorer compiles to.
+# ---------------------------------------------------------------------------
+
+
+def _l76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = TX.token_count(t)
+    # All milli-features are exact integers (integer div / floor of an
+    # integer-valued double) so the band boundary cannot drift between
+    # engines; `div` (not cast-of-/) because DuckDB CAST rounds while
+    # Spark cast truncates.
+    uniq_milli = F.expr(
+        "1000 * size(array_distinct(split(text, ' '))) div "
+        "size(split(text, ' '))"
+    )
+    stop_milli = F.floor(TX.stopword_count(t) * 1000 / words)
+    awl_milli = F.floor(
+        F.length(F.replace(t, F.lit(" "), F.lit(""))) * 1000 / words
+    )
+    feats = docs.select(
+        "source",
+        words.cast("long").alias("words"),
+        uniq_milli.alias("uniq_milli"),
+        stop_milli.alias("stop_milli"),
+        awl_milli.alias("awl_milli"),
+    )
+    scored = feats.select(
+        "source",
+        "words",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(5),
+                F.expr(
+                    "(300 + uniq_milli - 2 * stop_milli "
+                    "+ (awl_milli div 10)) div 200"
+                ),
+            ),
+        ).alias("band"),
+    )
+    return (
+        scored.groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("words"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+_l(
+    "l76_quality_model_bands",
+    "fixed-weight linear quality scorer -> band census per source "
+    "(deterministic classifier-based filtering)",
+    _l76,
+    """
+WITH feats AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         1000 * len(list_distinct(string_split(text, ' ')))
+           // len(string_split(text, ' ')) AS uniq_milli,
+         CAST(floor(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is','on')))
+              * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
+           AS stop_milli,
+         CAST(floor(length(replace(text, ' ', '')) * 1000.0
+              / len(string_split(text, ' '))) AS BIGINT) AS awl_milli
+  FROM documents
+), scored AS (
+  -- `//` floors while Spark's `div` truncates: they only differ on a
+  -- negative score, which both engines then clamp to band 0.
+  SELECT source, words,
+         greatest(0, least(5,
+           (300 + uniq_milli - 2 * stop_milli + (awl_milli // 10)) // 200))
+           AS band
+  FROM feats
+)
+SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words
+FROM scored
+GROUP BY source, band
+ORDER BY source, band
+""",
+    ref="SURVEY.md §2.4 L09/L72 family; classifier-based quality "
+    "filtering made deterministic",
+)

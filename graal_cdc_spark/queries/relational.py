@@ -4711,3 +4711,326 @@ ORDER BY event_id
 """,
     ref="SURVEY.md §2.4 R09 family; TSDB ASOF JOIN TOLERANCE",
 )
+
+# ---------------------------------------------------------------------------
+# R92 — graph triangle census over the co-purchase graph: parts are
+# nodes, an edge is two parts co-occurring in >= 2 distinct orders
+# (the support filter keeps the graph sparse — raw co-occurrence on a
+# 100 TB order log is quadratic per order but bounded by order width,
+# and the support>=2 cut drops the long random tail). Triangles via
+# the ordered-edge (a<b<c) two-join plan — the standard distributed
+# algorithm: every triangle counted exactly once, no directed double
+# counting, and the edge relation materialized once (lazy
+# localCheckpoint) for its five differently-partitioned consumers.
+# Wedges are SUM(C(deg,2)) off a tiny degree aggregate; the closure
+# ratio 3*tri/wedges is the global clustering coefficient in bp.
+# ---------------------------------------------------------------------------
+
+
+def _r92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"),
+        F.col("b.l_partkey").alias("pb"),
+        F.col("a.l_orderkey").alias("ok"),
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+        # the edge relation feeds 5 consumers (count, both degree
+        # scans, and all three triangle-join legs) under DIFFERENT
+        # partitionings, so Catalyst cannot ReusedExchange it — a lazy
+        # localCheckpoint materializes the (small, support-filtered)
+        # edge set once instead of recomputing the lineitem pair join
+        # per consumer
+        .localCheckpoint(eager=False)
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ends = edges.select(F.col("pa").alias("node")).unionAll(
+        edges.select(F.col("pb").alias("node"))
+    )
+    degs = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    node_wedge = degs.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1)).cast("long") / 2
+        ).cast("long").alias("n_wedges"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        node_wedge.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    F.col("n_triangles") * 30000 / F.col("n_wedges")
+                ).cast("long"),
+            ).alias("closure_bp"),
+        )
+    )
+
+
+_r(
+    "r92_triangle_census",
+    "triangle / wedge census of the part co-purchase graph "
+    "(support>=2 edges, ordered-edge join, clustering coefficient)",
+    _r92,
+    """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, a.l_orderkey AS ok
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa, pb FROM pairs
+  GROUP BY pa, pb HAVING count(DISTINCT ok) >= 2
+), degs AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+  ) t GROUP BY node
+), nw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM degs
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(floor(n_triangles * 30000.0 / n_wedges) AS BIGINT)
+       END AS closure_bp
+FROM nw, ne, tri
+""",
+    ref="SURVEY.md §2.4 R79/L22 graph family; ordered-edge triangle "
+    "counting (Suri & Vassilvitskii)",
+)
+
+# ---------------------------------------------------------------------------
+# R93 — capped running balance: per-user ledger scan where the balance
+# CLAMPS at [0, cap] after every event (signup/view/click credit,
+# purchase/error debit). The clamp makes the recurrence non-associative
+# — no window/prefix-sum can express it — so it runs as the canonical
+# custom stateful operator: one shuffle on user_id, then an O(group)
+# Arrow-batched scan per user (bounded state, same contract as greedy
+# packing / l27). The DuckDB twin unrolls the same recurrence as a
+# recursive CTE stepping row_number-wise — oracle-gated even though
+# the operator itself is imperative.
+# All arithmetic is integer cents: amt = floor(value*100), JVM-side
+# before the pandas stage so both engines floor the same double.
+# ---------------------------------------------------------------------------
+
+_R93_CAP = 50_000
+
+
+def _r93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        "event_id",
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            * F.when(
+                F.col("event_type").isin("purchase", "error"), -1
+            ).otherwise(1)
+        ).alias("amt"),
+    )
+
+    cap = _R93_CAP
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "event_id"])
+        bal = n_capped = n_floored = 0
+        for amt in pdf["amt"].to_numpy():
+            bal += int(amt)
+            if bal > cap:
+                bal, n_capped = cap, n_capped + 1
+            elif bal < 0:
+                bal, n_floored = 0, n_floored + 1
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "final_balance": [bal],
+                "n_capped": [n_capped],
+                "n_floored": [n_floored],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            _scan,
+            "user_id bigint, final_balance bigint, n_capped bigint, "
+            "n_floored bigint",
+        )
+        .orderBy("user_id")
+    )
+
+
+_r(
+    "r93_capped_running_balance",
+    "per-user clamped ledger scan (balance saturates at [0, cap]) — "
+    "non-associative recurrence as a stateful pandas scan; recursive-"
+    "CTE oracle",
+    _r93,
+    f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT)
+           * (CASE WHEN event_type IN ('purchase', 'error')
+                   THEN -1 ELSE 1 END) AS amt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), scan AS (
+  SELECT user_id, rn,
+         least(greatest(amt, 0), {_R93_CAP}) AS bal,
+         CASE WHEN amt > {_R93_CAP} THEN 1 ELSE 0 END AS n_capped,
+         CASE WHEN amt < 0 THEN 1 ELSE 0 END AS n_floored
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, e.rn,
+         least(greatest(s.bal + e.amt, 0), {_R93_CAP}),
+         s.n_capped + CASE WHEN s.bal + e.amt > {_R93_CAP} THEN 1 ELSE 0 END,
+         s.n_floored + CASE WHEN s.bal + e.amt < 0 THEN 1 ELSE 0 END
+  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+), last AS (
+  SELECT user_id, max(rn) AS rn FROM ev GROUP BY user_id
+)
+SELECT s.user_id, s.bal AS final_balance,
+       CAST(s.n_capped AS BIGINT) AS n_capped,
+       CAST(s.n_floored AS BIGINT) AS n_floored
+FROM scan s JOIN last USING (user_id, rn)
+ORDER BY user_id
+""",
+    ref="SURVEY.md §2.4 L27/R67 family (sequential per-group scans); "
+    "clamped prefix sum is the textbook non-associative recurrence",
+)
+
+# ---------------------------------------------------------------------------
+# R94 — winsorized mean: clamp each event's amount into its type's
+# exact [p05, p95] band, then average — the standard robust
+# aggregation for heavy-tailed metrics. The percentile bounds come
+# from the binned two-pass quantile operator (r88), so NO full-group
+# sort happens even though event_type has only 5 values; the bounds
+# frame is 5 rows and broadcast back onto the fact scan.
+# wmean_centi is floor(sum/n) on integer cents (< 2^53, so the double
+# floor is exact and identical in both engines, negative-safe).
+# ---------------------------------------------------------------------------
+
+
+def _r94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            * F.when(
+                F.col("event_type").isin("purchase", "error"), -1
+            ).otherwise(1)
+        ).alias("amt"),
+    )
+    q = binned_group_quantiles(
+        ev, "event_type", "amt", probabilities=(0.05, 0.95), bin_width=64.0
+    )
+    bounds = q.groupBy("event_type").agg(
+        F.min(F.when(F.col("p") == 0.05, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("p") == 0.95, F.col("value"))).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("amt"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").cast("long").alias("p05"),
+            F.min("hi").cast("long").alias("p95"),
+            F.sum("w").alias("sum_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p05",
+            "p95",
+            "sum_winsorized",
+            F.floor(F.col("sum_winsorized") / F.col("n"))
+            .cast("long")
+            .alias("wmean_centi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_r(
+    "r94_winsorized_mean",
+    "winsorized mean per event type: clamp to exact discrete "
+    "[p05, p95] (binned two-pass quantiles), then integer-cents mean",
+    _r94,
+    """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT)
+           * (CASE WHEN event_type IN ('purchase', 'error')
+                   THEN -1 ELSE 1 END) AS amt
+  FROM events
+), ranked AS (
+  SELECT event_type, amt,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY amt
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY event_type) AS t
+  FROM ev
+), bounds AS (
+  SELECT event_type,
+         min(amt) FILTER (WHERE c >= ceil(0.05 * t)) AS lo,
+         min(amt) FILTER (WHERE c >= ceil(0.95 * t)) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(b.lo) AS BIGINT) AS p05,
+       CAST(min(b.hi) AS BIGINT) AS p95,
+       CAST(SUM(least(greatest(e.amt, b.lo), b.hi)) AS BIGINT)
+         AS sum_winsorized,
+       CAST(floor(SUM(least(greatest(e.amt, b.lo), b.hi)) * 1.0
+                  / count(*)) AS BIGINT) AS wmean_centi
+FROM ev e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    ref="SURVEY.md §2.4 R88/R81 family; winsorization is the standard "
+    "robust-mean clamp",
+)

@@ -50,6 +50,8 @@ _BNLJ_OK = {
     # vector-count total)
     "r89_linear_interpolation",
     "l71_dim_covariance_pairs",
+    # round 5 batch 6: r92 cross-joins three 1-row census aggregates
+    "r92_triangle_census",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -508,3 +510,49 @@ def test_round5_batch5_shuffle_budget(spark, name, max_shuffles):
 )
 def test_round5_batch5_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch-6 queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # pair join + edge agg materialized ONCE (localCheckpoint),
+        # then degree/triangle consumers shuffle only the small edge set
+        ("r92_triangle_census", 14),
+        ("r93_capped_running_balance", 2),   # ONE user exchange + sort
+        # histogram + (group,p) windows on the tiny cumulative frame +
+        # broadcast bounds back onto the fact scan + final 5-row agg
+        ("r94_winsorized_mean", 8),
+        # within-cluster pair join partitions on cid (bounded by
+        # cluster size BY DESIGN — SemDeDup grows k with the corpus)
+        ("l75_semdedup_census", 5),
+        ("l76_quality_model_bands", 3),      # ONE (source,band) agg + sort
+    ],
+)
+def test_round5_batch6_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["r92_triangle_census", "r94_winsorized_mean",
+     "l75_semdedup_census", "l76_quality_model_bands"],
+)
+def test_round5_batch6_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_r94_no_full_group_sort_window(spark):
+    """The p05/p95 bounds must come from the binned two-pass operator:
+    no Window directly above the events scan (5-value key -> the r64
+    anti-pattern), and the bounds join back as a broadcast."""
+    import re
+
+    a = _audit(spark, "r94_winsorized_mean")
+    assert a.broadcast_joins >= 1, a.plan
+    assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
