@@ -4850,7 +4850,7 @@ _R93_CAP = 50_000
 
 
 def _r93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from graal_cdc_spark.operators.ledger import capped_running_balance
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -4863,36 +4863,9 @@ def _r93(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1)
         ).alias("amt"),
     )
-
-    cap = _R93_CAP
-
-    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["s", "event_id"])
-        bal = n_capped = n_floored = 0
-        for amt in pdf["amt"].to_numpy():
-            bal += int(amt)
-            if bal > cap:
-                bal, n_capped = cap, n_capped + 1
-            elif bal < 0:
-                bal, n_floored = 0, n_floored + 1
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "final_balance": [bal],
-                "n_capped": [n_capped],
-                "n_floored": [n_floored],
-            }
-        )
-
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            _scan,
-            "user_id bigint, final_balance bigint, n_capped bigint, "
-            "n_floored bigint",
-        )
-        .orderBy("user_id")
-    )
+    return capped_running_balance(
+        ev, "user_id", ["s", "event_id"], "amt", cap=_R93_CAP
+    ).orderBy("user_id")
 
 
 _r(

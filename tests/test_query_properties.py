@@ -505,3 +505,99 @@ def test_winnowing_fingerprint_guarantees(spark, docs):
             assert any(
                 h in want for h in hashes[p - w + 1 : p + 1]
             )
+
+
+# ---------------------------------------------------------------------------
+# r93: clamped ledger scan operator == naive per-key sequential loop
+# ---------------------------------------------------------------------------
+
+_ledger_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user key
+        st.integers(min_value=0, max_value=30),       # order position
+        st.integers(min_value=-500, max_value=500),   # signed amount
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _naive_capped_scan(rows, cap):
+    by_key: dict[int, list[tuple[int, int, int]]] = {}
+    for i, (k, pos, amt) in enumerate(rows):
+        # tie-break equal positions by arrival index, mirroring the
+        # (s, event_id) total order the query uses
+        by_key.setdefault(k, []).append((pos, i, amt))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        bal = capped = floored = 0
+        for _, _, amt in evs:
+            bal += amt
+            if bal > cap:
+                bal, capped = cap, capped + 1
+            elif bal < 0:
+                bal, floored = 0, floored + 1
+        out[k] = (bal, capped, floored)
+    return out
+
+
+@_SETTINGS
+@given(rows=_ledger_rows, cap=st.sampled_from([0, 1, 100, 100_000]))
+def test_r93_capped_scan_equals_naive(spark, rows, cap):
+    from graal_cdc_spark.operators.ledger import capped_running_balance
+
+    data = [(k, pos, i, amt) for i, (k, pos, amt) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, pos long, seq long, amt long"
+    )
+    got = {
+        r["k"]: (r["final_balance"], r["n_capped"], r["n_floored"])
+        for r in capped_running_balance(
+            df, "k", ["pos", "seq"], "amt", cap=cap
+        ).collect()
+    }
+    assert got == _naive_capped_scan(rows, cap)
+
+
+# ---------------------------------------------------------------------------
+# r92: ordered-edge triangle join == brute-force combinations count
+# ---------------------------------------------------------------------------
+
+_edge_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(raw=_edge_sets)
+def test_r92_triangle_join_equals_bruteforce(spark, raw):
+    from itertools import combinations
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    adj: set[tuple[int, int]] = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "pa long, pb long")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    got = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .count()
+    )
+    assert got == expected
