@@ -342,3 +342,83 @@ def quota_admission(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming clamped ledger (incremental twin of operators/ledger.py)
+# ---------------------------------------------------------------------------
+
+LEDGER_OUTPUT_SCHEMA = (
+    "user_id BIGINT, final_balance BIGINT, n_capped BIGINT, "
+    "n_floored BIGINT, emit BIGINT"
+)
+_LEDGER_STATE_SCHEMA = (
+    "bal BIGINT, n_capped BIGINT, n_floored BIGINT, emit BIGINT"
+)
+
+
+def _ledger_update(cap: int):
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            bal, n_capped, n_floored, emit = state.get
+        else:
+            bal = n_capped = n_floored = emit = 0
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # event order within the batch; cross-batch order is the
+            # replay contract (prefix chunks), as for quota admission
+            pdf = pdf.sort_values(["s", "event_id"])
+            for amt in pdf["amt"].to_numpy():
+                bal += int(amt)
+                if bal > cap:
+                    bal, n_capped = cap, n_capped + 1
+                elif bal < 0:
+                    bal, n_floored = 0, n_floored + 1
+                changed = True
+        if not changed:
+            return
+        emit += 1
+        state.update((bal, n_capped, n_floored, emit))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "final_balance": [bal],
+                "n_capped": [n_capped],
+                "n_floored": [n_floored],
+                "emit": [emit],
+            }
+        )
+
+    return update
+
+
+def running_capped_balance(events: DataFrame, cap: int) -> DataFrame:
+    """Streaming clamped ledger: per-user balance accumulating ``amt``
+    and saturating at ``[0, cap]`` after every event — the incremental
+    form of ``operators/ledger.capped_running_balance`` (r93). Because
+    the clamp is a NON-ASSOCIATIVE recurrence, the operator is
+    order-sensitive: events must arrive in per-key (s, event_id) order
+    across micro-batches (the replay/ingest contract — a CDC log or
+    partitioned Kafka topic delivers per-key order); within a batch
+    the operator sorts. Each batch emits the key's updated running
+    totals (`update` mode change stream).
+
+    State is O(1) per key (three BIGINT counters), NoTimeout by design:
+    ledger keys live as long as the account does, exactly like CDC
+    compaction keys.
+
+    Expects columns: user_id, s (event-time micros), event_id, amt.
+    """
+    return (
+        events.select("user_id", "s", "event_id", "amt")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ledger_update(cap),
+            outputStructType=LEDGER_OUTPUT_SCHEMA,
+            stateStructType=_LEDGER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -122,6 +122,14 @@ PROBES = [
     "l70_bpe_pair_frequencies",
     "l71_dim_covariance_pairs",
     "st15_session_coverage",
+    # round 5, batch 6 (self-join pair graph + triangle joins, pandas
+    # ledger scan, two-pass winsorize, within-cluster pair join,
+    # per-doc feature scoring)
+    "r92_triangle_census",
+    "r93_capped_running_balance",
+    "r94_winsorized_mean",
+    "l75_semdedup_census",
+    "l76_quality_model_bands",
 ]
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)

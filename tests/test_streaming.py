@@ -1473,3 +1473,61 @@ def test_session_coverage_stream_match_batch(spark, sf_dir, tmp_path):
 
     r83 = all_specs()["r83_interval_union_length"].spark(spark, sf_dir)
     assert total == sum(r.covered_us for r in r83.collect())
+
+
+def test_running_capped_balance_stream_matches_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """R93 incremental twin: the clamped-ledger stateful operator,
+    replayed in two PREFIX micro-batches (order contract: per-key
+    (s, event_id) order across batches), converges to the batch
+    capped_running_balance — each key's final emission equals the
+    one-shot scan."""
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.operators.ledger import capped_running_balance
+    from graal_cdc_spark.streaming.stateful import running_capped_balance
+
+    cap = 50_000
+    events = load_table(spark, sf_dir, "events")
+
+    def ledger_cols(df):
+        return df.select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            "event_id",
+            (
+                F.floor(F.col("value") * 100).cast("long")
+                * F.when(
+                    F.col("event_type").isin("purchase", "error"), -1
+                ).otherwise(1)
+            ).alias("amt"),
+        )
+
+    # prefix split on event time: every tie of the boundary ts lands
+    # wholly in chunk 1, so each key sees a prefix then the rest
+    t0 = events.agg(
+        F.percentile_approx("ts", 0.5).alias("t")
+    ).collect()[0]["t"]
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("ts") <= t0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("ts") > t0).coalesce(1), replay)
+
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    got = run_to_memory(
+        running_capped_balance(ledger_cols(stream), cap=cap),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    wmax = Window.partitionBy("user_id")
+    final = (
+        got.withColumn("max_emit", F.max("emit").over(wmax))
+        .filter(F.col("emit") == F.col("max_emit"))
+        .select("user_id", "final_balance", "n_capped", "n_floored")
+    )
+    want = capped_running_balance(
+        ledger_cols(events), "user_id", ["s", "event_id"], "amt", cap=cap
+    )
+    assert _rows(spark, final) == _rows(spark, want)
