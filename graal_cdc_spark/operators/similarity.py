@@ -355,3 +355,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
     )
+
+
+def within_cluster_pair_census(
+    assigned: DataFrame,
+    tau_num: int = 9,
+    tau_den: int = 100,
+) -> DataFrame:
+    """Pair phase of SemDeDup: count same-cluster near-duplicate pairs
+    on the integer grid. ``assigned`` must carry ``(pid, cid, x)``
+    where ``x`` is the quantized vector (see ``quantize_points``).
+
+    A pair is "similar" iff cos >= sqrt(tau_num/tau_den), compared
+    entirely in integers: ``dot > 0 AND den*dot^2 >= num*|a|^2*|b|^2``
+    (dot^2 needs 128-bit — decimal(38,0) here, HUGEINT in a SQL twin).
+
+    Scale shape: ONE equality join on cid, so pair work is quadratic
+    only within a cluster — the operator is scale-safe exactly when
+    cluster sizes stay bounded, i.e. the caller grows k with the
+    corpus (SemDeDup's contract: k ~ n / target_cluster_size). A
+    10x corpus probed at FIXED k measures 100x pair work; probed at
+    10x k it measures ~10x (see scripts/scale_probe.py).
+
+    Returns per-cluster ``(cid, n_points, n_pairs, n_dropped)`` where
+    n_dropped counts members with a lower-id similar neighbor (the
+    docs SemDeDup removes, keeping each relation's lowest id).
+    """
+    n2 = F.aggregate(
+        F.transform(F.col("x"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    m = assigned.select("pid", "cid", "x", n2.alias("n2"))
+    a, b = m.alias("a"), m.alias("b")
+    dot_i = F.aggregate(
+        F.zip_with(F.col("a.x"), F.col("b.x"), lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dd = dot_i.cast("decimal(38,0)")
+    sim = (dot_i > 0) & (
+        dd * dd * F.lit(tau_den)
+        >= F.lit(tau_num)
+        * F.col("a.n2").cast("decimal(38,0)")
+        * F.col("b.n2").cast("decimal(38,0)")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .filter(sim)
+        .select(F.col("a.cid").alias("cid"), F.col("b.pid").alias("pb"))
+    )
+    stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("pb").alias("n_dropped"),
+    )
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    return (
+        sizes.join(stats, "cid", "left")
+        .select(
+            "cid",
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
+def semdedup_census(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10_000,
+    tau_num: int = 9,
+    tau_den: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) census: integer-exact k-means
+    clustering (operators/clustering.py) + within-cluster near-dup
+    pair counting. ``k`` MUST grow with the corpus (the pair join is
+    quadratic in cluster size); the gated query pins k=16 for its
+    fixed dataset so the DuckDB oracle's unrolled-CTE replay stays
+    tractable."""
+    from graal_cdc_spark.operators.clustering import (
+        kmeans_quantized,
+        quantize_points,
+    )
+
+    cc = kmeans_quantized(emb, k=k, iters=iters, scale=scale)
+    pts = quantize_points(emb, scale=scale)
+    assigned = cc.join(pts, "pid").select("pid", "cid", "x")
+    return within_cluster_pair_census(assigned, tau_num, tau_den)

