@@ -136,3 +136,36 @@ def run_app(
     for pipe in registry.pipelines().values():
         runner.start(pipe, sink, available_now=available_now)
     return App(config=cfg, registry=registry, runner=runner, report=report)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI boot: ``python -m graal_cdc_spark.pipelines.app app.json
+    [--continuous]``. Drains the replay dir and exits (availableNow)
+    unless ``--continuous``, in which case it runs until interrupted —
+    the ``CDCApplication`` analog."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    continuous = "--continuous" in args
+    args = [a for a in args if a != "--continuous"]
+    if len(args) != 1:
+        raise SystemExit(
+            "usage: python -m graal_cdc_spark.pipelines.app "
+            "<config.json> [--continuous]"
+        )
+    from graal_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="graal-cdc-app")
+    app = run_app(spark, args[0], available_now=not continuous)
+    names = sorted(app.registry.pipelines())
+    print(f"started {len(names)} pipeline(s): {', '.join(names)}")
+    if continuous:
+        for q in spark.streams.active:
+            q.awaitTermination()
+    else:
+        app.runner.stop_all()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
