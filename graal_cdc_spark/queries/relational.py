@@ -5007,3 +5007,59 @@ ORDER BY e.event_type
     ref="SURVEY.md §2.4 R88/R81 family; winsorization is the standard "
     "robust-mean clamp",
 )
+
+# ---------------------------------------------------------------------------
+# R95 — behavioral path mining: top-10 order-3 event paths (the
+# "what do users do in 3 steps" product-analytics op; r60 is its
+# order-1 Markov form). TWO lead windows over ONE per-user exchange
+# build the trigram, then a global count + TakeOrdered — the heavy
+# frame is shuffled exactly once on user_id, and the ranked set is
+# the tiny (#type^3)-key aggregate, never the event table.
+# Deterministic top-10: ties broken by path string.
+# ---------------------------------------------------------------------------
+
+
+def _r95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+_r(
+    "r95_top_event_paths",
+    "top-10 order-3 behavioral paths (double lead window, one user "
+    "exchange, tiny ranked aggregate)",
+    _r95,
+    """
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE s3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+""",
+    ref="SURVEY.md §2.4 R60/R53 family; order-3 path mining",
+)

@@ -531,6 +531,7 @@ def test_round5_batch5_partial_aggregation(spark, name):
         # cluster size BY DESIGN — SemDeDup grows k with the corpus)
         ("l75_semdedup_census", 5),
         ("l76_quality_model_bands", 3),      # ONE (source,band) agg + sort
+        ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
     ],
 )
 def test_round5_batch6_shuffle_budget(spark, name, max_shuffles):
@@ -541,7 +542,8 @@ def test_round5_batch6_shuffle_budget(spark, name, max_shuffles):
 @pytest.mark.parametrize(
     "name",
     ["r92_triangle_census", "r94_winsorized_mean",
-     "l75_semdedup_census", "l76_quality_model_bands"],
+     "l75_semdedup_census", "l76_quality_model_bands",
+     "r95_top_event_paths"],
 )
 def test_round5_batch6_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"

@@ -1531,3 +1531,52 @@ def test_running_capped_balance_stream_matches_batch_twin(
         ledger_cols(events), "user_id", ["s", "event_id"], "amt", cap=cap
     )
     assert _rows(spark, final) == _rows(spark, want)
+
+
+def test_stream_static_join_dim_refresh_via_foreach_batch(
+    spark, tmp_path
+):
+    """ST6 production gotcha, pinned: a parquet-backed static side is
+    resolved ONCE at query planning (frozen file listing), so dim
+    updates are invisible to a plain stream-static join. The correct
+    refresh pattern re-reads the dim INSIDE foreachBatch — each
+    micro-batch then joins against the dim as of that batch. The
+    golden drives two batches with a dim overwrite in between and
+    asserts batch 1 used the old dim and batch 2 the new one."""
+    dim_dir = str(tmp_path / "dim")
+    replay = str(tmp_path / "replay")
+    out: list[tuple] = []
+
+    def write_dim(label: str) -> None:
+        spark.createDataFrame(
+            [(1, label)], "user_id long, segment string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    write_dim("bronze")
+    append_chunk(_mk_events(spark, [(0, "view")]), replay)
+
+    def sink(batch_df, batch_id):
+        dim = spark.read.parquet(dim_dir)  # fresh listing per batch
+        joined = batch_df.join(F.broadcast(dim), "user_id").select(
+            "event_id", "segment"
+        )
+        out.extend(sorted((r["event_id"], r["segment"])
+                          for r in joined.collect()))
+
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    write_dim("gold")
+    append_chunk(_mk_events(spark, [(1, "view")]), replay)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    segs = [s for _, s in out]
+    assert segs[0] == "bronze" and segs[-1] == "gold", out
