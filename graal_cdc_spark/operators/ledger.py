@@ -58,8 +58,16 @@ def capped_running_balance(
         )
 
     cols = [key_col, *order_cols, amt_col]
+    # Pin the grouping partitioning explicitly: AQE's byte-based
+    # coalescing folds the small shuffle to ONE partition and
+    # serializes every per-key python scan in a single task (the r67
+    # rule — per-group python cost is invisible to byte-based
+    # planners). repartition(N, key) is AQE-exempt and satisfies the
+    # grouping distribution, so no second exchange is planned.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(*cols)
+        .repartition(n_par, key_col)
         .groupBy(key_col)
         .applyInPandas(
             _scan,

@@ -4080,7 +4080,7 @@ ORDER BY lang
 # Pair work is quadratic in CLUSTER SIZE, so the operator's scale
 # contract is that k grows with the corpus (k ~ n / target size) —
 # the probe measures the pair phase at proportional k
-# (scripts/scale_probe.py); this gated query pins k=16 for its fixed
+# (scripts/scale_probe.py); this gated query pins k=32 for its fixed
 # dataset so the oracle's unrolled-CTE replay stays tractable.
 #
 # Everything is integer-exact so DuckDB replays it bit-for-bit:
@@ -4092,7 +4092,7 @@ ORDER BY lang
 
 def _l75(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup_census(emb, k=16, iters=2, scale=10_000).orderBy(
+    return S.semdedup_census(emb, k=32, iters=2, scale=10_000).orderBy(
         "cid"
     )
 
@@ -4103,7 +4103,7 @@ _l(
     "cluster; survivors keep the lowest id (integer-exact)",
     _l75,
     _kmeans_oracle(
-        k=16,
+        k=32,
         final_sql="""
 , m AS (
   SELECT f.pid, f.cid, p.x,
