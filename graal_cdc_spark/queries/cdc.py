@@ -1104,3 +1104,92 @@ GROUP BY tbl ORDER BY tbl
         "DebeziumEngineRecordHandler.java:130-146",
     )
 )
+
+
+def _c22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope size census per (table, op): count, total bytes, and
+    exact p50/p95 of the raw envelope byte size — the payload-bloat
+    monitor an ops team watches (an unexpectedly fat table/op cell
+    means schema drift, embedded blobs, or a runaway before-image).
+
+    The percentiles run through the binned two-pass quantile operator
+    (no full-group sort on the ~20-value (tbl, op) key — the r64/r88
+    rule); the raw sizes come from ONE join of the parsed frame back
+    to the envelope fixture on seq (parsing again would violate the
+    one-parse hot-path rule).
+
+    Scale: size extraction is map-side; the join is key-partitioned;
+    the histogram is O(groups x bins). Reference: SURVEY.md §2.3
+    (monitoring surface over the Q1 durable log).
+    """
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    configure(spark)
+    ev = build_cdc_events(spark, sf_dir).select(
+        "seq", F.length("value").alias("nbytes")
+    )
+    parsed = _parsed(spark, sf_dir).select("seq", "tbl", "op")
+    sized = parsed.join(ev, "seq").withColumn(
+        "grp", F.concat_ws("/", "tbl", "op")
+    )
+    q = binned_group_quantiles(
+        sized, "grp", "nbytes", probabilities=(0.5, 0.95), bin_width=16.0
+    )
+    pcts = q.groupBy("grp").agg(
+        F.min(F.when(F.col("p") == 0.5, F.col("value")))
+        .cast("long")
+        .alias("p50_bytes"),
+        F.min(F.when(F.col("p") == 0.95, F.col("value")))
+        .cast("long")
+        .alias("p95_bytes"),
+    )
+    base = sized.groupBy("grp", "tbl", "op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nbytes").alias("total_bytes"),
+    )
+    return (
+        base.join(F.broadcast(pcts), "grp")
+        .select("tbl", "op", "n", "total_bytes", "p50_bytes", "p95_bytes")
+        .orderBy("tbl", "op")
+    )
+
+
+register(
+    QuerySpec(
+        name="c22_envelope_size_census",
+        category="cdc",
+        description="per-(table, op) envelope byte-size census: count, "
+        "total, exact p50/p95 via binned two-pass quantiles "
+        "(payload-bloat monitor)",
+        spark=_c22,
+        oracle=cdc_parsed_cte()
+        + """
+, sized AS (
+  SELECT p.tbl, p.op, CAST(length(e.value) AS BIGINT) AS nbytes
+  FROM cdc_parsed p JOIN cdc_events e USING (seq)
+), ranked AS (
+  SELECT tbl, op, nbytes,
+         COUNT(*) OVER (PARTITION BY tbl, op ORDER BY nbytes
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY tbl, op) AS t
+  FROM sized
+), pcts AS (
+  SELECT tbl, op,
+         CAST(min(nbytes) FILTER (WHERE c >= ceil(0.5 * t)) AS BIGINT)
+           AS p50_bytes,
+         CAST(min(nbytes) FILTER (WHERE c >= ceil(0.95 * t)) AS BIGINT)
+           AS p95_bytes
+  FROM ranked GROUP BY tbl, op
+)
+SELECT s.tbl, s.op, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(s.nbytes) AS BIGINT) AS total_bytes,
+       min(p.p50_bytes) AS p50_bytes,
+       min(p.p95_bytes) AS p95_bytes
+FROM sized s JOIN pcts p ON s.tbl = p.tbl AND s.op = p.op
+GROUP BY s.tbl, s.op
+ORDER BY s.tbl, s.op
+""",
+        reference="SURVEY.md §2.3 (Q1 durable-log monitoring); "
+        "DebeziumEngineRecordHandler.java:154-184 envelope surface",
+    )
+)

@@ -532,6 +532,8 @@ def test_round5_batch5_partial_aggregation(spark, name):
         ("l75_semdedup_census", 5),
         ("l76_quality_model_bands", 3),      # ONE (source,band) agg + sort
         ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
+        # seq join + histogram windows over the tiny (tbl,op) frame
+        ("c22_envelope_size_census", 10),
     ],
 )
 def test_round5_batch6_shuffle_budget(spark, name, max_shuffles):
@@ -543,7 +545,7 @@ def test_round5_batch6_shuffle_budget(spark, name, max_shuffles):
     "name",
     ["r92_triangle_census", "r94_winsorized_mean",
      "l75_semdedup_census", "l76_quality_model_bands",
-     "r95_top_event_paths"],
+     "r95_top_event_paths", "c22_envelope_size_census"],
 )
 def test_round5_batch6_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
