@@ -3,18 +3,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <suite seconds>, "unit": "sec",
-   "queries": {"<id>": sec, ...}, "sf": <sf>}
+   "sf": <sf>, "n_queries": N, "queries": {"<id>": sec, ...40 slowest},
+   "other_queries_total": sec, "skipped": [...]}
 
 The "queries" keys are the short query ids — the prefix of the full
 query name before the first underscore ("r01" for
-"r01_scan_filter_project", "l06" for "l06_minhash_lsh_candidates");
-ids are unique across the suite and match the names used in
-CORRECTNESS_r{N}.json / BASELINE.md one-to-one. Short keys keep the
-JSON line under the driver's 2000-char output-tail capture (the
-full-name dict at 100 queries is ~3.4 kB and gets truncated
-mid-line, unparseable — that is what happened to BENCH_r02.json).
-The full-name per-query breakdown is also written to
-``BENCH_FULL.json`` next to this script after every run.
+"r01_scan_filter_project"); ids are unique across the suite and match
+CORRECTNESS_r{N}.json / BASELINE.md one-to-one. The driver captures
+only the LAST 2000 chars of stdout and a truncated JSON line is
+unparseable (that is what happened to BENCH_r02.json); at 215
+queries even short-id timings are ~2.6 kB, so stdout carries the 40
+slowest queries plus the residual total, and the COMPLETE full-name
+per-query breakdown is written to ``BENCH_FULL.json`` next to this
+script after every run.
 
 Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -117,16 +118,27 @@ def main() -> None:
     except OSError:
         pass
 
-    # Short ids on stdout so the one-line JSON stays well under the
-    # driver's 2000-char tail capture (see module docstring); the
-    # skipped queries appear as short ids too (reasons in BENCH_FULL).
-    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
+    # The driver captures only the LAST 2000 chars of stdout, and a
+    # truncated JSON line is unparseable (that is what happened to
+    # BENCH_r02). At 215 queries even short-id per-query timings are
+    # ~2.6 kB, so stdout carries the headline + the top-40 slowest
+    # queries (short ids) + the residual as one number; the complete
+    # per-query breakdown is always in BENCH_FULL.json.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    short = {name.split("_", 1)[0]: t for name, t in slowest}
+    rest = round(total - sum(t for _, t in slowest), 3)
     print(
         json.dumps(
             {
-                **full,
+                "metric": full["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": full["sf"],
+                "n_queries": len(timings),
                 "queries": short,
+                "other_queries_total": rest,
                 "skipped": sorted(n.split("_", 1)[0] for n in skip),
+                "full_breakdown": "BENCH_FULL.json",
             },
             separators=(",", ":"),
         )
