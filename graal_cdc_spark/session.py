@@ -72,6 +72,18 @@ def get_spark(
         # full-GC spikes on otherwise sub-second queries (l20/r13/r20
         # across runs); 16g removes them entirely on this 128 GiB box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A 200-query session generates thousands of codegen classes;
+        # the JDK default 240 MB code cache silently flushes/recompiles
+        # under that load and lambda-heavy queries degrade 3-5x late in
+        # the suite (l71/l75/r67 in-suite vs isolated). 1 GiB removes
+        # the churn on this box; harmless when smaller works.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=1g",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
