@@ -218,7 +218,7 @@ def query_ivf_index(
     contract as ``similarity.ivf_topk``.
     """
     from graal_cdc_spark.operators.clustering import (
-        dist_structs,
+        dist_struct_array,
         quantize_points,
     )
     from graal_cdc_spark.operators.similarity import _as_double, cosine
@@ -233,7 +233,7 @@ def query_ivf_index(
 
     qx = quantize_points(queries, id_col, vec_col, m["scale"])
     probed = F.slice(
-        F.array_sort(F.array(*dist_structs(cents))), 1, n_probe
+        F.array_sort(dist_struct_array(cents)), 1, n_probe
     )
     probe_cells = (
         qx.select(F.col("pid").alias("qid"), F.explode(probed).alias("p"))

@@ -49,30 +49,45 @@ def quantize_points(
     return emb.select(F.col(id_col).alias("pid"), q.alias("x"))
 
 
+def dist_struct_array(centroids: list[list[int]]):
+    """``array<struct<d, j>>`` — integer squared distance from the
+    row's quantized point ``x`` to EVERY centroid, as ONE expression:
+    the centroid table is a nested array literal and the distance
+    lambda is written once. The per-centroid-column form (k copies of
+    a 64-term fold) made Catalyst analysis + codegen the dominant
+    cost at k=32 — ~2 s per assignment pass on a 2,000-row input —
+    because plan size grew O(k * dims). Shared by k-means assignment
+    (argmin via ``array_min``) and IVF cell probing (top-n cells via
+    ``array_sort``) so the quantized-distance arithmetic cannot drift
+    between the two."""
+    lit = F.array(
+        *[F.array(*[F.lit(int(s)) for s in c]) for c in centroids]
+    )
+    return F.zip_with(
+        lit,
+        F.array(*[F.lit(j) for j in range(len(centroids))]),
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("x"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            j.cast("int").alias("j"),
+        ),
+    )
+
+
 def dist_structs(centroids: list[list[int]]) -> list:
-    """One ``struct(d, j)`` column per centroid: d = integer squared
-    distance from the row's quantized point ``x`` to centroid j.
-    Centroids enter the plan as literal arrays (broadcast-by-plan).
-    Shared by k-means assignment (argmin via ``least``) and IVF cell
-    probing (top-n cells via ``array_sort``) so the quantized-distance
-    arithmetic cannot drift between the two."""
-    structs = []
-    for j, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(int(s)) for s in c])
-        d = F.aggregate(
-            F.zip_with(F.col("x"), lit_c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-    return structs
+    """Back-compat list form of :func:`dist_struct_array` (callers
+    build ``F.array(*dist_structs(c))``; prefer the array form)."""
+    arr = dist_struct_array(centroids)
+    return [F.element_at(arr, j + 1) for j in range(len(centroids))]
 
 
 def _assign_expr(centroids: list[list[int]]):
-    """Columns: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j."""
-    structs = dist_structs(centroids)
-    # least() needs >= 2 args; k=1 is a valid degenerate clustering
-    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    """Columns: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j
+    (struct comparison is field-lexicographic: distance, then j)."""
+    best = F.array_min(dist_struct_array(centroids))
     return best["j"].cast("int").alias("cid"), best["d"].alias("d2")
 
 

@@ -307,7 +307,7 @@ def ivf_topk(
     """
     from graal_cdc_spark.operators.clustering import (
         _assign_expr,
-        dist_structs,
+        dist_struct_array,
         quantize_points,
         train_centroids,
     )
@@ -332,7 +332,7 @@ def ivf_topk(
 
     # query probes: n_probe nearest cells via array_sort over (d, j)
     qx = quantize_points(queries, id_col, vec_col, scale)
-    probed = F.slice(F.array_sort(F.array(*dist_structs(cents))), 1, n_probe)
+    probed = F.slice(F.array_sort(dist_struct_array(cents)), 1, n_probe)
     q = F.broadcast(
         qx.select(F.col("pid").alias("qid"), F.explode(probed).alias("p"))
         .select("qid", F.col("p")["j"].alias("cell"))
@@ -386,7 +386,15 @@ def within_cluster_pair_census(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    m = assigned.select("pid", "cid", "x", n2.alias("n2"))
+    # Pin the join partitioning: the pair rows are tiny in BYTES but
+    # each evaluates a dims-term dot-product lambda, so AQE's
+    # byte-based coalescing folds the join to one partition and
+    # serializes the whole quadratic phase (the r67 rule: per-row
+    # compute is invisible to byte-based planners).
+    n_par = assigned.sparkSession.sparkContext.defaultParallelism
+    m = assigned.select("pid", "cid", "x", n2.alias("n2")).repartition(
+        n_par, "cid"
+    )
     a, b = m.alias("a"), m.alias("b")
     dot_i = F.aggregate(
         F.zip_with(F.col("a.x"), F.col("b.x"), lambda p, q: p * q),

@@ -4091,8 +4091,16 @@ ORDER BY lang
 
 
 def _l75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup_census(emb, k=32, iters=2, scale=10_000).orderBy(
+    # _par_table: the centroid training passes evaluate a 32-struct
+    # integer-distance expression per row — on the single-row-group
+    # embeddings scan that stage serializes on one core without the
+    # min-parallelism repartition (the l42/l20 rule).
+    emb = _par_table(spark, sf_dir, "embeddings")
+    # iters=1: each extra Lloyd round costs a full 32-struct assignment
+    # pass (codegen of a ~2k-term integer-distance expression dominates
+    # at this k); one round already separates the space for the pair
+    # phase, and the oracle unrolls the same single round.
+    return S.semdedup_census(emb, k=32, iters=1, scale=10_000).orderBy(
         "cid"
     )
 
@@ -4104,6 +4112,7 @@ _l(
     _l75,
     _kmeans_oracle(
         k=32,
+        iters=1,
         final_sql="""
 , m AS (
   SELECT f.pid, f.cid, p.x,

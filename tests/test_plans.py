@@ -528,8 +528,10 @@ def test_round5_batch5_partial_aggregation(spark, name):
         # broadcast bounds back onto the fact scan + final 5-row agg
         ("r94_winsorized_mean", 8),
         # within-cluster pair join partitions on cid (bounded by
-        # cluster size BY DESIGN — SemDeDup grows k with the corpus)
-        ("l75_semdedup_census", 5),
+        # cluster size BY DESIGN — SemDeDup grows k with the corpus);
+        # includes the AQE-exempt repartition pin on both join sides
+        # plus the census aggregates
+        ("l75_semdedup_census", 10),
         ("l76_quality_model_bands", 3),      # ONE (source,band) agg + sort
         ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
         # seq join + histogram windows over the tiny (tbl,op) frame
