@@ -601,3 +601,71 @@ def test_r92_triangle_join_equals_bruteforce(spark, raw):
         .count()
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r94: winsorized mean == naive clamp-at-discrete-percentiles
+# ---------------------------------------------------------------------------
+
+_vrows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                  # group
+        st.integers(min_value=-5000, max_value=5000), # value (cents)
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _naive_winsorize(rows):
+    import math
+
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    out = {}
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[max(0, math.ceil(0.05 * n) - 1)]
+        hi = vals[max(0, math.ceil(0.95 * n) - 1)]
+        w = [min(max(v, lo), hi) for v in vals]
+        out[g] = (n, lo, hi, sum(w), math.floor(sum(w) / n))
+    return out
+
+
+@_SETTINGS
+@given(rows=_vrows)
+def test_r94_winsorized_mean_equals_naive(spark, rows):
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    df = spark.createDataFrame(rows, "g string, amt long")
+    q = binned_group_quantiles(
+        df, "g", "amt", probabilities=(0.05, 0.95), bin_width=64.0
+    )
+    bounds = q.groupBy("g").agg(
+        F.min(F.when(F.col("p") == 0.05, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("p") == 0.95, F.col("value"))).alias("hi"),
+    )
+    got = {
+        r["g"]: (
+            r["n"], r["lo"], r["hi"], r["s"], r["m"],
+        )
+        for r in df.join(F.broadcast(bounds), "g")
+        .select(
+            "g",
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("amt"), F.col("lo")), F.col("hi")).alias("w"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").cast("long").alias("lo"),
+            F.min("hi").cast("long").alias("hi"),
+            F.sum("w").alias("s"),
+            F.floor(F.sum("w") / F.count(F.lit(1))).cast("long").alias("m"),
+        )
+        .collect()
+    }
+    assert got == _naive_winsorize(rows)
