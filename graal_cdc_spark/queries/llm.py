@@ -4240,3 +4240,122 @@ ORDER BY source, band
     ref="SURVEY.md §2.4 L09/L72 family; classifier-based quality "
     "filtering made deterministic",
 )
+
+# ---------------------------------------------------------------------------
+# L77 — dedup threshold sensitivity: how many within-cluster pairs
+# (and dropped docs) would each cosine threshold remove? ONE pair
+# scan evaluates every candidate tau via conditional aggregation —
+# the tuning table a curation team reads before fixing the SemDeDup
+# threshold (sweeping tau by re-running the join would cost
+# |taus| x the pair work). Thresholds compare integer-exactly:
+# cos >= t  <=>  dot > 0 AND den*dot^2 >= num*|a|^2*|b|^2 with
+# (num, den) = (t^2 * 100, 100).
+# ---------------------------------------------------------------------------
+
+_L77_TAUS = ((1, "0.10"), (4, "0.20"), (9, "0.30"), (16, "0.40"))
+
+
+def _l77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.clustering import (
+        kmeans_quantized,
+        quantize_points,
+    )
+
+    emb = _par_table(spark, sf_dir, "embeddings")
+    cc = kmeans_quantized(emb, k=32, iters=1, scale=10_000)
+    pts = quantize_points(emb, scale=10_000)
+    n2 = F.aggregate(
+        F.transform(F.col("x"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_par = spark.sparkContext.defaultParallelism
+    m = cc.join(pts, "pid").select(
+        "pid", "cid", "x", n2.alias("n2")
+    ).repartition(n_par, "cid")
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.x"), F.col("b.x"), lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dd = dot.cast("decimal(38,0)")
+    lhs = dd * dd * F.lit(100)
+    rhs = (
+        F.col("a.n2").cast("decimal(38,0)")
+        * F.col("b.n2").cast("decimal(38,0)")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.pid") < F.col("b.pid")),
+    ).select(
+        F.col("b.pid").alias("pb"),
+        (dot > 0).alias("pos"),
+        lhs.alias("lhs"),
+        rhs.alias("rhs"),
+    )
+    aggs = []
+    for num, label in _L77_TAUS:
+        hit = F.col("pos") & (F.col("lhs") >= F.lit(num) * F.col("rhs"))
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"p{label[2:]}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(hit, F.col("pb"))).alias(
+                f"d{label[2:]}"
+            )
+        )
+    out = pairs.agg(*aggs)
+    rows = []
+    for num, label in _L77_TAUS:
+        rows.append(
+            F.struct(
+                F.lit(label).alias("tau"),
+                F.col(f"p{label[2:]}").cast("long").alias("n_pairs"),
+                F.col(f"d{label[2:]}").cast("long").alias("n_dropped"),
+            )
+        )
+    return (
+        out.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.tau", "r.n_pairs", "r.n_dropped")
+        .orderBy("tau")
+    )
+
+
+_l(
+    "l77_dedup_threshold_sweep",
+    "SemDeDup threshold sensitivity: pairs/dropped docs at tau in "
+    "{0.1,0.2,0.3,0.4} from ONE within-cluster pair scan",
+    _l77,
+    _kmeans_oracle(
+        k=32,
+        iters=1,
+        final_sql="""
+, m AS (
+  SELECT f.pid, f.cid, p.x,
+         CAST(list_sum(list_transform(p.x, v -> v * v)) AS BIGINT) AS n2
+  FROM fin f JOIN pts p USING (pid)
+), prs AS (
+  SELECT b.pid AS pb,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> a.x[i] * b.x[i])) AS HUGEINT) AS dot,
+         CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) AS nn
+  FROM m a JOIN m b ON a.cid = b.cid AND a.pid < b.pid
+), sweep AS (
+  SELECT * FROM (VALUES (1, '0.10'), (4, '0.20'), (9, '0.30'),
+                        (16, '0.40')) AS t(num, tau)
+)
+SELECT s.tau,
+       CAST(SUM(CASE WHEN p.dot > 0 AND p.dot * p.dot * 100 >= s.num * p.nn
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p.dot > 0
+                                 AND p.dot * p.dot * 100 >= s.num * p.nn
+                                THEN p.pb END) AS BIGINT) AS n_dropped
+FROM sweep s CROSS JOIN prs p
+GROUP BY s.tau
+ORDER BY s.tau
+"""
+    ),
+    ref="SURVEY.md §2.4 L75 family; threshold-sweep tuning table",
+)

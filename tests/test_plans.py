@@ -533,6 +533,8 @@ def test_round5_batch5_partial_aggregation(spark, name):
         # plus the census aggregates
         ("l75_semdedup_census", 10),
         ("l76_quality_model_bands", 3),      # ONE (source,band) agg + sort
+        # same pair-scan shape as l75; single conditional aggregate
+        ("l77_dedup_threshold_sweep", 10),
         ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
         # seq join + histogram windows over the tiny (tbl,op) frame
         ("c22_envelope_size_census", 10),
