@@ -128,6 +128,9 @@ PROBES = [
     "r93_capped_running_balance",
     "r94_winsorized_mean",
     "l76_quality_model_bands",
+    # round 5, batch 7 (path windows, envelope-size quantiles)
+    "r95_top_event_paths",
+    "c22_envelope_size_census",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
