@@ -4359,3 +4359,76 @@ ORDER BY s.tau
     ),
     ref="SURVEY.md §2.4 L75 family; threshold-sweep tuning table",
 )
+
+# ---------------------------------------------------------------------------
+# MM06 — webdataset-style shard packing: media rows packed into
+# byte-budgeted shards per modality (the tar-shard builder step of a
+# multimodal training pipeline). Cumulative-window packing (the l21
+# rule: shard = bytes-before div budget — every shard <= budget except
+# a single over-budget item, which gets its own shard), then a
+# per-(modality, shard) census. One window + one aggregate; payload
+# bytes never shuffle more than once.
+# ---------------------------------------------------------------------------
+
+
+def _mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media_mixed(docs).select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = 4096
+    # bytes-before is non-negative, so truncating cast == floor div
+    sharded = media.withColumn(
+        "shard",
+        ((F.sum("n_bytes").over(w) - F.col("n_bytes")) / budget).cast(
+            "long"
+        ),
+    )
+    return (
+        sharded.groupBy("media_type", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+        )
+        .orderBy("media_type", "shard")
+    )
+
+
+_l(
+    "mm06_shard_packing",
+    "webdataset-style byte-budget shard packing per modality "
+    "(cumulative window; per-shard census)",
+    _mm06,
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), sharded AS (
+  SELECT media_type,
+         CAST((SUM(n_bytes) OVER (PARTITION BY media_type
+                                  ORDER BY media_id
+                                  ROWS UNBOUNDED PRECEDING) - n_bytes)
+              // 4096 AS BIGINT) AS shard,
+         n_bytes
+  FROM media
+)
+SELECT media_type, shard, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+FROM sharded
+GROUP BY media_type, shard
+ORDER BY media_type, shard
+""",
+    ref="SURVEY.md §2.4 MM05/L21 family; webdataset shard building",
+)
