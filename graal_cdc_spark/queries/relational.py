@@ -5063,3 +5063,76 @@ LIMIT 10
 """,
     ref="SURVEY.md §2.4 R60/R53 family; order-3 path mining",
 )
+
+# ---------------------------------------------------------------------------
+# R96 — SLO dashboard percentiles: exact p50/p95 of event value per
+# (day, event_type) — the latency-percentile time series every ops
+# dashboard draws. Same binned two-pass quantile operator as r88/r94,
+# here over a COMPOSITE ~150-group key (30 days x 5 types): the
+# histogram stays O(groups x bins) and no task ever sorts more than
+# one bin of one group, whether the key has 3 values or 3 million —
+# the property that makes this the only exact-percentile plan that
+# survives 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _r96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.robust import binned_group_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "/", F.to_date("ts").cast("string"), "event_type"
+        ).alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = binned_group_quantiles(
+        ev, "grp", "cents", probabilities=(0.5, 0.95), bin_width=64.0
+    )
+    return (
+        q.groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("p") == 0.5, F.col("value")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(F.when(F.col("p") == 0.95, F.col("value")))
+            .cast("long")
+            .alias("p95_cents"),
+        )
+        .select(
+            F.substring_index("grp", "/", 1).alias("day"),
+            F.substring_index("grp", "/", -1).alias("event_type"),
+            "p50_cents",
+            "p95_cents",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_r(
+    "r96_daily_percentile_bands",
+    "exact daily p50/p95 value bands per event type via the binned "
+    "two-pass quantile operator over a composite (day, type) key",
+    _r96,
+    """
+WITH ev AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT day, event_type, cents,
+         COUNT(*) OVER (PARTITION BY day, event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY day, event_type) AS t
+  FROM ev
+)
+SELECT day, event_type,
+       CAST(min(cents) FILTER (WHERE c >= ceil(0.5 * t)) AS BIGINT)
+         AS p50_cents,
+       CAST(min(cents) FILTER (WHERE c >= ceil(0.95 * t)) AS BIGINT)
+         AS p95_cents
+FROM ranked
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+    ref="SURVEY.md §2.4 R88/R94 family; SLO percentile time series",
+)

@@ -536,6 +536,8 @@ def test_round5_batch5_partial_aggregation(spark, name):
         # same pair-scan shape as l75; single conditional aggregate
         ("l77_dedup_threshold_sweep", 10),
         ("mm06_shard_packing", 3),           # ONE modality window + census
+        # histogram + (group,p) windows over the tiny cumulative frame
+        ("r96_daily_percentile_bands", 8),
         ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
         # seq join + histogram windows over the tiny (tbl,op) frame
         ("c22_envelope_size_census", 10),
