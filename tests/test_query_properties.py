@@ -669,3 +669,65 @@ def test_r94_winsorized_mean_equals_naive(spark, rows):
         .collect()
     }
     assert got == _naive_winsorize(rows)
+
+
+# ---------------------------------------------------------------------------
+# l76: linear quality band == pure-python feature + clamp reference
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet="ab the of xyz",  # words + stopwords + spaces
+        min_size=1,
+        max_size=40,
+    ).filter(lambda t: t.strip(" ") != ""),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _naive_band(text: str) -> int:
+    words = text.split(" ")
+    n = len(words)
+    uniq_milli = 1000 * len(set(words)) // n
+    stop = sum(
+        1
+        for w in words
+        if w in ("the", "a", "of", "and", "to", "in", "is", "on")
+    )
+    import math
+
+    stop_milli = math.floor(stop * 1000 / n)
+    awl_milli = math.floor(len(text.replace(" ", "")) * 1000 / n)
+    score = 300 + uniq_milli - 2 * stop_milli + (awl_milli // 10)
+    # Spark `div` truncates toward zero; negative bands clamp to 0
+    # either way, so reproduce truncation then clamp
+    band = score // 200 if score >= 0 else -(abs(score) // 200)
+    return max(0, min(5, band))
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_l76_band_formula_equals_naive(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["band"]
+        for r in df.select(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(5),
+                    F.expr(
+                        "(300 + (1000 * size(array_distinct(split(text, ' '))) "
+                        "div size(split(text, ' '))) "
+                        "- 2 * floor(size(filter(split(text, ' '), "
+                        "x -> x IN ('the','a','of','and','to','in','is','on')))"
+                        " * 1000 / size(split(text, ' '))) "
+                        "+ (floor(length(replace(text, ' ', '')) * 1000 "
+                        "/ size(split(text, ' '))) div 10)) div 200"
+                    ),
+                ),
+            ).alias("band")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(_naive_band(t) for t in texts)
