@@ -652,3 +652,35 @@ ORDER BY user_id, session_start
         "event-time in the reference)",
     )
 )
+
+
+def _st16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.streaming.windows import windowed_value_histogram
+
+    return windowed_value_histogram(_events(spark, sf_dir)).orderBy(
+        "window_start", "event_type", "bin"
+    )
+
+
+register(
+    QuerySpec(
+        name="st16_windowed_value_histogram",
+        category="streaming",
+        description="tumbling-window value histogram per event_type "
+        "(decomposable streaming half of the exact-percentile "
+        "pattern; O(bins) state per window)",
+        spark=_st16,
+        oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       CAST(floor(floor(value * 100) / 1000) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+        reference="SURVEY.md §2.2 (extension); operators/robust.py "
+        "binned-quantile pattern, streaming form",
+    )
+)

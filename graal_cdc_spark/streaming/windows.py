@@ -243,3 +243,40 @@ def admitted_counts(
             "n_admitted",
         )
     )
+
+
+def windowed_value_histogram(
+    df: DataFrame,
+    window: str = "10 minutes",
+    bin_width_cents: int = 1000,
+    watermark: str | None = None,
+) -> DataFrame:
+    """ST16 — tumbling-window VALUE HISTOGRAM per event_type: row
+    counts per (window, type, value-bin), integer cents.
+
+    This is the streaming half of the exact-percentile pattern
+    (operators/robust.py): bin counts are fully decomposable (a plain
+    windowed aggregate — partial combine, watermark-finalizable,
+    restart-safe), while the non-decomposable percentile LOCATION step
+    runs downstream over the tiny emitted histogram. Streaming an
+    exact percentile directly would need every raw value in state;
+    the histogram keeps state at O(bins) per (window, type) — the
+    only shape that survives unbounded streams.
+
+    Output: (window_start STRING, event_type, bin BIGINT, n BIGINT).
+    """
+    bin_col = F.floor(
+        F.floor(F.col("value") * 100) / F.lit(bin_width_cents)
+    ).cast("long")
+    return (
+        _with_watermark(df, watermark)
+        .withColumn("bin", bin_col)
+        .groupBy(F.window("ts", window).alias("w"), "event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "bin",
+            "n",
+        )
+    )

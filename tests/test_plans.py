@@ -538,6 +538,7 @@ def test_round5_batch5_partial_aggregation(spark, name):
         ("mm06_shard_packing", 3),           # ONE modality window + census
         # histogram + (group,p) windows over the tiny cumulative frame
         ("r96_daily_percentile_bands", 8),
+        ("st16_windowed_value_histogram", 2),  # ONE window agg + sort
         ("r95_top_event_paths", 3),          # ONE user exchange + tiny rank
         # seq join + histogram windows over the tiny (tbl,op) frame
         ("c22_envelope_size_census", 10),

@@ -1580,3 +1580,25 @@ def test_stream_static_join_dim_refresh_via_foreach_batch(
 
     segs = [s for _, s in out]
     assert segs[0] == "bronze" and segs[-1] == "gold", out
+
+
+def test_windowed_histogram_stream_matches_batch(spark, sf_dir, tmp_path):
+    """ST16: the streaming value histogram (chunked into two
+    micro-batches, complete mode) equals the batch twin — bin counts
+    are decomposable, so chunking cannot change any (window, type,
+    bin) cell."""
+    from graal_cdc_spark.streaming.windows import windowed_value_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    replay = str(tmp_path / "replay")
+    append_chunk(events.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(events.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    stream = read_file_stream(
+        spark, replay, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    got = run_to_memory(
+        windowed_value_histogram(stream), output_mode="complete"
+    )
+    want = windowed_value_histogram(events)
+    assert _rows(spark, got) == _rows(spark, want)
