@@ -6,8 +6,12 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 REPO = Path(__file__).parents[1]
 sys.path.insert(0, str(REPO / "examples"))
+
+from graal_cdc_spark.sources.tables import load_table  # noqa: E402
 
 
 def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
@@ -35,3 +39,51 @@ def test_corpus_curation_pipeline(spark, sf_dir, tmp_path):
 
     rerun = curate(spark, sf_dir, out)
     assert rerun == stats
+
+
+def test_streaming_slo_pipeline(spark, sf_dir, tmp_path):
+    """The streaming-percentile split example: the bin-resolution
+    percentiles located over the STREAMED histogram must bracket the
+    exact batch percentiles computed from raw values (error bound =
+    one bin width), for every (window, type) cell."""
+    from pyspark.sql import Window
+
+    from streaming_slo import BIN_CENTS, run
+
+    out = run(spark, sf_dir, str(tmp_path / "slo"))
+    rows = {
+        (r["window_start"], r["event_type"]): (
+            r["p50_bin"], r["p95_bin"], r["n"]
+        )
+        for r in out.collect()
+    }
+    assert rows
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("window_start", "event_type").orderBy("cents")
+    exact = (
+        events.select(
+            F.date_format(
+                F.window("ts", "10 minutes").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("c", F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t", F.count(F.lit(1)).over(
+            Window.partitionBy("window_start", "event_type")))
+    )
+    p50 = (
+        exact.filter(F.col("c") >= F.ceil(0.5 * F.col("t")))
+        .groupBy("window_start", "event_type")
+        .agg(F.min("cents").alias("v"))
+        .collect()
+    )
+    for r in p50:
+        key = (r["window_start"], r["event_type"])
+        p50_bin = rows[key][0]
+        assert p50_bin * BIN_CENTS <= r["v"] < (p50_bin + 1) * BIN_CENTS, (
+            key, r["v"], p50_bin,
+        )
