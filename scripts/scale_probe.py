@@ -128,9 +128,14 @@ PROBES = [
     "r93_capped_running_balance",
     "r94_winsorized_mean",
     "l76_quality_model_bands",
-    # round 5, batch 7 (path windows, envelope-size quantiles)
+    # round 5, batch 7 (path windows, envelope-size quantiles,
+    # composite-key quantiles, modality shard window, streaming
+    # histogram twin)
     "r95_top_event_paths",
     "c22_envelope_size_census",
+    "r96_daily_percentile_bands",
+    "mm06_shard_packing",
+    "st16_windowed_value_histogram",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
