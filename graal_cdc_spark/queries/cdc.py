@@ -1094,8 +1094,8 @@ pv AS (
 SELECT tbl, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN prev_iso > ts_iso THEN 1 ELSE 0 END) AS BIGINT)
          AS n_inversions,
-       (10000 * SUM(CASE WHEN prev_iso > ts_iso THEN 1 ELSE 0 END))
-         // count(*) AS inv_bp
+       CAST((10000 * SUM(CASE WHEN prev_iso > ts_iso THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS inv_bp
 FROM lagged
 WHERE ts_iso IS NOT NULL AND prev_iso IS NOT NULL
 GROUP BY tbl ORDER BY tbl

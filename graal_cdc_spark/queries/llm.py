@@ -2222,8 +2222,8 @@ WITH toks AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       (10000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
-         // count(*) AS oov_bp
+       CAST((10000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS oov_bp
 FROM toks t LEFT JOIN vocab v USING (word)
 GROUP BY doc_id ORDER BY doc_id
 """,
@@ -2292,8 +2292,8 @@ WITH toks AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tri,
        CAST(SUM(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       (10000 * SUM(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END))
-         // count(*) AS novelty_bp
+       CAST((10000 * SUM(CASE WHEN o.tri IS NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_bp
 FROM tris n LEFT JOIN old o USING (tri)
 WHERE n.doc_id % 10 >= 8
 GROUP BY doc_id ORDER BY doc_id
@@ -2463,7 +2463,7 @@ _l(
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(ok) AS BIGINT) AS n_pass,
-       (10000 * SUM(ok)) // count(*) AS pass_bp
+       CAST((10000 * SUM(ok)) // count(*) AS BIGINT) AS pass_bp
 FROM (
   SELECT source,
          CASE WHEN n_words >= 20 AND n_words <= 1000
@@ -3474,8 +3474,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_shared,
-       (10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) // count(*)
-         AS shared_bp
+       CAST((10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS shared_bp
 FROM grams JOIN dfg USING (g)
 GROUP BY doc_id ORDER BY doc_id
 """,
@@ -3648,8 +3648,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_fp,
        CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_shared,
-       (10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)) // count(*)
-         AS shared_bp
+       CAST((10000 * SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS shared_bp
 FROM fps JOIN dfp USING (fp)
 GROUP BY doc_id ORDER BY doc_id
 """,
@@ -3954,7 +3954,7 @@ WITH flags AS (
   FROM flags GROUP BY 1, 2, 3
 )
 SELECT g_len, g_words, g_digit, CAST(n AS BIGINT) AS n,
-       (10000 * n) // SUM(n) OVER () AS share_bp
+       CAST((10000 * n) // SUM(n) OVER () AS BIGINT) AS share_bp
 FROM cells
 ORDER BY g_len, g_words, g_digit
 """,
@@ -4062,9 +4062,10 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
        CAST(SUM(len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
-       (1000 * SUM(len(regexp_extract_all(text,
+       CAST((1000 * SUM(len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))))
-         // SUM(len(string_split(text, ' '))) AS fertility_milli
+            // SUM(len(string_split(text, ' '))) AS BIGINT)
+         AS fertility_milli
 FROM documents
 GROUP BY lang
 ORDER BY lang

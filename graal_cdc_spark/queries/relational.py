@@ -3523,10 +3523,18 @@ def _r76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pick(p_num: int, p_den: int, name: str):
-        # value at rank ceil(p*n): smallest rn with rn*p_den >= n*p_num
-        return F.min(
-            F.when(F.col("rn") * p_den >= F.col("n") * p_num, F.col("price"))
-        ).alias(name)
+        # value at rank ceil(p*n): smallest rn with rn*p_den >= n*p_num.
+        # Output as canonical string: DECIMAL on the result surface is
+        # not portable through the gate's value hash (round-5 lesson).
+        return (
+            F.min(
+                F.when(
+                    F.col("rn") * p_den >= F.col("n") * p_num, F.col("price")
+                )
+            )
+            .cast("string")
+            .alias(name)
+        )
 
     return (
         ranked.groupBy("o_custkey")
@@ -3556,9 +3564,9 @@ WITH ranked AS (
 )
 SELECT o_custkey,
        CAST(max(n) AS BIGINT) AS n_orders,
-       min(CASE WHEN rn * 4 >= n * 1 THEN price END) AS p25,
-       min(CASE WHEN rn * 4 >= n * 2 THEN price END) AS p50,
-       min(CASE WHEN rn * 4 >= n * 3 THEN price END) AS p75
+       CAST(min(CASE WHEN rn * 4 >= n * 1 THEN price END) AS VARCHAR) AS p25,
+       CAST(min(CASE WHEN rn * 4 >= n * 2 THEN price END) AS VARCHAR) AS p50,
+       CAST(min(CASE WHEN rn * 4 >= n * 3 THEN price END) AS VARCHAR) AS p75
 FROM ranked
 GROUP BY o_custkey ORDER BY o_custkey
 """,
@@ -3624,8 +3632,9 @@ WITH per_nation AS (
   FROM customer GROUP BY c_nationkey
 )
 SELECT n_regionkey, n_name, CAST(bal_cents AS BIGINT) AS bal_cents,
-       (10000 * bal_cents) // SUM(bal_cents) OVER (PARTITION BY n_regionkey)
-         AS share_bp
+       CAST((10000 * bal_cents)
+            // SUM(bal_cents) OVER (PARTITION BY n_regionkey)
+            AS BIGINT) AS share_bp
 FROM per_nation JOIN nation ON n_nationkey = c_nationkey
 ORDER BY n_regionkey, n_name
 """,
@@ -3666,7 +3675,7 @@ def _r78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "n_items",
-            F.col("qty").alias("first_line_qty"),
+            F.col("qty").cast("string").alias("first_line_qty"),
             F.col("total_qty").cast("string").alias("total_qty"),
         )
         .orderBy("l_orderkey")
@@ -3686,7 +3695,7 @@ WITH flat AS (
 )
 SELECT l_orderkey,
        CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_items,
-       qty AS first_line_qty,
+       CAST(qty AS VARCHAR) AS first_line_qty,
        CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS VARCHAR) AS total_qty
 FROM flat
 QUALIFY ln = 1
@@ -3865,7 +3874,7 @@ WITH flagged AS (
 SELECT CAST(CAST(start_ts AS DATE) AS VARCHAR) AS day,
        CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(SUM(converted) AS BIGINT) AS n_converted,
-       (10000 * SUM(converted)) // count(*) AS conv_bp
+       CAST((10000 * SUM(converted)) // count(*) AS BIGINT) AS conv_bp
 FROM sessions
 GROUP BY 1 ORDER BY day
 """,
@@ -4548,11 +4557,11 @@ spine AS (
 )
 SELECT event_type, CAST(d AS VARCHAR) AS day,
        CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated,
-       CASE WHEN cents IS NOT NULL THEN cents
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
             WHEN pv IS NOT NULL AND nv IS NOT NULL
             THEN pv + (nv - pv) * date_diff('day', pd, d)
                       // date_diff('day', pd, nd)
-            ELSE coalesce(pv, nv) END AS filled_cents
+            ELSE coalesce(pv, nv) END AS BIGINT) AS filled_cents
 FROM ctx
 ORDER BY event_type, day
 """,

@@ -1,0 +1,57 @@
+"""Registry-wide portable-result-type lint.
+
+Round-5 postmortem: every external-gate hash FAIL (c21/r76/r77/r78/
+r80/r89) had a DuckDB HUGEINT (`//` on BIGINT) or raw DECIMAL result
+column; every pass had neither. The gate's value hash canonicalizes
+int/float/str/date/bool portably across engines, but not engine-
+specific wide types. This lint makes the class unrepresentable:
+
+- every oracle's inferred DuckDB result types contain no
+  HUGEINT / UHUGEINT / DECIMAL;
+- every Spark query's result schema contains no DecimalType.
+
+Decimals must render through CAST(... AS VARCHAR) / .cast("string")
+(the r02 pattern); integer quotients through CAST(... AS BIGINT).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graal_cdc_spark.queries import all_specs
+from graal_cdc_spark.testing import _NONPORTABLE_DUCK, oracle_result_types
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_SPECS = all_specs()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in _SPECS.items() if s.oracle is not None]
+)
+def test_oracle_surface_portable(name):
+    types = oracle_result_types(_SPECS[name].oracle, SF_SMOKE)
+    bad = [
+        (c, t)
+        for c, t in types
+        if any(t.upper().startswith(p) for p in _NONPORTABLE_DUCK)
+    ]
+    assert not bad, (
+        f"{name}: oracle result columns {bad} are not portable through "
+        f"the gate hash — CAST // quotients to BIGINT and decimals to "
+        f"VARCHAR"
+    )
+
+
+def test_spark_surface_no_decimal(spark):
+    # Schema-only: building the DataFrame is lazy, no execution needed.
+    bad = []
+    for name, spec in _SPECS.items():
+        df = spec.spark(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if f.dataType.simpleString().startswith("decimal"):
+                bad.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
+    assert not bad, (
+        f"Spark result columns typed decimal (gate hash cannot "
+        f"canonicalize): {bad} — use .cast('string') on the surface"
+    )
