@@ -35,7 +35,9 @@ BIN_CENTS = 1000
 
 
 def run(spark, sf_dir: str, base: str):
-    from tests.test_streaming import EVENTS_SCHEMA  # same contract
+    from graal_cdc_spark.sources.tables import events_schema
+
+    EVENTS_SCHEMA = events_schema()
 
     replay = os.path.join(base, "replay")
     lake = os.path.join(base, "hist")

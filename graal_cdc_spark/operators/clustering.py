@@ -77,13 +77,6 @@ def dist_struct_array(centroids: list[list[int]]):
     )
 
 
-def dist_structs(centroids: list[list[int]]) -> list:
-    """Back-compat list form of :func:`dist_struct_array` (callers
-    build ``F.array(*dist_structs(c))``; prefer the array form)."""
-    arr = dist_struct_array(centroids)
-    return [F.element_at(arr, j + 1) for j in range(len(centroids))]
-
-
 def _assign_expr(centroids: list[list[int]]):
     """Columns: argmin_j sum_d (x_d - c_jd)^2, ties to lowest j
     (struct comparison is field-lexicographic: distance, then j)."""

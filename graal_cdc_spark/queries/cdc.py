@@ -1175,9 +1175,9 @@ register(
   FROM sized
 ), pcts AS (
   SELECT tbl, op,
-         CAST(min(nbytes) FILTER (WHERE c >= ceil(0.5 * t)) AS BIGINT)
+         CAST(min(nbytes) FILTER (WHERE c * 2 >= t) AS BIGINT)
            AS p50_bytes,
-         CAST(min(nbytes) FILTER (WHERE c >= ceil(0.95 * t)) AS BIGINT)
+         CAST(min(nbytes) FILTER (WHERE c * 20 >= 19 * t) AS BIGINT)
            AS p95_bytes
   FROM ranked GROUP BY tbl, op
 )

@@ -4313,8 +4313,14 @@ def _l77(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             F.struct(
                 F.lit(label).alias("tau"),
-                F.col(f"p{label[2:]}").cast("long").alias("n_pairs"),
-                F.col(f"d{label[2:]}").cast("long").alias("n_dropped"),
+                # coalesce: a pair-free corpus leaves the global agg's
+                # SUM NULL while the oracle's LEFT JOIN sweep emits 0
+                F.coalesce(F.col(f"p{label[2:]}"), F.lit(0))
+                .cast("long")
+                .alias("n_pairs"),
+                F.coalesce(F.col(f"d{label[2:]}"), F.lit(0))
+                .cast("long")
+                .alias("n_dropped"),
             )
         )
     return (
@@ -4353,7 +4359,7 @@ SELECT s.tau,
        CAST(COUNT(DISTINCT CASE WHEN p.dot > 0
                                  AND p.dot * p.dot * 100 >= s.num * p.nn
                                 THEN p.pb END) AS BIGINT) AS n_dropped
-FROM sweep s CROSS JOIN prs p
+FROM sweep s LEFT JOIN prs p ON TRUE
 GROUP BY s.tau
 ORDER BY s.tau
 """
@@ -4387,13 +4393,13 @@ def _mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     budget = 4096
-    # bytes-before is non-negative, so truncating cast == floor div
+    # Integer division on longs end-to-end: double division + cast
+    # loses exactness once cumulative bytes pass 2^53 (ADVICE r5).
     sharded = media.withColumn(
-        "shard",
-        ((F.sum("n_bytes").over(w) - F.col("n_bytes")) / budget).cast(
-            "long"
-        ),
-    )
+        "cum", F.sum("n_bytes").over(w)
+    ).withColumn(
+        "shard", F.expr(f"(cum - n_bytes) div {budget}")
+    ).drop("cum")
     return (
         sharded.groupBy("media_type", "shard")
         .agg(

@@ -4770,9 +4770,9 @@ def _r92(spark: SparkSession, sf_dir: str) -> DataFrame:
     degs = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     node_wedge = degs.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(
-            (F.col("deg") * (F.col("deg") - 1)).cast("long") / 2
-        ).cast("long").alias("n_wedges"),
+        # C(deg,2) summed under integer arithmetic end-to-end — the
+        # double-division form loses exactness past 2^53 (ADVICE r5).
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -4998,8 +4998,8 @@ WITH ev AS (
   FROM ev
 ), bounds AS (
   SELECT event_type,
-         min(amt) FILTER (WHERE c >= ceil(0.05 * t)) AS lo,
-         min(amt) FILTER (WHERE c >= ceil(0.95 * t)) AS hi
+         min(amt) FILTER (WHERE c * 20 >= t) AS lo,
+         min(amt) FILTER (WHERE c * 20 >= 19 * t) AS hi
   FROM ranked GROUP BY event_type
 )
 SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
@@ -5135,9 +5135,9 @@ WITH ev AS (
   FROM ev
 )
 SELECT day, event_type,
-       CAST(min(cents) FILTER (WHERE c >= ceil(0.5 * t)) AS BIGINT)
+       CAST(min(cents) FILTER (WHERE c * 2 >= t) AS BIGINT)
          AS p50_cents,
-       CAST(min(cents) FILTER (WHERE c >= ceil(0.95 * t)) AS BIGINT)
+       CAST(min(cents) FILTER (WHERE c * 20 >= 19 * t) AS BIGINT)
          AS p95_cents
 FROM ranked
 GROUP BY day, event_type

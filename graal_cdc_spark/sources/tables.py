@@ -17,6 +17,33 @@ from pyspark.sql import functions as F
 
 from graal_cdc_spark.session import configure
 
+def events_schema():
+    """Explicit schema of the ``events`` table for streaming file
+    reads (readStream requires a user-supplied schema; inferring from
+    files at scale would scan footers on the driver). Shared by the
+    examples and the streaming tests — one contract, one definition.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
 TABLES: tuple[str, ...] = (
     "region",
     "nation",

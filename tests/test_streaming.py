@@ -39,16 +39,9 @@ from graal_cdc_spark.streaming import (
     tumbling_counts,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from graal_cdc_spark.sources.tables import events_schema
+
+EVENTS_SCHEMA = events_schema()
 
 
 def _rows(spark, df):
