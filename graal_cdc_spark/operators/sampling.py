@@ -63,6 +63,49 @@ def stratified_sample(
     return df.filter(hash_gate(F.col(content_col), expr))
 
 
+def stratified_sample_expr(
+    df: DataFrame, content_col: str, threshold_expr: Column
+) -> DataFrame:
+    """Rate-by-rule form: ``threshold_expr`` is any Column producing
+    the 2-char hex threshold per row (e.g. a CASE on the stratum
+    column). Fully distributed — no stratum enumeration anywhere; the
+    rule folds into the same codegen'd scan filter."""
+    return df.filter(hash_gate(F.col(content_col), threshold_expr))
+
+
+def stratified_sample_by_map(
+    df: DataFrame,
+    content_col: str,
+    stratum_col: str,
+    threshold_map: DataFrame,
+    default_hex2: str = "00",
+) -> DataFrame:
+    """Rate-by-table form: per-stratum thresholds live in a DataFrame
+    ``(stratum, hex2)`` — the DISTRIBUTED replacement for collecting
+    strata to the driver when the map is data-derived (computed by an
+    upstream aggregation, maintained as a control table). One
+    broadcast left join; unlisted strata fall back to
+    ``default_hex2``. The map stays broadcastable because strata are
+    group-by keys of a bounded-cardinality dimension — if it ever
+    isn't, drop the broadcast hint and let the join shuffle."""
+    m = F.broadcast(
+        threshold_map.select(
+            F.col("stratum").alias(stratum_col),
+            F.col("hex2").alias("__thr"),
+        )
+    )
+    return (
+        df.join(m, stratum_col, "left")
+        .filter(
+            hash_gate(
+                F.col(content_col),
+                F.coalesce(F.col("__thr"), F.lit(default_hex2)),
+            )
+        )
+        .select(*df.columns)  # USING-join reorders; restore the frame
+    )
+
+
 def per_stratum_topk(
     df: DataFrame,
     content_col: str,

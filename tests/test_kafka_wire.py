@@ -75,6 +75,29 @@ def test_wrong_magic_rejected():
         list(decode_record_batches(bytes(buf)))
 
 
+def test_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec = st.tuples(
+        st.one_of(st.none(), st.binary(max_size=64)),
+        st.one_of(st.none(), st.binary(max_size=512)),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        base=st.integers(min_value=0, max_value=2**40),
+        recs=st.lists(rec, min_size=1, max_size=20),
+        ts=st.integers(min_value=0, max_value=2**40),
+    )
+    def prop(base, recs, ts):
+        buf = encode_record_batch(base, recs, base_timestamp=ts)
+        out = list(decode_record_batches(buf))
+        assert out == [(base + i, k, v) for i, (k, v) in enumerate(recs)]
+
+    prop()
+
+
 def test_varint_width_boundaries():
     # values straddling the 1/2/5-byte zigzag-varint widths
     payloads = [b"x" * n for n in (0, 63, 64, 8191, 8192, 100_000)]

@@ -568,3 +568,53 @@ def test_r94_no_full_group_sort_window(spark):
     a = _audit(spark, "r94_winsorized_mean")
     assert a.broadcast_joins >= 1, a.plan
     assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 components: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+def test_schema_registry_window_only_on_tiny_frame(spark):
+    """schema_versions' version numbering must window over the
+    (db, tbl, fields) AGGREGATE (bounded by distinct schemas), never
+    over the log-sized envelope frame — at 100 TB a per-table window
+    over raw events serializes each table's history into one task."""
+    import re
+
+    from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+    from graal_cdc_spark.cdc.schema_registry import schema_versions
+
+    df = schema_versions(parse_envelope(build_cdc_events(spark, SF)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = len(re.findall(r"\bWindow \[", plan))
+    assert windows == 1, plan
+    # the Window's subtree must contain the HashAggregate — i.e. the
+    # window consumes the reduced frame, not the scan
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate")
+    assert 0 <= win_pos < agg_pos, plan
+
+
+def test_kafka_segment_reader_no_shuffle(spark, tmp_path):
+    """The archived-segment decode is map-only: binaryFile splits →
+    mapInPandas, no Exchange (seq/partition arrive with the bytes)."""
+    import os
+
+    from graal_cdc_spark.sources.kafka_wire import (
+        encode_record_batch,
+        read_kafka_segments,
+    )
+
+    d = str(tmp_path / "t-0")
+    os.makedirs(d)
+    with open(os.path.join(d, "0.log"), "wb") as f:
+        f.write(encode_record_batch(0, [(b"k", b"v")]))
+    plan = (
+        read_kafka_segments(spark, str(tmp_path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan

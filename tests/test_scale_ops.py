@@ -262,6 +262,45 @@ def test_stratified_sample_unlisted_stratum_dropped(spark):
     assert {r.id for r in out.collect()} == {1}
 
 
+def test_stratified_sample_three_forms_agree(spark):
+    """dict (driver literals), expr (row-local rule), and map
+    (broadcast join against a threshold table) select the SAME rows —
+    the expr/map forms are the zero-collect replacements for
+    driver-side stratum enumeration."""
+    from graal_cdc_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_by_map,
+        stratified_sample_expr,
+    )
+
+    rows = [
+        (i, f"text {i}", ["en", "fr", "xx"][i % 3]) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, lang STRING")
+    ids = lambda d: sorted(r.id for r in d.collect())  # noqa: E731
+
+    by_dict = stratified_sample(
+        df, "text", "lang", {"en": "0d", "fr": "33"}, default_hex2="20"
+    )
+    by_expr = stratified_sample_expr(
+        df,
+        "text",
+        F.when(F.col("lang") == "en", F.lit("0d"))
+        .when(F.col("lang") == "fr", F.lit("33"))
+        .otherwise(F.lit("20")),
+    )
+    tmap = spark.createDataFrame(
+        [("en", "0d"), ("fr", "33")], "stratum STRING, hex2 STRING"
+    )
+    by_map = stratified_sample_by_map(
+        df, "text", "lang", tmap, default_hex2="20"
+    )
+    assert ids(by_dict) == ids(by_expr) == ids(by_map)
+    assert len(ids(by_dict)) > 0
+    # map form keeps the frame's columns (no helper column leaks)
+    assert by_map.columns == df.columns
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF: hand-computed small corpus
 # ---------------------------------------------------------------------------

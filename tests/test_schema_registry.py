@@ -150,6 +150,63 @@ def test_fixture_registry_matches_duckdb_twin(spark, sf_dir):
     assert canon_rows(got.columns, s_rows) == canon_rows(o_cols, o_rows)
 
 
+def test_streaming_incremental_registry_golden(spark, tmp_path):
+    """The registry maintained incrementally over a replayed stream
+    (foreachBatch: fold each micro-batch's registry via
+    merge_registry) converges to the batch registry — versions,
+    first_seq, AND counts. Chunk boundaries are adversarial: the
+    version-2 first appearance (seq 3) lands mid-stream."""
+    from graal_cdc_spark.streaming.replay import append_chunk, read_file_stream
+
+    events = _log(spark, EVOLVING)
+    replay = str(tmp_path / "replay")
+    for lo, hi in ((1, 2), (3, 5), (6, 7)):
+        append_chunk(
+            events.filter(F.col("seq").between(lo, hi)).coalesce(1), replay
+        )
+
+    state = {"reg": None}
+
+    def fold(batch_df, _bid):
+        fresh = schema_versions(parse_envelope(batch_df))
+        if state["reg"] is None:
+            state["reg"] = [r.asDict() for r in fresh.collect()]
+        else:
+            # dicts, not Rows: merge_registry's column ORDER differs
+            # from schema_versions' and createDataFrame(Row, schema)
+            # maps positionally
+            existing = batch_df.sparkSession.createDataFrame(
+                state["reg"], fresh.schema
+            )
+            state["reg"] = [
+                r.asDict()
+                for r in merge_registry(existing, fresh).collect()
+            ]
+
+    stream = read_file_stream(
+        spark, replay, "seq long, key string, value string",
+        max_files_per_trigger=1,
+    )
+    q = stream.writeStream.foreachBatch(fold).trigger(
+        availableNow=True
+    ).option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+
+    want = sorted(
+        (r["db"], r["tbl"], r["version"], r["fields"], r["first_seq"],
+         r["n_events"])
+        for r in schema_versions(parse_envelope(events)).collect()
+    )
+    got = sorted(
+        (d["db"], d["tbl"], d["version"], d["fields"], d["first_seq"],
+         d["n_events"])
+        for d in state["reg"]
+    )
+    assert got == want
+
+
 def test_silver_merge_schema_evolution(spark, tmp_path):
     """The registry's downstream: silver parquet written per-version
     evolves by column ADDITION; mergeSchema reads the union and the
