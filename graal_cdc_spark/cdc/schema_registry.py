@@ -46,8 +46,10 @@ def schema_versions(parsed: DataFrame) -> DataFrame:
     frame (``parse_envelope`` output: db, tbl, op, seq, after_json).
 
     Returns one row per (db, tbl, distinct field-set), versioned 1..n
-    per table in order of first appearance (ties on first_seq cannot
-    occur — seq is unique in the log).
+    per table in order of first appearance. Version order is total:
+    ties on first_seq (possible when seq is a per-partition offset,
+    e.g. from ``read_kafka_segments`` where only (seq, src_partition)
+    is unique) break deterministically on the field-set string.
     """
     evid = (
         parsed.filter(F.col("op") != "d")
@@ -59,7 +61,7 @@ def schema_versions(parsed: DataFrame) -> DataFrame:
         F.min("seq").alias("first_seq"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.partitionBy("db", "tbl").orderBy("first_seq")
+    w = Window.partitionBy("db", "tbl").orderBy("first_seq", "fields")
     return per_schema.select(
         "db",
         "tbl",
@@ -112,7 +114,8 @@ def merge_registry(existing: DataFrame, fresh: DataFrame) -> DataFrame:
         (F.col("e_n") + F.coalesce("f_n", F.lit(0))).alias("n_events"),
     )
     base = e.groupBy("db", "tbl").agg(F.max("e_version").alias("vmax"))
-    w = Window.partitionBy("db", "tbl").orderBy("f_first_seq")
+    # same total order as schema_versions: first_seq then field-set
+    w = Window.partitionBy("db", "tbl").orderBy("f_first_seq", "fields")
     new = (
         joined.filter(F.col("e_version").isNull())
         .join(F.broadcast(base), ["db", "tbl"], "left")

@@ -87,11 +87,15 @@ def stratified_sample_by_map(
     broadcast left join; unlisted strata fall back to
     ``default_hex2``. The map stays broadcastable because strata are
     group-by keys of a bounded-cardinality dimension — if it ever
-    isn't, drop the broadcast hint and let the join shuffle."""
+    isn't, drop the broadcast hint and let the join shuffle.
+
+    Duplicate stratum rows in the map (a non-deduped control-table
+    merge) would fan the join out and silently DUPLICATE sampled rows
+    — collapsed here to min(hex2) per stratum (deterministic, and
+    conservative: the lowest threshold keeps the fewest rows)."""
     m = F.broadcast(
-        threshold_map.select(
-            F.col("stratum").alias(stratum_col),
-            F.col("hex2").alias("__thr"),
+        threshold_map.groupBy(F.col("stratum").alias(stratum_col)).agg(
+            F.min("hex2").alias("__thr")
         )
     )
     return (

@@ -185,9 +185,18 @@ def decode_record_batches(
         post_crc = buf[crc_pos + 4 : batch_end]
         if verify_crc and crc32c(post_crc) != crc_stored:
             raise ValueError(f"CRC-32C mismatch in batch at {pos}")
-        (_attrs, _last_delta, _bts, _mts, _pid, _pep, _bseq, count) = (
+        (attrs, _last_delta, _bts, _mts, _pid, _pep, _bseq, count) = (
             _POST_CRC.unpack_from(post_crc, 0)
         )
+        if attrs & 0x07:
+            # compression bits set: the CRC covers the COMPRESSED
+            # bytes, so the batch verifies and then the varint parser
+            # would walk a gzip/snappy/zstd blob — reject loudly
+            # instead of mis-parsing (or worse, silently succeeding).
+            raise ValueError(
+                f"compressed batch (attrs={attrs:#06x}) at {pos}: this "
+                f"codec only speaks uncompressed RecordBatch v2"
+            )
         rpos = _POST_CRC.size
         for _ in range(count):
             rec_len, rpos = _read_varint(post_crc, rpos)
@@ -251,11 +260,19 @@ def read_kafka_segments(spark: SparkSession, path: str) -> DataFrame:
                 for off, key, value in decode_record_batches(bytes(content)):
                     rows["seq"].append(off)
                     rows["src_partition"].append(part)
+                    # errors="replace" mirrors the live path's lenient
+                    # cast('string') on the Kafka binary columns — a
+                    # non-UTF8 payload byte must not fail the job; the
+                    # malformed-envelope filter (F4) owns rejecting it
                     rows["key"].append(
-                        None if key is None else key.decode("utf-8")
+                        None
+                        if key is None
+                        else key.decode("utf-8", errors="replace")
                     )
                     rows["value"].append(
-                        None if value is None else value.decode("utf-8")
+                        None
+                        if value is None
+                        else value.decode("utf-8", errors="replace")
                     )
             yield pd.DataFrame(rows)
 

@@ -27,12 +27,19 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    cols, rows, _types = run_oracle_with_types(sql, sf_dir)
+    return cols, rows
+
+
+def run_oracle_with_types(
+    sql: str, sf_dir: str
+) -> tuple[list[str], list[tuple], list[str]]:
+    """One connection, one bind: columns, rows, AND the relation's
+    inferred type strings (for the portable-type check) together."""
     con = duckdb_connect(sf_dir)
     try:
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        rel = con.sql(sql)
+        return rel.columns, rel.fetchall(), [str(t) for t in rel.types]
     finally:
         con.close()
 
@@ -58,20 +65,33 @@ def oracle_result_types(sql: str, sf_dir: str) -> list[tuple[str, str]]:
         con.close()
 
 
+def _spark_nonportable(spark_df) -> list[str]:
+    # substring, not prefix: decimal nested inside struct<>/array<>
+    # reaches the gate hash just the same
+    return [
+        f"spark:{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if "decimal" in f.dataType.simpleString()
+    ]
+
+
+def _oracle_nonportable(cols_types) -> list[str]:
+    return [
+        f"oracle:{col}:{typ}"
+        for col, typ in cols_types
+        if any(p in typ.upper() for p in _NONPORTABLE_DUCK)
+    ]
+
+
 def nonportable_columns(
     spark_df, oracle_sql: str, sf_dir: str
 ) -> list[str]:
     """Result columns (either engine) whose type the gate hash cannot
-    canonicalize — empty list means the spec obeys the protocol."""
-    bad = [
-        f"spark:{f.name}:{f.dataType.simpleString()}"
-        for f in spark_df.schema.fields
-        if f.dataType.simpleString().startswith("decimal")
-    ]
-    for col, typ in oracle_result_types(oracle_sql, sf_dir):
-        if any(typ.upper().startswith(p) for p in _NONPORTABLE_DUCK):
-            bad.append(f"oracle:{col}:{typ}")
-    return bad
+    canonicalize — empty list means the spec obeys the protocol.
+    Checks nested types too (struct/array of decimal)."""
+    return _spark_nonportable(spark_df) + _oracle_nonportable(
+        oracle_result_types(oracle_sql, sf_dir)
+    )
 
 
 def canon_value(v) -> str:
@@ -115,14 +135,17 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
 def compare_query(spark, spec, sf_dir: str) -> None:
     """Assert the Spark query matches its DuckDB oracle. Raises AssertionError."""
     sdf = spec.spark(spark, sf_dir)
-    bad = nonportable_columns(sdf, spec.oracle, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    # one DuckDB connection serves both the rows and the type lint
+    o_cols, o_rows, o_types = run_oracle_with_types(spec.oracle, sf_dir)
+    bad = _spark_nonportable(sdf) + _oracle_nonportable(
+        zip(o_cols, o_types)
+    )
     assert not bad, (
         f"{spec.name}: non-portable result types (gate hash cannot "
         f"canonicalize): {bad}"
     )
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(spec.oracle, sf_dir)
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"{spec.name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"

@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # cosmetic metadata; never abort the baseline run
 
     from graal_cdc_spark.queries import all_specs
     from graal_cdc_spark.testing import duckdb_connect
@@ -50,7 +53,7 @@ def main() -> None:
                 "metric": "duckdb_oracle_suite",
                 "value": total,
                 "unit": "sec",
-                "sf": float(sf),
+                "sf": sf,
                 "n_queries": len(timings),
                 "queries": timings,
             },
@@ -64,7 +67,7 @@ def main() -> None:
                 "metric": "duckdb_oracle_suite",
                 "value": total,
                 "unit": "sec",
-                "sf": float(sf),
+                "sf": sf,
                 "n_queries": len(timings),
                 "slowest": slowest,
             },

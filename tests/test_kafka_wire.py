@@ -68,6 +68,30 @@ def test_crc_corruption_detected():
     assert out[0][2] != b"v" * 50
 
 
+def test_compressed_batch_rejected():
+    # set a compression codec bit in attributes and re-CRC: the codec
+    # must refuse rather than varint-parse a compressed blob
+    buf = bytearray(encode_record_batch(0, [(b"k", b"v")]))
+    crc_pos = 17
+    post = bytearray(buf[crc_pos + 4 :])
+    struct.pack_into(">h", post, 0, 1)  # attrs: gzip
+    rebuilt = buf[:crc_pos] + struct.pack(">I", crc32c(bytes(post))) + post
+    with pytest.raises(ValueError, match="compressed batch"):
+        list(decode_record_batches(bytes(rebuilt)))
+
+
+def test_non_utf8_payload_does_not_crash_reader(spark, tmp_path):
+    # the live path casts binary->string leniently; the segment reader
+    # must match (F4 owns rejecting malformed envelopes, not the I/O)
+    d = tmp_path / "raw-0"
+    d.mkdir()
+    (d / "0.log").write_bytes(
+        encode_record_batch(0, [(b"k", b"\xff\xfe not utf8")])
+    )
+    rows = read_kafka_segments(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and "not utf8" in rows[0]["value"]
+
+
 def test_wrong_magic_rejected():
     buf = bytearray(encode_record_batch(0, [(b"k", b"v")]))
     struct.pack_into(">b", buf, 16, 1)  # magic v1

@@ -19,7 +19,11 @@ from __future__ import annotations
 import pytest
 
 from graal_cdc_spark.queries import all_specs
-from graal_cdc_spark.testing import _NONPORTABLE_DUCK, oracle_result_types
+from graal_cdc_spark.testing import (
+    _oracle_nonportable,
+    _spark_nonportable,
+    oracle_result_types,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -30,12 +34,11 @@ _SPECS = all_specs()
     "name", [n for n, s in _SPECS.items() if s.oracle is not None]
 )
 def test_oracle_surface_portable(name):
-    types = oracle_result_types(_SPECS[name].oracle, SF_SMOKE)
-    bad = [
-        (c, t)
-        for c, t in types
-        if any(t.upper().startswith(p) for p in _NONPORTABLE_DUCK)
-    ]
+    # substring match (via _oracle_nonportable) so DECIMAL nested in
+    # STRUCT(...)/LIST(...) is caught too
+    bad = _oracle_nonportable(
+        oracle_result_types(_SPECS[name].oracle, SF_SMOKE)
+    )
     assert not bad, (
         f"{name}: oracle result columns {bad} are not portable through "
         f"the gate hash — CAST // quotients to BIGINT and decimals to "
@@ -47,10 +50,11 @@ def test_spark_surface_no_decimal(spark):
     # Schema-only: building the DataFrame is lazy, no execution needed.
     bad = []
     for name, spec in _SPECS.items():
-        df = spec.spark(spark, SF_SMOKE)
-        for f in df.schema.fields:
-            if f.dataType.simpleString().startswith("decimal"):
-                bad.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
+        bad += [
+            f"{name}.{b}" for b in _spark_nonportable(
+                spec.spark(spark, SF_SMOKE)
+            )
+        ]
     assert not bad, (
         f"Spark result columns typed decimal (gate hash cannot "
         f"canonicalize): {bad} — use .cast('string') on the surface"

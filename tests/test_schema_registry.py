@@ -127,7 +127,8 @@ C23_ORACLE = (
   FROM evid GROUP BY 1, 2, 3
 )
 SELECT db, tbl,
-       CAST(row_number() OVER (PARTITION BY db, tbl ORDER BY first_seq)
+       CAST(row_number() OVER (PARTITION BY db, tbl
+                               ORDER BY first_seq, fields)
             AS INT) AS version,
        fields,
        CAST(first_seq AS BIGINT) AS first_seq,

@@ -12,27 +12,10 @@ non-parquet source.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
-from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.sources.tables import events_schema, load_table
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+EVENTS_SCHEMA = events_schema()
 
 SF = "/root/testdata/sf0.001"
 

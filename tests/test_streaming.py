@@ -19,18 +19,10 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from graal_cdc_spark.cdc.compaction import compact_cdc
 from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
-from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.sources.tables import events_schema, load_table
 from graal_cdc_spark.streaming import (
     append_chunk,
     read_file_stream,
@@ -38,8 +30,6 @@ from graal_cdc_spark.streaming import (
     run_to_memory,
     tumbling_counts,
 )
-
-from graal_cdc_spark.sources.tables import events_schema
 
 EVENTS_SCHEMA = events_schema()
 
@@ -971,6 +961,13 @@ def test_join_then_window_stream_finalizes(spark, tmp_path):
 
 
 def _docs_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     return StructType(
         [
             StructField("doc_id", LongType()),
