@@ -76,3 +76,50 @@ def test_query_identical_over_json_source(spark, tmp_path):
     want = sorted(tuple(r) for r in tumbling_counts(ev).collect())
     got = sorted(tuple(r) for r in tumbling_counts(back).collect())
     assert got == want
+
+
+def test_events_round_trip_orc(spark, tmp_path):
+    """ORC: the other columnar lake format Spark ships natively —
+    typed round-trip (timestamps survive as timestamps, no string
+    re-parse needed)."""
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_orc")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == ev.schema
+    assert _canon(back) == _canon(ev)
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """Format breadth must not cost plan quality: a filtered ORC scan
+    pushes the predicate into the reader like the parquet path does."""
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_orc2")
+    ev.write.mode("overwrite").orc(path)
+    plan = (
+        spark.read.orc(path)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan, plan
+
+
+def test_events_round_trip_avro_if_available(spark, tmp_path):
+    """Avro (row-oriented interchange): exercised only if the
+    spark-avro datasource module is on the classpath — the core avro
+    jars ship with Spark but the DataSource may not."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_avro")
+    try:
+        ev.write.mode("overwrite").format("avro").save(path)
+    except (AnalysisException, Py4JJavaError) as ex:
+        _pytest.skip(f"spark-avro datasource not on classpath: {ex}")
+    back = spark.read.format("avro").load(path)
+    assert _canon(back) == _canon(ev)
