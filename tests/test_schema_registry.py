@@ -105,6 +105,53 @@ def test_merge_reapplied_slice_keeps_versions(spark):
     )
 
 
+def test_property_split_merge_equals_batch(spark):
+    """For ARBITRARY evolving logs and ARBITRARY 2-way splits, folding
+    the two slice registries with merge_registry equals the batch
+    registry (versions, first_seq, counts). Exercises: revert-to-old-
+    shape, tables only in one slice, new schema first seen in either
+    slice, empty slices."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    field_sets = ["a", "a,b", "a,b,c", "b", ""]
+    ev = st.tuples(
+        st.sampled_from(["users", "orders", "audit"]),
+        st.sampled_from(field_sets),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        events=st.lists(ev, min_size=1, max_size=14),
+        cut=st.integers(min_value=0, max_value=14),
+    )
+    def prop(events, cut):
+        rows = []
+        for i, (tbl, fs) in enumerate(events, start=1):
+            after = (
+                "{" + ",".join(f'"{f}":"x"' for f in fs.split(",") if f) + "}"
+            )
+            rows.append((i, f"k{i}", "c", tbl, after))
+        parsed = parse_envelope(_log(spark, rows))
+        want = sorted(
+            tuple(r)
+            for r in schema_versions(parsed)
+            .select("db", "tbl", "version", "fields", "first_seq", "n_events")
+            .collect()
+        )
+        lo = schema_versions(parsed.filter(F.col("seq") <= cut))
+        hi = schema_versions(parsed.filter(F.col("seq") > cut))
+        got = sorted(
+            tuple(r)
+            for r in merge_registry(lo, hi)
+            .select("db", "tbl", "version", "fields", "first_seq", "n_events")
+            .collect()
+        )
+        assert got == want
+
+    prop()
+
+
 # Round-7 gate candidate: the oracle twin of schema_versions over the
 # shared envelope fixture. Staged here (rehearsed every test run)
 # instead of registered, so this round's 50-slot window stays on the
