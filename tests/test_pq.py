@@ -136,6 +136,81 @@ def test_recall_on_planted_neighbors(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_pq_composition(spark):
+    """The standard IVF-PQ layout from the two orthogonal operators:
+    IVF cells PRUNE (each query keeps only its n_probe nearest cells'
+    vectors), PQ codes RANK (ADC over the pruned candidates). The
+    planted copies must still surface, and the candidate set must be
+    a strict subset of the corpus (the pruning actually pruned)."""
+    from graal_cdc_spark.operators.clustering import (
+        dist_struct_array,
+        kmeans_quantized,
+        train_centroids,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("c"),
+        F.col("vec_id").alias("qid"),
+        "embedding",
+    ).select(
+        (F.lit(100000) + F.col("qid") * 10 + F.col("c")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: v
+            + F.when(
+                F.pmod(F.xxhash64(F.col("qid"), F.col("c"), i), 2) == 0,
+                0.01,
+            ).otherwise(-0.01),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") >= 20)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .unionByName(planted)
+    )
+
+    n_cells, n_probe = 8, 2
+    cells = kmeans_quantized(corpus, k=n_cells, iters=2).select(
+        F.col("pid").alias("vec_id"), "cid"
+    )
+    cents = train_centroids(corpus, k=n_cells, iters=2)
+    probed = (
+        quantize_points(queries)
+        .select(
+            F.col("pid").alias("qid"),
+            F.explode(
+                F.slice(F.array_sort(dist_struct_array(cents)), 1, n_probe)
+            ).alias("p"),
+        )
+        .select("qid", F.col("p")["j"].alias("cid"))
+    )
+    probe_cells = {r["cid"] for r in probed.collect()}
+    candidates = corpus.join(
+        cells.filter(F.col("cid").isin(sorted(probe_cells))), "vec_id"
+    ).drop("cid")
+    n_corpus, n_cand = corpus.count(), candidates.count()
+    assert 0 < n_cand < n_corpus  # pruning really pruned
+
+    got = pq_adc_topk(
+        candidates, queries, m=M, k_codewords=K, topk=5, iters=2
+    ).collect()
+    hits = {}
+    for r in got:
+        fam = 100000 + r["qid"] * 10
+        hits.setdefault(r["qid"], 0)
+        if fam <= r["neighbor_id"] < fam + 5:
+            hits[r["qid"]] += 1
+    recalls = [h / 5 for h in hits.values()]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
 def test_encode_plan_is_map_side(spark):
     plan = (
         pq_encode(_emb(spark), train_pq_codebooks(_emb(spark), m=M, k=K))
