@@ -256,7 +256,14 @@ def read_kafka_segments(spark: SparkSession, path: str) -> DataFrame:
             rows = {"seq": [], "src_partition": [], "key": [], "value": []}
             for p, content in zip(pdf["path"], pdf["content"]):
                 # .../<topic>-<partition>/<baseOffset>.log
-                part = int(p.rstrip("/").rsplit("/", 2)[-2].rsplit("-", 1)[-1])
+                parent = p.rstrip("/").rsplit("/", 2)[-2]
+                tail = parent.rsplit("-", 1)[-1]
+                if not tail.isdigit():
+                    raise ValueError(
+                        f"segment file {p!r} not under a "
+                        f"<topic>-<partition> directory (got {parent!r})"
+                    )
+                part = int(tail)
                 for off, key, value in decode_record_batches(bytes(content)):
                     rows["seq"].append(off)
                     rows["src_partition"].append(part)
