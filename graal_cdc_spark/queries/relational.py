@@ -3734,8 +3734,14 @@ def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).localCheckpoint(eager=False)
+    # edges/deg feed BOTH unrolled iterations (2 consumers each) —
+    # without lineage truncation every consumer re-runs the
+    # orders⋈lineitem distinct (measured 13.6 s → 5.6 s cold at
+    # sf0.1; the connected-components loop uses the same trick)
+    deg = edges.groupBy("a").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=False)
     scores = deg.select("a", F.lit(1_000_000).cast("bigint").alias("score"))
     for _ in range(2):
         contrib = (
