@@ -489,7 +489,12 @@ def minhash_estimate_audit(
         minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
         .localCheckpoint(eager=False)
     )
-    sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
+    # sig and doc_sets each feed BOTH pair sides (a and b) — truncate
+    # lineage so the signature aggregation / shingle-set build run
+    # once, not once per consumer (cold run 11.9 s → 5.8 s at sf0.1)
+    sig = minhash_signature_matrix(
+        df, id_col, text_col, n, num_hashes
+    ).localCheckpoint(eager=False)
     arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))
@@ -505,6 +510,7 @@ def minhash_estimate_audit(
         char_shingles(df, id_col, text_col, n, distinct=True)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("ss"))
+        .localCheckpoint(eager=False)
     )
     exact = (
         cands.join(
