@@ -87,8 +87,9 @@ def train_pq_codebooks(
     return books
 
 
-def _subspace_argmin(books_s: list[list[int]], xs):
-    """argmin_j ||xs - c_j||² over one subspace's codebook, as a JVM
+def _subspace_best(books_s: list[list[int]], xs):
+    """``struct<d, j>`` of the argmin codeword (min integer L2, ties
+    to lowest code) over one subspace's codebook, as a JVM
     expression: nested-array codeword literal + one lambda (the
     clustering.dist_struct_array trick, applied to a slice)."""
     lit = F.array(
@@ -106,7 +107,11 @@ def _subspace_argmin(books_s: list[list[int]], xs):
             j.cast("int").alias("j"),
         ),
     )
-    return F.array_min(structs)["j"]
+    return F.array_min(structs)
+
+
+def _subspace_argmin(books_s: list[list[int]], xs):
+    return _subspace_best(books_s, xs)["j"]
 
 
 def pq_encode(
@@ -115,20 +120,25 @@ def pq_encode(
     scale: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dists: bool = False,
 ) -> DataFrame:
     """``(pid, codes: array<int>)`` — one map stage, no shuffle: the
     codebooks ride as literals; ties break to the lowest code (the
-    struct-lexicographic argmin, same rule as the k-means assign)."""
+    struct-lexicographic argmin, same rule as the k-means assign).
+    With ``return_dists`` the per-subspace quantization errors come
+    along as ``d2s: array<bigint>`` (the reconstruction-error census
+    input) — same single map stage."""
     m = len(books)
     sub = len(books[0][0])
     pts = quantize_points(emb, id_col, vec_col, scale)
-    code_cols = [
-        _subspace_argmin(
-            books[s], F.slice(F.col("x"), s * sub + 1, sub)
-        )
+    bests = [
+        _subspace_best(books[s], F.slice(F.col("x"), s * sub + 1, sub))
         for s in range(m)
     ]
-    return pts.select("pid", F.array(*code_cols).alias("codes"))
+    cols = [F.array(*[b["j"] for b in bests]).alias("codes")]
+    if return_dists:
+        cols.append(F.array(*[b["d"] for b in bests]).alias("d2s"))
+    return pts.select("pid", *cols)
 
 
 def _adc_tables(
