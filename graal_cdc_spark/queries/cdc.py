@@ -1193,3 +1193,69 @@ ORDER BY s.tbl, s.op
         "DebeziumEngineRecordHandler.java:154-184 envelope surface",
     )
 )
+
+
+def _c23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-version control table over the envelope fixture — the
+    registry view of §1.4 "schema history / DDL tracking": one row per
+    (db, tbl, distinct row-image field-set), versioned 1..n per table
+    by first appearance in the log. The reference delegates this to
+    Debezium's internal schema topic (``DebeziumEngineManager.java:
+    91-120`` wires ``schema.history.internal.*``); here the same
+    signal is materialized from the data plane itself.
+
+    Scale: field-set extraction is map-side (sorted JSON keys, one
+    string per event); the registry reduces through ONE
+    (db, tbl, fields) aggregation bounded by the number of DISTINCT
+    schemas; version numbering windows only that tiny frame.
+    """
+    from graal_cdc_spark.cdc.schema_registry import schema_versions
+
+    parsed = _parsed(spark, sf_dir)
+    return schema_versions(parsed).orderBy("db", "tbl", "version")
+
+
+# The oracle twin rehearsed since round 6 in tests/test_schema_registry.py
+# (registration was frozen by VERDICT r5 #2; unfrozen round 7).
+C23_ORACLE = (
+    cdc_parsed_cte()
+    + """
+, evid AS (
+  SELECT c.db, c.tbl, c.seq,
+         list_aggr(list_sort(json_keys(e.value, '$.payload.after')),
+                   'string_agg', ',') AS fields
+  FROM cdc_parsed c JOIN cdc_events e USING (seq)
+  WHERE c.op <> 'd'
+    AND json_extract(e.value, '$.payload.after') IS NOT NULL
+    AND json_extract(e.value, '$.payload.after') != 'null'
+), per_schema AS (
+  SELECT db, tbl, coalesce(fields, '') AS fields,
+         min(seq) AS first_seq,
+         count(*) AS n_events
+  FROM evid GROUP BY 1, 2, 3
+)
+SELECT db, tbl,
+       CAST(row_number() OVER (PARTITION BY db, tbl
+                               ORDER BY first_seq, fields)
+            AS INT) AS version,
+       fields,
+       CAST(first_seq AS BIGINT) AS first_seq,
+       CAST(n_events AS BIGINT) AS n_events
+FROM per_schema
+ORDER BY db, tbl, version
+"""
+)
+
+register(
+    QuerySpec(
+        name="c23_schema_version_history",
+        category="cdc",
+        description="schema-version control table: one row per "
+        "(db, tbl, distinct after-image field-set), versioned by "
+        "first appearance (schema history / DDL tracking)",
+        spark=_c23,
+        oracle=C23_ORACLE,
+        reference="DebeziumEngineManager.java:91-120 "
+        "(schema.history.internal.* delegation); SURVEY.md §1.4",
+    )
+)

@@ -236,127 +236,18 @@ def test_adc_single_shuffle_before_topk(spark):
 
 
 # ---------------------------------------------------------------------------
-# Round-7 gate candidate (registration frozen this round): PQ code
-# census — per (subspace, code): member count + total quantization
-# error. Oracle: the l31 unrolled-k-means machinery applied PER
-# SUBSPACE SLICE (m independent CTE chains over list_slice'd points).
+# PQ code census — registered round 7 as l78_pq_code_census
+# (graal_cdc_spark/queries/llm.py); rehearsed here in every local run.
 # ---------------------------------------------------------------------------
 
-
-def _pq_census_spark(spark, sf_dir, m=4, k=8, iters=1, scale=10_000):
-    from graal_cdc_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb, m=m, k=k, iters=iters, scale=scale)
-    enc = pq_encode(emb, books, scale=scale, return_dists=True)
-    return (
-        enc.select(
-            F.posexplode(F.arrays_zip("codes", "d2s")).alias("subspace", "z")
-        )
-        .groupBy("subspace", F.col("z.codes").alias("code"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum("z.d2s").alias("total_d2"),
-        )
-        .orderBy("subspace", "code")
-    )
-
-
-def _pq_census_oracle(m=4, k=8, iters=1, scale=10_000, dims=64):
-    sub = dims // m
-    parts = [
-        f"""WITH base AS (
-  SELECT vec_id AS pid,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        v -> CAST(floor(v * {scale}) AS BIGINT)) AS x
-  FROM embeddings
-)"""
-    ]
-    finals = []
-    for s in range(m):
-        lo = s * sub + 1
-        dist = (
-            f"list_sum(list_transform(generate_series(1, {sub}), "
-            f"i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])))"
-        )
-        parts.append(
-            f"""
-pts{s} AS (
-  SELECT pid, list_slice(x, {lo}, {lo + sub - 1}) AS x FROM base
-),
-c{s}_0 AS (
-  SELECT pid AS cid, x AS c FROM pts{s} WHERE pid < {k}
-)"""
-        )
-        cur = f"c{s}_0"
-        for it in range(1, iters + 1):
-            parts.append(
-                f"""
-a{s}_{it}x AS (
-  SELECT p.pid, c.cid, {dist} AS d
-  FROM pts{s} p CROSS JOIN {cur} c
-),
-a{s}_{it} AS (
-  SELECT pid, cid FROM (
-    SELECT pid, cid,
-           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
-    FROM a{s}_{it}x
-  ) t WHERE rk = 1
-),
-s{s}_{it} AS (
-  SELECT a.cid, g.i AS dim,
-         CAST(SUM(p.x[g.i]) AS BIGINT) AS s,
-         CAST(count(*) AS BIGINT) AS n
-  FROM a{s}_{it} a JOIN pts{s} p USING (pid)
-  CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS i) g
-  GROUP BY a.cid, g.i
-),
-c{s}_{it} AS (
-  SELECT {cur}.cid, COALESCE(agg.c, {cur}.c) AS c
-  FROM {cur} LEFT JOIN (
-    SELECT cid,
-           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
-                ORDER BY dim) AS c
-    FROM s{s}_{it} GROUP BY cid
-  ) agg USING (cid)
-)"""
-            )
-            cur = f"c{s}_{it}"
-        parts.append(
-            f"""
-fin{s}x AS (
-  SELECT p.pid, c.cid, {dist} AS d
-  FROM pts{s} p CROSS JOIN {cur} c
-),
-fin{s} AS (
-  SELECT pid, cid, d FROM (
-    SELECT pid, cid, d,
-           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
-    FROM fin{s}x
-  ) t WHERE rk = 1
-)"""
-        )
-        finals.append(
-            f"SELECT {s} AS subspace, cid AS code, d FROM fin{s}"
-        )
-    body = ",".join(parts)
-    union = " UNION ALL ".join(finals)
-    return (
-        body
-        + f""",
-allcodes AS ({union})
-SELECT CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code,
-       CAST(count(*) AS BIGINT) AS n_vectors,
-       CAST(SUM(d) AS BIGINT) AS total_d2
-FROM allcodes
-GROUP BY subspace, code
-ORDER BY subspace, code
-"""
-    )
+from graal_cdc_spark.queries.llm import (  # noqa: E402
+    pq_census as _pq_census_spark,
+    pq_census_oracle as _pq_census_oracle,
+)
 
 
 def test_pq_census_matches_duckdb_oracle(spark):
-    """The staged l78 gate pair: Spark PQ census hash-equals the
+    """The l78 gate pair: Spark PQ census hash-equals the
     per-subspace unrolled-k-means DuckDB twin (m=4, k=8, 1 round at
     smoke SF; the registered form can scale the params)."""
     from graal_cdc_spark.testing import canon_rows, run_oracle

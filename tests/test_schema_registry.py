@@ -152,38 +152,10 @@ def test_property_split_merge_equals_batch(spark):
     prop()
 
 
-# Round-7 gate candidate: the oracle twin of schema_versions over the
-# shared envelope fixture. Staged here (rehearsed every test run)
-# instead of registered, so this round's 50-slot window stays on the
-# 44 never-gated queries (VERDICT r5 #2 ordered registration FROZEN).
-C23_ORACLE = (
-    cdc_parsed_cte()
-    + """
-, evid AS (
-  SELECT c.db, c.tbl, c.seq,
-         list_aggr(list_sort(json_keys(e.value, '$.payload.after')),
-                   'string_agg', ',') AS fields
-  FROM cdc_parsed c JOIN cdc_events e USING (seq)
-  WHERE c.op <> 'd'
-    AND json_extract(e.value, '$.payload.after') IS NOT NULL
-    AND json_extract(e.value, '$.payload.after') != 'null'
-), per_schema AS (
-  SELECT db, tbl, coalesce(fields, '') AS fields,
-         min(seq) AS first_seq,
-         count(*) AS n_events
-  FROM evid GROUP BY 1, 2, 3
-)
-SELECT db, tbl,
-       CAST(row_number() OVER (PARTITION BY db, tbl
-                               ORDER BY first_seq, fields)
-            AS INT) AS version,
-       fields,
-       CAST(first_seq AS BIGINT) AS first_seq,
-       CAST(n_events AS BIGINT) AS n_events
-FROM per_schema
-ORDER BY db, tbl, version
-"""
-)
+# The oracle twin is registered round 7 as c23_schema_version_history
+# (graal_cdc_spark/queries/cdc.py); this rehearsal keeps it in every
+# local test run regardless of the gate window.
+from graal_cdc_spark.queries.cdc import C23_ORACLE  # noqa: E402
 
 
 def test_fixture_registry_matches_duckdb_twin(spark, sf_dir):
