@@ -73,7 +73,9 @@ def main() -> None:
     }
     names = [n for n in sorted(specs) if n not in skip]
 
-    # Warmup (not timed): first-query JVM/codegen spin-up, the
+    t_prime = time.time()
+    # Warmup (untimed per-query, but REPORTED as priming_sec): first-query
+    # JVM/codegen spin-up, the
     # envelope-synthesis codegen path, and the Python worker pool
     # (first pandas/mapInPandas query otherwise pays ~4 s of
     # interpreter+numpy startup across 32 workers). c06 warms BOTH
@@ -120,6 +122,17 @@ def main() -> None:
     emb_par = with_min_parallelism(spark, emb_plain)
     train_centroids(emb_plain, k=8, iters=2, scale=10_000)
     train_centroids(emb_par, k=32, iters=1, scale=10_000)
+    # PQ codebooks (l78) ride the same build-once contract: m tiny
+    # trainings memoized per (slice, k, iters) by train_centroids.
+    from graal_cdc_spark.operators.pq import train_pq_codebooks
+
+    train_pq_codebooks(emb_plain, m=4, k=8, iters=1, scale=10_000)
+    # The warmup + index-training cost is a real cold-start cost; it is
+    # excluded from per-query timings under the build-once assumption
+    # but reported so the engine comparison can be read either way
+    # (DUCKDB_BASELINE.json symmetrically reports kmeans_training /
+    # value_build_once — ADVICE r6 #1).
+    priming_sec = round(time.time() - t_prime, 3)
 
     timings: dict[str, float] = {}
     t_suite = time.time()
@@ -137,6 +150,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "priming_sec": priming_sec,
         "skipped": skip,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -163,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": full["sf"],
                 "n_queries": len(timings),
+                "priming_sec": priming_sec,
                 "queries": short,
                 "other_queries_total": rest,
                 "skipped": sorted(n.split("_", 1)[0] for n in skip),

@@ -89,11 +89,21 @@ def events_with_schema_version(parsed: DataFrame) -> DataFrame:
 def merge_registry(existing: DataFrame, fresh: DataFrame) -> DataFrame:
     """Idempotent registry maintenance: fold a fresh registry (built
     from a new log slice) into the persisted control table. Known
-    (db, tbl, fields) rows keep their ORIGINAL version and first_seq
-    and accumulate counts; unseen field-sets append with version
-    numbers continuing after the table's current max. Re-merging the
-    same slice is a no-op for versions (counts are the caller's
-    responsibility to not double-fold — pass only NEW slices).
+    (db, tbl, fields) rows keep their ORIGINAL version, take the
+    LEAST first_seq (a backfilled / out-of-order slice may carry
+    earlier evidence of a known shape — ADVICE r6), and accumulate
+    counts; unseen field-sets append with version numbers continuing
+    after the table's current max. Re-merging the same slice is a
+    no-op for versions (counts are the caller's responsibility to not
+    double-fold — pass only NEW slices).
+
+    Version-number caveat under backfill: version numbers record
+    MERGE-ORDER first appearance. If a backfilled slice reveals that a
+    shape actually appeared earlier in seq than an already-persisted
+    one, the persisted version numbers do NOT renumber (stability is
+    the contract consumers key silver layouts on) — first_seq is
+    corrected, so the batch-equivalent ordering can always be
+    recomputed from the table itself.
     """
     e = existing.select(
         "db", "tbl", "fields",
@@ -110,7 +120,9 @@ def merge_registry(existing: DataFrame, fresh: DataFrame) -> DataFrame:
     known = joined.filter(F.col("e_version").isNotNull()).select(
         "db", "tbl", "fields",
         F.col("e_version").alias("version"),
-        F.col("e_first_seq").alias("first_seq"),
+        F.least(
+            "e_first_seq", F.coalesce("f_first_seq", "e_first_seq")
+        ).alias("first_seq"),
         (F.col("e_n") + F.coalesce("f_n", F.lit(0))).alias("n_events"),
     )
     base = e.groupBy("db", "tbl").agg(F.max("e_version").alias("vmax"))

@@ -43,6 +43,22 @@ def deterministic_sample(
     return df.filter(hash_gate(F.col(content_col), threshold_hex2))
 
 
+def _hex2_or_raise(value: str, what: str) -> str:
+    """Driver-side threshold lint: the hash gate compares hex strings
+    LEXICOGRAPHICALLY, which equals numeric comparison only for
+    lowercase fixed-width 2-char hex — an uppercase ('0D') or short
+    ('d') threshold would silently change the sampling rate instead of
+    failing (ADVICE r6). Uppercase normalizes; anything else raises."""
+    low = value.lower() if isinstance(value, str) else value
+    if not isinstance(low, str) or len(low) != 2 or any(
+        c not in "0123456789abcdef" for c in low
+    ):
+        raise ValueError(
+            f"{what} must be exactly 2 hex chars, got {value!r}"
+        )
+    return low
+
+
 def stratified_sample(
     df: DataFrame,
     content_col: str,
@@ -55,11 +71,12 @@ def stratified_sample(
     hex threshold; unlisted strata use ``default_hex2`` (``"00"`` =
     drop). Still a single codegen'd scan filter — the CASE folds into
     the same stage."""
-    expr: Column = F.lit(default_hex2)
+    expr: Column = F.lit(_hex2_or_raise(default_hex2, "default_hex2"))
     for value, hex2 in sorted(thresholds.items()):
-        if len(hex2) != 2:
-            raise ValueError(f"threshold for {value!r} must be 2 hex chars")
-        expr = F.when(F.col(stratum_col) == value, F.lit(hex2)).otherwise(expr)
+        expr = F.when(
+            F.col(stratum_col) == value,
+            F.lit(_hex2_or_raise(hex2, f"threshold for {value!r}")),
+        ).otherwise(expr)
     return df.filter(hash_gate(F.col(content_col), expr))
 
 
@@ -92,10 +109,27 @@ def stratified_sample_by_map(
     Duplicate stratum rows in the map (a non-deduped control-table
     merge) would fan the join out and silently DUPLICATE sampled rows
     — collapsed here to min(hex2) per stratum (deterministic, and
-    conservative: the lowest threshold keeps the fewest rows)."""
+    conservative: the lowest threshold keeps the fewest rows).
+
+    The map is DATA-derived, so thresholds are validated in-plan:
+    uppercase normalizes via lower(); a malformed entry (wrong length
+    or charset — where lexicographic ≠ numeric comparison) raises at
+    execution instead of silently changing the rate (ADVICE r6)."""
+    _hex2_or_raise(default_hex2, "default_hex2")
+    thr = F.lower(F.col("hex2"))
+    guarded = F.when(thr.rlike("^[0-9a-f]{2}$"), thr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "stratified_sample_by_map: malformed hex2 threshold "
+                ),
+                F.coalesce(F.col("hex2"), F.lit("NULL")),
+            )
+        )
+    )
     m = F.broadcast(
         threshold_map.groupBy(F.col("stratum").alias(stratum_col)).agg(
-            F.min("hex2").alias("__thr")
+            F.min(guarded).alias("__thr")
         )
     )
     return (

@@ -1318,7 +1318,11 @@ def _l31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle(
-    k: int = 8, iters: int = 2, scale: int = 10_000, final_sql: str | None = None
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    final_sql: str | None = None,
+    training_only: bool = False,
 ) -> str:
     dist = (
         "list_sum(list_transform(generate_series(1, 64), "
@@ -1374,6 +1378,13 @@ c0 AS (
         parts.append(assign(f"a{it}", cur))
         parts.append(update(cur, f"a{it}", f"s{it}", f"c{it}"))
         cur = f"c{it}"
+    if training_only:
+        # Just the Lloyd rounds — the build-once index artifact. Used
+        # by scripts/duckdb_comparator.py to price k-means TRAINING
+        # separately from each family member's marginal cost, mirroring
+        # bench.py's untimed centroid priming (same build-once
+        # assumption on both engines).
+        return ",".join(parts) + f"\nSELECT cid, c FROM {cur} ORDER BY cid\n"
     parts.append(assign("fin", cur))
     body = ",".join(parts)
     final = final_sql or """
@@ -1382,6 +1393,12 @@ FROM fin
 ORDER BY vec_id
 """
     return body + final
+
+
+def kmeans_training_oracle(k: int = 8, iters: int = 2, scale: int = 10_000) -> str:
+    """Training-only twin of ``_kmeans_oracle`` (ends at the final
+    centroid table) — the comparator's build-once line item."""
+    return _kmeans_oracle(k=k, iters=iters, scale=scale, training_only=True)
 
 
 _l(
@@ -4488,7 +4505,7 @@ def pq_census(
 
 def pq_census_oracle(
     m: int = 4, k: int = 8, iters: int = 1, scale: int = 10_000,
-    dims: int = 64,
+    dims: int = 64, training_only: bool = False,
 ) -> str:
     sub = dims // m
     parts = [
@@ -4549,6 +4566,11 @@ c{s}_{it} AS (
 )"""
             )
             cur = f"c{s}_{it}"
+        if training_only:
+            finals.append(
+                f"SELECT {s} AS subspace, cid AS code, c FROM {cur}"
+            )
+            continue
         parts.append(
             f"""
 fin{s}x AS (
@@ -4568,6 +4590,10 @@ fin{s} AS (
         )
     body = ",".join(parts)
     union = " UNION ALL ".join(finals)
+    if training_only:
+        # the m per-subspace codebooks only (comparator build-once
+        # line item — same role as kmeans_training_oracle)
+        return body + f"\nSELECT * FROM ({union}) ORDER BY subspace, code\n"
     return (
         body
         + f""",

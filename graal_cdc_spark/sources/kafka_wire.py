@@ -87,7 +87,13 @@ def _write_varint(out: bytearray, value: int) -> None:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     acc = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            # a count-lying or truncated batch (reachable with
+            # verify_crc=False, or CRC-valid bytes from a buggy
+            # producer) must fail as a protocol error, not IndexError
+            raise ValueError(f"truncated varint at {pos}")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -198,27 +204,48 @@ def decode_record_batches(
                 f"codec only speaks uncompressed RecordBatch v2"
             )
         rpos = _POST_CRC.size
+
+        def _take(end: int, length: int, at: int) -> int:
+            # bounds-guarded field skip: a lying length must surface as
+            # a protocol error BEFORE a slice silently mis-parses
+            nxt = at + max(length, 0)
+            if nxt > end:
+                raise ValueError(f"record field overruns record at {at}")
+            return nxt
+
+        def _rv(at: int, end: int) -> tuple[int, int]:
+            # varint bounded to THIS record: a field read must never
+            # walk into the next record undetected
+            v, nxt = _read_varint(post_crc, at)
+            if nxt > end:
+                raise ValueError(f"record field overruns record at {at}")
+            return v, nxt
+
         for _ in range(count):
             rec_len, rpos = _read_varint(post_crc, rpos)
             rec_end = rpos + rec_len
+            if rec_len < 0 or rec_end > len(post_crc):
+                raise ValueError(f"record length overruns batch at {rpos}")
+            if rpos + 1 > rec_end:
+                raise ValueError(f"record field overruns record at {rpos}")
             rpos += 1  # record attributes
-            _ts_delta, rpos = _read_varint(post_crc, rpos)
-            off_delta, rpos = _read_varint(post_crc, rpos)
-            klen, rpos = _read_varint(post_crc, rpos)
-            key = None if klen < 0 else bytes(post_crc[rpos : rpos + klen])
-            rpos += max(klen, 0)
-            vlen, rpos = _read_varint(post_crc, rpos)
-            value = (
-                None if vlen < 0 else bytes(post_crc[rpos : rpos + vlen])
-            )
-            rpos += max(vlen, 0)
-            hdrs, rpos = _read_varint(post_crc, rpos)
+            _ts_delta, rpos = _rv(rpos, rec_end)
+            off_delta, rpos = _rv(rpos, rec_end)
+            klen, rpos = _rv(rpos, rec_end)
+            end_k = _take(rec_end, klen, rpos)
+            key = None if klen < 0 else bytes(post_crc[rpos:end_k])
+            rpos = end_k
+            vlen, rpos = _rv(rpos, rec_end)
+            end_v = _take(rec_end, vlen, rpos)
+            value = None if vlen < 0 else bytes(post_crc[rpos:end_v])
+            rpos = end_v
+            hdrs, rpos = _rv(rpos, rec_end)
             if hdrs:  # headers carry no envelope data; skip
                 for _ in range(hdrs):
-                    hklen, rpos = _read_varint(post_crc, rpos)
-                    rpos += max(hklen, 0)
-                    hvlen, rpos = _read_varint(post_crc, rpos)
-                    rpos += max(hvlen, 0)
+                    hklen, rpos = _rv(rpos, rec_end)
+                    rpos = _take(rec_end, hklen, rpos)
+                    hvlen, rpos = _rv(rpos, rec_end)
+                    rpos = _take(rec_end, hvlen, rpos)
             if rpos != rec_end:
                 raise ValueError("record length mismatch")
             yield base_offset + off_delta, key, value
@@ -232,10 +259,13 @@ def read_kafka_segments(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of archived Kafka segment files laid out as
     ``<topic>-<partition>/<baseOffset>.log`` (the broker's own log-dir
     convention) into the engine envelope frame
-    ``(seq, src_partition, key, value)`` — the same shape
-    ``normalize_kafka_frame`` produces from a live connector, so the
-    whole downstream data plane (``parse_envelope`` → filters →
-    compaction) is source-agnostic.
+    ``(topic, seq, src_partition, key, value)`` — the
+    ``normalize_kafka_frame`` shape plus the topic parsed from the
+    directory name, so a root containing dumps from MULTIPLE topics
+    keeps their (seq, src_partition) spaces apart instead of silently
+    merging them (filter on ``topic`` before compaction). The
+    downstream data plane (``parse_envelope`` → filters → compaction)
+    consumes it unchanged.
 
     Scale: ``binaryFile`` gives one input split per segment file;
     decoding runs in ``mapInPandas`` (Arrow-batched, CRC verified on
@@ -253,18 +283,25 @@ def read_kafka_segments(spark: SparkSession, path: str) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"seq": [], "src_partition": [], "key": [], "value": []}
+            rows = {
+                "topic": [],
+                "seq": [],
+                "src_partition": [],
+                "key": [],
+                "value": [],
+            }
             for p, content in zip(pdf["path"], pdf["content"]):
                 # .../<topic>-<partition>/<baseOffset>.log
                 parent = p.rstrip("/").rsplit("/", 2)[-2]
-                tail = parent.rsplit("-", 1)[-1]
-                if not tail.isdigit():
+                topic, dash, tail = parent.rpartition("-")
+                if not dash or not tail.isdigit():
                     raise ValueError(
                         f"segment file {p!r} not under a "
                         f"<topic>-<partition> directory (got {parent!r})"
                     )
                 part = int(tail)
                 for off, key, value in decode_record_batches(bytes(content)):
+                    rows["topic"].append(topic)
                     rows["seq"].append(off)
                     rows["src_partition"].append(part)
                     # errors="replace" mirrors the live path's lenient
@@ -285,5 +322,5 @@ def read_kafka_segments(spark: SparkSession, path: str) -> DataFrame:
 
     return files.mapInPandas(
         _decode,
-        "seq long, src_partition int, key string, value string",
+        "topic string, seq long, src_partition int, key string, value string",
     )

@@ -29,6 +29,10 @@ def main() -> None:
         sf = None  # cosmetic metadata; never abort the baseline run
 
     from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.queries.llm import (
+        kmeans_training_oracle,
+        pq_census_oracle,
+    )
     from graal_cdc_spark.testing import duckdb_connect
 
     specs = {n: s for n, s in all_specs().items() if s.oracle is not None}
@@ -41,6 +45,36 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
+
+    # Build-once symmetry with bench.py: the Spark suite primes trained
+    # centroids untimed (index artifacts shared by the k-means family),
+    # while each family oracle above re-paid its Lloyd-rounds CTE chain.
+    # Price TRAINING separately per distinct (k, iters) key so the
+    # suite comparison can be read under the same build-once assumption
+    # on both engines: value_build_once charges each member its
+    # marginal cost and training once per key.
+    family = {
+        "l31_kmeans_quantized": "k8_i2",
+        "l32_cluster_balanced_sample": "k8_i2",
+        "l75_semdedup_census": "k32_i1",
+        "l77_dedup_threshold_sweep": "k32_i1",
+        "l78_pq_code_census": "pq_m4_k8_i1",
+    }
+    training_sql = {
+        "k8_i2": kmeans_training_oracle(k=8, iters=2),
+        "k32_i1": kmeans_training_oracle(k=32, iters=1),
+        "pq_m4_k8_i1": pq_census_oracle(training_only=True),
+    }
+    training: dict[str, float] = {}
+    for key, sql in training_sql.items():
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        training[key] = round(time.time() - t0, 3)
+        print(f"training {key}: {training[key]:.2f}s", file=sys.stderr)
+    repaid = sum(
+        training[key] for q, key in family.items() if q in timings
+    )
+    value_build_once = round(total - repaid + sum(training.values()), 3)
     con.close()
 
     out_path = os.path.join(
@@ -55,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "value_build_once": value_build_once,
+                "kmeans_training": training,
                 "queries": timings,
             },
             f,
@@ -69,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "value_build_once": value_build_once,
+                "kmeans_training": training,
                 "slowest": slowest,
             },
             separators=(",", ":"),

@@ -80,6 +80,74 @@ def test_compressed_batch_rejected():
         list(decode_record_batches(bytes(rebuilt)))
 
 
+def test_truncated_batch_is_protocol_error_not_indexerror():
+    """ADVICE r6: a truncated or count-lying batch (reachable with
+    verify_crc=False, or CRC-valid bytes from a buggy producer) must
+    raise ValueError, never IndexError, and never mis-parse."""
+    buf = encode_record_batch(0, [(b"key", b"value")])
+    for cut in range(62, len(buf)):  # cut inside the record body
+        with pytest.raises(ValueError):
+            list(decode_record_batches(buf[:cut], verify_crc=False))
+
+
+def test_lying_record_count_is_protocol_error():
+    # bump the header record count to 2 with only 1 record present and
+    # re-CRC: the second iteration must hit a bounds error, not walk
+    # off the buffer
+    buf = bytearray(encode_record_batch(0, [(b"k", b"v")]))
+    crc_pos = 17
+    post = bytearray(buf[crc_pos + 4 :])
+    struct.pack_into(">i", post, 36, 2)  # count field of _POST_CRC
+    rebuilt = (
+        bytes(buf[:crc_pos])
+        + struct.pack(">I", crc32c(bytes(post)))
+        + bytes(post)
+    )
+    with pytest.raises(ValueError):
+        list(decode_record_batches(rebuilt))
+
+
+def test_lying_field_length_is_protocol_error():
+    # inflate the key length varint so the field overruns the record:
+    # must be caught BEFORE the value slice mis-parses
+    import graal_cdc_spark.sources.kafka_wire as kw
+
+    buf = bytearray(encode_record_batch(0, [(b"k", b"v")]))
+    crc_pos = 17
+    post = bytearray(buf[crc_pos + 4 :])
+    rpos = kw._POST_CRC.size
+    _rec_len, rpos = kw._read_varint(bytes(post), rpos)
+    rpos += 1  # attrs
+    _ts, rpos = kw._read_varint(bytes(post), rpos)
+    _off, rpos = kw._read_varint(bytes(post), rpos)
+    post[rpos] = 0x7E  # klen zigzag(126)=63, way past rec_end
+    rebuilt = (
+        bytes(buf[:crc_pos])
+        + struct.pack(">I", crc32c(bytes(post)))
+        + bytes(post)
+    )
+    with pytest.raises(ValueError, match="overruns"):
+        list(decode_record_batches(rebuilt))
+
+
+def test_multi_topic_root_keeps_topics_apart(spark, tmp_path):
+    """ADVICE r6: two topics dumped under one root must NOT merge into
+    one (seq, src_partition) space — the topic column keeps them
+    distinguishable."""
+    for topic, val in (("orders-topic", b"ov"), ("users", b"uv")):
+        d = tmp_path / f"{topic}-0"
+        d.mkdir()
+        (d / "0.log").write_bytes(encode_record_batch(0, [(b"k", val)]))
+    rows = {
+        (r["topic"], r["seq"], r["src_partition"], r["value"])
+        for r in read_kafka_segments(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        ("orders-topic", 0, 0, "ov"),
+        ("users", 0, 0, "uv"),
+    }
+
+
 def test_non_utf8_payload_does_not_crash_reader(spark, tmp_path):
     # the live path casts binary->string leniently; the segment reader
     # must match (F4 owns rejecting malformed envelopes, not the I/O)

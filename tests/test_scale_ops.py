@@ -301,6 +301,49 @@ def test_stratified_sample_three_forms_agree(spark):
     assert by_map.columns == df.columns
 
 
+def test_stratified_thresholds_normalize_and_validate(spark):
+    """ADVICE r6: the hash gate is lexicographic, so only lowercase
+    2-char hex is sound. Uppercase normalizes to the same selection;
+    short/garbage thresholds raise instead of silently changing the
+    sampling rate — in BOTH the literal-dict and data-derived map
+    forms."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from graal_cdc_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_by_map,
+    )
+
+    rows = [(i, f"text {i}", "en") for i in range(400)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, lang STRING")
+    ids = lambda d: sorted(r.id for r in d.collect())  # noqa: E731
+
+    # uppercase literal == lowercase literal
+    assert ids(
+        stratified_sample(df, "text", "lang", {"en": "0D"})
+    ) == ids(stratified_sample(df, "text", "lang", {"en": "0d"}))
+    # malformed literals raise driver-side
+    for bad in ("d", "0dd", "zz", ""):
+        with pytest.raises(ValueError, match="2 hex chars"):
+            stratified_sample(df, "text", "lang", {"en": bad})
+    with pytest.raises(ValueError, match="2 hex chars"):
+        stratified_sample(df, "text", "lang", {"en": "0d"}, default_hex2="x")
+
+    # uppercase map entry == lowercase map entry
+    up = spark.createDataFrame([("en", "0D")], "stratum STRING, hex2 STRING")
+    lo = spark.createDataFrame([("en", "0d")], "stratum STRING, hex2 STRING")
+    assert ids(stratified_sample_by_map(df, "text", "lang", up)) == ids(
+        stratified_sample_by_map(df, "text", "lang", lo)
+    )
+    # malformed DATA-derived entry raises at execution, not silently
+    bad_map = spark.createDataFrame(
+        [("en", "d")], "stratum STRING, hex2 STRING"
+    )
+    with pytest.raises(Exception, match="malformed hex2"):
+        stratified_sample_by_map(df, "text", "lang", bad_map).collect()
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF: hand-computed small corpus
 # ---------------------------------------------------------------------------

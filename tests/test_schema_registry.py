@@ -152,6 +152,36 @@ def test_property_split_merge_equals_batch(spark):
     prop()
 
 
+def test_merge_backfill_slice_corrects_first_seq(spark):
+    """ADVICE r6: a backfilled slice (events EARLIER in seq than the
+    persisted history) must correct first_seq for known shapes via
+    least() — versions stay stable (merge-order contract), counts
+    accumulate, and no shape is duplicated."""
+    full = parse_envelope(_log(spark, EVOLVING))
+    # persist the LATER slice first, then backfill the earlier one
+    late = schema_versions(full.filter(F.col("seq") > 4))
+    early = schema_versions(full.filter(F.col("seq") <= 4))
+    merged = {
+        (r["tbl"], r["fields"]): r
+        for r in merge_registry(late, early).collect()
+    }
+    batch = {
+        (r["tbl"], r["fields"]): r for r in schema_versions(full).collect()
+    }
+    assert set(merged) == set(batch)
+    for k, b in batch.items():
+        m = merged[k]
+        # first_seq and counts converge to the batch answer even though
+        # the slices arrived out of order
+        assert m["first_seq"] == b["first_seq"], k
+        assert m["n_events"] == b["n_events"], k
+    # versions are stable per merge order: the shapes already in `late`
+    # keep the numbers `late` assigned
+    late_v = {(r["tbl"], r["fields"]): r["version"] for r in late.collect()}
+    for k, v in late_v.items():
+        assert merged[k]["version"] == v, k
+
+
 # The oracle twin is registered round 7 as c23_schema_version_history
 # (graal_cdc_spark/queries/cdc.py); this rehearsal keeps it in every
 # local test run regardless of the gate window.
