@@ -49,6 +49,29 @@ def quantize_points(
     return emb.select(F.col(id_col).alias("pid"), q.alias("x"))
 
 
+def int_array_lit(values: list[int]):
+    """``array<bigint>`` literal built with ONE py4j round-trip: the
+    per-element ``F.array(*[F.lit(v) ...])`` form costs one driver
+    RPC per element — ~1.2 s of pure py4j latency for a 32x64
+    centroid table (measured round 7), paid at every DataFrame BUILD
+    (it is Python-side cost, so no memo/codegen cache helps). A SQL
+    array literal parses JVM-side in ~1 ms."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def nested_int_array_lit(table: list[list[int]]):
+    """``array<array<bigint>>`` literal, single py4j call (see
+    ``int_array_lit``)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
+            for row in table
+        )
+        + ")"
+    )
+
+
 def dist_struct_array(centroids: list[list[int]]):
     """``array<struct<d, j>>`` — integer squared distance from the
     row's quantized point ``x`` to EVERY centroid, as ONE expression:
@@ -60,12 +83,10 @@ def dist_struct_array(centroids: list[list[int]]):
     (argmin via ``array_min``) and IVF cell probing (top-n cells via
     ``array_sort``) so the quantized-distance arithmetic cannot drift
     between the two."""
-    lit = F.array(
-        *[F.array(*[F.lit(int(s)) for s in c]) for c in centroids]
-    )
+    lit = nested_int_array_lit(centroids)
     return F.zip_with(
         lit,
-        F.array(*[F.lit(j) for j in range(len(centroids))]),
+        int_array_lit(list(range(len(centroids)))),
         lambda c, j: F.struct(
             F.aggregate(
                 F.zip_with(F.col("x"), c, lambda a, b: (a - b) * (a - b)),

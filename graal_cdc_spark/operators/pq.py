@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graal_cdc_spark.operators.clustering import (
+    int_array_lit,
+    nested_int_array_lit,
     quantize_points,
     train_centroids,
 )
@@ -92,12 +94,10 @@ def _subspace_best(books_s: list[list[int]], xs):
     to lowest code) over one subspace's codebook, as a JVM
     expression: nested-array codeword literal + one lambda (the
     clustering.dist_struct_array trick, applied to a slice)."""
-    lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in books_s]
-    )
+    lit = nested_int_array_lit(books_s)
     structs = F.zip_with(
         lit,
-        F.array(*[F.lit(j) for j in range(len(books_s))]),
+        int_array_lit(list(range(len(books_s)))),
         lambda c, j: F.struct(
             F.aggregate(
                 F.zip_with(xs, c, lambda a, b: (a - b) * (a - b)),
@@ -191,12 +191,7 @@ def pq_adc_topk(
     per_q = []
     for r in qrows:
         table = _adc_tables(books, list(r["x"]))
-        tlit = F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in row])
-                for row in table
-            ]
-        )
+        tlit = nested_int_array_lit(table)
         # dist = sum_s table[s][codes[s]] — JVM lookup-adds only
         dist = F.aggregate(
             F.zip_with(

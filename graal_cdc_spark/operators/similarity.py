@@ -211,7 +211,17 @@ def rp_bucketed_topk(
     def bucket_of(vec: Column) -> Column:
         bits = []
         for i, p in enumerate(planes):
-            proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+            # one parsed SQL literal per plane, not dim py4j lit calls
+            # (clustering.int_array_lit rationale); repr(float) is the
+            # shortest round-tripping decimal and Spark's double parse
+            # recovers the exact bit pattern, so bucket ids are
+            # unchanged
+            proj = dot(
+                vec,
+                F.expr(
+                    "array(" + ",".join(repr(x) + "D" for x in p) + ")"
+                ),
+            )
             bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
         return sum(bits[1:], bits[0])
 
