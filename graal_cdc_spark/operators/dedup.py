@@ -174,6 +174,7 @@ def lsh_buckets(
     n: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc LSH bucket memberships ``(id, band, bucket)`` — the
     shared core of batch candidate generation and streaming dedup.
@@ -181,10 +182,14 @@ def lsh_buckets(
     shingle → xxhash64 under ``num_hashes`` seeds → per-doc min per
     seed (ONE aggregation) → band the signature → one bucket hash per
     band. ``bands`` rows per doc; two docs are LSH candidates iff
-    they share any (band, bucket).
+    they share any (band, bucket). A caller that also consumes the
+    signature matrix itself passes it as ``sig`` (typically
+    checkpointed) so the shingle+hash aggregation is built and
+    executed once, not once per consumer.
     """
     rows = num_hashes // bands
-    sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
+    if sig is None:
+        sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
             f"band{b}"
@@ -212,6 +217,7 @@ def minhash_lsh_candidates(
     n: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs — the 100 TB near-dup path.
 
@@ -219,9 +225,10 @@ def minhash_lsh_candidates(
     seed (one aggregation) → group signature into ``bands`` bands →
     equality join on (band, band-hash). All shuffles are equality-key
     hash shuffles; no quadratic blowup. Candidates should be verified
-    with exact Jaccard (cheap: candidate set is tiny).
+    with exact Jaccard (cheap: candidate set is tiny). ``sig``: see
+    :func:`lsh_buckets`.
     """
-    stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands)
+    stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands, sig)
     x = stacked.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     y = stacked.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -262,34 +269,50 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def lanes_in(g: int) -> int:
         return min(LANES, 64 - g * LANES)
 
-    def lane_pack(g: int):
-        lanes = []
+    # The per-bit expressions are built as generated SQL strings parsed
+    # JVM-side in ONE call each (clustering.int_array_lit rationale):
+    # the per-bit Column form was ~1,000 py4j round-trips ≈ 1 s of
+    # driver latency at every DataFrame build. The parsed operators
+    # are identical — shiftright / & / CASE — so plans don't change.
+    def lane_pack_sql(g: int) -> str:
+        terms = []
         for lane in range(lanes_in(g)):
             b = g * LANES + lane
-            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            lanes.append((bit * 2).cast("bigint") * F.lit(1 << (LANE_BITS * lane)))
-        return sum(lanes[1:], lanes[0])
+            terms.append(
+                f"(CAST(((shiftright(h, {b}) & 1) * 2) AS BIGINT)"
+                f" * {1 << (LANE_BITS * lane)}L)"
+            )
+        return " + ".join(terms)
 
     packed = h.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(lane_pack(g)).alias(f"p{g}") for g in range(n_groups)],
+        *[
+            F.sum(F.expr(lane_pack_sql(g))).alias(f"p{g}")
+            for g in range(n_groups)
+        ],
     )
 
-    def bit_sign(g: int, lane: int):
+    def bit_sign_sql(g: int, lane: int) -> str:
         # lane value = 2 · ones-count for that bit
-        twice_ones = F.shiftright(F.col(f"p{g}"), LANE_BITS * lane).bitwiseAND(
-            F.lit((1 << LANE_BITS) - 1)
-        )
+        mask = (1 << LANE_BITS) - 1
         b = g * LANES + lane
-        weight = F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
-        return F.when(twice_ones > F.col("n_tok"), weight).otherwise(F.lit(0).cast("bigint"))
+        # min-long has no direct literal (the positive half overflows
+        # before negation in the parser) — spell it as an expression
+        weight = f"{2**b}L" if b < 63 else "(-9223372036854775807L - 1L)"
+        return (
+            f"CASE WHEN (shiftright(p{g}, {LANE_BITS * lane}) & {mask})"
+            f" > n_tok THEN CAST({weight} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
 
-    bits = [
-        bit_sign(g, lane) for g in range(n_groups) for lane in range(lanes_in(g))
-    ]
-    return packed.select(
-        F.col(id_col), sum(bits[1:], bits[0]).alias("simhash")
+    simhash = F.expr(
+        " + ".join(
+            bit_sign_sql(g, lane)
+            for g in range(n_groups)
+            for lane in range(lanes_in(g))
+        )
     )
+    return packed.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -485,16 +508,21 @@ def minhash_estimate_audit(
     LSH-then-verify pattern, never all-pairs); signatures broadcast
     onto the pair list twice.
     """
-    cands = (
-        minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-        .localCheckpoint(eager=False)
-    )
-    # sig and doc_sets each feed BOTH pair sides (a and b) — truncate
-    # lineage so the signature aggregation / shingle-set build run
-    # once, not once per consumer (cold run 11.9 s → 5.8 s at sf0.1)
+    # sig feeds the candidate generation AND both pair sides (a and b)
+    # — build it first, truncate lineage, and hand it to the LSH leg so
+    # the shingle+hash signature aggregation is planned and executed
+    # ONCE for all three consumers (cold run 11.9 s → 5.8 s at sf0.1;
+    # sharing it with the candidate leg shaved another ~1.5 s of
+    # duplicate planning+execution in round 7)
     sig = minhash_signature_matrix(
         df, id_col, text_col, n, num_hashes
     ).localCheckpoint(eager=False)
+    cands = (
+        minhash_lsh_candidates(
+            df, id_col, text_col, n, num_hashes, bands, sig
+        )
+        .localCheckpoint(eager=False)
+    )
     arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))

@@ -85,7 +85,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
 
@@ -105,7 +105,19 @@ def cosine_neardup_pairs(
     Rounding parity: the UDF emits the raw float64 similarity; the
     threshold filter and ROUND happen Spark-side with the same
     expressions the oracle uses.
+
+    ``n_blocks=None`` sizes blocks from the corpus count (parquet
+    footer metadata — cheap): ~4096 vectors per block, floor 4.
+    Block-PAIR count is quadratic in n_blocks, and each pair is a
+    separate Arrow round-trip — a fixed n_blocks=16 put 2,000
+    vectors through 136 python tasks (~50 ms scheduling+Arrow each)
+    for a matmul numpy finishes in one; while at 1e6 vectors the
+    same 16 would build 62 GB similarity matrices per task. The
+    block edge does NOT move the result: blocking only partitions
+    the pair space (oracle-verified either way).
     """
+    if n_blocks is None:
+        n_blocks = max(4, -(-emb.count() // 4096))
     base = emb.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),

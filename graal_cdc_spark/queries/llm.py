@@ -264,7 +264,14 @@ _l(
 
 def _l08(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(emb, threshold=0.8).orderBy("doc_a", "doc_b")
+    # lazy checkpoint before the sort: orderBy's range partitioner
+    # SAMPLES its input, which would execute the whole block-matmul
+    # pandas stage twice per run (sample pass + output pass)
+    return (
+        S.cosine_neardup_pairs(emb, threshold=0.8)
+        .localCheckpoint(eager=False)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _l(
