@@ -413,9 +413,19 @@ def within_cluster_pair_census(
     # byte-based coalescing folds the join to one partition and
     # serializes the whole quadratic phase (the r67 rule: per-row
     # compute is invisible to byte-based planners).
+    #
+    # m feeds THREE consumers (pair-join side a, side b, and the
+    # cluster-size census) and its subtree carries the k x dims
+    # centroid-assignment expression — the static plan builds and
+    # codegens that subtree once per consumer (no ReusedExchange
+    # across the aliased sides). Truncate lineage so assignment runs
+    # ONCE (the minhash-audit rule; cold l75 5.2 s -> ~3.5 s at
+    # sf0.1).
     n_par = assigned.sparkSession.sparkContext.defaultParallelism
-    m = assigned.select("pid", "cid", "x", n2.alias("n2")).repartition(
-        n_par, "cid"
+    m = (
+        assigned.select("pid", "cid", "x", n2.alias("n2"))
+        .repartition(n_par, "cid")
+        .localCheckpoint(eager=False)
     )
     a, b = m.alias("a"), m.alias("b")
     dot_i = F.aggregate(
@@ -443,9 +453,9 @@ def within_cluster_pair_census(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("pb").alias("n_dropped"),
     )
-    sizes = assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_points")
-    )
+    # sizes reads the checkpointed m, not `assigned` — the third
+    # consumer of the assignment subtree otherwise re-derives it
+    sizes = m.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
     return (
         sizes.join(stats, "cid", "left")
         .select(
@@ -472,11 +482,18 @@ def semdedup_census(
     fixed dataset so the DuckDB oracle's unrolled-CTE replay stays
     tractable."""
     from graal_cdc_spark.operators.clustering import (
-        kmeans_quantized,
+        _assign_expr,
         quantize_points,
+        train_centroids,
     )
 
-    cc = kmeans_quantized(emb, k=k, iters=iters, scale=scale)
+    # Assign and keep x in ONE projection over the quantized points —
+    # joining kmeans_quantized's (pid, cid) back to the point set
+    # costs an extra broadcast join whose cold codegen compile (~1 s)
+    # dominated the gated query at bench scale, for values identical
+    # to evaluating the (deterministic) assignment expression in place.
+    centroids = train_centroids(emb, k=k, iters=iters, scale=scale)
     pts = quantize_points(emb, scale=scale)
-    assigned = cc.join(pts, "pid").select("pid", "cid", "x")
+    cid, _ = _assign_expr(centroids)
+    assigned = pts.select("pid", cid, "x")
     return within_cluster_pair_census(assigned, tau_num, tau_den)
