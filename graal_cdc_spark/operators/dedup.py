@@ -152,7 +152,15 @@ def minhash_signature_matrix(
     ``distinct=False``: min-hash is duplicate-insensitive, so the
     (id, shingle) dedup shuffle is pure waste here. One aggregation
     computes all ``num_hashes`` minima.
+
+    The first stage (explode + ``num_hashes + 1`` xxhash64 evals per
+    shingle) is compute-heavy per input byte, so a single-row-group
+    scan must be re-blocked first or ~50M hash evals serialize on one
+    core (the l42/l20 rule; no-op on well-blocked cluster data).
     """
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    df = with_min_parallelism(df.sparkSession, df)
     sh = char_shingles(df, id_col, text_col, n, distinct=False)
     with_base = sh.withColumn("__h0", F.xxhash64(F.col("shingle")))
     hashed = with_base.select(
@@ -246,7 +254,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hash's bit → sign becomes the sketch bit. Near-dups have small
     Hamming distance. Implemented with explode + bitwise expressions —
     no UDF, one aggregation shuffle on the doc id.
+
+    Tokenize+hash+64-bit packing is compute-heavy per input byte —
+    re-block a single-row-group scan first (the l42/l20 rule; no-op
+    on well-blocked cluster data).
     """
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    df = with_min_parallelism(df.sparkSession, df)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
