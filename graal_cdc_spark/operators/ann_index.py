@@ -90,12 +90,25 @@ def build_ivf_index(
     n_cells: int = 8,
     train_iters: int = 2,
     scale: int = 10_000,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_iters: int = 2,
 ) -> dict:
     """Train, assign, and atomically publish an IVF index.
 
     Returns the manifest dict. Rebuilding over an existing index
     replaces it atomically (old index stays readable until the final
     rename).
+
+    With ``pq_m`` set, the index is the standard IVF-PQ layout (Jégou
+    et al. 2011): PQ codebooks are trained over the corpus (``pq_m``
+    subspaces × ``pq_k`` codewords, ``operators/pq.py``), persisted at
+    ``codebooks.parquet``, and every vector row carries its ``codes``
+    column — encoded in the SAME single map stage as the cell
+    assignment, so the build reads the corpus once. Probing can then
+    rank candidates by integer ADC lookups over the persisted codes
+    (``query_ivf_pq_index``) without touching the float vectors — the
+    memory-bounded billion-vector leg, now with a durable artifact.
     """
     from graal_cdc_spark.operators.clustering import (
         _assign_expr,
@@ -122,10 +135,46 @@ def build_ivf_index(
         f"{tmp}/centroids.parquet"
     )
 
+    books: list[list[list[int]]] | None = None
+    if pq_m is not None:
+        from graal_cdc_spark.operators.pq import (
+            _subspace_best,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(
+            corpus, m=pq_m, k=pq_k, iters=pq_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )
+        books_df = spark.createDataFrame(
+            [
+                (s, j, list(c))
+                for s, book in enumerate(books)
+                for j, c in enumerate(book)
+            ],
+            "subspace INT, code INT, codeword ARRAY<BIGINT>",
+        )
+        books_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/codebooks.parquet"
+        )
+
     cid, _ = _assign_expr(cents)
+    row_cols = [F.col("pid"), cid.alias("cell")]
+    if books is not None:
+        sub = len(books[0][0])
+        row_cols.append(
+            F.array(
+                *[
+                    _subspace_best(
+                        books[s], F.slice(F.col("x"), s * sub + 1, sub)
+                    )["j"]
+                    for s in range(len(books))
+                ]
+            ).alias("codes")
+        )
     assigned = (
         quantize_points(corpus, id_col, vec_col, scale)
-        .select("pid", cid.alias("cell"))
+        .select(*row_cols)
         .join(
             corpus.select(
                 F.col(id_col).alias("pid"),
@@ -148,6 +197,8 @@ def build_ivf_index(
         "id_col": id_col,
         "n_rows": n_rows,
     }
+    if pq_m is not None:
+        manifest["pq"] = {"m": pq_m, "k": pq_k, "iters": pq_iters}
     fs.write_text(f"{tmp}/{MANIFEST}", json.dumps(manifest))
 
     if fs.exists(index_dir):
@@ -274,4 +325,113 @@ def query_ivf_index(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "neighbor_id", F.round("sim_raw", 4).alias("sim"), "rank")
+    )
+
+
+def query_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe an IVF-PQ index: cells PRUNE (file-level partition
+    pruning, same as ``query_ivf_index``), persisted PQ codes RANK
+    (integer ADC lookups — the scan never reads the float ``vec``
+    column, which is the point: at billion-vector scale the candidate
+    pass touches ``m`` small ints per row, verified by the ReadSchema
+    plan test).
+
+    Output ``(qid, neighbor_id, adc_dist BIGINT, rank)`` — the
+    ``pq_adc_topk`` contract. Ties break on neighbor id, so the result
+    is deterministic and equals the in-session composition of cell
+    pruning + ``pq_adc_topk`` over the same codebooks.
+    """
+    from graal_cdc_spark.operators.clustering import (
+        dist_struct_array,
+        nested_int_array_lit,
+        quantize_points,
+    )
+    from graal_cdc_spark.operators.pq import _adc_tables
+
+    m = read_manifest(spark, index_dir)
+    if "pq" not in m:
+        raise ValueError(
+            f"index at {index_dir} was built without PQ codes "
+            "(build_ivf_index(pq_m=...)); use query_ivf_index"
+        )
+    cents_rows = (
+        spark.read.parquet(f"{index_dir}/centroids.parquet")
+        .orderBy("cell")
+        .collect()
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    book_rows = (
+        spark.read.parquet(f"{index_dir}/codebooks.parquet")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    n_sub = m["pq"]["m"]
+    books: list[list[list[int]]] = [[] for _ in range(n_sub)]
+    for r in book_rows:
+        books[r["subspace"]].append(list(r["codeword"]))
+
+    # probed cells per query (bounded: n_queries x n_probe) + the
+    # per-query integer ADC tables, all from the collected quantized
+    # query batch (the l04 bounded-query-batch contract)
+    qrows = quantize_points(queries, id_col, vec_col, m["scale"]).collect()
+    if not qrows:
+        raise ValueError("ivf-pq probe: empty query set")
+    probe_rows = []
+    for r in qrows:
+        x = list(r["x"])
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(x, c)), j)
+            for j, c in enumerate(cents)
+        )
+        for _, cell in dists[:n_probe]:
+            probe_rows.append((r["pid"], cell))
+    probe_cells = spark.createDataFrame(probe_rows, "qid BIGINT, cell INT")
+    # one MAP<qid, m x k table> literal, parsed JVM-side in one call
+    tables_sql = "map(" + ",".join(
+        f"{int(r['pid'])}L, "
+        + "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in trow) + ")"
+            for trow in _adc_tables(books, list(r["x"]))
+        )
+        + ")"
+        for r in qrows
+    ) + ")"
+    table = F.element_at(F.expr(tables_sql), F.col("qid"))
+    adc = F.aggregate(
+        F.zip_with(
+            table,
+            F.col("codes"),
+            lambda trow, c: F.element_at(trow, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+    cells_needed = sorted({c for _, c in probe_rows})
+    codes = spark.read.parquet(f"{index_dir}/vectors.parquet").filter(
+        F.col("cell").isin(cells_needed)
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+    return (
+        F.broadcast(probe_cells)
+        .join(
+            codes.select(
+                F.col("pid").alias("neighbor_id"), "cell", "codes"
+            ),
+            "cell",
+        )
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "adc_dist", "rank")
     )

@@ -853,3 +853,148 @@ def test_ivf_index_recovers_from_crash_between_publish_renames(
 
     with _pytest.raises(FileNotFoundError, match="no index"):
         AI.read_manifest(spark, idx)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (VERDICT r6 #5): cells prune at file level,
+# persisted codes rank by integer ADC — the durable billion-vector leg
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(emb, n_queries=4, copies=5):
+    """n_queries query vectors + `copies` tiny-perturbation copies of
+    each planted among the real embeddings as distractors (same
+    construction as tests/test_pq.py::test_recall_on_planted_neighbors)."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+        F.col("vec_id").alias("qid"),
+        "embedding",
+    ).select(
+        (F.lit(100000) + F.col("qid") * 10 + F.col("c")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: v
+            + F.when(
+                F.pmod(F.xxhash64(F.col("qid"), F.col("c"), i), 2) == 0,
+                0.01,
+            ).otherwise(-0.01),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") >= 20)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .unionByName(planted)
+    )
+    return corpus, queries
+
+
+def test_ivf_pq_index_persisted_probe_and_planted_recall(
+    spark, sf_dir, tmp_path
+):
+    """Build an IVF-PQ index (pq_m set) → the manifest records the PQ
+    params, codebooks.parquet persists the trained books, and probing
+    via the persisted codes surfaces the planted near-neighbors; the
+    ADC distances are exactly the Python table-sums recomputed from
+    the PERSISTED artifacts (codes + codebooks), not the session."""
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.operators.pq import _adc_tables
+    from graal_cdc_spark.operators.clustering import quantize_points
+    from graal_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = _planted_corpus(emb)
+    idx = str(tmp_path / "ivfpq_index")
+    manifest = AI.build_ivf_index(corpus, idx, pq_m=8, pq_k=16)
+    assert manifest["pq"] == {"m": 8, "k": 16, "iters": 2}
+
+    rows = AI.query_ivf_pq_index(
+        spark, idx, queries, k=5, n_probe=3
+    ).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        ds = [r["adc_dist"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ds == sorted(ds)
+
+    # planted copies dominate the top-5 of each query
+    hits = {}
+    for r in rows:
+        fam = 100000 + r["qid"] * 10
+        hits.setdefault(r["qid"], 0)
+        if fam <= r["neighbor_id"] < fam + 5:
+            hits[r["qid"]] += 1
+    recalls = [h / 5 for h in hits.values()]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    # ADC distances recomputed from the PERSISTED codebooks + codes
+    book_rows = (
+        spark.read.parquet(f"{idx}/codebooks.parquet")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books = [[] for _ in range(8)]
+    for r in book_rows:
+        books[r["subspace"]].append(list(r["codeword"]))
+    codes = {
+        r["pid"]: list(r["codes"])
+        for r in spark.read.parquet(f"{idx}/vectors.parquet").collect()
+    }
+    qx = {
+        r["pid"]: list(r["x"]) for r in quantize_points(queries).collect()
+    }
+    for r in rows:
+        table = _adc_tables(books, qx[r["qid"]])
+        want = sum(table[s][codes[r["neighbor_id"]][s]] for s in range(8))
+        assert r["adc_dist"] == want, (r["qid"], r["neighbor_id"])
+
+    # a fresh probe over the same persisted index answers identically
+    again = AI.query_ivf_pq_index(spark, idx, queries, k=5, n_probe=3)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_ivf_pq_probe_plan_prunes_cells_and_never_reads_vec(
+    spark, sf_dir, tmp_path
+):
+    """The candidate scan must (a) carry a partition filter on cell
+    (file-level pruning, same as plain IVF) and (b) read ONLY the
+    codes — at billion-vector scale the float vectors never leave
+    disk on the PQ path. No Python evals anywhere."""
+    import re
+
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_index")
+    AI.build_ivf_index(emb, idx, pq_m=8, pq_k=16)
+    one_query = emb.filter(F.col("vec_id") == 3)
+    plan = AI.query_ivf_pq_index(
+        spark, idx, one_query, k=5, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    # the vectors.parquet scan's ReadSchema must not include vec
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    vec_scans = [s for s in scans if "codes" in s]
+    assert vec_scans and all("vec" not in s for s in vec_scans), scans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_probe_requires_pq_built_index(spark, sf_dir, tmp_path):
+    from graal_cdc_spark.operators import ann_index as AI
+    from graal_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_plain")
+    AI.build_ivf_index(emb, idx)  # no pq_m
+    with pytest.raises(ValueError, match="without PQ"):
+        AI.query_ivf_pq_index(spark, idx, emb.filter(F.col("vec_id") < 2))
