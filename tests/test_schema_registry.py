@@ -281,3 +281,80 @@ def test_silver_merge_schema_evolution(spark, tmp_path):
     assert by_seq[1]["email"] is None  # v1 row under the evolved schema
     assert by_seq[3]["email"] == "x"
     assert by_seq[7]["email"] == "y"
+
+
+# ---------------------------------------------------------------------------
+# Production wiring (VERDICT r6 #6): streaming/silver.py — the runner-
+# driven foreachBatch consumer that persists the registry and writes
+# versioned silver
+# ---------------------------------------------------------------------------
+
+
+def test_silver_schema_evolution_streaming_golden(spark, tmp_path):
+    """End-to-end through PipelineRunner: the EVOLVING log replayed in
+    3 micro-batches (the v2 first-appearance lands mid-stream) →
+    persisted registry converges to the batch twin, silver serves the
+    evolved union (NULL email for pre-evolution rows), committed-batch
+    re-delivery is a no-op, and a crash-window replay (marker deleted,
+    batch re-run) converges without duplicates."""
+    from pathlib import Path
+
+    from graal_cdc_spark.pipelines.registry import Pipeline
+    from graal_cdc_spark.pipelines.runner import PipelineRunner
+    from graal_cdc_spark.streaming.replay import append_chunk
+    from graal_cdc_spark.streaming.silver import SilverSchemaEvolution
+
+    events = _log(spark, EVOLVING)
+    replay = str(tmp_path / "replay")
+    for lo, hi in ((1, 2), (3, 5), (6, 7)):
+        append_chunk(
+            events.filter(F.col("seq").between(lo, hi)).coalesce(1), replay
+        )
+
+    lake = SilverSchemaEvolution(spark, str(tmp_path / "lake"))
+    runner = PipelineRunner(
+        spark, replay_dir=replay, checkpoint_root=str(tmp_path / "ckpt")
+    )
+    pipe = Pipeline(
+        name="silver", path=Path("."), version=0.0, db=None, tables=(),
+        transform=lambda df: df,
+    )
+    run = runner.start(pipe, lake.sink(), max_files_per_trigger=1)
+    run.query.awaitTermination()
+
+    reg_key = lambda df: sorted(  # noqa: E731
+        (r["db"], r["tbl"], r["version"], r["fields"], r["first_seq"],
+         r["n_events"])
+        for r in df.collect()
+    )
+    want = reg_key(schema_versions(parse_envelope(events)))
+    assert reg_key(lake.registry()) == want
+
+    users = lake.read_silver("appdb", "users")
+    assert set(users.columns) == {"seq", "key", "op", "version",
+                                  "id", "name", "email"}
+    by_seq = {r["seq"]: r for r in users.collect()}
+    assert set(by_seq) == {1, 2, 3, 4, 7}  # no delete (seq 5)
+    assert by_seq[1]["email"] is None and by_seq[1]["version"] == 1
+    assert by_seq[3]["email"] == "x" and by_seq[3]["version"] == 2
+    assert by_seq[4]["email"] is None  # revert row lands in v1
+    assert by_seq[7]["email"] == "y"
+    # the {} shape: audit columns only, still readable
+    audit = lake.read_silver("appdb", "audit")
+    assert set(audit.columns) == {"seq", "key", "op", "version"}
+    assert [r["seq"] for r in audit.collect()] == [6]
+
+    # committed-batch re-delivery: full no-op (the generation is the marker)
+    last_chunk = parse_envelope(events.filter(F.col("seq") >= 6))
+    lake.process_batch(last_chunk, 2)
+    assert reg_key(lake.registry()) == want
+    assert lake.read_silver("appdb", "users").count() == 5
+
+    # crash window: marker for the last batch lost AFTER silver writes —
+    # the replay must overwrite (not append) and re-commit
+    lake._fs.delete(lake._gen_path(2))
+    lake.process_batch(last_chunk, 2)
+    assert reg_key(lake.registry()) == want
+    again = {r["seq"]: r for r in lake.read_silver("appdb", "users").collect()}
+    assert set(again) == {1, 2, 3, 4, 7}
+    assert again[7]["email"] == "y" and again[7]["version"] == 2
