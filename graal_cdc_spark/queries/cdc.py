@@ -1259,3 +1259,97 @@ register(
         "(schema.history.internal.* delegation); SURVEY.md §1.4",
     )
 )
+
+
+def _c24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END delivery census for the Elasticsearch sink (K1–K6):
+    run the real CDC write path — latest-by-key compaction inside
+    ``write_cdc_dataframe`` → record coercion → ``_bulk`` body
+    assembly → transport dispatch — against a scripted 200-transport
+    that COUNTS the actions it receives off the wire, and gate those
+    counts against the oracle's statement of the compaction contract
+    (final op per key: 'd' → delete, else index). The sink tests
+    prove request shapes; this gate proves the Spark-side dataflow
+    delivers exactly one action per live key at fixture scale.
+
+    Scale: the sink is foreachPartition (executor-parallel, zero
+    driver data path); the census channel is a pair of Spark
+    accumulators — merged per SUCCESSFUL task exactly once for an
+    action, so the counts are deterministic absent task retries (a
+    retried task re-sends — that is the sink's documented
+    at-least-once contract surfacing in the census, not a bug).
+    Reference: ``ElasticsearchUtils.java`` bulk endpoint (K1–K4),
+    ``DebeziumEngineRecordHandler.java:129`` ordered replay (Q3).
+    """
+    import json as _json
+
+    from graal_cdc_spark.sinks import EsSinkConfig, write_cdc_dataframe
+
+    parsed = _parsed(spark, sf_dir)
+    sc = spark.sparkContext
+    acc_index = sc.accumulator(0)
+    acc_delete = sc.accumulator(0)
+
+    def transport_factory():
+        def transport(req):
+            method, url, _headers, body = req
+            if url.endswith("/_bulk"):
+                for line in body.strip().split("\n"):
+                    obj = _json.loads(line)
+                    if set(obj) == {"index"}:
+                        acc_index.add(1)
+                    elif set(obj) == {"delete"}:
+                        acc_delete.add(1)
+            elif method == "PUT":
+                acc_index.add(1)
+            elif method == "DELETE":
+                acc_delete.add(1)
+            return 200
+
+        return transport
+
+    cfg = EsSinkConfig(
+        url="http://es.invalid:9200/cdc_state",
+        username="census",
+        password="census",
+        id_key="key",
+    )
+    write_cdc_dataframe(
+        parsed.select("key", "op", "seq", "tbl"),
+        cfg,
+        transport_factory=transport_factory,
+    )
+    rows = [
+        ("delete", int(acc_delete.value)),
+        ("index", int(acc_index.value)),
+    ]
+    return spark.createDataFrame(rows, "action STRING, n BIGINT").orderBy(
+        "action"
+    )
+
+
+register(
+    QuerySpec(
+        name="c24_es_delivery_census",
+        category="cdc",
+        description="end-to-end ES sink delivery census: compaction + "
+        "coercion + bulk assembly against a counting transport, gated "
+        "on the final-op-per-key contract",
+        spark=_c24,
+        oracle=cdc_parsed_cte()
+        + """
+, latest AS (
+  SELECT key, op,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM cdc_parsed
+)
+SELECT CASE WHEN op = 'd' THEN 'delete' ELSE 'index' END AS action,
+       CAST(count(*) AS BIGINT) AS n
+FROM latest WHERE rn = 1
+GROUP BY 1
+ORDER BY action
+""",
+        reference="ElasticsearchUtils.java:125-167 (K1-K4 dispatch); "
+        "DebeziumEngineRecordHandler.java:129 (Q3 ordered replay)",
+    )
+)

@@ -5151,3 +5151,154 @@ ORDER BY day, event_type
 """,
     ref="SURVEY.md §2.4 R88/R94 family; SLO percentile time series",
 )
+
+
+# ---------------------------------------------------------------------------
+# R97 — exact global top-k via TREE merge (operators/topk.py): the
+# large-k leg of R14. R14's TakeOrdered merges n_partitions × k rows
+# on the DRIVER — right for small k, an OOM at k=1M over 100k
+# partitions. tree_topk hash-buckets rows, keeps top-k per bucket,
+# and shrinks the bucket count by `fanout` per round: every shuffle
+# carries ≤ buckets × k rows and the final merge sorts ≤ fanout × k,
+# so executor and driver memory are bounded regardless of input size.
+# The oracle states the naive ORDER BY … LIMIT semantics; the gate
+# proves the tree decomposition is exact, ties and all.
+# ---------------------------------------------------------------------------
+
+
+def _r97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.topk import tree_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    top = tree_topk(
+        li,
+        [
+            F.col("price_cents").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        k=100,
+        bucket_cols=["l_orderkey", "l_linenumber"],
+        fanout=8,
+        initial_buckets=64,
+    )
+    return top.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_r(
+    "r97_tree_topk",
+    "exact global top-100 by price via fanout-8 tree merge "
+    "(bounded-memory large-k top-k; per-bucket truncation never "
+    "drops a global winner)",
+    _r97,
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY floor(l_extendedprice * 100) DESC,
+                  l_orderkey, l_linenumber) AS BIGINT) AS rank
+FROM lineitem
+ORDER BY price_cents DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    ref="SURVEY.md §2.4 R14 family; treeAggregate-shaped merge",
+)
+
+
+# ---------------------------------------------------------------------------
+# R98 — sorted-layout audit (the linear complement of R66's z-order):
+# assign every lineitem row its file in a shipdate-sorted layout
+# (fixed rows-per-file) and audit the layout's range metadata — file
+# row counts, per-file min/max day, and whether any file's range
+# overlaps its predecessor (0 everywhere iff the layout really is
+# sorted; this is exactly the min/max footer pruning a reader relies
+# on). The global file position is the l40 two-level prefix sum:
+# per-month ranks in parallel + a cumsum over the O(months) totals —
+# the naive global ROW_NUMBER the oracle states would be a
+# single-partition sort of the whole table. The audit output is
+# O(n_files) = O(metadata), so the final ordering window is over
+# footer-sized data by construction.
+# ---------------------------------------------------------------------------
+
+
+def _r98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows_per_file = 4096
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").cast("string").alias("day"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    li = li.withColumn("month", F.substring("day", 1, 7))
+    w = Window.partitionBy("month").orderBy(
+        "day", "l_orderkey", "l_linenumber"
+    )
+    pos = li.withColumn("pos", F.row_number().over(w))
+    totals = li.groupBy("month").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # O(months) rows — the only pre-aggregation single-partition window
+    offsets = totals.withColumn(
+        "base", F.sum("n").over(wt) - F.col("n")
+    ).select("month", "base")
+    filed = pos.join(F.broadcast(offsets), "month").select(
+        "day",
+        F.expr(f"(base + pos - 1) DIV {rows_per_file}").alias("file_id"),
+    )
+    audit = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    wf = Window.orderBy("file_id")  # O(n_files) metadata rows
+    return (
+        audit.withColumn(
+            "overlaps_prev",
+            F.coalesce(
+                (F.lag("max_day").over(wf) > F.col("min_day")).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .orderBy("file_id")
+    )
+
+
+_r(
+    "r98_sorted_layout_audit",
+    "shipdate-sorted file layout audit: two-level prefix-sum file "
+    "assignment, per-file range metadata, zero predecessor overlaps",
+    _r98,
+    """
+WITH pos AS (
+  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS day,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+                    l_orderkey, l_linenumber) - 1 AS gpos
+  FROM lineitem
+), filed AS (
+  SELECT day, CAST(gpos // 4096 AS BIGINT) AS file_id FROM pos
+), audit AS (
+  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         min(day) AS min_day, max(day) AS max_day
+  FROM filed GROUP BY file_id
+)
+SELECT file_id, n_rows, min_day, max_day,
+       CAST(COALESCE(
+         LAG(max_day) OVER (ORDER BY file_id) > min_day, FALSE
+       ) AS INT) AS overlaps_prev
+FROM audit
+ORDER BY file_id
+""",
+    ref="SURVEY.md §2.4 R66 complement; parquet min/max footer pruning",
+)

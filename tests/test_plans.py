@@ -618,3 +618,53 @@ def test_kafka_segment_reader_no_shuffle(spark, tmp_path):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 7: tree top-k and sorted-layout audit plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_r97_tree_merge_shape(spark):
+    """Two per-bucket truncation rounds = two hash exchanges on the
+    bucket key; the final merge is a TakeOrdered over <= fanout*k
+    survivors plus one single-partition window over exactly k rows —
+    the full input is NEVER globally sorted or single-partitioned."""
+    a = _audit(spark, "r97_tree_topk")
+    assert a.has("TakeOrderedAndProject"), a.plan
+    assert a.plan.count("hashpartitioning(__b") == 2, a.plan
+    # per-bucket truncation runs as WindowGroupLimit (rank pushdown:
+    # each task keeps a k-heap, never materializing the full sort)
+    assert a.has("WindowGroupLimit"), a.plan
+    # no single-partition exchange anywhere: the k-row rank window
+    # rides TakeOrdered's already-single output
+    assert a.plan.count("SinglePartition") == 0, a.plan
+    assert a.python_evals == 0
+
+
+def test_r98_full_table_window_partitions_by_month(spark):
+    """The per-row file-position window must partition by month
+    (parallel across months); single-partition windows are allowed
+    only on the two metadata-sized frames (month totals cumsum,
+    per-file lag) — at 100 TB a global ROW_NUMBER over the table
+    serializes the scan into one task."""
+    a = _audit(spark, "r98_sorted_layout_audit")
+    assert "hashpartitioning(month" in a.plan, a.plan
+    assert a.plan.count("SinglePartition") == 2, a.plan
+    assert a.python_evals == 0
+
+
+def test_c24_sink_input_is_compacted_once(spark):
+    """The ES delivery census's Spark-side frame (what foreachPartition
+    dispatches) compacts latest-by-key with ONE window over ONE
+    key-hash shuffle — the sink never sees two actions for a key."""
+    from graal_cdc_spark.cdc.compaction import latest_by_key
+    from graal_cdc_spark.cdc.envelope import build_cdc_events, parse_envelope
+    from graal_cdc_spark.plans import audit as _plan_audit
+
+    parsed = parse_envelope(build_cdc_events(spark, SF))
+    a = _plan_audit(
+        latest_by_key(parsed.select("key", "op", "seq", "tbl"), ["key"], "seq")
+    )
+    assert a.plan.count("hashpartitioning(key") == 1, a.plan
+    assert a.python_evals == 0

@@ -1,0 +1,73 @@
+"""tree_topk (operators/topk.py) — the bounded-memory large-k top-k.
+
+Correctness against the naive ORDER BY ... LIMIT on adversarial
+shapes (duplicate order values across buckets, k >= n, skew), and
+the argument contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.operators.topk import tree_topk
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+
+
+def _naive(rows, k):
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    return [(*r, i + 1) for i, r in enumerate(ordered[:k])]
+
+
+@pytest.mark.parametrize("k,fanout,buckets", [(5, 2, 8), (17, 4, 16), (100, 8, 64)])
+def test_matches_naive_with_heavy_ties(spark, k, fanout, buckets):
+    # v = id % 7 — every order value repeats ~across all buckets, so
+    # tie-break correctness at the k boundary is exercised hard
+    rows = [(i, i % 7) for i in range(500)]
+    got = tree_topk(
+        _df(spark, rows),
+        [F.col("v").desc(), F.col("id")],
+        k=k, fanout=fanout, initial_buckets=buckets,
+    ).collect()
+    assert [(r["id"], r["v"], r["rank"]) for r in got] == _naive(rows, k)
+
+
+def test_k_exceeds_row_count(spark):
+    rows = [(i, 10 - i) for i in range(6)]
+    got = tree_topk(
+        _df(spark, rows), [F.col("v").desc(), F.col("id")], k=50, fanout=2,
+    ).collect()
+    assert [(r["id"], r["v"], r["rank"]) for r in got] == _naive(rows, 50)
+
+
+def test_single_initial_bucket_degenerates_to_take_ordered(spark):
+    rows = [(i, i) for i in range(20)]
+    got = tree_topk(
+        _df(spark, rows), [F.col("v").desc(), F.col("id")],
+        k=3, initial_buckets=1,
+    ).collect()
+    assert [(r["id"], r["v"], r["rank"]) for r in got] == _naive(rows, 3)
+
+
+def test_bucket_assignment_never_drops_a_winner(spark):
+    """Adversarial bucketing: hash only on a CONSTANT column — every
+    row lands in one bucket, the worst imbalance possible — the
+    result must still be exact (per-bucket truncation is safe for ANY
+    assignment)."""
+    rows = [(i, 1000 - i) for i in range(300)]
+    df = _df(spark, rows).withColumn("c", F.lit("same"))
+    got = tree_topk(
+        df, [F.col("v").desc(), F.col("id")],
+        k=10, bucket_cols=["c"], fanout=4, initial_buckets=16,
+    ).select("id", "v", "rank").collect()
+    assert [(r["id"], r["v"], r["rank"]) for r in got] == _naive(rows, 10)
+
+
+def test_argument_contract(spark):
+    df = _df(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="k must be"):
+        tree_topk(df, [F.col("v")], k=0)
+    with pytest.raises(ValueError, match="fanout"):
+        tree_topk(df, [F.col("v")], k=1, fanout=1)
