@@ -1353,3 +1353,78 @@ ORDER BY action
         "DebeziumEngineRecordHandler.java:129 (Q3 ordered replay)",
     )
 )
+
+
+def _c25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the schema-version TAGGING join (the silver router's
+    lookup, ``cdc/schema_registry.events_with_schema_version``): per
+    (db, tbl, version) — event count, distinct keys, seq span. This
+    gates the half of the registry c23 does not: that every non-delete
+    row image joins to exactly one version and the per-version event
+    mass matches the control table's bookkeeping.
+
+    Scale: the registry side is broadcast (bounded by distinct
+    schemas); the census is one aggregation on (db, tbl, version);
+    the log-sized frame is touched by exactly one map + one shuffle.
+    Reference: SURVEY.md §1.4 (schema history consumers);
+    ``DebeziumEngineManager.java:91-120``.
+    """
+    from graal_cdc_spark.cdc.schema_registry import (
+        events_with_schema_version,
+    )
+
+    parsed = _parsed(spark, sf_dir)
+    return (
+        events_with_schema_version(parsed)
+        .groupBy("db", "tbl", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("key").alias("n_keys"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+        )
+        .orderBy("db", "tbl", "version")
+    )
+
+
+register(
+    QuerySpec(
+        name="c25_schema_version_event_census",
+        category="cdc",
+        description="per-(db, tbl, schema version) event census via "
+        "the silver router's version-tagging broadcast join: counts, "
+        "distinct keys, seq span",
+        spark=_c25,
+        oracle=cdc_parsed_cte()
+        + """
+, evid AS (
+  SELECT c.db, c.tbl, c.seq, c.key,
+         coalesce(list_aggr(list_sort(json_keys(e.value,
+                    '$.payload.after')), 'string_agg', ','), '') AS fields
+  FROM cdc_parsed c JOIN cdc_events e USING (seq)
+  WHERE c.op <> 'd'
+    AND json_extract(e.value, '$.payload.after') IS NOT NULL
+    AND json_extract(e.value, '$.payload.after') != 'null'
+), per_schema AS (
+  SELECT db, tbl, fields, min(seq) AS first_seen
+  FROM evid GROUP BY 1, 2, 3
+), versioned AS (
+  SELECT db, tbl, fields,
+         CAST(row_number() OVER (PARTITION BY db, tbl
+                                 ORDER BY first_seen, fields)
+              AS INT) AS version
+  FROM per_schema
+)
+SELECT e.db, e.tbl, v.version,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.key) AS BIGINT) AS n_keys,
+       CAST(min(e.seq) AS BIGINT) AS first_seq,
+       CAST(max(e.seq) AS BIGINT) AS last_seq
+FROM evid e JOIN versioned v USING (db, tbl, fields)
+GROUP BY e.db, e.tbl, v.version
+ORDER BY e.db, e.tbl, v.version
+""",
+        reference="DebeziumEngineManager.java:91-120; SURVEY.md §1.4 "
+        "(schema-history consumer side)",
+    )
+)

@@ -4624,3 +4624,83 @@ _l(
     ref="SURVEY.md §2.4 ANN family (l12/l33 + operators/pq.py); "
     "Jégou et al. 2011 (PQ)",
 )
+
+
+# ---------------------------------------------------------------------------
+# L79 — per-source quota cap (the Common-Crawl-style per-domain cap):
+# admit at most CAP docs per source, chosen by a deterministic
+# content-free hash rank (md5 of the doc id — portable to the oracle,
+# unlike xxhash64), so the same corpus caps identically on any
+# engine, any run, any partitioning. Census output: per source,
+# total/kept/dropped and the surviving character mass.
+#
+# Scale: the rank window partitions by source (parallel across
+# sources). A pathological mega-source serializes ITS rows into one
+# task; the scale-right form for that case is a two-level cap — rank
+# within (source, salt) first, keep per-salt top-CAP (a WindowGroupLimit
+# scan), then re-rank the <= n_salts x CAP survivors — the same
+# shape as r61's salted aggregate. The census semantics (full
+# per-source counts) need the full scan either way.
+# ---------------------------------------------------------------------------
+
+
+def _l79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cap = 20
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= cap
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_chars",
+        )
+        .orderBy("source")
+    )
+
+
+_l(
+    "l79_source_quota_cap",
+    "per-source admission cap by deterministic hash rank: "
+    "total/kept/dropped docs + surviving character mass per source",
+    _l79,
+    """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    ref="SURVEY.md §2.4 L18/L26 sampling family; per-domain caps in "
+    "web-corpus curation",
+)
