@@ -70,6 +70,10 @@ def main() -> None:
         # replays the whole greedy admission loop (~14 s of iterative
         # driver-coordinated rounds, not a query-shaped workload)
         "l50_streaming_lsh_admission": "iterative streaming-admission replay, not query-shaped",
+        # end-to-end micro-batched pipeline (checkpointed stream +
+        # per-batch filesystem publishes) — gated for correctness,
+        # latency measured by its streaming goldens, not query-shaped
+        "st17_streaming_silver_evolution": "checkpointed 2-batch streaming pipeline, not query-shaped",
     }
     names = [n for n in sorted(specs) if n not in skip]
 

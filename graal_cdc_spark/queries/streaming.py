@@ -684,3 +684,97 @@ ORDER BY 1, 2, 3
         "binned-quantile pattern, streaming form",
     )
 )
+
+
+def _st17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming silver with schema evolution
+    (``streaming/silver.py``, the c24 philosophy applied to the
+    streaming path): replay the CDC fixture through a checkpointed
+    foreachBatch pipeline in two micro-batches — per batch the
+    registry folds incrementally (``merge_registry``), row images are
+    version-tagged, and versioned silver parquet is written — then
+    read the silver table back and gate its CONTENT against the
+    oracle's direct statement of the row-image semantics. Proves the
+    runner → registry → silver dataflow delivers exactly the
+    non-delete row images with their schema-version columns.
+
+    Scale: everything inside is the production path (executor-parallel
+    writes, broadcast registry join, bounded driver state); the gate's
+    temp replay/checkpoint dirs are per-call and discarded.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from graal_cdc_spark.cdc.envelope import build_cdc_events
+    from graal_cdc_spark.pipelines.registry import Pipeline
+    from graal_cdc_spark.pipelines.runner import PipelineRunner
+    from graal_cdc_spark.streaming.replay import append_chunk
+    from graal_cdc_spark.streaming.silver import SilverSchemaEvolution
+
+    configure(spark)
+    events = build_cdc_events(spark, sf_dir)
+    mid = events.agg(
+        (F.min("seq") + (F.max("seq") - F.min("seq")) / 2).alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="st17-")
+    replay = f"{root}/replay"
+    for part in (
+        events.filter(F.col("seq") <= mid),
+        events.filter(F.col("seq") > mid),
+    ):
+        append_chunk(part.coalesce(1), replay)
+
+    lake = SilverSchemaEvolution(spark, f"{root}/lake")
+    runner = PipelineRunner(
+        spark, replay_dir=replay, checkpoint_root=f"{root}/ckpt"
+    )
+    pipe = Pipeline(
+        name="st17", path=Path(root), version=0.0, db=None, tables=(),
+        transform=lambda df: df,
+    )
+    run = runner.start(pipe, lake.sink(), max_files_per_trigger=1)
+    run.query.awaitTermination()
+
+    return (
+        lake.read_silver("appdb", "users")
+        .select(
+            "seq", "key", "op", "version",
+            "user_id", "event_type", "value", "ts",
+        )
+        .orderBy("seq")
+    )
+
+
+from graal_cdc_spark.cdc.envelope import cdc_parsed_cte as _cdc_cte  # noqa: E402
+
+_ST17_ORACLE = (
+    _cdc_cte()
+    + """
+SELECT c.seq, c.key, c.op, CAST(1 AS INT) AS version,
+       json_extract_string(e.value, '$.payload.after.user_id')
+         AS user_id,
+       json_extract_string(e.value, '$.payload.after.event_type')
+         AS event_type,
+       json_extract_string(e.value, '$.payload.after.value') AS value,
+       json_extract_string(e.value, '$.payload.after.ts') AS ts
+FROM cdc_parsed c JOIN cdc_events e USING (seq)
+WHERE c.tbl = 'users' AND c.op <> 'd'
+  AND json_extract(e.value, '$.payload.after') IS NOT NULL
+  AND json_extract(e.value, '$.payload.after') != 'null'
+ORDER BY c.seq
+"""
+)
+
+register(
+    QuerySpec(
+        name="st17_streaming_silver_evolution",
+        category="streaming",
+        description="end-to-end streaming silver: 2-micro-batch replay "
+        "through foreachBatch registry fold + version-tagged silver "
+        "writes, gated on the row-image content",
+        spark=_st17,
+        oracle=_ST17_ORACLE,
+        reference="SURVEY.md §1.4 schema history (consumer); "
+        "DebeziumEngineRecordHandler.java:89-93 segment replay",
+    )
+)
