@@ -136,6 +136,14 @@ PROBES = [
     "r96_daily_percentile_bands",
     "mm06_shard_packing",
     "st16_windowed_value_histogram",
+    # round 7 (ES delivery census via counting transport, version-tag
+    # broadcast join, tree top-k, two-level prefix-sum layout audit,
+    # per-source cap window)
+    "c24_es_delivery_census",
+    "c25_schema_version_event_census",
+    "r97_tree_topk",
+    "r98_sorted_layout_audit",
+    "l79_source_quota_cap",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
