@@ -167,3 +167,47 @@ def per_stratum_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def per_stratum_topk_salted(
+    df: DataFrame,
+    content_col: str,
+    stratum_col: str,
+    k: int,
+    id_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level form of :func:`per_stratum_topk` for SKEWED strata
+    (the mega-domain case of the l79 per-source cap): rank within
+    (stratum, salt) and keep each salt's top ``k`` first — so no task
+    ever sorts more than one salt shard of the hot stratum, and the
+    per-bucket rank runs as a WindowGroupLimit k-heap — then re-rank
+    the ≤ ``n_salts × k`` survivors per stratum for the exact cut.
+
+    Exactness: a row in the stratum's true top-k is also in its salt
+    bucket's top-k (removing other rows only improves its rank), so
+    pre-truncation never drops a winner — the tree_topk argument, one
+    level deep. With ``id_col`` the order is total and the result
+    EQUALS the single-level operator row-for-row; without it, equal
+    up to ties in md5(content) (exact-duplicate contents), same as
+    the single-level form's own tie behavior.
+    """
+    order = [F.md5(F.col(content_col))]
+    hash_cols = [F.col(content_col)]
+    if id_col is not None:
+        order.append(F.col(id_col))
+        hash_cols.append(F.col(id_col))
+    salt = F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
+    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(*order)
+    pre = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        pre.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )

@@ -71,3 +71,63 @@ def test_argument_contract(spark):
         tree_topk(df, [F.col("v")], k=0)
     with pytest.raises(ValueError, match="fanout"):
         tree_topk(df, [F.col("v")], k=1, fanout=1)
+
+
+# ---------------------------------------------------------------------------
+# per_stratum_topk_salted (operators/sampling.py) — the skew-safe
+# two-level cap promised by l79's scale note
+# ---------------------------------------------------------------------------
+
+
+def test_salted_stratum_topk_equals_single_level(spark):
+    from graal_cdc_spark.operators.sampling import (
+        per_stratum_topk,
+        per_stratum_topk_salted,
+    )
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = per_stratum_topk(docs, "text", "source", k=7, id_col="doc_id")
+    b = per_stratum_topk_salted(
+        docs, "text", "source", k=7, id_col="doc_id", n_salts=5
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["source"], r["doc_id"]) for r in df.collect()
+    )
+    assert key(a) == key(b)
+    assert set(a.columns) == set(b.columns)
+
+
+def test_salted_stratum_topk_skewed_stratum(spark):
+    """One stratum holds 90% of rows — the exact case the salting
+    exists for; the cut must still match the single-level answer."""
+    from graal_cdc_spark.operators.sampling import (
+        per_stratum_topk,
+        per_stratum_topk_salted,
+    )
+
+    rows = [(i, f"doc-{i}", "hot" if i % 10 else "cold") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, src STRING")
+    a = per_stratum_topk(df, "text", "src", k=25, id_col="doc_id")
+    b = per_stratum_topk_salted(df, "text", "src", k=25, id_col="doc_id")
+    key = lambda d: sorted(  # noqa: E731
+        (r["src"], r["doc_id"]) for r in d.collect()
+    )
+    assert key(a) == key(b)
+
+
+def test_salted_stratum_topk_plan_uses_group_limit(spark):
+    """Both rank stages must run as WindowGroupLimit (per-task k-heap,
+    no full shard sort), and the second window's input is the
+    pre-truncated frame — visible as two Window operators with the
+    group-limit optimization applied."""
+    from graal_cdc_spark.operators.sampling import per_stratum_topk_salted
+    from graal_cdc_spark.plans import audit
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = audit(
+        per_stratum_topk_salted(docs, "text", "source", k=7, id_col="doc_id")
+    )
+    assert a.plan.count("WindowGroupLimit") >= 2, a.plan
+    assert a.python_evals == 0
