@@ -556,8 +556,21 @@ def minhash_estimate_audit(
     # pair's two shingle SETS instead costs O(pairs × shingles/doc),
     # immune to hot shingles. Equality joins on doc id — the per-doc
     # set rows shuffle-partition evenly at any scale.
+    # Only docs that appear in a candidate pair need their exact
+    # shingle set — a semi-join cuts the distinct-shingle shuffle and
+    # collect_set to the candidate population (~7% of the corpus at
+    # the default banding; the same LSH-then-verify asymmetry that
+    # makes the audit affordable at 100 TB).
+    needed = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     doc_sets = (
-        char_shingles(df, id_col, text_col, n, distinct=True)
+        char_shingles(
+            df.join(needed, id_col, "left_semi"),
+            id_col, text_col, n, distinct=True,
+        )
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("ss"))
         .localCheckpoint(eager=False)
