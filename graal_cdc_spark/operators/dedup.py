@@ -80,16 +80,18 @@ def jaccard_pairs_from_shingles(
     """Pairwise Jaccard over a (id, shingle) set table: intersection
     via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Shared tail of the
     char-shingle and token-n-gram exact dedup operators."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
     # Pin the self-join's partitioning: the (id, shingle) shuffle is
     # small in BYTES, so AQE coalesces it to 1–2 partitions — but the
     # join output is O(shingle collisions), pure compute the byte-based
     # planner can't see, and it would run on those 1–2 cores (measured
     # 10.7s → 3.9s at sf0.1 on local[32]). Explicit numPartitions is
-    # AQE-exempt (the test_plans AQE rule).
+    # AQE-exempt (the test_plans AQE rule). Truncate lineage once:
+    # sh feeds THREE consumers (sizes + both join sides) and the
+    # static plan would otherwise re-run the shingle explode+distinct
+    # for the sizes aggregate (the l75 rule).
     n_par = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_par, "shingle")
+    sh = sh.repartition(n_par, "shingle").localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
