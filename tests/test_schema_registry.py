@@ -358,3 +358,73 @@ def test_silver_schema_evolution_streaming_golden(spark, tmp_path):
     again = {r["seq"]: r for r in lake.read_silver("appdb", "users").collect()}
     assert set(again) == {1, 2, 3, 4, 7}
     assert again[7]["email"] == "y" and again[7]["version"] == 2
+
+
+def test_property_silver_chunked_equals_batch(spark, tmp_path):
+    """For arbitrary evolving logs and arbitrary 2-way chunkings, the
+    streaming silver pipeline (per-chunk process_batch) produces the
+    SAME registry as the batch build and silver content whose
+    (seq, version) assignment matches the batch tagging — including
+    chunkings where a schema's first appearance lands in either
+    chunk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graal_cdc_spark.streaming.silver import SilverSchemaEvolution
+
+    field_sets = ["a", "a,b", "b,c", ""]
+    ev = st.sampled_from(field_sets)
+
+    case_n = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        events=st.lists(ev, min_size=1, max_size=10),
+        cut=st.integers(min_value=0, max_value=10),
+    )
+    def prop(events, cut):
+        case_n[0] += 1
+        rows = []
+        for i, fs in enumerate(events, start=1):
+            after = (
+                "{" + ",".join(f'"{f}":"x{i}"' for f in fs.split(",") if f)
+                + "}"
+            )
+            rows.append((i, f"k{i}", "c", "users", after))
+        parsed = parse_envelope(_log(spark, rows))
+        root = str(tmp_path / f"lake{case_n[0]}")
+        lake = SilverSchemaEvolution(spark, root)
+        lake.process_batch(parsed.filter(F.col("seq") <= cut), 0)
+        lake.process_batch(parsed.filter(F.col("seq") > cut), 1)
+
+        want_reg = sorted(
+            tuple(r)
+            for r in schema_versions(parsed)
+            .select("db", "tbl", "version", "fields", "first_seq",
+                    "n_events")
+            .collect()
+        )
+        got_reg = sorted(
+            tuple(r)
+            for r in lake.registry()
+            .select("db", "tbl", "version", "fields", "first_seq",
+                    "n_events")
+            .collect()
+        )
+        assert got_reg == want_reg
+
+        # silver rows: exactly the non-delete images, tagged with the
+        # BATCH-equivalent version for their field-set
+        want_tags = {
+            (r["seq"], r["version"])
+            for r in events_with_schema_version(parsed).collect()
+        }
+        got_tags = {
+            (r["seq"], r["version"])
+            for r in lake.read_silver("appdb", "users")
+            .select("seq", "version")
+            .collect()
+        }
+        assert got_tags == want_tags
+
+    prop()
