@@ -87,3 +87,25 @@ def test_streaming_slo_pipeline(spark, sf_dir, tmp_path):
         assert p50_bin * BIN_CENTS <= r["v"] < (p50_bin + 1) * BIN_CENTS, (
             key, r["v"], p50_bin,
         )
+
+
+def test_silver_evolution_example(spark, tmp_path):
+    """The silver-evolution example: registry shows the two versions
+    in first-appearance order, the evolved read serves the union
+    schema with NULL email for pre-evolution rows."""
+    from silver_evolution import run
+
+    lake = run(spark, str(tmp_path))
+    reg = {
+        (r["tbl"], r["version"]): r["fields"]
+        for r in lake.registry().collect()
+    }
+    assert reg == {
+        ("users", 1): "id,name",
+        ("users", 2): "email,id,name",
+    }
+    rows = {r["seq"]: r for r in lake.read_silver("appdb", "users").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["email"] is None and rows[1]["version"] == 1
+    assert rows[3]["email"] == "ada@example.com" and rows[3]["version"] == 2
+    assert rows[4]["email"] is None and rows[4]["version"] == 1
