@@ -74,6 +74,10 @@ def main() -> None:
         # per-batch filesystem publishes) — gated for correctness,
         # latency measured by its streaming goldens, not query-shaped
         "st17_streaming_silver_evolution": "checkpointed 2-batch streaming pipeline, not query-shaped",
+        # full index BUILD + atomic publish + probe lifecycle
+        # (filesystem-bound); the ANN QUERY costs are benched as
+        # l12/l33/l78
+        "l80_ivfpq_probe": "index build+publish lifecycle, not query-shaped",
     }
     names = [n for n in sorted(specs) if n not in skip]
 

@@ -192,6 +192,8 @@ def per_stratum_topk_salted(
     up to ties in md5(content) (exact-duplicate contents), same as
     the single-level form's own tie behavior.
     """
+    if n_salts < 1:
+        raise ValueError("per_stratum_topk_salted: n_salts must be >= 1")
     order = [F.md5(F.col(content_col))]
     hash_cols = [F.col(content_col)]
     if id_col is not None:

@@ -57,6 +57,8 @@ def tree_topk(
         raise ValueError("tree_topk: k must be >= 1")
     if fanout < 2:
         raise ValueError("tree_topk: fanout must be >= 2")
+    if bucket_cols is not None and not bucket_cols:
+        raise ValueError("tree_topk: bucket_cols must be non-empty or None")
     cols = df.columns
     hcols = bucket_cols if bucket_cols is not None else cols
     b = initial_buckets if initial_buckets is not None else fanout * fanout

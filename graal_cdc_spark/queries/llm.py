@@ -4704,3 +4704,234 @@ ORDER BY source
     ref="SURVEY.md §2.4 L18/L26 sampling family; per-domain caps in "
     "web-corpus curation",
 )
+
+
+# ---------------------------------------------------------------------------
+# L80 — persisted IVF-PQ probe, oracle-gated end to end: build the
+# IVF-PQ index (operators/ann_index.py — cell k-means + per-subspace
+# PQ codebooks + one-map-stage encode, atomically published), probe
+# it through the PERSISTED artifacts (file-level cell pruning +
+# integer ADC over stored codes), and gate the exact (qid, neighbor,
+# adc_dist, rank) output against a DuckDB oracle that re-derives the
+# WHOLE thing declaratively: unrolled full-vector Lloyd rounds for
+# the cells, unrolled per-subspace Lloyd for the codebooks, argmin
+# encode, n_probe nearest cells per query, ADC table sums, ranked
+# top-k. Everything is integer-exact (the repo determinism protocol),
+# so a filesystem round-trip through the published index must be
+# bit-identical to the pure-SQL derivation — the strongest statement
+# the gate can make about the ANN flagship.
+#
+# Smoke-scale params (cells=8×2 rounds, m=4, k=8, 1 round, queries
+# pid<3, n_probe=2, top-5) keep the unrolled oracle tractable; the
+# operators take the production sizes.
+# ---------------------------------------------------------------------------
+
+_L80 = dict(n_cells=8, cell_iters=2, m=4, k=8, pq_iters=1,
+            n_probe=2, topk=5, n_queries=3, scale=10_000, dims=64)
+
+
+def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_pq_index,
+    )
+
+    p = _L80
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="l80-ivfpq-") + "/index"
+    build_ivf_index(
+        emb, idx, n_cells=p["n_cells"], train_iters=p["cell_iters"],
+        scale=p["scale"], pq_m=p["m"], pq_k=p["k"],
+        pq_iters=p["pq_iters"],
+    )
+    return query_ivf_pq_index(
+        spark, idx,
+        emb.filter(F.col("vec_id") < p["n_queries"]),
+        k=p["topk"], n_probe=p["n_probe"],
+    ).orderBy("qid", "rank")
+
+
+def ivfpq_probe_oracle() -> str:
+    p = _L80
+    sub = p["dims"] // p["m"]
+    full_dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])))"
+    )
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id AS pid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * {p['scale']}) AS BIGINT)) AS x
+  FROM embeddings
+),
+cc0 AS (
+  SELECT pid AS cid, x AS c FROM pts WHERE pid < {p['n_cells']}
+)"""
+    ]
+    cur = "cc0"
+    for it in range(1, p["cell_iters"] + 1):
+        parts.append(f"""
+ca{it}x AS (
+  SELECT p.pid, c.cid, {full_dist} AS d
+  FROM pts p CROSS JOIN {cur} c
+),
+ca{it} AS (
+  SELECT pid, cid FROM (
+    SELECT pid, cid,
+           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
+    FROM ca{it}x
+  ) t WHERE rk = 1
+),
+cs{it} AS (
+  SELECT a.cid, g.i AS dim,
+         CAST(SUM(p.x[g.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ca{it} a JOIN pts p USING (pid)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY a.cid, g.i
+),
+cc{it} AS (
+  SELECT {cur}.cid, COALESCE(agg.c, {cur}.c) AS c
+  FROM {cur} LEFT JOIN (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                ORDER BY dim) AS c
+    FROM cs{it} GROUP BY cid
+  ) agg USING (cid)
+)""")
+        cur = f"cc{it}"
+    # final cell assignment over the trained centroids
+    parts.append(f"""
+cfinx AS (
+  SELECT p.pid, c.cid, {full_dist} AS d
+  FROM pts p CROSS JOIN {cur} c
+),
+cells AS (
+  SELECT pid, cid FROM (
+    SELECT pid, cid,
+           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
+    FROM cfinx
+  ) t WHERE rk = 1
+),
+cellcent AS (SELECT cid, c FROM {cur})""")
+    # per-subspace codebooks + encode (the l78 idiom, renamed)
+    sub_dist = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])))"
+    )
+    for s in range(p["m"]):
+        lo = s * sub + 1
+        parts.append(f"""
+spts{s} AS (
+  SELECT pid, list_slice(x, {lo}, {lo + sub - 1}) AS x FROM pts
+),
+b{s}_0 AS (
+  SELECT pid AS cid, x AS c FROM spts{s} WHERE pid < {p['k']}
+)""")
+        cur_b = f"b{s}_0"
+        for it in range(1, p["pq_iters"] + 1):
+            parts.append(f"""
+ba{s}_{it}x AS (
+  SELECT p.pid, c.cid, {sub_dist} AS d
+  FROM spts{s} p CROSS JOIN {cur_b} c
+),
+ba{s}_{it} AS (
+  SELECT pid, cid FROM (
+    SELECT pid, cid,
+           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
+    FROM ba{s}_{it}x
+  ) t WHERE rk = 1
+),
+bs{s}_{it} AS (
+  SELECT a.cid, g.i AS dim,
+         CAST(SUM(p.x[g.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ba{s}_{it} a JOIN spts{s} p USING (pid)
+  CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS i) g
+  GROUP BY a.cid, g.i
+),
+b{s}_{it} AS (
+  SELECT {cur_b}.cid, COALESCE(agg.c, {cur_b}.c) AS c
+  FROM {cur_b} LEFT JOIN (
+    SELECT cid,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                ORDER BY dim) AS c
+    FROM bs{s}_{it} GROUP BY cid
+  ) agg USING (cid)
+)""")
+            cur_b = f"b{s}_{it}"
+        parts.append(f"""
+enc{s}x AS (
+  SELECT p.pid, c.cid, {sub_dist} AS d
+  FROM spts{s} p CROSS JOIN {cur_b} c
+),
+enc{s} AS (
+  SELECT pid, {s} AS subspace, cid AS code FROM (
+    SELECT pid, cid,
+           row_number() OVER (PARTITION BY pid ORDER BY d, cid) AS rk
+    FROM enc{s}x
+  ) t WHERE rk = 1
+)""")
+    books_unions = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cid AS code, c FROM b{s}_{p['pq_iters']}"
+        for s in range(p["m"])
+    )
+    parts.append(f"""
+codes AS ({" UNION ALL ".join(f"SELECT * FROM enc{s}" for s in range(p['m']))}),
+books AS ({books_unions}),
+q AS (SELECT pid AS qid, x FROM pts WHERE pid < {p['n_queries']}),
+probex AS (
+  SELECT q.qid, c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (q.x[i] - c.c[i]) * (q.x[i] - c.c[i]))) AS d
+  FROM q CROSS JOIN cellcent c
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rk
+    FROM probex
+  ) t WHERE rk <= {p['n_probe']}
+),
+cand AS (
+  SELECT pr.qid, cl.pid AS neighbor_id
+  FROM probe pr JOIN cells cl ON cl.cid = pr.cid
+  WHERE cl.pid <> pr.qid
+),
+adcx AS (
+  SELECT ca.qid, ca.neighbor_id,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (q.x[co.subspace * {sub} + i] - bk.c[i])
+              * (q.x[co.subspace * {sub} + i] - bk.c[i]))) AS d
+  FROM cand ca
+  JOIN codes co ON co.pid = ca.neighbor_id
+  JOIN books bk ON bk.subspace = co.subspace AND bk.code = co.code
+  JOIN q ON q.qid = ca.qid
+),
+adc AS (
+  SELECT qid, neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+  FROM adcx GROUP BY qid, neighbor_id
+)
+SELECT qid, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) t WHERE rank <= {p['topk']}
+ORDER BY qid, rank""")
+    return ",".join(parts)
+
+
+_l(
+    "l80_ivfpq_probe",
+    "persisted IVF-PQ index probe: cells prune at file level, stored "
+    "codes rank by integer ADC — gated bit-exact against a fully "
+    "unrolled declarative derivation",
+    ivfpq_probe,
+    ivfpq_probe_oracle(),
+    ref="SURVEY.md §2.4 ANN family (l12/l33/l78 + "
+    "operators/ann_index.py); Jégou et al. 2011 (IVF-ADC)",
+)
