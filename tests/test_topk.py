@@ -131,3 +131,30 @@ def test_salted_stratum_topk_plan_uses_group_limit(spark):
     )
     assert a.plan.count("WindowGroupLimit") >= 2, a.plan
     assert a.python_evals == 0
+
+
+def test_property_tree_topk_equals_naive(spark):
+    """Arbitrary value multisets, k, fanout, and bucket counts: the
+    tree merge equals the naive sorted-prefix answer exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=1, max_size=60
+        ),
+        k=st.integers(min_value=1, max_value=12),
+        fanout=st.integers(min_value=2, max_value=5),
+        buckets=st.integers(min_value=1, max_value=30),
+    )
+    def prop(vals, k, fanout, buckets):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        got = tree_topk(
+            _df(spark, rows),
+            [F.col("v").desc(), F.col("id")],
+            k=k, fanout=fanout, initial_buckets=buckets,
+        ).collect()
+        assert [(r["id"], r["v"], r["rank"]) for r in got] == _naive(rows, k)
+
+    prop()
