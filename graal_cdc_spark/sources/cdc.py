@@ -121,3 +121,105 @@ def normalize_kafka_frame(kafka_df: DataFrame) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
     )
+
+
+@dataclass(frozen=True)
+class CaptureConfig:
+    """Capture-side connection config — the other half of
+    ``ListenDatabaseInstanceConfig`` (host/port/user/password/serverId,
+    ``ListenDatabaseInstanceConfig.java:19-50``) that the embedded
+    engine consumed directly and the out-of-process deployment hands
+    to Debezium Server / Kafka Connect instead."""
+
+    host: str
+    port: int
+    username: str
+    password: str
+    server_id: int = 0  # MySQL binlog client id
+    offset_dir: str = "/var/lib/debezium"
+
+    def __post_init__(self) -> None:
+        if not self.host.strip():
+            raise ValueError("capture host is required")
+        if not (0 < self.port < 65536):
+            raise ValueError(f"capture port out of range: {self.port}")
+
+
+def debezium_properties(
+    sub: CdcSubscription, cap: CaptureConfig
+) -> dict[str, str]:
+    """The Debezium connector property map for the capture side —
+    byte-compatible with what the reference's embedded engine
+    assembles (``DebeziumEngineManager.java:40-136``): engine name
+    ``{dbtype}-{name}``, file offset store under the offset
+    directory, ``schemas.enable=false`` (the schemaless envelope the
+    F3–F7 chain and ``cdc/schema_registry.py`` are built around),
+    table/database include lists (F1/F2), MySQL server-id validation
+    (``:79-82``), PG pgoutput plugin + ``debezium_{name}`` slot and
+    publication (``:104-110``).
+
+    Deviations, by design (the SURVEY.md §2.1 "implement the intent"
+    rule): PG schema history uses the MODERN
+    ``schema.history.internal.*`` keys — the reference's PG branch
+    still writes the pre-1.6 ``database.history`` spelling
+    (``:113-120``), which current Debezium rejects; and
+    ``topic.prefix`` resolves exactly like :meth:`CdcSubscription.
+    topics` (``topic_prefix`` or the subscription name) so the
+    capture and consumption sides can never disagree on topic names
+    — the reference hardcodes ``{dbtype}_{name}`` (``:51``), which
+    its own consumer never cross-checks.
+    """
+    name = f"{sub.db_type}-{sub.name}"
+    prefix = sub.topic_prefix or sub.name
+    props = {
+        "name": name,
+        "topic.prefix": prefix,
+        "offset.storage":
+            "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+        "offset.storage.file.filename":
+            f"{cap.offset_dir}/{name}_offset.dat",
+        "database.hostname": cap.host,
+        "database.port": str(cap.port),
+        "database.user": cap.username,
+        "database.password": cap.password,
+        "schemas.enable": "false",
+    }
+    if sub.tables:
+        props["table.include.list"] = ",".join(sub.tables)
+    if sub.db_type == "mysql":
+        props["connector.class"] = (
+            "io.debezium.connector.mysql.MySqlConnector"
+        )
+        if not (0 < cap.server_id < 2**32):
+            raise ValueError(
+                "MySQL server_id must be in 1 .. 2^32-1"
+            )
+        props["database.server.id"] = str(cap.server_id)
+        if sub.databases:
+            props["database.include.list"] = ",".join(sub.databases)
+        props["schema.history.internal"] = (
+            "io.debezium.storage.file.history.FileSchemaHistory"
+        )
+        props["schema.history.internal.file.filename"] = (
+            f"{cap.offset_dir}/mysql-{sub.name}_dbhistory.dat"
+        )
+    else:  # postgresql — validated by CdcSubscription
+        props["connector.class"] = (
+            "io.debezium.connector.postgresql.PostgresConnector"
+        )
+        if not sub.databases:
+            raise ValueError(
+                "postgresql capture needs at least one database "
+                "(dbname)"
+            )
+        props["database.dbname"] = sub.databases[0]
+        props["plugin.name"] = "pgoutput"
+        props["slot.name"] = f"debezium_{sub.name}"
+        props["publication.name"] = f"debezium_{sub.name}"
+        props["schema.history.internal"] = (
+            "io.debezium.storage.file.history.FileSchemaHistory"
+        )
+        props["schema.history.internal.file.filename"] = (
+            f"{cap.offset_dir}/pg-{sub.name}_dbhistory.dat"
+        )
+    return props

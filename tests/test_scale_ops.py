@@ -998,3 +998,93 @@ def test_ivf_pq_probe_requires_pq_built_index(spark, sf_dir, tmp_path):
     AI.build_ivf_index(emb, idx)  # no pq_m
     with pytest.raises(ValueError, match="without PQ"):
         AI.query_ivf_pq_index(spark, idx, emb.filter(F.col("vec_id") < 2))
+
+
+# ---------------------------------------------------------------------------
+# Capture-side Debezium property assembly (S1/S2 residual — the half a
+# real deployment hands to Debezium Server / Kafka Connect)
+# ---------------------------------------------------------------------------
+
+
+def test_debezium_properties_mysql():
+    from graal_cdc_spark.sources.cdc import CaptureConfig, debezium_properties
+
+    sub = CdcSubscription(
+        name="appdb", db_type="mysql", bootstrap_servers="k:9092",
+        databases=("appdb",), tables=("appdb.users", "appdb.orders"),
+    )
+    cap = CaptureConfig(
+        host="db1", port=3306, username="u", password="p",
+        server_id=5400, offset_dir="/data/dbz",
+    )
+    props = debezium_properties(sub, cap)
+    assert props["name"] == "mysql-appdb"
+    assert props["connector.class"] == (
+        "io.debezium.connector.mysql.MySqlConnector"
+    )
+    assert props["database.server.id"] == "5400"
+    assert props["table.include.list"] == "appdb.users,appdb.orders"
+    assert props["database.include.list"] == "appdb"
+    assert props["schemas.enable"] == "false"
+    assert props["offset.storage.file.filename"] == (
+        "/data/dbz/mysql-appdb_offset.dat"
+    )
+    assert props["schema.history.internal.file.filename"] == (
+        "/data/dbz/mysql-appdb_dbhistory.dat"
+    )
+    # capture topic.prefix must agree with the consumer's topic names
+    assert props["topic.prefix"] == "appdb"
+    assert sub.topics().startswith("appdb.")
+
+
+def test_debezium_properties_mysql_server_id_validated():
+    from graal_cdc_spark.sources.cdc import CaptureConfig, debezium_properties
+
+    sub = CdcSubscription(
+        name="a", db_type="mysql", bootstrap_servers="k:9092"
+    )
+    cap = CaptureConfig(host="db", port=3306, username="u", password="p")
+    with pytest.raises(ValueError, match="server_id"):
+        debezium_properties(sub, cap)  # default 0 is invalid, as in ref
+
+
+def test_debezium_properties_postgres():
+    from graal_cdc_spark.sources.cdc import CaptureConfig, debezium_properties
+
+    sub = CdcSubscription(
+        name="pgx", db_type="postgresql", bootstrap_servers="k:9092",
+        databases=("maindb", "auditdb"),
+    )
+    cap = CaptureConfig(host="pg", port=5432, username="u", password="p")
+    props = debezium_properties(sub, cap)
+    assert props["connector.class"] == (
+        "io.debezium.connector.postgresql.PostgresConnector"
+    )
+    assert props["database.dbname"] == "maindb"  # first database, as in ref
+    assert props["plugin.name"] == "pgoutput"
+    assert props["slot.name"] == "debezium_pgx"
+    assert props["publication.name"] == "debezium_pgx"
+    # modern schema-history keys (the ref's legacy database.history
+    # spelling is rejected by current Debezium — deviation by design)
+    assert "database.history" not in props
+    assert props["schema.history.internal"].endswith("FileSchemaHistory")
+
+
+def test_debezium_properties_postgres_requires_database():
+    from graal_cdc_spark.sources.cdc import CaptureConfig, debezium_properties
+
+    sub = CdcSubscription(
+        name="pgx", db_type="postgresql", bootstrap_servers="k:9092"
+    )
+    cap = CaptureConfig(host="pg", port=5432, username="u", password="p")
+    with pytest.raises(ValueError, match="database"):
+        debezium_properties(sub, cap)
+
+
+def test_capture_config_validation():
+    from graal_cdc_spark.sources.cdc import CaptureConfig
+
+    with pytest.raises(ValueError, match="host"):
+        CaptureConfig(host=" ", port=3306, username="u", password="p")
+    with pytest.raises(ValueError, match="port"):
+        CaptureConfig(host="db", port=0, username="u", password="p")
