@@ -1428,3 +1428,102 @@ ORDER BY e.db, e.tbl, v.version
         "(schema-history consumer side)",
     )
 )
+
+
+def _c26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END delivery census for the JDBC sink (the README-
+    claimed relational sink, c24's philosophy on the other sink):
+    drive the REAL path — latest-by-key compaction, executor-parallel
+    staging write, dialect MERGE, EXISTS-correlated DELETE — against
+    the embedded Derby that ships with Spark, read the final table
+    state back over JDBC, and gate the per-table census against the
+    oracle's statement of the compaction contract (live keys = latest
+    op per key that is not a delete).
+
+    Scale: staging is ``df.write.jdbc`` (executor-parallel); the only
+    driver materialization is the census aggregate, pushed down to
+    the database as a JDBC query (GROUP BY runs in Derby — bounded
+    rows back). The per-call table is dropped after the census.
+    Reference: ``README.md:10`` (JDBC sink claim);
+    ``ElasticsearchUtils.java:131-177`` upsert/delete semantics.
+    """
+    import uuid as _uuid
+
+    from graal_cdc_spark.sinks.jdbc import JdbcSinkConfig, write_jdbc_batch
+
+    url = "jdbc:derby:memory:graalgate;create=true"
+    table = f"CDC_STATE_{_uuid.uuid4().hex[:8].upper()}"
+    jvm = spark._jvm
+
+    def run_sql(sql: str) -> None:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    run_sql(
+        f"CREATE TABLE {table} "
+        "(K VARCHAR(64) PRIMARY KEY, TBL VARCHAR(64), SEQ BIGINT)"
+    )
+    try:
+        parsed = _parsed(spark, sf_dir).select(
+            F.col("key").alias("k"), "tbl", "op", "seq"
+        )
+        # empty user keeps Derby on the default APP schema — a named
+        # user would resolve unqualified tables in its own schema
+        cfg = JdbcSinkConfig(url=url, table=table, key_cols=("k",))
+        write_jdbc_batch(
+            parsed, cfg, op_col="op", seq_col="seq",
+            staging_column_types={"k": "VARCHAR(64)", "tbl": "VARCHAR(64)"},
+        )
+        census = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "query",
+                f"SELECT TBL, COUNT(*) AS N_KEYS, MIN(SEQ) AS MIN_SEQ, "
+                f"MAX(SEQ) AS MAX_SEQ FROM {table} GROUP BY TBL",
+            )
+            .load()
+            .collect()
+        )
+    finally:
+        run_sql(f"DROP TABLE {table}")
+    rows = sorted(
+        (r["TBL"], int(r["N_KEYS"]), int(r["MIN_SEQ"]), int(r["MAX_SEQ"]))
+        for r in census
+    )
+    return spark.createDataFrame(
+        rows, "tbl STRING, n_keys BIGINT, min_seq BIGINT, max_seq BIGINT"
+    ).orderBy("tbl")
+
+
+register(
+    QuerySpec(
+        name="c26_jdbc_delivery_census",
+        category="cdc",
+        description="end-to-end JDBC sink delivery census: compaction "
+        "+ staging + MERGE + DELETE against embedded Derby, gated on "
+        "the live-keys-per-table contract",
+        spark=_c26,
+        oracle=cdc_parsed_cte()
+        + """
+, latest AS (
+  SELECT key, tbl, op, seq,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM cdc_parsed
+)
+SELECT tbl, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM latest WHERE rn = 1 AND op <> 'd'
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="README.md:10 (JDBC sink); "
+        "ElasticsearchUtils.java:131-177 (upsert/delete semantics)",
+    )
+)

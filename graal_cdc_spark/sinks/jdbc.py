@@ -156,6 +156,7 @@ def write_jdbc_batch(
     op_col: str | None = None,
     seq_col: str | None = "seq",
     run_sql=None,
+    staging_column_types: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """``foreachBatch`` body: compact the batch to one row per key
     (see ``prepare_cdc_batch``), stage it, MERGE upserts, DELETE
@@ -164,6 +165,12 @@ def write_jdbc_batch(
     ``run_sql(sql)`` executes a statement on the target database; by
     default it uses the JVM DriverManager via the active SparkContext
     (requires the JDBC driver jar, cluster-only).
+
+    ``staging_column_types`` maps column names to SQL types for the
+    staging CREATE (Spark's ``createTableColumnTypes``). Needed when
+    the writer's default mapping is not MERGE-comparable with the
+    target — e.g. Derby maps StringType to CLOB, which cannot equal-
+    compare against a VARCHAR primary key.
     """
     staging = f"{cfg.table}_stage_{uuid.uuid4().hex[:8]}"
     props = {"user": cfg.user, "password": cfg.password}
@@ -189,8 +196,22 @@ def write_jdbc_batch(
     # the merge's unquoted `s.col` against a quoted lowercase "col" —
     # stage with the dialect's folded case so unquoted SQL resolves.
     fold = str.upper if cfg.dialect == "derby" else (lambda c: c)
+
+    def _stage_props(cols) -> dict[str, str]:
+        if not staging_column_types:
+            return props
+        ents = [
+            f"{fold(c)} {staging_column_types[c]}"
+            for c in cols
+            if c in staging_column_types
+        ]
+        if not ents:
+            return props
+        return {**props, "createTableColumnTypes": ", ".join(ents)}
+
+    up_props = _stage_props(upserts.columns)
     upserts = upserts.toDF(*[fold(c) for c in upserts.columns])
-    upserts.write.jdbc(cfg.url, staging, mode="overwrite", properties=props)
+    upserts.write.jdbc(cfg.url, staging, mode="overwrite", properties=up_props)
     try:
         run_sql(stmts["merge"])
     finally:
@@ -199,7 +220,8 @@ def write_jdbc_batch(
         deletes.select(*cfg.key_cols).toDF(
             *[fold(c) for c in cfg.key_cols]
         ).write.jdbc(
-            cfg.url, f"{staging}_del", mode="overwrite", properties=props
+            cfg.url, f"{staging}_del", mode="overwrite",
+            properties=_stage_props(cfg.key_cols),
         )
         try:
             run_sql(stmts["delete"])
