@@ -144,6 +144,7 @@ PROBES = [
     "r97_tree_topk",
     "r98_sorted_layout_audit",
     "l79_source_quota_cap",
+    "c26_jdbc_delivery_census",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
