@@ -42,6 +42,8 @@ signal in the data plane).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +57,9 @@ _REG_SCHEMA = (
     "db STRING, tbl STRING, version INT, fields STRING, "
     "first_seq BIGINT, n_events BIGINT"
 )
+
+# path-safe db/table names: no separators, no '..', no leading dot
+_SAFE_NAME = re.compile(r"[A-Za-z0-9_-][A-Za-z0-9_.-]*")
 
 
 class _Fs:
@@ -180,6 +185,16 @@ class SilverSchemaEvolution:
             for d in reg_rows
         }
         for db, tbl, version in sorted(present):
+            # db/table names come from UNTRUSTED envelope payloads and
+            # become path segments — refuse anything that could escape
+            # the silver root rather than writing somewhere surprising
+            for part in (db, tbl):
+                if not _SAFE_NAME.fullmatch(part or ""):
+                    raise ValueError(
+                        f"silver: unsafe db/table name {part!r} "
+                        "(allowed: letters, digits, _ . -; no path "
+                        "separators, no leading dot)"
+                    )
             fields = fields_of[(db, tbl, version)]
             slice_df = tagged.filter(
                 (F.col("db") == db)
@@ -190,7 +205,11 @@ class SilverSchemaEvolution:
                     F.col("version")]
             if fields:
                 schema = ", ".join(
-                    f"`{f}` STRING" for f in fields.split(",")
+                    # row-image keys are arbitrary JSON strings; escape
+                    # backticks so a hostile key can't break out of the
+                    # quoted identifier
+                    "`" + f.replace("`", "``") + "` STRING"
+                    for f in fields.split(",")
                 )
                 cols.append(F.from_json("after_json", schema).alias("__r"))
                 out = slice_df.select(*cols).select(

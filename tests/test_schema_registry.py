@@ -428,3 +428,25 @@ def test_property_silver_chunked_equals_batch(spark, tmp_path):
         assert got_tags == want_tags
 
     prop()
+
+
+def test_silver_refuses_path_unsafe_table_names(spark, tmp_path):
+    """db/table names come from UNTRUSTED envelope payloads and become
+    path segments — a name with a separator or leading dot must raise,
+    never write outside the silver root."""
+    from graal_cdc_spark.streaming.silver import SilverSchemaEvolution
+
+    rows = [(1, "k1", "c", "../escape", '{"id":"1"}')]
+    parsed = parse_envelope(_log(spark, rows))
+    lake = SilverSchemaEvolution(spark, str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="unsafe db/table name"):
+        lake.process_batch(parsed, 0)
+    # nothing escaped and no commit marker was published
+    import os
+
+    assert not (tmp_path / "escape").exists()
+    assert lake.registry().count() == 0
+    reg_dir = tmp_path / "lake" / "_registry"
+    assert not reg_dir.exists() or not [
+        p for p in os.listdir(reg_dir) if p.startswith("gen-")
+    ]
