@@ -190,3 +190,185 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         ]
     )
     return media.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec leg: BMP (BI_RGB 24-bit), pure numpy — no external image
+# library needed, so this container can run an actual decode path end
+# to end. PIL/cv2-needing formats (JPEG/PNG/...) stay honestly
+# stubbed above; everything below is a real encoder/decoder pair with
+# strict validation, plus the real resize built on it.
+# ---------------------------------------------------------------------------
+
+import struct
+
+BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a BI_RGB 24-bit BMP
+    (bottom-up rows, BGR byte order, 4-byte row padding — the classic
+    Windows 3.x layout every viewer reads)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3 or px.shape[0] < 1 or px.shape[1] < 1:
+        raise ValueError(f"encode_bmp: need (h, w, 3) pixels, got {px.shape}")
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", BMP_HEADER_SIZE + img_size, 0, 0,
+                                 BMP_HEADER_SIZE)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [
+        px[y, :, ::-1].tobytes() + pad  # RGB -> BGR, bottom-up
+        for y in range(h - 1, -1, -1)
+    ]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Decode a BI_RGB 24-bit BMP into an (h, w, 3) uint8 RGB array.
+
+    Strict: every header field that this decoder relies on is
+    validated and a truncated or lying payload raises ``ValueError``
+    (the kafka-wire bounds-check rule — malformed media must fail
+    loudly, not mis-parse)."""
+    import numpy as np
+
+    if len(payload) < BMP_HEADER_SIZE:
+        raise ValueError("bmp: truncated header")
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr, w, h, planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr != 40:
+        raise ValueError(f"bmp: unsupported DIB header size {hdr}")
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"bmp: only BI_RGB 24-bit supported (planes={planes}, "
+            f"bpp={bpp}, compression={comp})"
+        )
+    if w < 1 or h < 1:
+        raise ValueError(f"bmp: bad dimensions {w}x{h}")
+    row_size = (w * 3 + 3) & ~3
+    need = offset + row_size * h
+    if len(payload) < need:
+        raise ValueError(
+            f"bmp: truncated pixel array ({len(payload)} < {need})"
+        )
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)
+    bgr = data[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up -> top-down
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_bmp_nn(payload: bytes, target_h: int, target_w: int) -> bytes:
+    """REAL nearest-neighbor resize: decode → index-map → re-encode.
+    The binary-in/binary-out transform ``resize_stub`` only mimed."""
+    import numpy as np
+
+    if target_h < 1 or target_w < 1:
+        raise ValueError("resize_bmp_nn: target dims must be >= 1")
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return encode_bmp(px[ys][:, xs])
+
+
+def documents_as_bmp(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic BMP fixture: each document becomes a REAL
+    ``4+(id%4) × 4+(id%3)`` image whose flat RGB bytes are the doc's
+    character codes mod 256, cycled — an arithmetic a SQL oracle can
+    restate exactly (see mm07), so the encode→decode round-trip is
+    oracle-checkable. Arrow-batched mapInPandas, binary out."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, heights, widths = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"documents_as_bmp: empty text for id {mid}"
+                    )
+                h = 4 + int(mid) % 4
+                w = 4 + int(mid) % 3
+                # CODEPOINTS mod 256 (not an encoding) — exactly what
+                # a SQL oracle states as ascii(substr(...)) % 256,
+                # vectorized via the fixed-width utf-32 view
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.uint8)
+                idx = np.arange(h * w * 3) % len(codes)
+                payloads.append(
+                    encode_bmp(codes[idx].reshape(h, w, 3))
+                )
+                heights.append(h)
+                widths.append(w)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "height": heights,
+                    "width": widths,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL BMP payloads and emit integer pixel statistics —
+    dims from the parsed header, per-channel byte sums from the pixel
+    array. Computed from the DECODED image, so the result proves the
+    encoder and decoder invert each other on every payload."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -1,0 +1,91 @@
+"""Multimodal codec tests — the REAL BMP leg (pure numpy) plus the
+fixture/decode mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.operators.multimodal import (
+    bmp_decode_stats,
+    decode_bmp,
+    documents_as_bmp,
+    encode_bmp,
+    resize_bmp_nn,
+)
+from graal_cdc_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (4, 7), (13, 5), (8, 8), (3, 16)])
+def test_bmp_roundtrip_exact(h, w):
+    rng = np.random.default_rng(h * 100 + w)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_bmp_row_padding_and_order():
+    """A 1x1 red image pins channel order (BGR on disk, RGB in API)
+    and the 4-byte row padding byte-for-byte."""
+    px = np.array([[[255, 0, 0]]], dtype=np.uint8)
+    raw = encode_bmp(px)
+    assert len(raw) == 54 + 4  # one padded row
+    assert raw[54:57] == b"\x00\x00\xff"  # blue, green, red
+    assert raw[57] == 0  # padding
+    assert (decode_bmp(raw) == px).all()
+
+
+def test_bmp_decode_rejects_malformed():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_bmp(px)
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_bmp(good[:20])
+    with pytest.raises(ValueError, match="truncated pixel"):
+        decode_bmp(good[:-4])
+    bad = bytearray(good)
+    bad[28] = 8  # bpp
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
+    bad = bytearray(good)
+    bad[30] = 1  # compression = BI_RLE8
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
+
+
+def test_resize_nn_matches_numpy_reference():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    out = decode_bmp(resize_bmp_nn(encode_bmp(px), 5, 3))
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(3) * 6) // 3
+    assert (out == px[ys][:, xs]).all()
+    up = decode_bmp(resize_bmp_nn(encode_bmp(px), 20, 12))
+    assert up.shape == (20, 12, 3)
+    with pytest.raises(ValueError, match="target dims"):
+        resize_bmp_nn(encode_bmp(px), 0, 3)
+
+
+def test_documents_as_bmp_payloads_decode_to_stated_dims(spark):
+    docs = load_table(spark, SF, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 20)
+    )
+    rows = documents_as_bmp(docs).collect()
+    assert rows
+    for r in rows:
+        px = decode_bmp(bytes(r["payload"]))
+        assert px.shape == (r["height"], r["width"], 3)
+        assert r["height"] == 4 + r["media_id"] % 4
+        assert r["width"] == 4 + r["media_id"] % 3
+
+
+def test_bmp_decode_stats_plan_is_arrow_batched_map(spark):
+    from graal_cdc_spark.plans import audit
+
+    docs = load_table(spark, SF, "documents").filter(F.length("text") > 0)
+    a = audit(bmp_decode_stats(documents_as_bmp(docs)))
+    assert a.plan.count("MapInPandas (") == 2, a.plan  # synth + decode
+    assert "Exchange" not in a.plan, a.plan  # map-only, no shuffle
