@@ -2,11 +2,18 @@
 
 Media are opaque ``binary`` columns with typed metadata structs. The
 Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
-signatures, partition sizing — is real and tested; the actual codec
-calls are STUBBED (this container has no image/audio libraries):
-``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic content-hash-seeded
-feature vector so the pipeline shape is exercisable end-to-end.
+signatures, partition sizing — is real and tested. Codec status is
+per-format and honest about it:
+
+- **REAL** (pure numpy, validated, oracle-gated round-trips): BMP
+  (BI_RGB 24-bit — ``encode_bmp``/``decode_bmp``/``resize_bmp_nn``,
+  mm07) and WAV (RIFF mono 16-bit PCM —
+  ``encode_wav``/``decode_wav``, mm08).
+- **STUBBED** (needs PIL/cv2/ffmpeg, absent in this container):
+  compressed formats — ``decode_image_batch`` raises
+  ``NotImplementedError`` unless ``fake=True``, which substitutes a
+  deterministic content-hash feature vector so the pipeline shape is
+  exercisable end-to-end (mm02–mm04).
 
 Scale notes: media bytes dominate I/O, so the operators keep binary
 payloads in Arrow record batches (no JVM→Python row serialization),
@@ -369,6 +376,148 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
             T.StructField("sum_r", T.LongType()),
             T.StructField("sum_g", T.LongType()),
             T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio leg: WAV (RIFF, 16-bit PCM) — same rule as the BMP leg:
+# a format this container can encode AND decode for real, with strict
+# validation, so the audio plumbing is exercised by an actual codec.
+# ---------------------------------------------------------------------------
+
+WAV_HEADER_SIZE = 44  # RIFF + fmt(16) + data chunk headers
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 array as a mono 16-bit PCM WAV (the canonical
+    44-byte RIFF/fmt/data layout)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1 or s.size < 1:
+        raise ValueError(f"encode_wav: need a non-empty 1-d array, got {s.shape}")
+    if sample_rate < 1:
+        raise ValueError("encode_wav: sample_rate must be >= 1")
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a mono 16-bit PCM WAV → (samples int16 array, rate).
+    Truncated or non-PCM payloads raise ``ValueError``."""
+    import numpy as np
+
+    if len(payload) < WAV_HEADER_SIZE:
+        raise ValueError("wav: truncated header")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: bad magic")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("wav: missing fmt chunk")
+    (fmt_size, audio_fmt, channels, rate, _brate, _align, bits) = (
+        struct.unpack_from("<IHHIIHH", payload, 16)
+    )
+    if fmt_size != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"wav: only mono 16-bit PCM supported (fmt={audio_fmt}, "
+            f"ch={channels}, bits={bits}, fmt_size={fmt_size})"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError("wav: missing data chunk")
+    n_bytes = struct.unpack_from("<I", payload, 40)[0]
+    if n_bytes % 2 != 0:
+        raise ValueError("wav: odd data length for 16-bit samples")
+    if len(payload) < WAV_HEADER_SIZE + n_bytes:
+        raise ValueError(
+            f"wav: truncated data ({len(payload)} < {WAV_HEADER_SIZE + n_bytes})"
+        )
+    samples = np.frombuffer(
+        payload, dtype="<i2", count=n_bytes // 2, offset=WAV_HEADER_SIZE
+    )
+    return samples.copy(), rate
+
+
+def documents_as_wav(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic WAV fixture: ``16 + (id % 16)`` samples, sample j
+    = ``(codepoint(text[j mod len]) mod 256) * 64 - 8192`` — centered
+    int16 values a SQL oracle restates exactly (mm08)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, counts = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"documents_as_wav: empty text for id {mid}"
+                    )
+                n = 16 + int(mid) % 16
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.int64)
+                idx = np.arange(n) % len(codes)
+                samples = (codes[idx] * 64 - 8192).astype(np.int16)
+                payloads.append(encode_wav(samples))
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "n_samples": counts,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL WAV payloads → integer sample statistics (count,
+    sum, min, max) from the DECODED samples — the encoder/decoder
+    inversion proof for the audio leg."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "n_samples": [], "sum_s": [],
+                    "min_s": [], "max_s": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(int(samples.size))
+                rows["sum_s"].append(int(samples.sum(dtype="int64")))
+                rows["min_s"].append(int(samples.min()))
+                rows["max_s"].append(int(samples.max()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_s", T.LongType()),
+            T.StructField("min_s", T.LongType()),
+            T.StructField("max_s", T.LongType()),
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -5003,3 +5003,57 @@ ORDER BY media_id
     ref="SURVEY.md §2.4 MM family; BI_RGB 24-bit BMP (Windows 3.x "
     "DIB layout)",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM08 — REAL audio codec round-trip, oracle-gated (the WAV sibling of
+# mm07): documents become mono 16-bit PCM WAVs (pure-numpy RIFF
+# encoder), the validated decoder parses them back, and the gate
+# compares decoded sample count/sum/min/max against the oracle's
+# restatement of the sample arithmetic. Audio leg upgraded from
+# "opaque bytes" to a real, verifiable codec.
+# ---------------------------------------------------------------------------
+
+
+def _mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+    )
+    return wav_decode_stats(documents_as_wav(docs)).orderBy("media_id")
+
+
+_l(
+    "mm08_wav_roundtrip_census",
+    "real WAV (RIFF 16-bit PCM) encode->decode round-trip census: "
+    "decoded sample count/sum/min/max vs the oracle's sample "
+    "arithmetic from the raw text",
+    _mm08,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(16 + doc_id % 16 AS INT) AS n,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 1
+), s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1),
+           j -> ascii(substr(text, CAST(j % len AS INT) + 1, 1)) % 256
+                * 64 - 8192) AS samples
+  FROM d
+)
+SELECT doc_id AS media_id, n AS n_samples,
+       CAST(list_sum(samples) AS BIGINT) AS sum_s,
+       CAST(list_min(samples) AS BIGINT) AS min_s,
+       CAST(list_max(samples) AS BIGINT) AS max_s
+FROM s
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family; RIFF/WAVE canonical 44-byte PCM "
+    "layout",
+)

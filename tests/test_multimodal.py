@@ -89,3 +89,51 @@ def test_bmp_decode_stats_plan_is_arrow_batched_map(spark):
     a = audit(bmp_decode_stats(documents_as_bmp(docs)))
     assert a.plan.count("MapInPandas (") == 2, a.plan  # synth + decode
     assert "Exchange" not in a.plan, a.plan  # map-only, no shuffle
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV leg
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    from graal_cdc_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 256):
+        s = rng.integers(-32768, 32768, n, dtype=np.int16)
+        out, rate = decode_wav(encode_wav(s, sample_rate=16000))
+        assert rate == 16000
+        assert (out == s).all()
+
+
+def test_wav_decode_rejects_malformed():
+    from graal_cdc_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.arange(10, dtype=np.int16))
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_wav(good[:30])
+    with pytest.raises(ValueError, match="truncated data"):
+        decode_wav(good[:-2])
+    bad = bytearray(good)
+    bad[22] = 2  # channels = stereo
+    with pytest.raises(ValueError, match="mono 16-bit"):
+        decode_wav(bytes(bad))
+
+
+def test_documents_as_wav_payloads_decode(spark):
+    from graal_cdc_spark.operators.multimodal import (
+        decode_wav,
+        documents_as_wav,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 20)
+    )
+    for r in documents_as_wav(docs).collect():
+        samples, rate = decode_wav(bytes(r["payload"]))
+        assert samples.size == r["n_samples"] == 16 + r["media_id"] % 16
+        assert rate == 8000
+        assert samples.min() >= -8192 and samples.max() <= 255 * 64 - 8192
