@@ -7,8 +7,10 @@ per-format and honest about it:
 
 - **REAL** (pure numpy, validated, oracle-gated round-trips): BMP
   (BI_RGB 24-bit — ``encode_bmp``/``decode_bmp``/``resize_bmp_nn``,
-  mm07) and WAV (RIFF mono 16-bit PCM —
-  ``encode_wav``/``decode_wav``, mm08).
+  mm07), WAV (RIFF mono 16-bit PCM — ``encode_wav``/``decode_wav``,
+  mm08), and the BMP reel video container (length-prefixed frame
+  walk + sampled per-frame decode — ``iter_bmp_reel``/
+  ``decode_bmp_reel``/``reel_frame_stats``, mm09).
 - **STUBBED** (needs PIL/cv2/ffmpeg, absent in this container):
   compressed formats — ``decode_image_batch`` raises
   ``NotImplementedError`` unless ``fake=True``, which substitutes a
@@ -518,6 +520,155 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
             T.StructField("sum_s", T.LongType()),
             T.StructField("min_s", T.LongType()),
             T.StructField("max_s", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL video leg: a BMP "reel" — length-prefixed concatenated BMP
+# frames (each frame self-describes its byte length in its own
+# header, so the container walk is a real length-prefixed record
+# parse, the same discipline as the Kafka RecordBatch reader). Frame
+# sampling then decodes only the selected frames — the mm03 shape
+# with an actual codec underneath.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_reel(frames) -> bytes:
+    """Concatenate (h, w, 3) uint8 RGB frames as back-to-back BMPs."""
+    if not frames:
+        raise ValueError("encode_bmp_reel: need at least one frame")
+    return b"".join(encode_bmp(f) for f in frames)
+
+
+def iter_bmp_reel(payload: bytes):
+    """Walk a BMP reel WITHOUT decoding pixel data: yields
+    ``(frame_no, offset, length)`` by reading each frame's declared
+    file size — the container parse is O(frames), not O(bytes
+    decoded), so sampling can skip frames it never touches.
+    Truncated or lying frames raise ``ValueError``."""
+    pos, frame_no = 0, 0
+    total = len(payload)
+    while pos < total:
+        if total - pos < BMP_HEADER_SIZE:
+            raise ValueError(
+                f"bmp reel: trailing garbage at offset {pos}"
+            )
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bmp reel: bad frame magic at offset {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < BMP_HEADER_SIZE or pos + size > total:
+            raise ValueError(
+                f"bmp reel: frame {frame_no} declares {size} bytes at "
+                f"offset {pos}, payload has {total - pos} left"
+            )
+        yield frame_no, pos, size
+        pos += size
+        frame_no += 1
+    if frame_no == 0:
+        raise ValueError("bmp reel: empty payload")
+
+
+def decode_bmp_reel(payload: bytes, frame_filter=None):
+    """Decode reel frames → list of (frame_no, pixels). With
+    ``frame_filter`` (a predicate on frame_no) only matching frames
+    are pixel-decoded; the rest are skipped via the header walk."""
+    out = []
+    for frame_no, pos, size in iter_bmp_reel(payload):
+        if frame_filter is None or frame_filter(frame_no):
+            out.append(
+                (frame_no, decode_bmp(payload[pos : pos + size]))
+            )
+    return out
+
+
+def documents_as_bmp_reel(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic video fixture: ``2 + (id % 3)`` frames of the
+    mm07 image, frame ``f`` pixel = ``(code + f) mod 256`` — the
+    wraparound is deliberate so an oracle must restate the exact
+    arithmetic, not a shortcut."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, counts = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"documents_as_bmp_reel: empty text for id {mid}"
+                    )
+                h = 4 + int(mid) % 4
+                w = 4 + int(mid) % 3
+                n_frames = 2 + int(mid) % 3
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.int64)
+                idx = np.arange(h * w * 3) % len(codes)
+                base = codes[idx]
+                frames = [
+                    ((base + f) % 256).astype(np.uint8).reshape(h, w, 3)
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_bmp_reel(frames))
+                counts.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "n_frames": counts,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def reel_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every ``every_n``-th frame of each reel (REAL container
+    walk + per-frame decode) and emit per-frame channel sums — the
+    1→N mapInPandas explode shape over decoded video frames."""
+    if every_n < 1:
+        raise ValueError("reel_frame_stats: every_n must be >= 1")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "sum_r": [],
+                    "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_bmp_reel(
+                    bytes(payload), lambda f: f % every_n == 0
+                )
+                for frame_no, px in decoded:
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(frame_no)
+                    rows["sum_r"].append(int(sums[0]))
+                    rows["sum_g"].append(int(sums[1]))
+                    rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)

@@ -5057,3 +5057,71 @@ ORDER BY media_id
     ref="SURVEY.md §2.4 MM family; RIFF/WAVE canonical 44-byte PCM "
     "layout",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM09 — REAL video-frame sampling, oracle-gated: each document
+# becomes a BMP "reel" (length-prefixed concatenated frames — the
+# container walk reads each frame's self-declared size, the same
+# discipline as the Kafka RecordBatch reader), every 2nd frame is
+# pixel-decoded, and the per-frame channel sums gate against the
+# oracle's restatement of the (code + frame) mod 256 arithmetic —
+# wraparound included, so no shortcut can pass. Upgrades mm03's
+# frame-sample claim from synthetic frame COUNTS to real decoded
+# frames.
+# ---------------------------------------------------------------------------
+
+
+def _mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        documents_as_bmp_reel,
+        reel_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
+    )
+    return reel_frame_stats(
+        documents_as_bmp_reel(docs), every_n=2
+    ).orderBy("media_id", "frame_no")
+
+
+def _mm09_channel_sum(c: int) -> str:
+    return (
+        "CAST(list_sum(list_transform("
+        "generate_series(0, height * width - 1), "
+        f"j -> (ascii(substr(text, CAST((j * 3 + {c}) % len AS INT) + 1, 1))"
+        " % 256 + frame_no) % 256)) AS BIGINT)"
+    )
+
+
+_l(
+    "mm09_bmp_reel_frame_census",
+    "real video-frame sampling: length-prefixed BMP reel walk + "
+    "every-2nd-frame decode, per-frame channel sums vs the oracle's "
+    "(code + frame) mod 256 arithmetic",
+    _mm09,
+    f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 4 AS INT) AS height,
+         CAST(4 + doc_id % 3 AS INT) AS width,
+         CAST(2 + doc_id % 3 AS INT) AS n_frames,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 2
+), sampled AS (
+  SELECT d.*, CAST(f.frame_no AS INT) AS frame_no
+  FROM d, unnest(generate_series(0, n_frames - 1)) AS f(frame_no)
+  WHERE f.frame_no % 2 = 0
+)
+SELECT doc_id AS media_id, frame_no,
+       {_mm09_channel_sum(0)} AS sum_r,
+       {_mm09_channel_sum(1)} AS sum_g,
+       {_mm09_channel_sum(2)} AS sum_b
+FROM sampled
+ORDER BY media_id, frame_no
+""",
+    ref="SURVEY.md §2.4 MM family; length-prefixed record walk "
+    "(sources/kafka_wire.py discipline)",
+)

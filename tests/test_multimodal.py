@@ -137,3 +137,72 @@ def test_documents_as_wav_payloads_decode(spark):
         assert samples.size == r["n_samples"] == 16 + r["media_id"] % 16
         assert rate == 8000
         assert samples.min() >= -8192 and samples.max() <= 255 * 64 - 8192
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP-reel (video) leg
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_reel_walk_and_selective_decode():
+    from graal_cdc_spark.operators.multimodal import (
+        decode_bmp_reel,
+        encode_bmp_reel,
+        iter_bmp_reel,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, (4, 5, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    reel = encode_bmp_reel(frames)
+    walked = list(iter_bmp_reel(reel))
+    assert [f for f, _, _ in walked] == [0, 1, 2, 3, 4]
+    assert sum(size for _, _, size in walked) == len(reel)
+    # selective decode touches only even frames, values exact
+    decoded = decode_bmp_reel(reel, lambda f: f % 2 == 0)
+    assert [f for f, _ in decoded] == [0, 2, 4]
+    for f, px in decoded:
+        assert (px == frames[f]).all()
+
+
+def test_bmp_reel_rejects_malformed():
+    from graal_cdc_spark.operators.multimodal import (
+        decode_bmp_reel,
+        encode_bmp_reel,
+    )
+
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8) for _ in range(2)]
+    reel = encode_bmp_reel(frames)
+    with pytest.raises(ValueError, match="trailing garbage"):
+        decode_bmp_reel(reel + b"xx")
+    with pytest.raises(ValueError, match="declares"):
+        decode_bmp_reel(reel[:-4])
+    from graal_cdc_spark.operators.multimodal import iter_bmp_reel
+
+    off1 = list(iter_bmp_reel(reel))[1][1]
+    bad = bytearray(reel)
+    bad[off1] = 0  # corrupt the 2nd frame's magic
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp_reel(bytes(bad))
+    with pytest.raises(ValueError, match="empty"):
+        decode_bmp_reel(b"")
+    with pytest.raises(ValueError, match="at least one"):
+        encode_bmp_reel([])
+
+
+def test_documents_as_bmp_reel_frames_decode(spark):
+    from graal_cdc_spark.operators.multimodal import (
+        decode_bmp_reel,
+        documents_as_bmp_reel,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 15)
+    )
+    for r in documents_as_bmp_reel(docs).collect():
+        frames = decode_bmp_reel(bytes(r["payload"]))
+        assert len(frames) == r["n_frames"] == 2 + r["media_id"] % 3
+        # consecutive frames differ by +1 mod 256 everywhere
+        for (fa, pa), (fb, pb) in zip(frames, frames[1:]):
+            assert ((pa.astype(int) + 1) % 256 == pb).all()
