@@ -627,3 +627,70 @@ def minhash_estimate_audit(
         )
         .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "abs_err_bp")
     )
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """ORACLE-PORTABLE twin of :func:`minhash_lsh_candidates`: the
+    SAME algorithm — shingle → per-seed min-hash signature → banded
+    buckets → (band, bucket) equality join — but with a hash family
+    both engines state identically: ``substr(md5(seed || '|' ||
+    shingle), 1, 15)``, compared AS A STRING (fixed-width lowercase
+    hex sorts numerically — the stratified-sample rule), so no
+    integer parsing at all. l81 gates THIS path bit-for-bit against
+    DuckDB — the first exact oracle over the LSH candidate pipeline;
+    the xxhash64 production path (rows-only gates l06/l23) is
+    algorithm-identical and ~3× cheaper per shingle.
+
+    Scale shape: identical to the production path — one aggregation
+    for all minima, equality joins only, no all-pairs anywhere.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("portable lsh: num_hashes must divide into bands")
+    rows = num_hashes // bands
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    df = with_min_parallelism(df.sparkSession, df)
+    sh = char_shingles(df, id_col, text_col, n, distinct=True)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))),
+                    1, 15,
+                )
+            ).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    x = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    y = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -5125,3 +5125,62 @@ ORDER BY media_id, frame_no
     ref="SURVEY.md §2.4 MM family; length-prefixed record walk "
     "(sources/kafka_wire.py discipline)",
 )
+
+
+# ---------------------------------------------------------------------------
+# L81 — the LSH candidate pipeline, EXACTLY oracle-gated for the
+# first time: same algorithm as the production path (l06/l23 —
+# shingle → per-seed min-hash → banded buckets → equality join), hash
+# family swapped to substr(md5(seed || '|' || shingle), 1, 15)
+# compared as a fixed-width hex STRING, which both engines state
+# identically — so banding, minima, bucket construction, and the
+# candidate join are all verified bit-for-bit, not just rows-only.
+# ---------------------------------------------------------------------------
+
+
+def _l81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    return D.minhash_lsh_candidates_portable(
+        docs, "doc_id", "text", n=5, num_hashes=6, bands=3
+    ).orderBy("doc_a", "doc_b")
+
+
+_l(
+    "l81_minhash_lsh_portable",
+    "MinHash-LSH candidate pairs under a portable md5 hash family — "
+    "the exact-oracle twin of the l06/l23 candidate pipeline",
+    _l81,
+    """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 7 = 0 AND length(text) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(u AS INT), 5) AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 4)) AS u
+    FROM docs
+  ) t
+),
+hx AS (
+  SELECT doc_id, s.seed,
+         min(substr(md5(CAST(s.seed AS VARCHAR) || '|' || shingle),
+                    1, 15)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+buckets AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(m, '|' ORDER BY seed) AS bucket
+  FROM hx GROUP BY doc_id, seed // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+    ref="SURVEY.md §2.4 L06/L23 family; Broder MinHash + banded LSH",
+)

@@ -1088,3 +1088,37 @@ def test_capture_config_validation():
         CaptureConfig(host=" ", port=3306, username="u", password="p")
     with pytest.raises(ValueError, match="port"):
         CaptureConfig(host="db", port=0, username="u", password="p")
+
+
+def test_portable_lsh_candidates_properties(spark, sf_dir):
+    """The portable-hash LSH twin: deterministic across runs, exact
+    duplicates are ALWAYS candidates (identical shingle sets share
+    every bucket), and the validation contract holds."""
+    from graal_cdc_spark.operators.dedup import (
+        minhash_lsh_candidates_portable,
+    )
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
+    )
+    # plant an exact duplicate pair
+    dup = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(dup)
+    got = minhash_lsh_candidates_portable(corpus, "doc_id", "text")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert (3, 100003) in pairs
+    again = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_portable(
+            corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert pairs == again
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates_portable(
+            corpus, "doc_id", "text", num_hashes=5, bands=3
+        )
