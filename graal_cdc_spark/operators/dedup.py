@@ -694,3 +694,81 @@ def minhash_lsh_candidates_portable(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_max: int = 3,
+) -> DataFrame:
+    """ORACLE-PORTABLE twin of the SimHash near-dup path (l07): a
+    16-bit SimHash whose per-token bits come from the md5 hex digits
+    (4 bits per digit, first 4 digits), majority-summed per document,
+    then the SAME two-lane Hamming-block pairing as the production
+    64-bit path — candidates share at least one 8-bit lane, verified
+    by exact popcount(xor) ≤ ``hamming_max``. Every step is stated
+    identically in ANSI SQL (l82), so banding + majority + Hamming
+    verification are gated bit-for-bit; the xxhash64 64-bit
+    production path is algorithm-identical at 4× the sketch width.
+    """
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    df = with_min_parallelism(df.sparkSession, df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    digit = [
+        F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")
+        for d in range(4)
+    ]
+    bit_sums = [
+        F.sum(
+            (
+                F.shiftright(digit[b // 4], b % 4).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).cast("long")
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sketch = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sketch = term if sketch is None else sketch + term
+    sk = agg.select(
+        F.col(id_col), sketch.cast("long").alias("sketch")
+    ).select(
+        id_col,
+        "sketch",
+        F.col("sketch").bitwiseAND(F.lit(255)).alias("lane0"),
+        F.shiftright("sketch", 8).alias("lane1"),
+    )
+    pairs = None
+    for lane in ("lane0", "lane1"):
+        x = sk.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("sketch").alias("sa"),
+            F.col(lane).alias("lv"),
+        )
+        y = sk.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("sketch").alias("sb"),
+            F.col(lane).alias("lv"),
+        )
+        p = x.join(y, "lv").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )

@@ -5184,3 +5184,79 @@ ORDER BY doc_a, doc_b
 """,
     ref="SURVEY.md §2.4 L06/L23 family; Broder MinHash + banded LSH",
 )
+
+
+# ---------------------------------------------------------------------------
+# L82 — the SimHash near-dup path, EXACTLY oracle-gated (the l81
+# treatment applied to l07): 16-bit portable SimHash from md5 hex
+# digits, per-bit majority sums, two-lane Hamming-block candidate
+# join, exact popcount(xor) verification — every step stated
+# identically in SQL, so the sketch construction and the block
+# pairing are verified bit-for-bit, not rows-only.
+# ---------------------------------------------------------------------------
+
+
+def _l82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return D.simhash_portable_pairs(
+        docs, "doc_id", "text", hamming_max=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _l82_bit_sum(b: int) -> str:
+    d = b // 4
+    return (
+        f"SUM(CAST(((strpos('0123456789abcdef', substr(md5(tok), {d + 1}, 1))"
+        f" - 1) >> {b % 4}) % 2 * 2 - 1 AS BIGINT))"
+    )
+
+
+_l(
+    "l82_simhash_portable",
+    "SimHash near-dup pairs under a portable md5 bit family — the "
+    "exact-oracle twin of the l07 sketch + Hamming-block pipeline",
+    _l82,
+    f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 5 = 0) d,
+       unnest(d.w) AS t(tok)
+  WHERE t.tok != ''
+),
+agg AS (
+  SELECT doc_id,
+         {", ".join(f"{_l82_bit_sum(b)} AS s{b}" for b in range(16))}
+  FROM toks GROUP BY doc_id
+),
+sk AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+                           for b in range(16))} AS BIGINT) AS sketch
+  FROM agg
+),
+lanes AS (
+  SELECT doc_id, sketch, sketch & 255 AS lane0, sketch >> 8 AS lane1
+  FROM sk
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sketch AS sa, b.sketch AS sb
+  FROM lanes a JOIN lanes b
+    ON a.lane0 = b.lane0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.sketch, b.sketch
+  FROM lanes a JOIN lanes b
+    ON a.lane1 = b.lane1 AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+""",
+    ref="SURVEY.md §2.4 L07 family; Charikar SimHash + Hamming "
+    "blocks",
+)

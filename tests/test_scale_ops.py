@@ -1122,3 +1122,28 @@ def test_portable_lsh_candidates_properties(spark, sf_dir):
         minhash_lsh_candidates_portable(
             corpus, "doc_id", "text", num_hashes=5, bands=3
         )
+
+
+def test_portable_simhash_properties(spark, sf_dir):
+    """Portable SimHash: exact duplicates have hamming 0 and are
+    always candidates; hamming is symmetric-bounded; deterministic."""
+    from graal_cdc_spark.operators.dedup import simhash_portable_pairs
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    dup = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(dup)
+    rows = simhash_portable_pairs(corpus, "doc_id", "text").collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got[(5, 100005)] == 0
+    assert all(0 <= h <= 3 for h in got.values())
+    again = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_portable_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert got == again
