@@ -497,3 +497,99 @@ def semdedup_census(
     cid, _ = _assign_expr(centroids)
     assigned = pts.select("pid", cid, "x")
     return within_cluster_pair_census(assigned, tau_num, tau_den)
+
+
+def rp_bucketed_mips_portable(
+    emb,
+    queries_max_id: int = 4,
+    n_planes: int = 8,
+    topk: int = 5,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+):
+    """ORACLE-PORTABLE twin of the RP-bucketed ANN path (l12): random
+    hyperplanes whose ±1 signs come from md5 parity (``md5(plane|dim)``
+    first hex digit odd → +1), sign-buckets over the QUANTIZED integer
+    embedding (integer dot products — exact), and in-bucket ranking by
+    integer inner product (the MIPS form — no float norms anywhere).
+    Every step is stated identically in ANSI SQL (l83), so the plane
+    family, bucketing, candidate generation, and ranking are gated
+    bit-for-bit; the production l12 path is the same shape with
+    xxhash64 planes and cosine scoring.
+
+    Queries are the vectors with ``id < queries_max_id`` (the l04
+    bounded-query-batch contract); self-matches excluded; ties break
+    on neighbor id.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.operators.clustering import (
+        nested_int_array_lit,
+        quantize_points,
+    )
+
+    planes = [
+        [
+            1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+    plit = nested_int_array_lit(planes)
+    pts = quantize_points(emb, id_col, vec_col, scale)
+    dot_plane = F.transform(
+        plit,
+        lambda pl: F.aggregate(
+            F.zip_with(F.col("x"), pl, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            dot_plane,
+            F.expr(
+                "array(" + ",".join(str(1 << p) for p in range(n_planes)) + ")"
+            ),
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    bucketed = pts.select("pid", "x", bucket.alias("bucket"))
+    q = bucketed.filter(F.col("pid") < queries_max_id).select(
+        F.col("pid").alias("qid"),
+        F.col("x").alias("qx"),
+        "bucket",
+    )
+    dot_qn = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(
+            bucketed.select(
+                F.col("pid").alias("neighbor_id"),
+                F.col("x"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("dot", dot_qn)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "qid", "neighbor_id", "dot",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

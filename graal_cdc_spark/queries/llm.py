@@ -5260,3 +5260,79 @@ ORDER BY doc_a, doc_b
     ref="SURVEY.md §2.4 L07 family; Charikar SimHash + Hamming "
     "blocks",
 )
+
+
+# ---------------------------------------------------------------------------
+# L83 — the RP-bucketed ANN path, EXACTLY oracle-gated (l81/l82
+# treatment applied to l12): hyperplane signs from md5 parity,
+# sign-buckets over the quantized INTEGER embeddings, in-bucket
+# ranking by integer inner product (MIPS — no float anywhere), ties
+# on neighbor id. Plane family, bucketing, candidates, and ranking
+# all verified bit-for-bit against the SQL restatement.
+# ---------------------------------------------------------------------------
+
+
+def _l83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.similarity import (
+        rp_bucketed_mips_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_bucketed_mips_portable(emb).orderBy("qid", "rank")
+
+
+_l(
+    "l83_rp_bucketed_portable",
+    "RP-bucketed ANN under a portable md5 plane family with integer "
+    "MIPS ranking — the exact-oracle twin of the l12 bucketing path",
+    _l83,
+    """
+WITH pts AS (
+  SELECT vec_id AS pid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 10000) AS BIGINT)) AS x
+  FROM embeddings
+),
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63),
+           d -> CAST((strpos('0123456789abcdef',
+                  substr(md5(CAST(p.p AS VARCHAR) || '|' ||
+                             CAST(d AS VARCHAR)), 1, 1)) - 1) % 2
+                * 2 - 1 AS BIGINT)) AS s
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+dots AS (
+  SELECT pts.pid, pl.p,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> pts.x[CAST(i AS INT)] * pl.s[CAST(i AS INT)])) AS d
+  FROM pts CROSS JOIN planes pl
+),
+buck AS (
+  SELECT pid,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY pid
+),
+bx AS (SELECT b.pid, b.bucket, p.x FROM buck b JOIN pts p USING (pid)),
+cand AS (
+  SELECT q.pid AS qid, c.pid AS neighbor_id,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> q.x[CAST(i AS INT)] * c.x[CAST(i AS INT)])) AS dot
+  FROM bx q JOIN bx c
+    ON q.bucket = c.bucket AND q.pid < 4 AND c.pid <> q.pid
+)
+SELECT qid, neighbor_id, CAST(dot AS BIGINT) AS dot,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, neighbor_id, dot,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM cand
+) t
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+    ref="SURVEY.md §2.4 L12 family; Charikar random hyperplane LSH, "
+    "integer MIPS ranking",
+)

@@ -1147,3 +1147,31 @@ def test_portable_simhash_properties(spark, sf_dir):
         for r in simhash_portable_pairs(corpus, "doc_id", "text").collect()
     }
     assert got == again
+
+
+def test_portable_rp_mips_properties(spark, sf_dir):
+    """Portable RP-MIPS: a planted near-copy of a query lands in the
+    query's bucket and ranks first; ranks are dense; deterministic."""
+    from graal_cdc_spark.operators.similarity import (
+        rp_bucketed_mips_portable,
+    )
+    from graal_cdc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant an exact copy of query 1 (same bucket, maximal dot)
+    copy = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(100001).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    rows = rp_bucketed_mips_portable(corpus).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert per_q[1][0]["neighbor_id"] == 100001  # the copy ranks first
+    for q, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == \
+            list(range(1, len(rs) + 1))
+    again = sorted(map(tuple, rp_bucketed_mips_portable(corpus).collect()))
+    assert again == sorted(map(tuple, rows))
