@@ -5336,3 +5336,253 @@ ORDER BY qid, rank
     ref="SURVEY.md §2.4 L12 family; Charikar random hyperplane LSH, "
     "integer MIPS ranking",
 )
+
+
+# ---------------------------------------------------------------------------
+# L84 — BM25 top-k retrieval over the corpus for a fixed query-term
+# set: the standard lexical ranking function (Robertson/Sparck Jones;
+# the Lucene-default idf form) that a training-data pipeline uses for
+# targeted data selection, eval-set decontamination lookups, and
+# hard-query mining. Per term: tf per doc, df, idf = ln(1+(N-df+0.5)/
+# (df+0.5)), dl/avgdl length normalization (k1=1.2, b=0.75), top-10
+# docs by floored-4dp score.
+#
+# Scale shape: ONE token explode scans the corpus; the term filter
+# prunes the exploded stream to the query vocabulary BEFORE the
+# per-(doc,term) aggregation (predicate on the generator output — at
+# 100 TB the tf table is O(matching postings), never O(corpus
+# tokens)); df and corpus stats are O(terms) / O(1) broadcasts onto
+# the postings; ranking is a per-term WindowGroupLimit over postings,
+# not docs. Float protocol: rank key is the FLOORED integer
+# floor(score*10000) (identical in both engines), tiebreak doc_id.
+# ---------------------------------------------------------------------------
+
+
+def _l84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    terms = ["hash", "join", "vector"]
+    docs = _par_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfx")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # literal constants spelled identically on both engines (k1=1.2,
+    # k1+1=2.2, 1-b=0.25, b=0.75) — never pre-computed in Python, so
+    # both sides parse the same decimal text into the same double
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfx") + 0.5) / (F.col("dfx") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    key = F.floor(score * 10000)
+    w = Window.partitionBy("term").orderBy(key.desc(), "doc_id")
+    return (
+        scored.select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            (key / 10000).alias("score"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .orderBy("term", "rank")
+    )
+
+
+_l(
+    "l84_bm25_topk",
+    "BM25 top-10 docs per query term (Lucene-default idf, k1=1.2 "
+    "b=0.75, floored-4dp rank key) — lexical retrieval for targeted "
+    "data selection and decontamination lookups",
+    _l84,
+    """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN ('hash', 'join', 'vector')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfx FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.term, t.doc_id, t.tf, d.dl,
+         floor(
+           ln(1.0 + (s.n_docs - f.dfx + 0.5) / (f.dfx + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+           * 10000
+         ) AS key
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN dfreq f USING (term)
+  CROSS JOIN stats s
+)
+SELECT term, doc_id, tf, dl, key / 10000 AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY key DESC, doc_id) AS rank
+  FROM scored
+) z
+WHERE rank <= 10
+ORDER BY term, rank
+""",
+    ref="SURVEY.md §2.4 text-analysis family; Robertson BM25 "
+    "(Lucene-default idf form)",
+)
+
+
+# ---------------------------------------------------------------------------
+# L85 — DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# word-bigram features hashed into 256 buckets (substr(md5(bigram),
+# 1,2) — the engine-portable bucket family, same protocol as l18/l81),
+# a target unigram-over-buckets LM from the lang='en' slice vs the raw
+# LM from the whole corpus (add-1 smoothing), each doc scored by the
+# MEAN log importance ratio ln(p_target/p_raw) over its bigram
+# occurrences. Positive = looks like the target distribution; the
+# score feeds importance RESAMPLING of a raw corpus toward a target
+# domain.
+#
+# Scale shape: the hashed feature space is FIXED (256 here, 2^20 in
+# production) so both LMs are O(buckets) broadcast tables regardless
+# of corpus size; the feature stream is one map-side explode (no
+# vocabulary shuffle — the whole point of hashed features); the only
+# corpus-sized shuffle is the per-doc mean, keyed by doc_id. Float
+# protocol: one ln per bucket (ratio of exactly-representable
+# integer-valued doubles), per-doc mean floored at 4dp (l45).
+# ---------------------------------------------------------------------------
+
+
+def _l85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.tokens(F.col("text")).alias("toks")
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("bg"), 1, 2).alias("bkt")
+    ).localCheckpoint(eager=False)
+    raw = feats.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("double").alias("cr")
+    )
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("rt")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("tt"))
+    )
+    lm = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0)
+                 / (F.col("tt") + 256.0))
+                / ((F.col("cr") + 1.0) / (F.col("rt") + 256.0))
+            ).alias("lw"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lm), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.floor(F.avg("lw") * 10000) / 10000).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_l(
+    "l85_dsir_importance",
+    "DSIR hashed-bigram importance weights: per-doc mean "
+    "ln(p_target/p_raw) over 256 md5 feature buckets (target = "
+    "lang='en' slice, add-1 smoothing) — importance resampling "
+    "toward a target domain",
+    _l85,
+    """
+WITH docs AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, substr(md5(bg), 1, 2) AS bkt
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM docs
+  )
+),
+raw AS (
+  SELECT bkt, CAST(count(*) AS DOUBLE) AS cr FROM feats GROUP BY bkt
+),
+tgt AS (
+  SELECT bkt, CAST(count(*) AS DOUBLE) AS ct
+  FROM feats WHERE lang = 'en' GROUP BY bkt
+),
+tot AS (
+  SELECT (SELECT sum(cr) FROM raw) AS rt,
+         (SELECT coalesce(sum(ct), 0.0) FROM tgt) AS tt
+),
+lm AS (
+  SELECT r.bkt,
+         ln(((coalesce(t.ct, 0.0) + 1.0) / (tot.tt + 256.0))
+            / ((r.cr + 1.0) / (tot.rt + 256.0))) AS lw
+  FROM raw r LEFT JOIN tgt t USING (bkt) CROSS JOIN tot
+)
+SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
+       floor(avg(l.lw) * 10000) / 10000 AS weight
+FROM feats f JOIN lm l USING (bkt)
+GROUP BY f.doc_id, f.lang
+ORDER BY f.doc_id
+""",
+    ref="SURVEY.md §2.4 sampling/quality family; Xie et al. 2023 "
+    "DSIR (hashed n-gram importance resampling)",
+)

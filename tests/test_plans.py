@@ -52,6 +52,10 @@ _BNLJ_OK = {
     "l71_dim_covariance_pairs",
     # round 5 batch 6: r92 cross-joins three 1-row census aggregates
     "r92_triangle_census",
+    # round 7b: 1-row broadcast corpus-stat cross joins (BM25 N/avgdl;
+    # DSIR smoothing totals)
+    "l84_bm25_topk",
+    "l85_dsir_importance",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
@@ -668,3 +672,39 @@ def test_c24_sink_input_is_compacted_once(spark):
     )
     assert a.plan.count("hashpartitioning(key") == 1, a.plan
     assert a.python_evals == 0
+
+
+# ---------------------------------------------------------------------------
+# round-7b queries: plan-shape guards
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # one corpus token explode feeds tf; df/corpus stats broadcast
+        # back onto the postings; per-term rank window + final sort
+        ("l84_bm25_topk", 9),
+        # one bigram explode feeds both LMs (localCheckpoint); bucket
+        # LM broadcasts onto the feature stream; per-doc mean + sort
+        ("l85_dsir_importance", 9),
+    ],
+)
+def test_round7b_shuffle_budget(spark, name, max_shuffles):
+    a = _audit(spark, name)
+    assert a.shuffles <= max_shuffles, f"{name}: too many shuffles\n{a.plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["l84_bm25_topk", "l85_dsir_importance"]
+)
+def test_round7b_partial_aggregation(spark, name):
+    assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
+
+
+def test_l85_lm_broadcasts_onto_feature_stream(spark):
+    """The 256-bucket LM must reach the corpus-sized feature stream as
+    a broadcast — a shuffle join keyed on the bucket would funnel the
+    whole corpus through 256 reduce keys at 100 TB."""
+    a = _audit(spark, "l85_dsir_importance")
+    assert a.broadcast_joins >= 1, a.plan
