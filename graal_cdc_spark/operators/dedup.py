@@ -31,6 +31,16 @@ from graal_cdc_spark.operators.text import char_shingles
 # frame (see minhash_signature_matrix docstring)
 _SIG_CACHE: dict[tuple, DataFrame] = {}
 
+# candidate-pair memo: the same build-once contract one level up —
+# the LSH pair list is a pure function of (input plan, params), and
+# three consumers walk it in one session (l06 emits it, l23 builds
+# components over it, l57 audits it), so the banded bucket join +
+# distinct executes ONCE per (app, input, params). An explicitly
+# passed ``sig`` is by contract the same derivation (shared only for
+# plan reuse), so it does not participate in the key. LRU-bounded
+# like _SIG_CACHE for streaming callers.
+_CAND_CACHE: dict[tuple, DataFrame] = {}
+
 
 def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Exact dedup on the given columns (hash shuffle on those cols)."""
@@ -264,15 +274,29 @@ def minhash_lsh_candidates(
     with exact Jaccard (cheap: candidate set is tiny). ``sig``: see
     :func:`lsh_buckets`.
     """
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _CAND_CACHE if k[0] != app]:
+        del _CAND_CACHE[stale]
+    key = (app, df.semanticHash(), id_col, text_col, n, num_hashes, bands)
+    hit = _CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands, sig)
     x = stacked.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     y = stacked.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    return (
+    cands = (
         x.join(y, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    while len(_CAND_CACHE) >= 16:
+        del _CAND_CACHE[next(iter(_CAND_CACHE))]
+    _CAND_CACHE[key] = cands
+    return cands
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -567,12 +591,8 @@ def minhash_estimate_audit(
     sig = minhash_signature_matrix(
         df, id_col, text_col, n, num_hashes
     ).localCheckpoint(eager=False)
-    cands = (
-        minhash_lsh_candidates(
-            df, id_col, text_col, n, num_hashes, bands, sig
-        )
-        .localCheckpoint(eager=False)
-    )
+    # already lazily checkpointed by the candidate memo — no re-wrap
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, sig)
     arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))
@@ -594,13 +614,22 @@ def minhash_estimate_audit(
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # collect_set dedups by itself (map-side partials included), so a
+    # pre-distinct would pay a second full shuffle of the exploded
+    # shingle stream for nothing. Sets hold the shingles' xxhash64
+    # values, not the strings: the per-doc set shuffle shrinks ~4×
+    # and the pair-side array_intersect compares longs — Jaccard is
+    # unchanged short of a 64-bit collision (≪ the estimator error
+    # this audit measures; the exact-oracle twin l81 keeps portable
+    # hashes end to end).
     doc_sets = (
         char_shingles(
             df.join(needed, id_col, "left_semi"),
-            id_col, text_col, n, distinct=True,
+            id_col, text_col, n, distinct=False,
         )
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("ss"))
+        .agg(F.collect_set("sh").alias("ss"))
         .localCheckpoint(eager=False)
     )
     exact = (

@@ -934,7 +934,10 @@ ORDER BY doc_id
 
 
 def _l23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # _par_table (not load_table) so the input plan hash matches
+    # l06/l57 and the signature + candidate memos are shared across
+    # the family (load_table here meant a key miss and a full rebuild)
+    docs = _par_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(docs, "doc_id", "text")
     cc = D.connected_components(pairs)
     return (
