@@ -5589,3 +5589,147 @@ ORDER BY f.doc_id
     ref="SURVEY.md §2.4 sampling/quality family; Xie et al. 2023 "
     "DSIR (hashed n-gram importance resampling)",
 )
+
+
+# ---------------------------------------------------------------------------
+# L86 — ANN recall audit: recall@5 of the RP-bucketed ANN path against
+# the exact integer-MIPS top-5 per query — the ANN family's analog of
+# l57's MinHash accuracy audit (the measurement that justifies
+# (n_planes, bucket width) before a 100 TB run trusts the bucketed
+# path). Same portable md5 plane family as l83, so the WHOLE audit —
+# hyperplane signs, bucketing, candidate ranking, exact ranking, and
+# the recall join — is integer-exact and oracle-gated bit-for-bit.
+#
+# Scale shape: the approximate leg is the bucketed equality join
+# (never all-pairs); the exact leg broadcasts the BOUNDED query batch
+# (l04 contract) onto one corpus scan; the recall join keys on
+# (qid, neighbor) over O(queries × k) rows. recall_bp = hits × 2000
+# (k=5 ⇒ 10000/k exactly) — integer multiply, no division, no floats.
+# ---------------------------------------------------------------------------
+
+
+def _l86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.operators.clustering import quantize_points
+    from graal_cdc_spark.operators.similarity import (
+        rp_bucketed_mips_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = rp_bucketed_mips_portable(emb, n_planes=4).select(
+        "qid", "neighbor_id"
+    )
+
+    pts = quantize_points(emb, "vec_id", "embedding", 10_000)
+    q = pts.filter(F.col("pid") < 4).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("x"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        pts.select(F.col("pid").alias("neighbor_id"), "x")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        approx.join(exact, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_approx",
+            "n_hits",
+            (F.col("n_hits") * 2000).alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+_l(
+    "l86_ann_recall_audit",
+    "recall@5 of the RP-bucketed ANN path vs exact integer-MIPS "
+    "top-5 per query (portable md5 plane family; hits in integer "
+    "basis points) — the ANN analog of l57's estimator audit",
+    _l86,
+    """
+WITH pts AS (
+  SELECT vec_id AS pid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 10000) AS BIGINT)) AS x
+  FROM embeddings
+),
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63),
+           d -> CAST((strpos('0123456789abcdef',
+                  substr(md5(CAST(p.p AS VARCHAR) || '|' ||
+                             CAST(d AS VARCHAR)), 1, 1)) - 1) % 2
+                * 2 - 1 AS BIGINT)) AS s
+  FROM (SELECT unnest(generate_series(0, 3)) AS p) p
+),
+dots AS (
+  SELECT pts.pid, pl.p,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> pts.x[CAST(i AS INT)] * pl.s[CAST(i AS INT)])) AS d
+  FROM pts CROSS JOIN planes pl
+),
+buck AS (
+  SELECT pid,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY pid
+),
+bx AS (SELECT b.pid, b.bucket, p.x FROM buck b JOIN pts p USING (pid)),
+appr AS (
+  SELECT qid, neighbor_id
+  FROM (
+    SELECT q.pid AS qid, c.pid AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.pid
+             ORDER BY list_sum(list_transform(generate_series(1, 64),
+                        i -> q.x[CAST(i AS INT)] * c.x[CAST(i AS INT)]))
+                      DESC, c.pid) AS rank
+    FROM bx q JOIN bx c
+      ON q.bucket = c.bucket AND q.pid < 4 AND c.pid <> q.pid
+  ) t WHERE rank <= 5
+),
+ex AS (
+  SELECT qid, neighbor_id
+  FROM (
+    SELECT q.pid AS qid, c.pid AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.pid
+             ORDER BY list_sum(list_transform(generate_series(1, 64),
+                        i -> q.x[CAST(i AS INT)] * c.x[CAST(i AS INT)]))
+                      DESC, c.pid) AS rank
+    FROM pts q JOIN pts c ON q.pid < 4 AND c.pid <> q.pid
+  ) t WHERE rank <= 5
+)
+SELECT a.qid,
+       CAST(count(*) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 2000 AS BIGINT) AS recall_bp
+FROM appr a
+LEFT JOIN ex e USING (qid, neighbor_id)
+GROUP BY a.qid
+ORDER BY a.qid
+""",
+    ref="SURVEY.md §2.4 L12/L83 ANN family; recall@k audit "
+    "(LSH-then-verify measurement, Charikar hyperplane LSH)",
+)

@@ -53,9 +53,11 @@ _BNLJ_OK = {
     # round 5 batch 6: r92 cross-joins three 1-row census aggregates
     "r92_triangle_census",
     # round 7b: 1-row broadcast corpus-stat cross joins (BM25 N/avgdl;
-    # DSIR smoothing totals)
+    # DSIR smoothing totals); l86's exact leg broadcasts the bounded
+    # 4-query batch onto one corpus scan (the l04 shape)
     "l84_bm25_topk",
     "l85_dsir_importance",
+    "l86_ann_recall_audit",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
