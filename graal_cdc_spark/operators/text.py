@@ -8,6 +8,8 @@ aggregations).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -222,4 +224,147 @@ def ngram_contamination(
             F.array_sort(F.collect_set("eval_id")).alias("eval_ids"),
         )
         .withColumnRenamed("corpus_id", id_col)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query term (Lucene-default idf
+    form, k1=1.2, b=0.75) — lexical retrieval for targeted data
+    selection / decontamination lookups. Returns
+    ``(term, <id_col>, tf, dl, score, rank)``.
+
+    Scale shape: one token explode over the corpus, pruned to the
+    query vocabulary BEFORE the per-(doc, term) aggregation, so the
+    postings table is O(matching postings), never O(corpus tokens);
+    df and the 1-row corpus stats broadcast onto the postings; the
+    ranking is a per-term WindowGroupLimit on the floored-integer
+    score key (engine-portable tie protocol, tiebreak on the id).
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    dl = docs.select(
+        id_col, F.size("toks").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select(id_col, F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dfx")
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # literal constants spelled identically on both engines (k1=1.2,
+    # k1+1=2.2, 1-b=0.25, b=0.75) — never pre-computed in Python, so
+    # both sides parse the same decimal text into the same double
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfx") + 0.5) / (F.col("dfx") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    key = F.floor(score * 10000)
+    w = Window.partitionBy("term").orderBy(key.desc(), id_col)
+    return (
+        scored.select(
+            "term",
+            id_col,
+            "tf",
+            "dl",
+            (key / 10000).alias("score"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023):
+    word-bigram features hashed into 256 buckets
+    (``substr(md5(bigram), 1, 2)`` — the engine-portable bucket
+    family), a target bucket LM from the rows matching
+    ``target_pred`` vs the raw LM from the whole frame (add-1
+    smoothing), each doc scored by the MEAN log importance ratio
+    ln(p_target/p_raw) over its bigram occurrences (floored at 4dp).
+    Returns ``(<id_col>, *carry, n_feats, weight)`` (``carry``:
+    doc-constant columns carried through to the output).
+
+    Scale shape: the hashed feature space is FIXED so both LMs are
+    O(buckets) broadcast tables regardless of corpus size; the
+    feature stream is one map-side explode (no vocabulary shuffle —
+    the point of hashed features); the only corpus-sized shuffle is
+    the per-doc mean, keyed on the id.
+    """
+    feats = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        target_pred.alias("__tgt"),
+        F.explode(
+            F.expr(
+                f"zip_with(slice(split({text_col}, ' '), 1, "
+                f"size(split({text_col}, ' ')) - 1), "
+                f"slice(split({text_col}, ' '), 2, "
+                f"size(split({text_col}, ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    ).select(
+        id_col, *carry, "__tgt",
+        F.substring(F.md5("bg"), 1, 2).alias("bkt"),
+    ).localCheckpoint(eager=False)
+    raw = feats.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("double").alias("cr")
+    )
+    tgt = (
+        feats.filter(F.col("__tgt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("rt")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("tt"))
+    )
+    lm = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0)
+                 / (F.col("tt") + 256.0))
+                / ((F.col("cr") + 1.0) / (F.col("rt") + 256.0))
+            ).alias("lw"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lm), "bkt")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.floor(F.avg("lw") * 10000) / 10000).alias("weight"),
+        )
     )

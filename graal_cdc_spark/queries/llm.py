@@ -5362,59 +5362,10 @@ ORDER BY qid, rank
 
 
 def _l84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    terms = ["hash", "join", "vector"]
-    docs = _par_table(spark, sf_dir, "documents").select(
-        "doc_id", TX.tokens(F.col("text")).alias("toks")
-    )
-    dl = docs.select(
-        "doc_id", F.size("toks").cast("long").alias("dl")
-    ).localCheckpoint(eager=False)
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("dfx")
-    )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-    )
-    # literal constants spelled identically on both engines (k1=1.2,
-    # k1+1=2.2, 1-b=0.25, b=0.75) — never pre-computed in Python, so
-    # both sides parse the same decimal text into the same double
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("dfx") + 0.5) / (F.col("dfx") + 0.5)
-    )
-    score = (
-        idf
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
-    key = F.floor(score * 10000)
-    w = Window.partitionBy("term").orderBy(key.desc(), "doc_id")
-    return (
-        scored.select(
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-            (key / 10000).alias("score"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= 10)
-        .orderBy("term", "rank")
-    )
+    docs = _par_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(
+        docs, "doc_id", "text", ["hash", "join", "vector"], k=10
+    ).orderBy("term", "rank")
 
 
 _l(
@@ -5493,54 +5444,10 @@ ORDER BY term, rank
 
 
 def _l85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _par_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", TX.tokens(F.col("text")).alias("toks")
-    )
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1), "
-                "slice(toks, 2, size(toks) - 1), "
-                "(a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("bg"),
-    ).select(
-        "doc_id", "lang", F.substring(F.md5("bg"), 1, 2).alias("bkt")
-    ).localCheckpoint(eager=False)
-    raw = feats.groupBy("bkt").agg(
-        F.count(F.lit(1)).cast("double").alias("cr")
-    )
-    tgt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
-    )
-    tot = raw.agg(F.sum("cr").alias("rt")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("tt"))
-    )
-    lm = (
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bkt",
-            F.log(
-                ((F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0)
-                 / (F.col("tt") + 256.0))
-                / ((F.col("cr") + 1.0) / (F.col("rt") + 256.0))
-            ).alias("lw"),
-        )
-    )
-    return (
-        feats.join(F.broadcast(lm), "bkt")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            (F.floor(F.avg("lw") * 10000) / 10000).alias("weight"),
-        )
-        .orderBy("doc_id")
-    )
+    docs = _par_table(spark, sf_dir, "documents")
+    return TX.dsir_importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", carry=["lang"]
+    ).orderBy("doc_id")
 
 
 _l(

@@ -731,3 +731,133 @@ def test_l76_band_formula_equals_naive(spark, texts):
         ).collect()
     ]
     assert sorted(got) == sorted(_naive_band(t) for t in texts)
+
+
+# ---------------------------------------------------------------------------
+# l84 BM25: the Spark pipeline (explode -> postings -> broadcast stats
+# -> floored-key ranking) must equal the textbook per-doc BM25 for any
+# corpus, including the tie protocol (equal floored keys -> id order).
+# ---------------------------------------------------------------------------
+
+_bm25_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@_SETTINGS
+@given(docs=_bm25_docs)
+def test_l84_bm25_equals_naive(spark, docs):
+    import math
+
+    from graal_cdc_spark.operators.text import bm25_topk
+
+    terms = ["aa", "bb"]
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(df, "doc_id", "text", terms, k=3).collect()
+
+    n = float(len(docs))
+    avgdl = sum(len(ws) for ws in docs) / n
+
+    def naive(term):
+        tfs = {i: ws.count(term) for i, ws in enumerate(docs) if term in ws}
+        if not tfs:
+            return []
+        dfx = float(len(tfs))
+        idf = math.log(1.0 + (n - dfx + 0.5) / (dfx + 0.5))
+        scored = []
+        for i, tf in sorted(tfs.items()):
+            dl = len(docs[i])
+            sc = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            scored.append((math.floor(sc * 10000), i, tf, dl, sc))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored[:3]
+
+    for term in terms:
+        exp = naive(term)
+        rows = sorted(
+            (r for r in got if r["term"] == term), key=lambda r: r["rank"]
+        )
+        assert [(r["doc_id"], r["tf"], r["dl"]) for r in rows] == [
+            (i, tf, dl) for _, i, tf, dl, _ in exp
+        ]
+        for r, (_, _, _, _, sc) in zip(rows, exp):
+            assert abs(r["score"] - sc) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# l85 DSIR: hashed-bucket LMs + per-doc mean log ratio must equal the
+# naive python recomputation (same md5 bucket family) for any corpus
+# and any target split, including docs too short to produce a bigram
+# (absent from output) and empty target slices (smoothing only).
+# ---------------------------------------------------------------------------
+
+_dsir_docs = st.lists(
+    st.lists(
+        st.sampled_from(["x", "yy", "zzz", "w"]), min_size=0, max_size=12
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_SETTINGS
+@given(docs=_dsir_docs)
+def test_l85_dsir_equals_naive(spark, docs):
+    import hashlib
+    import math
+
+    from graal_cdc_spark.operators.text import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), i % 2 == 0) for i, ws in enumerate(docs)],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_importance_weights(
+            df, "doc_id", "text", F.col("is_t")
+        ).collect()
+    }
+
+    def buckets(ws):
+        # NOTE the operator bigrams the raw space-join: an empty word
+        # list still yields one empty-string token, so docs with < 2
+        # tokens (not < 2 words) produce no features
+        toks = " ".join(ws).split(" ")
+        return [
+            hashlib.md5(f"{a} {b}".encode()).hexdigest()[:2]
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    feats = {i: buckets(ws) for i, ws in enumerate(docs)}
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for i, bks in feats.items():
+        for b in bks:
+            raw[b] = raw.get(b, 0) + 1
+            if i % 2 == 0:
+                tgt[b] = tgt.get(b, 0) + 1
+    rt, tt = float(sum(raw.values())), float(sum(tgt.values()))
+    for i, bks in feats.items():
+        if not bks:
+            assert i not in got
+            continue
+        lws = [
+            math.log(
+                ((tgt.get(b, 0) + 1.0) / (tt + 256.0))
+                / ((raw[b] + 1.0) / (rt + 256.0))
+            )
+            for b in bks
+        ]
+        w = math.floor(sum(lws) / len(lws) * 10000) / 10000
+        assert got[i][0] == len(bks)
+        assert abs(got[i][1] - w) <= 1e-4

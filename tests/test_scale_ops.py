@@ -1175,3 +1175,70 @@ def test_portable_rp_mips_properties(spark, sf_dir):
             list(range(1, len(rs) + 1))
     again = sorted(map(tuple, rp_bucketed_mips_portable(corpus).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_l86_recall_audit_matches_numpy_bruteforce(spark, sf_dir):
+    """The l86 recall audit is integer-exact end to end, so a numpy
+    recomputation of the whole thing — md5 plane signs, quantized
+    integer dots, sign-buckets, in-bucket top-5, exact top-5, recall
+    join — must match the Spark output EXACTLY (no tolerance)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from graal_cdc_spark.queries import all_specs
+
+    got = {
+        r["qid"]: (r["n_approx"], r["n_hits"], r["recall_bp"])
+        for r in all_specs()["l86_ann_recall_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array(
+        [[math.floor(v * 10000) for v in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    n_planes, dims, k = 4, 64, 5
+    planes = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16)
+                % 2
+                else -1
+                for d in range(dims)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+    signs = (x @ planes.T) > 0
+    bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+
+    def topk(qi, pool_mask):
+        dots = x[pool_mask] @ x[qi]
+        cand_ids = ids[pool_mask]
+        order = sorted(
+            range(len(cand_ids)), key=lambda j: (-dots[j], cand_ids[j])
+        )[:k]
+        return [cand_ids[j] for j in order]
+
+    exp = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= 4:
+            continue
+        same_bucket = (bucket == bucket[qi]) & (ids != ids[qi])
+        approx = topk(qi, same_bucket)
+        exact = set(topk(qi, ids != ids[qi]))
+        hits = sum(1 for a in approx if a in exact)
+        if approx:
+            exp[ids[qi]] = (len(approx), hits, hits * 2000)
+    assert got == exp
