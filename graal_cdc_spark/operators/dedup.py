@@ -827,3 +827,83 @@ def simhash_portable_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
+
+
+def bloom_bit_position(text: Column, j, m_hex_digits: int = 3) -> Column:
+    """Bit position of hash ``j`` for ``text`` in a 16^m_hex_digits-bit
+    Bloom filter: the first ``m_hex_digits`` hex digits of
+    ``md5(j || '|' || text)`` read as an integer. md5 renders
+    identically in Spark and DuckDB and the digit-to-int fold uses
+    only instr/substr, so the whole filter is engine-portable (the
+    repo's exact-oracle hash-family protocol; production would swap
+    xxhash64 — algorithm-identical)."""
+    h = F.md5(F.concat(j.cast("string"), F.lit("|"), text))
+    pos = F.lit(0).cast("bigint")
+    for d in range(m_hex_digits):
+        digit = F.instr(
+            F.lit("0123456789abcdef"), F.substring(h, d + 1, 1)
+        ) - 1
+        pos = pos * 16 + digit
+    return pos
+
+
+def bloom_dedup_probe(
+    build: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    m_hex_digits: int = 3,
+) -> DataFrame:
+    """Approximate cross-snapshot membership: build a Bloom filter
+    (16^m_hex_digits bits, ``k`` md5-derived hash functions) over the
+    ``build`` snapshot's content, probe every ``probe`` doc, and
+    return the per-doc verdict joined with the EXACT answer:
+    ``(<id_col>, maybe_dup, exact_dup)``.
+
+    This is the 100 TB pattern the exact anti-join (l44) can't give
+    you when the build side is too large to shuffle against every
+    batch: the filter's SET-BIT table is at most 16^m_hex_digits rows
+    (a few KB) regardless of build-side size — it broadcasts, so the
+    probe is one map-side equality join + per-doc count. Bloom
+    guarantees NO false negatives (every exact dup is flagged); false
+    positives are bounded by the fill ratio ^ k and resolved by the
+    exact path on the (tiny) flagged subset — the same
+    filter-then-verify asymmetry as LSH-then-verify.
+    """
+    js = F.explode(F.array(*[F.lit(j) for j in range(k)]))
+    bits = (
+        build.select(js.alias("j"), F.col(text_col).alias("__t"))
+        .select(
+            bloom_bit_position(F.col("__t"), F.col("j"), m_hex_digits)
+            .alias("p")
+        )
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probe_pos = probe.select(
+        F.col(id_col), js.alias("j"), F.col(text_col).alias("__t")
+    ).select(
+        id_col,
+        bloom_bit_position(F.col("__t"), F.col("j"), m_hex_digits)
+        .alias("p"),
+    )
+    maybe = (
+        probe_pos.join(F.broadcast(bits), "p", "left")
+        .groupBy(id_col)
+        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == k)
+             .alias("maybe_dup"))
+    )
+    exact_hashes = (
+        build.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    exact = (
+        probe.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+        .join(exact_hashes, "__h", "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("__dup"), F.lit(0)) == 1).alias("exact_dup"),
+        )
+    )
+    return maybe.join(exact, id_col)

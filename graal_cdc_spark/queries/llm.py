@@ -5640,3 +5640,103 @@ ORDER BY a.qid
     ref="SURVEY.md §2.4 L12/L83 ANN family; recall@k audit "
     "(LSH-then-verify measurement, Charikar hyperplane LSH)",
 )
+
+
+# ---------------------------------------------------------------------------
+# L87 — Bloom-filter cross-snapshot dedup probe: build a 4096-bit,
+# 3-hash Bloom filter over the previous snapshot's content (the
+# engine-portable md5 bit family — first 3 hex digits of
+# md5(j || '|' || text) per hash j), probe every new-batch doc, and
+# gate the CONFUSION MATRIX against the exact md5 anti-join answer
+# (l44's logic): maybe×exact counts. Structurally, the
+# (maybe=false, exact=true) cell MUST be empty — Bloom filters have
+# no false negatives — so the gate also pins the filter's defining
+# guarantee, while the (true, false) cell measures the real FP load
+# the exact path must re-verify.
+#
+# Scale shape: the filter's set-bit table is ≤ 4096 rows (a few KB)
+# NO MATTER how large the build snapshot is — it broadcasts, so the
+# probe is one map-side equality join + per-doc count. This is the
+# cross-snapshot pattern when the previous snapshot is too large to
+# anti-join against every incoming batch (filter-then-verify, same
+# asymmetry as LSH-then-verify). Integer/boolean-exact — no floats.
+# ---------------------------------------------------------------------------
+
+
+def _l87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.filter(F.col("doc_id") % 10 < 8)
+    probe = docs.filter(F.col("doc_id") % 10 >= 8)
+    v = D.bloom_dedup_probe(build, probe, "doc_id", "text")
+    return (
+        v.select(
+            F.col("maybe_dup").cast("int").alias("maybe_dup"),
+            F.col("exact_dup").cast("int").alias("exact_dup"),
+        )
+        .groupBy("maybe_dup", "exact_dup")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("maybe_dup", "exact_dup")
+    )
+
+
+_l(
+    "l87_bloom_dedup_probe",
+    "Bloom-filter cross-snapshot dedup probe (4096-bit, 3 md5 "
+    "hashes): maybe-dup x exact-dup confusion census — broadcastable "
+    "approximate membership with the exact anti-join as verifier",
+    _l87,
+    """
+WITH build AS (
+  SELECT text FROM documents WHERE doc_id % 10 < 8
+),
+probe AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+),
+js AS (SELECT unnest(generate_series(0, 2)) AS j),
+bits AS (
+  SELECT DISTINCT
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 1, 1)) - 1)
+        * 256
+    + (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 2, 1)) - 1)
+        * 16
+    + (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 3, 1)) - 1)
+      AS p
+  FROM build CROSS JOIN js
+),
+pp AS (
+  SELECT probe.doc_id,
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 1, 1)) - 1)
+        * 256
+    + (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 2, 1)) - 1)
+        * 16
+    + (strpos('0123456789abcdef',
+              substr(md5(CAST(j AS VARCHAR) || '|' || text), 3, 1)) - 1)
+      AS p
+  FROM probe CROSS JOIN js
+),
+maybe AS (
+  SELECT pp.doc_id,
+         CASE WHEN count(*) FILTER (WHERE b.p IS NOT NULL) = 3
+              THEN 1 ELSE 0 END AS maybe_dup
+  FROM pp LEFT JOIN bits b USING (p)
+  GROUP BY pp.doc_id
+),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN md5(text) IN (SELECT md5(text) FROM build)
+              THEN 1 ELSE 0 END AS exact_dup
+  FROM probe
+)
+SELECT m.maybe_dup, e.exact_dup, CAST(count(*) AS BIGINT) AS n_docs
+FROM maybe m JOIN ex e USING (doc_id)
+GROUP BY m.maybe_dup, e.exact_dup
+ORDER BY m.maybe_dup, e.exact_dup
+""",
+    ref="SURVEY.md §2.4 dedup family (l44 exact twin); Bloom 1970 "
+    "filter-then-verify membership",
+)

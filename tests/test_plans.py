@@ -710,3 +710,14 @@ def test_l85_lm_broadcasts_onto_feature_stream(spark):
     whole corpus through 256 reduce keys at 100 TB."""
     a = _audit(spark, "l85_dsir_importance")
     assert a.broadcast_joins >= 1, a.plan
+
+
+def test_l87_bloom_bits_broadcast(spark):
+    """The Bloom set-bit table (<= 4096 rows regardless of build-side
+    size) and the exact-hash verifier must reach the probe stream as
+    broadcasts — a shuffle here would defeat the filter's point (the
+    build side never re-shuffles against a batch)."""
+    a = _audit(spark, "l87_bloom_dedup_probe")
+    assert a.broadcast_joins >= 2, a.plan
+    assert not a.has("BroadcastNestedLoopJoin"), a.plan
+    assert a.python_evals == 0

@@ -861,3 +861,53 @@ def test_l85_dsir_equals_naive(spark, docs):
         w = math.floor(sum(lws) / len(lws) * 10000) / 10000
         assert got[i][0] == len(bks)
         assert abs(got[i][1] - w) <= 1e-4
+
+
+# ---------------------------------------------------------------------------
+# l87 Bloom probe: the defining guarantee — NO false negatives for ANY
+# corpus split (every exact dup is flagged maybe_dup) — plus agreement
+# of the maybe verdict with a naive python Bloom recomputation.
+# ---------------------------------------------------------------------------
+
+_bloom_texts = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=12),
+    min_size=2,
+    max_size=14,
+)
+
+
+@_SETTINGS
+@given(texts=_bloom_texts)
+def test_l87_bloom_probe_no_false_negatives(spark, texts):
+    import hashlib
+
+    from graal_cdc_spark.operators.dedup import bloom_dedup_probe
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    build = df.filter(F.col("doc_id") % 2 == 0)
+    probe = df.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        r["doc_id"]: (r["maybe_dup"], r["exact_dup"])
+        for r in bloom_dedup_probe(build, probe, "doc_id", "text").collect()
+    }
+
+    def positions(t):
+        return {
+            int(hashlib.md5(f"{j}|{t}".encode()).hexdigest()[:3], 16)
+            for j in range(3)
+        }
+
+    bits = set()
+    build_texts = set()
+    for i, t in rows:
+        if i % 2 == 0:
+            bits |= positions(t)
+            build_texts.add(t)
+    for i, t in rows:
+        if i % 2 == 1:
+            exact = t in build_texts
+            maybe = positions(t) <= bits
+            assert got[i] == (maybe, exact)
+            if exact:  # the Bloom guarantee, stated on its own
+                assert got[i][0]
