@@ -35,10 +35,14 @@ _SIG_CACHE: dict[tuple, DataFrame] = {}
 # the LSH pair list is a pure function of (input plan, params), and
 # three consumers walk it in one session (l06 emits it, l23 builds
 # components over it, l57 audits it), so the banded bucket join +
-# distinct executes ONCE per (app, input, params). An explicitly
-# passed ``sig`` is by contract the same derivation (shared only for
-# plan reuse), so it does not participate in the key. LRU-bounded
-# like _SIG_CACHE for streaming callers.
+# distinct executes ONCE per (app, input, params). Callers passing an
+# EXPLICIT ``sig`` bypass the memo (an arbitrary sig frame must never
+# be cached under the generic key). Bounded to 16 entries with
+# move-to-end-on-hit (true LRU) so a streaming caller churning one
+# plan hash per micro-batch can't evict its own hot entries; evicted
+# frames' checkpoint blocks are reclaimed by Spark's ContextCleaner
+# once the Python reference drops (no explicit unpersist API for
+# localCheckpoint blocks).
 _CAND_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -190,6 +194,9 @@ def minhash_signature_matrix(
     key = (app, df.semanticHash(), id_col, text_col, n, num_hashes)
     hit = _SIG_CACHE.get(key)
     if hit is not None:
+        # refresh recency (true LRU — _CAND_CACHE rationale)
+        del _SIG_CACHE[key]
+        _SIG_CACHE[key] = hit
         return hit
 
     df = with_min_parallelism(spark, df)
@@ -272,16 +279,24 @@ def minhash_lsh_candidates(
     equality join on (band, band-hash). All shuffles are equality-key
     hash shuffles; no quadratic blowup. Candidates should be verified
     with exact Jaccard (cheap: candidate set is tiny). ``sig``: see
-    :func:`lsh_buckets`.
+    :func:`lsh_buckets` — when a caller supplies its OWN signature
+    frame the memo is bypassed entirely (nothing enforces that an
+    explicit sig matches the default derivation, so caching it under
+    the generic key could poison later default-path callers).
     """
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
-    for stale in [k for k in _CAND_CACHE if k[0] != app]:
-        del _CAND_CACHE[stale]
-    key = (app, df.semanticHash(), id_col, text_col, n, num_hashes, bands)
-    hit = _CAND_CACHE.get(key)
-    if hit is not None:
-        return hit
+    key = None
+    if sig is None:
+        for stale in [k for k in _CAND_CACHE if k[0] != app]:
+            del _CAND_CACHE[stale]
+        key = (app, df.semanticHash(), id_col, text_col, n, num_hashes, bands)
+        hit = _CAND_CACHE.get(key)
+        if hit is not None:
+            # refresh recency so a hot entry survives streaming churn
+            del _CAND_CACHE[key]
+            _CAND_CACHE[key] = hit
+            return hit
 
     stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands, sig)
     x = stacked.select(F.col(id_col).alias("doc_a"), "band", "bucket")
@@ -293,9 +308,10 @@ def minhash_lsh_candidates(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    while len(_CAND_CACHE) >= 16:
-        del _CAND_CACHE[next(iter(_CAND_CACHE))]
-    _CAND_CACHE[key] = cands
+    if key is not None:
+        while len(_CAND_CACHE) >= 16:
+            del _CAND_CACHE[next(iter(_CAND_CACHE))]
+        _CAND_CACHE[key] = cands
     return cands
 
 
@@ -582,17 +598,14 @@ def minhash_estimate_audit(
     LSH-then-verify pattern, never all-pairs); signatures broadcast
     onto the pair list twice.
     """
-    # sig feeds the candidate generation AND both pair sides (a and b)
-    # — build it first, truncate lineage, and hand it to the LSH leg so
-    # the shingle+hash signature aggregation is planned and executed
-    # ONCE for all three consumers (cold run 11.9 s → 5.8 s at sf0.1;
-    # sharing it with the candidate leg shaved another ~1.5 s of
-    # duplicate planning+execution in round 7)
-    sig = minhash_signature_matrix(
-        df, id_col, text_col, n, num_hashes
-    ).localCheckpoint(eager=False)
-    # already lazily checkpointed by the candidate memo — no re-wrap
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, sig)
+    # sig feeds the candidate generation AND both pair sides (a and b):
+    # the signature-matrix memo returns ONE checkpointed frame for all
+    # three consumers (cold run 11.9 s → 5.8 s at sf0.1) — no re-wrap,
+    # that would store a second copy of the whole matrix. The candidate
+    # leg goes through its own memo (default path, NOT an explicit sig:
+    # an explicit sig would bypass the candidate memo by contract).
+    sig = minhash_signature_matrix(df, id_col, text_col, n, num_hashes)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     sig_a = sig.select(F.col(id_col).alias("doc_a"), arr.alias("sa"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), arr.alias("sb"))
@@ -832,19 +845,13 @@ def simhash_portable_pairs(
 def bloom_bit_position(text: Column, j, m_hex_digits: int = 3) -> Column:
     """Bit position of hash ``j`` for ``text`` in a 16^m_hex_digits-bit
     Bloom filter: the first ``m_hex_digits`` hex digits of
-    ``md5(j || '|' || text)`` read as an integer. md5 renders
-    identically in Spark and DuckDB and the digit-to-int fold uses
-    only instr/substr, so the whole filter is engine-portable (the
-    repo's exact-oracle hash-family protocol; production would swap
-    xxhash64 — algorithm-identical)."""
+    ``md5(j || '|' || text)`` read as an integer (``conv`` base-16).
+    md5 renders identically in Spark and DuckDB, so the whole filter
+    is engine-portable — the DuckDB twin spells the digit fold with
+    strpos/substr (no ``conv`` there); production would swap xxhash64
+    (algorithm-identical)."""
     h = F.md5(F.concat(j.cast("string"), F.lit("|"), text))
-    pos = F.lit(0).cast("bigint")
-    for d in range(m_hex_digits):
-        digit = F.instr(
-            F.lit("0123456789abcdef"), F.substring(h, d + 1, 1)
-        ) - 1
-        pos = pos * 16 + digit
-    return pos
+    return F.conv(F.substring(h, 1, m_hex_digits), 16, 10).cast("bigint")
 
 
 def bloom_dedup_probe(
@@ -857,19 +864,22 @@ def bloom_dedup_probe(
 ) -> DataFrame:
     """Approximate cross-snapshot membership: build a Bloom filter
     (16^m_hex_digits bits, ``k`` md5-derived hash functions) over the
-    ``build`` snapshot's content, probe every ``probe`` doc, and
-    return the per-doc verdict joined with the EXACT answer:
+    ``build`` snapshot's content, probe every ``probe`` row, and
+    return the per-ROW verdict joined with the EXACT answer:
     ``(<id_col>, maybe_dup, exact_dup)``.
 
     This is the 100 TB pattern the exact anti-join (l44) can't give
     you when the build side is too large to shuffle against every
-    batch: the filter's SET-BIT table is at most 16^m_hex_digits rows
-    (a few KB) regardless of build-side size — it broadcasts, so the
-    probe is one map-side equality join + per-doc count. Bloom
-    guarantees NO false negatives (every exact dup is flagged); false
-    positives are bounded by the fill ratio ^ k and resolved by the
-    exact path on the (tiny) flagged subset — the same
-    filter-then-verify asymmetry as LSH-then-verify.
+    batch: the filter is ONE sorted array of set bit positions (at
+    most 16^m_hex_digits longs, a few KB) regardless of build-side
+    size — it broadcasts as a single row, so the probe is a pure
+    map-side membership check (``forall`` over the row's ``k``
+    positions). Bloom guarantees NO false negatives — per ROW, so
+    duplicate ids on the probe side cannot corrupt the verdict (each
+    row is judged on its own text); false positives are bounded by
+    the fill ratio ^ k and resolved by the exact path on the (tiny)
+    flagged subset — the same filter-then-verify asymmetry as
+    LSH-then-verify.
     """
     js = F.explode(F.array(*[F.lit(j) for j in range(k)]))
     bits = (
@@ -878,32 +888,33 @@ def bloom_dedup_probe(
             bloom_bit_position(F.col("__t"), F.col("j"), m_hex_digits)
             .alias("p")
         )
-        .distinct()
-        .withColumn("__set", F.lit(1))
-    )
-    probe_pos = probe.select(
-        F.col(id_col), js.alias("j"), F.col(text_col).alias("__t")
-    ).select(
-        id_col,
-        bloom_bit_position(F.col("__t"), F.col("j"), m_hex_digits)
-        .alias("p"),
-    )
-    maybe = (
-        probe_pos.join(F.broadcast(bits), "p", "left")
-        .groupBy(id_col)
-        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == k)
-             .alias("maybe_dup"))
+        .agg(F.array_sort(F.collect_set("p")).alias("__bits"))
     )
     exact_hashes = (
         build.select(F.md5(F.col(text_col)).alias("__h")).distinct()
         .withColumn("__dup", F.lit(1))
     )
-    exact = (
-        probe.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    return (
+        probe.select(
+            F.col(id_col),
+            F.col(text_col).alias("__pt"),
+            F.md5(F.col(text_col)).alias("__h"),
+        )
+        .crossJoin(F.broadcast(bits))
         .join(exact_hashes, "__h", "left")
         .select(
             id_col,
+            F.forall(
+                F.array(
+                    *[
+                        bloom_bit_position(
+                            F.col("__pt"), F.lit(j), m_hex_digits
+                        )
+                        for j in range(k)
+                    ]
+                ),
+                lambda p: F.array_contains(F.col("__bits"), p),
+            ).alias("maybe_dup"),
             (F.coalesce(F.col("__dup"), F.lit(0)) == 1).alias("exact_dup"),
         )
     )
-    return maybe.join(exact, id_col)

@@ -239,36 +239,38 @@ def bm25_topk(
     selection / decontamination lookups. Returns
     ``(term, <id_col>, tf, dl, score, rank)``.
 
-    Scale shape: one token explode over the corpus, pruned to the
-    query vocabulary BEFORE the per-(doc, term) aggregation, so the
-    postings table is O(matching postings), never O(corpus tokens);
-    df and the 1-row corpus stats broadcast onto the postings; the
-    ranking is a per-term WindowGroupLimit on the floored-integer
-    score key (engine-portable tie protocol, tiebreak on the id).
+    Scale shape: two map-only passes over the corpus and NOTHING
+    corpus-sized is stored or joined — pass 1 is a 1-row (N, avgdl)
+    aggregate; pass 2 explodes tokens with the doc length carried
+    alongside, prunes to the query vocabulary BEFORE the per-(doc,
+    term) aggregation (postings are O(matches), never O(tokens)),
+    so document length needs no join back. df and corpus stats
+    broadcast onto the postings; the ranking is a per-term
+    WindowGroupLimit on the floored-integer score key
+    (engine-portable tie protocol, tiebreak on the id).
     """
     from pyspark.sql import Window
 
     docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    dl = docs.select(
-        id_col, F.size("toks").cast("long").alias("dl")
-    ).localCheckpoint(eager=False)
-    stats = dl.agg(
+    stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        (F.sum(F.size("toks")) / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        docs.select(id_col, F.explode("toks").alias("term"))
+        docs.select(
+            id_col,
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("dfx")
     )
-    scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
     )
     # literal constants spelled identically on both engines (k1=1.2,
     # k1+1=2.2, 1-b=0.25, b=0.75) — never pre-computed in Python, so
@@ -320,19 +322,18 @@ def dsir_importance_weights(
     the point of hashed features); the only corpus-sized shuffle is
     the per-doc mean, keyed on the id.
     """
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n_toks - 1),
+        F.slice(toks, F.lit(2), n_toks - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     feats = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         target_pred.alias("__tgt"),
-        F.explode(
-            F.expr(
-                f"zip_with(slice(split({text_col}, ' '), 1, "
-                f"size(split({text_col}, ' ')) - 1), "
-                f"slice(split({text_col}, ' '), 2, "
-                f"size(split({text_col}, ' ')) - 1), "
-                "(a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("bg"),
+        F.explode(bigrams).alias("bg"),
     ).select(
         id_col, *carry, "__tgt",
         F.substring(F.md5("bg"), 1, 2).alias("bkt"),
