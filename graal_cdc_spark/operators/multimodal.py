@@ -672,3 +672,45 @@ def reel_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def bmp_channel_histogram(media: DataFrame, bin_width: int = 64) -> DataFrame:
+    """REAL feature extraction over decoded BMPs: per-channel pixel
+    histograms (``256 // bin_width`` bins) computed from the DECODED
+    image — the real-codec upgrade of the mm02 fake-feature stub.
+    Emits one row per non-empty ``(media_id, channel, bin)``:
+    ``(media_id, channel, bin, n_px)``.
+
+    Scale shape: one Arrow-batched mapInPandas over the binary
+    payloads (numpy bincount per image — no per-pixel Python); the
+    histogram output is O(images × channels × bins), tiny next to the
+    pixel data, so nothing pixel-sized ever shuffles.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "channel": [], "bin": [], "n_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                for c in range(3):
+                    counts = np.bincount(px[:, :, c].reshape(-1) // bin_width)
+                    for b, n in enumerate(counts):
+                        if n:
+                            rows["media_id"].append(mid)
+                            rows["channel"].append(c)
+                            rows["bin"].append(b)
+                            rows["n_px"].append(int(n))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)

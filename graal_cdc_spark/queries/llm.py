@@ -5740,3 +5740,68 @@ ORDER BY m.maybe_dup, e.exact_dup
     ref="SURVEY.md §2.4 dedup family (l44 exact twin); Bloom 1970 "
     "filter-then-verify membership",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM10 — REAL feature extraction over decoded images, oracle-gated:
+# per-channel 4-bin pixel histograms computed from the DECODED BMPs
+# (numpy bincount inside one Arrow-batched mapInPandas), gated
+# against a DuckDB oracle that restates the histogram straight from
+# the generative pixel arithmetic (codepoint mod 256, cycled, RGB
+# interleave, value // 64 binning) — the real-codec upgrade of the
+# mm02 fake-feature stub: any byte wrong in decode, channel order, or
+# binning hash-fails.
+#
+# Scale: pixels never shuffle — the mapInPandas emits O(images ×
+# channels × bins) rows; the only exchange is the tiny ordered output.
+# ---------------------------------------------------------------------------
+
+
+def _mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        bmp_channel_histogram,
+        documents_as_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
+    )
+    media = documents_as_bmp(docs)
+    return bmp_channel_histogram(media).orderBy(
+        "media_id", "channel", "bin"
+    )
+
+
+_l(
+    "mm10_bmp_channel_histogram",
+    "real image feature extraction: per-channel 4-bin pixel "
+    "histograms from DECODED BMPs vs the oracle's restatement of the "
+    "generative pixel arithmetic",
+    _mm10,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 4 AS INT) AS height,
+         CAST(4 + doc_id % 3 AS INT) AS width,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, CAST(c.c AS INT) AS channel,
+         CAST((ascii(substr(text,
+                CAST((j.j * 3 + c.c) % len AS INT) + 1, 1)) % 256) // 64
+              AS INT) AS bin
+  FROM d,
+       unnest(generate_series(0, height * width - 1)) AS j(j),
+       unnest(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id AS media_id, channel, bin,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px
+GROUP BY doc_id, channel, bin
+ORDER BY media_id, channel, bin
+""",
+    ref="SURVEY.md §2.4 MM family (mm02 stub -> real leg); BI_RGB "
+    "24-bit BMP decode + bincount features",
+)
