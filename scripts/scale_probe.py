@@ -145,6 +145,14 @@ PROBES = [
     "r98_sorted_layout_audit",
     "l79_source_quota_cap",
     "c26_jdbc_delivery_census",
+    # round 7b (pruned-postings retrieval, hashed-feature LMs,
+    # recall-join audit, broadcast Bloom probe, decoded-image
+    # histograms)
+    "l84_bm25_topk",
+    "l85_dsir_importance",
+    "l86_ann_recall_audit",
+    "l87_bloom_dedup_probe",
+    "mm10_bmp_channel_histogram",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
