@@ -81,13 +81,19 @@ def shingle_jaccard_pairs(
     than that fraction of documents before pairing — set None for the
     oracle-exact form.
     """
-    sh = char_shingles(df, id_col, text_col, n)
+    # distinct=False: jaccard_pairs_from_shingles dedups (id, shingle)
+    # itself inside its single shingle-keyed exchange — a pre-distinct
+    # here would be a second full shuffle of the exploded stream
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
     if max_doc_freq_frac is not None:
         n_docs = df.count()
         cap = int(n_docs * max_doc_freq_frac)
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        dedup = sh.dropDuplicates([id_col, "shingle"])
+        freq = dedup.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sh = (
-            sh.join(F.broadcast(freq.filter(F.col("__df") <= cap)), "shingle")
+            dedup.join(
+                F.broadcast(freq.filter(F.col("__df") <= cap)), "shingle"
+            )
             .drop("__df")
         )
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
@@ -96,20 +102,30 @@ def shingle_jaccard_pairs(
 def jaccard_pairs_from_shingles(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Pairwise Jaccard over a (id, shingle) set table: intersection
-    via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Shared tail of the
-    char-shingle and token-n-gram exact dedup operators."""
+    """Pairwise Jaccard over a (id, shingle) table — duplicates
+    allowed and deduped HERE: intersection via shingle equi-join,
+    |A∪B| = |A|+|B|−|A∩B|. Shared tail of the char-shingle and
+    token-n-gram exact dedup operators."""
     # Pin the self-join's partitioning: the (id, shingle) shuffle is
     # small in BYTES, so AQE coalesces it to 1–2 partitions — but the
     # join output is O(shingle collisions), pure compute the byte-based
     # planner can't see, and it would run on those 1–2 cores (measured
     # 10.7s → 3.9s at sf0.1 on local[32]). Explicit numPartitions is
-    # AQE-exempt (the test_plans AQE rule). Truncate lineage once:
-    # sh feeds THREE consumers (sizes + both join sides) and the
-    # static plan would otherwise re-run the shingle explode+distinct
-    # for the sizes aggregate (the l75 rule).
+    # AQE-exempt (the test_plans AQE rule). The (id, shingle) dedup
+    # FUSES into this same exchange: HashPartitioning(shingle)
+    # satisfies the (shingle, id) aggregation's clustering, so
+    # dropDuplicates after the repartition plans as partial+final
+    # HashAggregate around the ONE shuffle — a caller pre-distinct
+    # would pay a second full exchange of the exploded stream for
+    # nothing. Truncate lineage once: sh feeds THREE consumers (sizes
+    # + both join sides) and the static plan would otherwise re-run
+    # the shingle explode for the sizes aggregate (the l75 rule).
     n_par = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_par, "shingle").localCheckpoint(eager=False)
+    sh = (
+        sh.repartition(n_par, "shingle")
+        .dropDuplicates([id_col, "shingle"])
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -149,11 +165,10 @@ def token_ngram_jaccard_pairs(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    sh = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    sh = df.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("shingle")
     )
+    # dedup happens inside jaccard_pairs_from_shingles' one exchange
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 
 
