@@ -56,30 +56,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_specs()
-    # Exact pairwise-Jaccard ops are quadratic in shingle collisions by
-    # construction; their benched scale path is MinHash-LSH (l06).
-    # l22 rides the same exact pair join (CC over l13's edges, ~44 s at
-    # sf0.1) — at scale the edge set comes from l06 candidates instead.
-    # Every skip is REPORTED in the output JSON (name → reason) so the
-    # headline number is auditable: nothing is quietly excluded.
-    skip = {
-        "l13_token_ngram_jaccard": "exact quadratic oracle twin; scale path benched as l06",
-        "l22_neardup_components": "CC over l13's exact pair join (~44s); scale edges come from l06",
-        "l48_cluster_size_histogram": "rides l22's exact pair join",
-        # streaming operator measured by its goldens; its batch twin
-        # replays the whole greedy admission loop (~14 s of iterative
-        # driver-coordinated rounds, not a query-shaped workload)
-        "l50_streaming_lsh_admission": "iterative streaming-admission replay, not query-shaped",
-        # end-to-end micro-batched pipeline (checkpointed stream +
-        # per-batch filesystem publishes) — gated for correctness,
-        # latency measured by its streaming goldens, not query-shaped
-        "st17_streaming_silver_evolution": "checkpointed 2-batch streaming pipeline, not query-shaped",
-        # full index BUILD + atomic publish + probe lifecycle
-        # (filesystem-bound); the ANN QUERY costs are benched as
-        # l12/l33/l78
-        "l80_ivfpq_probe": "index build+publish lifecycle, not query-shaped",
-    }
-    names = [n for n in sorted(specs) if n not in skip]
+    # ONE query set for both engines (graal_cdc_spark/benchset.py):
+    # the skip list is shared with the DuckDB comparator, and the
+    # DuckDB pass runs below IN THIS SAME PROCESS right after the
+    # Spark pass, so BENCH_FULL.json and DUCKDB_BASELINE.json are
+    # recorded under identical machine conditions by construction
+    # (VERDICT r7 "What's wrong" #2).
+    from graal_cdc_spark.benchset import (
+        BENCH_SKIP as skip,
+        bench_names,
+        run_duckdb_oracle_suite,
+    )
+
+    names = bench_names(specs)
 
     t_prime = time.time()
     # Warmup (untimed per-query, but REPORTED as priming_sec): first-query
@@ -152,6 +141,34 @@ def main() -> None:
         print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
+    # DuckDB comparator pass — same process, same query set, same
+    # machine conditions. The engine ratio is computed over the
+    # matched set (benched queries that HAVE an oracle); Spark-only
+    # rows-only queries are excluded from the ratio and listed in the
+    # comparator artifact as spark_only.
+    duck = None
+    try:
+        duck = run_duckdb_oracle_suite(
+            sf_dir, specs, progress=lambda s: print(s, file=sys.stderr)
+        )
+        duck_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "DUCKDB_BASELINE.json"
+        )
+        with open(duck_path, "w") as f:
+            json.dump(duck, f, indent=1)
+    except Exception as exc:  # bench must still emit the Spark line
+        print(f"duckdb comparator failed: {exc!r}", file=sys.stderr)
+
+    ratio = None
+    spark_matched_sec = None
+    if duck is not None:
+        matched = set(duck["queries"])
+        spark_matched_sec = round(
+            sum(t for n, t in timings.items() if n in matched), 3
+        )
+        if duck["value"] > 0:
+            ratio = round(spark_matched_sec / duck["value"], 2)
+
     full = {
         "metric": "suite_wall_clock",
         "value": total,
@@ -160,6 +177,9 @@ def main() -> None:
         "sf": float(sf),
         "priming_sec": priming_sec,
         "skipped": skip,
+        "duckdb_matched_sec": duck["value"] if duck else None,
+        "spark_matched_sec": spark_matched_sec,
+        "suite_ratio_matched": ratio,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -189,6 +209,9 @@ def main() -> None:
                 "queries": short,
                 "other_queries_total": rest,
                 "skipped": sorted(n.split("_", 1)[0] for n in skip),
+                "duckdb_matched_sec": duck["value"] if duck else None,
+                "spark_matched_sec": spark_matched_sec,
+                "suite_ratio_matched": ratio,
                 "full_breakdown": "BENCH_FULL.json",
             },
             separators=(",", ":"),

@@ -135,11 +135,16 @@ def jaccard_pairs_from_shingles(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # No broadcast hint on the per-doc sizes frames: a per-doc table is
+    # NOT broadcastable at corpus scale (VERDICT r7). Inside this
+    # deliberately slice-bounded exact twin the sizes side is tiny and
+    # AQE will pick broadcast-hash at runtime from actual stats when it
+    # fits — forcing it would just bake in a plan that breaks at 100×.
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

@@ -8,11 +8,14 @@ per-format and honest about it:
 - **REAL** (pure numpy, validated, oracle-gated round-trips): BMP
   (BI_RGB 24-bit — ``encode_bmp``/``decode_bmp``/``resize_bmp_nn``,
   mm07), WAV (RIFF mono 16-bit PCM — ``encode_wav``/``decode_wav``,
-  mm08), and the BMP reel video container (length-prefixed frame
+  mm08), the BMP reel video container (length-prefixed frame
   walk + sampled per-frame decode — ``iter_bmp_reel``/
-  ``decode_bmp_reel``/``reel_frame_stats``, mm09).
+  ``decode_bmp_reel``/``reel_frame_stats``, mm09), and PNG
+  (8-bit truecolor, stdlib-zlib DEFLATE + all five scanline filters,
+  per-chunk CRC validation — ``encode_png``/``decode_png``, mm11):
+  the COMPRESSED format the environment does not block.
 - **STUBBED** (needs PIL/cv2/ffmpeg, absent in this container):
-  compressed formats — ``decode_image_batch`` raises
+  other compressed formats (JPEG/FLAC/...) — ``decode_image_batch`` raises
   ``NotImplementedError`` unless ``fake=True``, which substitutes a
   deterministic content-hash feature vector so the pipeline shape is
   exercisable end-to-end (mm02–mm04).
@@ -711,6 +714,288 @@ def bmp_channel_histogram(media: DataFrame, bin_width: int = 64) -> DataFrame:
             T.StructField("channel", T.IntegerType()),
             T.StructField("bin", T.IntegerType()),
             T.StructField("n_px", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image leg: PNG (RFC 2083) — the one compressed
+# format this container can implement for real: DEFLATE comes from
+# stdlib ``zlib`` and the five scanline filters (None/Sub/Up/Average/
+# Paeth) are numpy + small per-row reconstruction loops. Same rules as
+# the BMP leg: strict validation (signature, chunk CRCs, IHDR fields,
+# inflated-length check) so malformed media fail loudly, and an
+# oracle-gated encode→decode round-trip (mm11).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # RFC 2083 §6.6 predictor: nearest of left/up/up-left to a+b-c,
+    # ties broken left, up, up-left.
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    Each scanline is forward-filtered with filter type ``y % 5`` —
+    deterministic, and it exercises ALL five PNG filters in every
+    image taller than 4 rows, so the mm11 round-trip gate covers the
+    whole filter set, not just the easy ones.
+    """
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3 or px.shape[0] < 1 or px.shape[1] < 1:
+        raise ValueError(f"encode_png: need (h, w, 3) pixels, got {px.shape}")
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int16)
+    lines = []
+    zero = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y > 0 else zero
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prior, ul)),
+                dtype=np.int16,
+                count=w * bpp,
+            )
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor (color type 2, no interlace) PNG into
+    an (h, w, 3) uint8 RGB array.
+
+    Strict: signature, per-chunk CRC32, IHDR fields, and the inflated
+    byte count are all validated — a truncated, bit-flipped, or lying
+    payload raises ``ValueError`` (the kafka-wire bounds-check rule).
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat_parts = []
+    seen_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("png: truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(payload):
+            raise ValueError(f"png: truncated {ctype!r} chunk")
+        data = payload[pos + 8 : data_end]
+        (crc,) = struct.unpack_from(">I", payload, data_end)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"png: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+        pos = data_end + 4
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    if not seen_iend:
+        raise ValueError("png: missing IEND")
+    if not idat_parts:
+        raise ValueError("png: missing IDAT")
+    w, h, depth, ctype_f, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_f != 2:
+        raise ValueError(
+            f"png: only 8-bit truecolor supported (depth={depth}, "
+            f"color_type={ctype_f})"
+        )
+    if comp != 0 or filt_m != 0:
+        raise ValueError("png: bad compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: interlaced images not supported")
+    if w < 1 or h < 1:
+        raise ValueError(f"png: bad dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat_parts))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"png: inflated size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 2:
+            recon = (line + prior) & 0xFF
+        elif f in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially within
+            # the row (RFC 2083 §6.5-6.6); rows stay numpy int32 and
+            # the loop is per-byte over ONE scanline
+            recon = line.copy()
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    recon[x] = (recon[x] + a) & 0xFF
+                elif f == 3:
+                    recon[x] = (recon[x] + (a + int(prior[x])) // 2) & 0xFF
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    recon[x] = (
+                        recon[x] + _paeth(a, int(prior[x]), c)
+                    ) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {f} in row {y}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(h, w, 3)
+
+
+def documents_as_png(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PNG fixture: the SAME generative pixel arithmetic
+    as :func:`documents_as_bmp` (codepoints mod 256, cycled, RGB
+    interleave, ``4+(id%4) × 4+(id%3)`` dims) — so the mm11 oracle can
+    restate the decoded pixels straight from the text — but encoded
+    through the REAL compressed path: five rotating scanline filters +
+    DEFLATE. Arrow-batched mapInPandas, binary out."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, heights, widths, sizes = [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"documents_as_png: empty text for id {mid}"
+                    )
+                h = 4 + int(mid) % 4
+                w = 4 + int(mid) % 3
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.uint8)
+                idx = np.arange(h * w * 3) % len(codes)
+                payload = encode_png(codes[idx].reshape(h, w, 3))
+                payloads.append(payload)
+                heights.append(h)
+                widths.append(w)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "height": heights,
+                    "width": widths,
+                    "n_bytes": sizes,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("n_bytes", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL PNG payloads and emit integer pixel statistics —
+    dims from the parsed IHDR, per-channel byte sums from the
+    reconstructed pixel array. Any error in the DEFLATE leg, a filter
+    reconstruction, or chunk parsing breaks the sums, so the mm11
+    hash-match proves the compressed round-trip end to end."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)

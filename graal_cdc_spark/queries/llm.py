@@ -5805,3 +5805,71 @@ ORDER BY media_id, channel, bin
     ref="SURVEY.md §2.4 MM family (mm02 stub -> real leg); BI_RGB "
     "24-bit BMP decode + bincount features",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM11 — REAL COMPRESSED-image codec round-trip, oracle-gated: the PNG
+# sibling of mm07. Documents become 8-bit truecolor PNGs through the
+# real compressed path (five rotating scanline filters + stdlib-zlib
+# DEFLATE + chunk CRCs); the validated decoder inflates, defilters,
+# and re-derives dims + per-channel pixel sums, gated against the
+# oracle's restatement of the generative pixel arithmetic. Any byte
+# wrong in a filter, the DEFLATE leg, or chunk parsing hash-fails —
+# this upgrades the multimodal family from "real uncompressed codecs"
+# to "real compressed codec", the thing a user's first web-image
+# parquet actually needs (VERDICT r7 next-round #3).
+#
+# Scale: pixels never shuffle — encode and decode are each ONE
+# Arrow-batched mapInPandas over binary payloads; the only exchange is
+# the tiny ordered stats output.
+# ---------------------------------------------------------------------------
+
+
+def _mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        documents_as_png,
+        png_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+    )
+    media = documents_as_png(docs)
+    return png_decode_stats(media).orderBy("media_id")
+
+
+def _mm11_channel_sum(c: int) -> str:
+    return (
+        "CAST(list_sum(list_transform("
+        "generate_series(0, height * width - 1), "
+        f"j -> ascii(substr(text, CAST((j * 3 + {c}) % len AS INT) + 1, 1))"
+        " % 256)) AS BIGINT)"
+    )
+
+
+_l(
+    "mm11_png_roundtrip_census",
+    "real COMPRESSED image codec round-trip census: PNG (DEFLATE + "
+    "all five scanline filters + chunk CRCs) encode->decode, decoded "
+    "dims + per-channel pixel sums vs the oracle's restatement of the "
+    "pixel arithmetic",
+    _mm11,
+    f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 4 AS INT) AS height,
+         CAST(4 + doc_id % 3 AS INT) AS width,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 1
+)
+SELECT doc_id AS media_id, height, width,
+       {_mm11_channel_sum(0)} AS sum_r,
+       {_mm11_channel_sum(1)} AS sum_g,
+       {_mm11_channel_sum(2)} AS sum_b
+FROM d
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (compressed-codec leg); RFC 2083 "
+    "8-bit truecolor PNG, filters None/Sub/Up/Average/Paeth",
+)

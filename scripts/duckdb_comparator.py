@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""DuckDB baseline comparator — times every oracle SQL at a scale
-factor so the suite-level engine comparison (BENCH_r{N} vs this) is
-measured on THIS machine against the CURRENT oracle inventory, not a
-stale snapshot.
+"""DuckDB baseline comparator — standalone CLI wrapper.
+
+The actual suite logic lives in ``graal_cdc_spark/benchset.py`` so the
+query set is SHARED with ``bench.py`` (one skip list, both engines) —
+and ``bench.py`` itself runs the DuckDB pass in the same process right
+after the Spark pass, emitting both artifacts under identical machine
+conditions. This wrapper exists for running the DuckDB side alone.
 
 Writes DUCKDB_BASELINE.json next to the repo root and prints one JSON
 line: {"metric": "duckdb_oracle_suite", "value": sec, "sf": ...,
@@ -16,102 +19,31 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = None  # cosmetic metadata; never abort the baseline run
 
-    from graal_cdc_spark.queries import all_specs
-    from graal_cdc_spark.queries.llm import (
-        kmeans_training_oracle,
-        pq_census_oracle,
+    from graal_cdc_spark.benchset import run_duckdb_oracle_suite
+
+    art = run_duckdb_oracle_suite(
+        sf_dir, progress=lambda s: print(s, file=sys.stderr)
     )
-    from graal_cdc_spark.testing import duckdb_connect
-
-    specs = {n: s for n, s in all_specs().items() if s.oracle is not None}
-    con = duckdb_connect(sf_dir)
-    timings: dict[str, float] = {}
-    t_suite = time.time()
-    for name, spec in sorted(specs.items()):
-        t0 = time.time()
-        con.execute(spec.oracle).fetchall()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
-    total = round(time.time() - t_suite, 3)
-
-    # Build-once symmetry with bench.py: the Spark suite primes trained
-    # centroids untimed (index artifacts shared by the k-means family),
-    # while each family oracle above re-paid its Lloyd-rounds CTE chain.
-    # Price TRAINING separately per distinct (k, iters) key so the
-    # suite comparison can be read under the same build-once assumption
-    # on both engines: value_build_once charges each member its
-    # marginal cost and training once per key.
-    family = {
-        "l31_kmeans_quantized": "k8_i2",
-        "l32_cluster_balanced_sample": "k8_i2",
-        "l75_semdedup_census": "k32_i1",
-        "l77_dedup_threshold_sweep": "k32_i1",
-        "l78_pq_code_census": "pq_m4_k8_i1",
-    }
-    training_sql = {
-        "k8_i2": kmeans_training_oracle(k=8, iters=2),
-        "k32_i1": kmeans_training_oracle(k=32, iters=1),
-        "pq_m4_k8_i1": pq_census_oracle(training_only=True),
-    }
-    training: dict[str, float] = {}
-    for key, sql in training_sql.items():
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        training[key] = round(time.time() - t0, 3)
-        print(f"training {key}: {training[key]:.2f}s", file=sys.stderr)
-    repaid = sum(
-        training[key] for q, key in family.items() if q in timings
-    )
-    value_build_once = round(total - repaid + sum(training.values()), 3)
-    con.close()
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "DUCKDB_BASELINE.json",
     )
     with open(out_path, "w") as f:
-        json.dump(
-            {
-                "metric": "duckdb_oracle_suite",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "value_build_once": value_build_once,
-                "kmeans_training": training,
-                "queries": timings,
-            },
-            f,
-            indent=1,
-        )
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_oracle_suite",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "value_build_once": value_build_once,
-                "kmeans_training": training,
-                "slowest": slowest,
-            },
-            separators=(",", ":"),
-        )
-    )
+        json.dump(art, f, indent=1)
+    slowest = dict(sorted(art["queries"].items(), key=lambda kv: -kv[1])[:15])
+    headline = {k: v for k, v in art.items() if k != "queries"}
+    headline["slowest"] = slowest
+    headline.pop("skipped", None)
+    headline.pop("spark_only", None)
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":
