@@ -44,6 +44,7 @@ BENCH_SKIP: dict[str, str] = {
     # (filesystem-bound); the ANN QUERY costs are benched as
     # l12/l33/l78
     "l80_ivfpq_probe": "index build+publish lifecycle, not query-shaped",
+    "l89_ivfpq_recall_audit": "rides the l80 index build+publish lifecycle",
 }
 
 

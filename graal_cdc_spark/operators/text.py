@@ -369,3 +369,117 @@ def dsir_importance_weights(
             (F.floor(F.avg("lw") * 10000) / 10000).alias("weight"),
         )
     )
+
+
+def bpe_merge_training(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    vocab_cap: int = 300,
+    top_syms: int = 10,
+) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016): ``rounds``
+    rounds of count-adjacent-pairs → pick the most frequent pair
+    (ties: lexicographic) → greedily re-segment every word → recount.
+    Real BPE mechanics, not just round-1 pair frequencies (l70).
+
+    Returns one row per merge rule ``(rnd 1..rounds, left_sym,
+    right_sym, pair_count)`` plus the post-training census: the
+    ``top_syms`` most frequent symbols of the FINAL segmentation as
+    ``rnd = 0`` rows — so the gate checks the re-segmentation itself,
+    not only the merge choices.
+
+    Greedy semantics: within one round, matches of the winning pair
+    merge left-to-right without overlap (a run of k consecutive
+    candidates merges at offsets 0, 2, 4, …). The fold below gets
+    this for free: once positions (i, i+1) fuse, the accumulator's
+    tail is the MERGED symbol, which can no longer equal the pair's
+    left element (left ≠ left‖right for a non-empty right), so the
+    next match restarts after the fused token — exactly the
+    skip-ahead of the sequential algorithm.
+
+    Scale shape: the ONLY corpus-sized work is the word-count
+    aggregate (one shuffle, partial-combined map-side). Training then
+    runs on the capped word-frequency table — the same design as
+    production BPE trainers, where the frequency table IS the
+    training set; ``vocab_cap`` is the documented scale lever. Each
+    round's pair count is one tiny aggregate; the winning pair is the
+    only per-round collect (1 row — bounded metadata); re-segmentation
+    is a map-side higher-order ``aggregate`` fold over the symbol
+    arrays. ``localCheckpoint`` caps plan depth so round R's lineage
+    does not re-run rounds 1..R-1's folds.
+    """
+    if rounds < 1:
+        raise ValueError("bpe_merge_training: rounds must be >= 1")
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(vocab_cap)
+    )
+    seg = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), j -> substring(word, j, 1))"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            seg.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "filter(transform(syms, (s, k) -> "
+                        "struct(s AS a, try_element_at(syms, k + 2) AS b)), "
+                        "p -> p.b IS NOT NULL)"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break  # every word fused to a single symbol
+        a, b, c = best[0].a, best[0].b, int(best[0].c)
+        merges.append((rnd, a, b, c))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.lit(a + b)
+        seg = seg.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        ).localCheckpoint(eager=False)
+
+    final_top = (
+        seg.select("cnt", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.desc("total"), "sym")
+        .limit(top_syms)
+        .select(
+            F.lit(0).cast("int").alias("rnd"),
+            F.col("sym").alias("left_sym"),
+            F.lit("").alias("right_sym"),
+            F.col("total").cast("long").alias("pair_count"),
+        )
+    )
+    merge_rows = spark.createDataFrame(
+        merges, "rnd int, left_sym string, right_sym string, pair_count long"
+    )
+    return merge_rows.unionAll(final_top)

@@ -4928,6 +4928,53 @@ ORDER BY qid, rank""")
     return ",".join(parts)
 
 
+def ivfpq_recall_oracle() -> str:
+    """l89 twin: the SAME fully unrolled IVF-PQ derivation as l80
+    (cells + codebooks + encode + probe + ADC ranking), extended with
+    the exact integer squared-L2 top-k per query and the recall
+    census the index operator reads before trusting the index."""
+    p = _L80
+    base = ivfpq_probe_oracle()
+    # reuse the l80 chain up through the `adc` CTE; replace its final
+    # SELECT with the recall census
+    chain = base[: base.rindex("\nSELECT qid, neighbor_id, adc_dist")]
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i])))"
+    )
+    return (
+        chain
+        + f""",
+appr AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+  ) t WHERE rank <= {p['topk']}
+),
+exct AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.pid AS qid, c.pid AS neighbor_id,
+           row_number() OVER (PARTITION BY q.pid
+                              ORDER BY {sq}, c.pid) AS rk
+    FROM pts q JOIN pts c
+      ON q.pid < {p['n_queries']} AND c.pid <> q.pid
+  ) t WHERE rk <= {p['topk']}
+)
+SELECT a.qid,
+       CAST(count(*) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * {10000 // p['topk']} AS BIGINT) AS recall_bp
+FROM appr a
+LEFT JOIN exct e USING (qid, neighbor_id)
+GROUP BY a.qid
+ORDER BY a.qid"""
+    )
+
+
 _l(
     "l80_ivfpq_probe",
     "persisted IVF-PQ index probe: cells prune at file level, stored "
@@ -5872,4 +5919,222 @@ ORDER BY media_id
 """,
     ref="SURVEY.md §2.4 MM family (compressed-codec leg); RFC 2083 "
     "8-bit truecolor PNG, filters None/Sub/Up/Average/Paeth",
+)
+
+
+# ---------------------------------------------------------------------------
+# L88 — ITERATIVE BPE merge training (Sennrich et al. 2016), the real
+# merge→re-segment→recount loop that l70 (pair frequencies) only did
+# round 1 of. Spark: one corpus-sized word-count shuffle, then 3
+# rounds over the capped word-frequency table (the production-BPE
+# design: the frequency table IS the training set) with a map-side
+# higher-order fold doing the greedy re-segmentation; the winning
+# pair is the only per-round collect (1 row — bounded metadata, the
+# l31/r79 iterative pattern). Oracle: the 3 rounds fully unrolled as
+# CTEs — pair counting via the (word, i)→(word, i+1) self-join,
+# greedy non-overlap via run-parity over candidate islands (a run of
+# k consecutive candidates merges at offsets 0, 2, 4, …), exactly the
+# fold's skip-ahead semantics.
+# ---------------------------------------------------------------------------
+
+
+def bpe_training_oracle(
+    rounds: int = 3, vocab_cap: int = 300, top_syms: int = 10
+) -> str:
+    """Fully unrolled DuckDB twin of ``bpe_merge_training``."""
+    parts = [
+        """
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) t
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+  ORDER BY cnt DESC, word
+  LIMIT {cap}
+),
+seg0 AS (
+  SELECT word, cnt, CAST(j AS INT) AS i,
+         substr(word, CAST(j AS INT), 1) AS sym
+  FROM words, unnest(generate_series(1, length(word))) AS t(j)
+)""".format(cap=vocab_cap)
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            """
+pairs{r} AS (
+  SELECT s1.sym AS a, s2.sym AS b, SUM(s1.cnt) AS c
+  FROM seg{p} s1 JOIN seg{p} s2 ON s1.word = s2.word AND s2.i = s1.i + 1
+  GROUP BY 1, 2
+),
+best{r} AS (
+  SELECT a, b, CAST(c AS BIGINT) AS c
+  FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1
+),
+cand{r} AS (
+  SELECT s1.word, s1.i
+  FROM seg{p} s1
+  JOIN seg{p} s2 ON s1.word = s2.word AND s2.i = s1.i + 1
+  JOIN best{r} bb ON s1.sym = bb.a AND s2.sym = bb.b
+),
+keep{r} AS (
+  SELECT word, i FROM (
+    SELECT word, i, i - MIN(i) OVER (PARTITION BY word, grp) AS off
+    FROM (
+      SELECT word, i,
+             i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+      FROM cand{r}
+    ) g
+  ) h WHERE off % 2 = 0
+),
+seg{r} AS (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS INT) AS i,
+         sym
+  FROM (
+    SELECT s.word, s.cnt, s.i, s.sym || bb.b AS sym
+    FROM seg{p} s
+    JOIN keep{r} k ON s.word = k.word AND s.i = k.i
+    CROSS JOIN best{r} bb
+    UNION ALL
+    SELECT s.word, s.cnt, s.i, s.sym
+    FROM seg{p} s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM keep{r} k
+      WHERE k.word = s.word AND (k.i = s.i OR k.i = s.i - 1)
+    )
+  ) m
+)""".format(r=r, p=r - 1)
+        )
+    merge_rows = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rnd, a AS left_sym, b AS right_sym, "
+        f"c AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+SELECT * FROM (
+{merge_rows}
+UNION ALL
+SELECT CAST(0 AS INT), sym, '', total FROM (
+  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM seg{rounds} GROUP BY sym ORDER BY total DESC, sym LIMIT {top_syms}
+) ft
+) out
+ORDER BY rnd, pair_count DESC, left_sym
+"""
+    )
+
+
+def _l88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.text import bpe_merge_training
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_training(
+        docs, "text", rounds=3, vocab_cap=300, top_syms=10
+    ).orderBy("rnd", F.desc("pair_count"), "left_sym")
+
+
+_l(
+    "l88_bpe_merge_training",
+    "iterative BPE tokenizer training: 3 rounds of most-frequent-pair "
+    "merge + greedy re-segmentation over the capped word-frequency "
+    "table, plus the final-segmentation symbol census (rnd=0 rows)",
+    _l88,
+    bpe_training_oracle(rounds=3, vocab_cap=300, top_syms=10),
+    ref="SURVEY.md §2.4 LLM family (l70 round-1 -> full loop); "
+    "Sennrich et al. 2016 BPE",
+)
+
+
+# ---------------------------------------------------------------------------
+# L89 — recall audit for the PERSISTED IVF-PQ path (VERDICT r7 #5):
+# l86 audits the RP-bucketed path and l80 gates the persisted index
+# bit-exact, but nothing measured recall@k of `query_ivf_pq_index`
+# against the exact answer over the SAME stored artifact — the number
+# an operator reads before trusting the index at 100 TB. Exact side:
+# integer squared-L2 top-k per query (the index's own metric) over
+# the quantized points; approx side: the real persisted-index probe
+# (file-level cell pruning + integer ADC over stored codes). Output:
+# per-query n_approx / n_hits / recall in integer basis points.
+#
+# Scale: the exact side is a bounded query batch (n_queries rows)
+# broadcast against one corpus scan — the l04 contract; the approx
+# side never reads float vectors (ReadSchema plan-tested in l80).
+# ---------------------------------------------------------------------------
+
+
+def _l89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_pq_index,
+    )
+    from graal_cdc_spark.operators.clustering import quantize_points
+
+    p = _L80
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="l89-ivfpq-") + "/index"
+    build_ivf_index(
+        emb, idx, n_cells=p["n_cells"], train_iters=p["cell_iters"],
+        scale=p["scale"], pq_m=p["m"], pq_k=p["k"],
+        pq_iters=p["pq_iters"],
+    )
+    approx = query_ivf_pq_index(
+        spark, idx,
+        emb.filter(F.col("vec_id") < p["n_queries"]),
+        k=p["topk"], n_probe=p["n_probe"],
+    ).select("qid", "neighbor_id")
+
+    pts = quantize_points(emb, "vec_id", "embedding", p["scale"])
+    q = pts.filter(F.col("pid") < p["n_queries"]).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("qx"), F.col("x"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy("sq", "neighbor_id")
+    exact = (
+        pts.select(F.col("pid").alias("neighbor_id"), "x")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("sq", sqdist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= p["topk"])
+        .select("qid", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        approx.join(exact, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_approx",
+            "n_hits",
+            (F.col("n_hits") * (10000 // p["topk"])).alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+_l(
+    "l89_ivfpq_recall_audit",
+    "recall@5 of the PERSISTED IVF-PQ index probe vs exact integer "
+    "squared-L2 top-5 over the same stored artifact (integer basis "
+    "points) — the trust measurement for the l80 index",
+    _l89,
+    ivfpq_recall_oracle(),
+    ref="SURVEY.md §2.4 ANN family (l80 persisted index + l86 audit "
+    "pattern); Jégou et al. 2011 (IVF-ADC)",
 )

@@ -911,3 +911,74 @@ def test_l87_bloom_probe_no_false_negatives(spark, texts):
             assert got[i] == (maybe, exact)
             if exact:  # the Bloom guarantee, stated on its own
                 assert got[i][0]
+
+
+# ---------------------------------------------------------------------------
+# l88 BPE: the Spark training loop (pair aggregate -> 1-row best
+# collect -> higher-order greedy fold) must equal a sequential
+# reference BPE trainer for any corpus — including the adversarial
+# fold cases: same-symbol runs ("aaaa" merges at offsets 0 and 2,
+# never overlapping) and merged tokens re-appearing as pair members.
+# ---------------------------------------------------------------------------
+
+_bpe_words = st.lists(
+    st.sampled_from(
+        ["aaaa", "aaa", "abab", "aab", "banana", "bananas", "ana", "na",
+         "aa", "ab", "b", "low", "lower", "lowest", "newer", "wider"]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_bpe(words, rounds, top_syms):
+    """Sequential reference BPE: dict word->count, greedy left-to-right
+    re-segmentation with explicit skip-ahead."""
+    from collections import Counter
+
+    wc = Counter(words)
+    segs = {w: list(w) for w in wc}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, syms in segs.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    sc = Counter()
+    for w, syms in segs.items():
+        for s in syms:
+            sc[s] += wc[w]
+    top = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_syms]
+    return merges, [(0, s, "", c) for s, c in top]
+
+
+@_SETTINGS
+@given(words=_bpe_words)
+def test_l88_bpe_equals_reference(spark, words):
+    from graal_cdc_spark.operators.text import bpe_merge_training
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.rnd, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_training(
+            df, "text", rounds=3, vocab_cap=300, top_syms=10
+        ).collect()
+    )
+    merges, top = _ref_bpe(words, rounds=3, top_syms=10)
+    assert got == sorted(merges + top)
