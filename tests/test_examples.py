@@ -109,3 +109,26 @@ def test_silver_evolution_example(spark, tmp_path):
     assert rows[1]["email"] is None and rows[1]["version"] == 1
     assert rows[3]["email"] == "ada@example.com" and rows[3]["version"] == 2
     assert rows[4]["email"] is None and rows[4]["version"] == 1
+
+
+def test_cdc_end_to_end_example(spark, tmp_path):
+    """The composed CDC pipeline (log → parse → silver evolution → ES
+    sink): the wire-level census converges to the log's final op per
+    key, each batch sends exactly one action per live key, and the
+    silver registry carries both schema versions."""
+    from cdc_end_to_end import final_wire_state, run
+
+    lake, wire = run(spark, str(tmp_path))
+
+    assert final_wire_state(wire) == {
+        "u1": "index", "u2": "delete", "u3": "index",
+    }
+    per_batch = {(b, k): a for b, k, a in wire}
+    assert len(wire) == len(per_batch) == 5  # no duplicate (batch, key)
+    assert {
+        (r["tbl"], r["version"]): r["fields"]
+        for r in lake.registry().collect()
+    } == {("users", 1): "id,name", ("users", 2): "email,id,name"}
+    rows = {r["seq"]: r for r in lake.read_silver("appdb", "users").collect()}
+    assert rows[10]["email"] is None and rows[10]["version"] == 1
+    assert rows[40]["email"] == "ada@example.com" and rows[40]["version"] == 2
