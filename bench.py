@@ -4,7 +4,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <suite seconds>, "unit": "sec",
    "sf": <sf>, "n_queries": N, "queries": {"<id>": sec, ...40 slowest},
-   "other_queries_total": sec, "skipped": [...]}
+   "other_queries_total": sec, "skipped": [...],
+   "duckdb_matched_sec": sec, "suite_ratio_matched": x,
+   "spark_warm_matched_sec": sec, "suite_ratio_warm": x}
+
+Protocol: ONE query set for both engines (graal_cdc_spark/benchset.py)
+— the DuckDB comparator runs in this same process right after the
+Spark pass, so both artifacts land under identical machine conditions.
+Every query is timed COLD (headline: includes per-plan Catalyst +
+codegen compile, ~0.3-1.5 s/query) and WARM (immediate re-run —
+marginal execution cost, the number that predicts cluster throughput;
+the compile constant amortizes to nothing over 100 TB). Same
+cold+warm protocol on the DuckDB side.
 
 The "queries" keys are the short query ids — the prefix of the full
 query name before the first underscore ("r01" for
@@ -131,7 +142,23 @@ def main() -> None:
     # value_build_once — ADVICE r6 #1).
     priming_sec = round(time.time() - t_prime, 3)
 
+    # Each query is timed COLD (first run: Catalyst analysis + Janino
+    # whole-stage-codegen compilation + execution) and then WARM
+    # (immediate re-run: the compiled classes are still in the codegen
+    # cache, so this is the marginal execution cost). The headline
+    # stays COLD; the warm suite is the disclosed secondary reading —
+    # the per-plan compile constant (~0.3-1.5 s/query) is ~60% of the
+    # cold suite at sf0.1 but amortizes to noise over 100 TB, so the
+    # warm number is what predicts cluster throughput. The DuckDB
+    # comparator below runs the SAME cold+warm protocol, so both
+    # readings stay like-for-like. Warm re-runs come right after their
+    # cold run (not as a second full pass) because the codegen cache
+    # holds ~100 entries — a 224-query round trip would evict them
+    # and re-measure compilation, not execution. Disable with
+    # SPARK_GRAFT_BENCH_WARM=0.
+    do_warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     t_suite = time.time()
     for name in names:
         t0 = time.time()
@@ -139,7 +166,15 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
-    total = round(time.time() - t_suite, 3)
+        if do_warm:
+            t0 = time.time()
+            specs[name].spark(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            warm[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    warm_total = round(sum(warm.values()), 3) if warm else None
+    wall = round(time.time() - t_suite, 3)
 
     # DuckDB comparator pass — same process, same query set, same
     # machine conditions. The engine ratio is computed over the
@@ -160,7 +195,9 @@ def main() -> None:
         print(f"duckdb comparator failed: {exc!r}", file=sys.stderr)
 
     ratio = None
+    warm_ratio = None
     spark_matched_sec = None
+    warm_matched_sec = None
     if duck is not None:
         matched = set(duck["queries"])
         spark_matched_sec = round(
@@ -168,18 +205,29 @@ def main() -> None:
         )
         if duck["value"] > 0:
             ratio = round(spark_matched_sec / duck["value"], 2)
+        if warm and duck.get("warm_value"):
+            warm_matched_sec = round(
+                sum(t for n, t in warm.items() if n in matched), 3
+            )
+            warm_ratio = round(warm_matched_sec / duck["warm_value"], 2)
 
     full = {
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_queries": warm,
+        "warm_value": warm_total,
+        "wall_sec": wall,
         "sf": float(sf),
         "priming_sec": priming_sec,
         "skipped": skip,
         "duckdb_matched_sec": duck["value"] if duck else None,
+        "duckdb_warm_matched_sec": duck.get("warm_value") if duck else None,
         "spark_matched_sec": spark_matched_sec,
+        "spark_warm_matched_sec": warm_matched_sec,
         "suite_ratio_matched": ratio,
+        "suite_ratio_warm": warm_ratio,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -210,8 +258,13 @@ def main() -> None:
                 "other_queries_total": rest,
                 "skipped": sorted(n.split("_", 1)[0] for n in skip),
                 "duckdb_matched_sec": duck["value"] if duck else None,
+                "duckdb_warm_matched_sec": (
+                    duck.get("warm_value") if duck else None
+                ),
                 "spark_matched_sec": spark_matched_sec,
+                "spark_warm_matched_sec": warm_matched_sec,
                 "suite_ratio_matched": ratio,
+                "suite_ratio_warm": warm_ratio,
                 "full_breakdown": "BENCH_FULL.json",
             },
             separators=(",", ":"),

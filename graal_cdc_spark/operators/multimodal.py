@@ -207,7 +207,7 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL codec leg: BMP (BI_RGB 24-bit), pure numpy — no external image
 # library needed, so this container can run an actual decode path end
-# to end. PIL/cv2-needing formats (JPEG/PNG/...) stay honestly
+# to end. PIL/cv2-needing formats (JPEG/...) stay honestly
 # stubbed above; everything below is a real encoder/decoder pair with
 # strict validation, plus the real resize built on it.
 # ---------------------------------------------------------------------------
@@ -996,6 +996,51 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
             T.StructField("sum_r", T.LongType()),
             T.StructField("sum_g", T.LongType()),
             T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def resize_png_nn(payload: bytes, target_h: int, target_w: int) -> bytes:
+    """REAL nearest-neighbor resize through the COMPRESSED path:
+    inflate + defilter → index-map → refilter + deflate. The PNG
+    sibling of :func:`resize_bmp_nn` — the mm04 stub's real upgrade
+    for a compressed format."""
+    import numpy as np
+
+    if target_h < 1 or target_w < 1:
+        raise ValueError("resize_png_nn: target dims must be >= 1")
+    px = decode_png(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return encode_png(px[ys][:, xs])
+
+
+def png_resize(media: DataFrame, target_h: int, target_w: int) -> DataFrame:
+    """Batch PNG resize: binary-in/binary-out Arrow-batched
+    mapInPandas (the 1→1 heavy-byte transform pattern), every payload
+    re-encoded through the real DEFLATE+filter path. Pixels never
+    leave the Python worker; only (id, payload) rides the stream."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize_png_nn(bytes(p), target_h, target_w)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
     return media.select("media_id", "payload").mapInPandas(run, schema)

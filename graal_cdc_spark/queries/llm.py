@@ -4998,7 +4998,8 @@ _l(
 # decoder (padding, row order, channel order, header fields)
 # hash-fails the gate. This upgrades the multimodal family's codec
 # leg from "deterministic fake" to a real, verifiable format;
-# PIL-needing formats (JPEG/PNG) remain honestly stubbed (mm02–mm04).
+# PIL-needing formats (JPEG/...) remain honestly stubbed (mm02–mm04;
+# PNG is REAL since mm11 — stdlib zlib + numpy defilter).
 #
 # Scale: 1 Arrow-batched mapInPandas over (id, text) — the
 # binary-in/binary-out heavy-byte pattern; no shuffle until the
@@ -5953,7 +5954,7 @@ WITH words AS (
   ORDER BY cnt DESC, word
   LIMIT {cap}
 ),
-seg0 AS (
+seg0 AS MATERIALIZED (
   SELECT word, cnt, CAST(j AS INT) AS i,
          substr(word, CAST(j AS INT), 1) AS sym
   FROM words, unnest(generate_series(1, length(word))) AS t(j)
@@ -5962,12 +5963,12 @@ seg0 AS (
     for r in range(1, rounds + 1):
         parts.append(
             """
-pairs{r} AS (
+pairs{r} AS MATERIALIZED (
   SELECT s1.sym AS a, s2.sym AS b, SUM(s1.cnt) AS c
   FROM seg{p} s1 JOIN seg{p} s2 ON s1.word = s2.word AND s2.i = s1.i + 1
   GROUP BY 1, 2
 ),
-best{r} AS (
+best{r} AS MATERIALIZED (
   SELECT a, b, CAST(c AS BIGINT) AS c
   FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1
 ),
@@ -5977,7 +5978,7 @@ cand{r} AS (
   JOIN seg{p} s2 ON s1.word = s2.word AND s2.i = s1.i + 1
   JOIN best{r} bb ON s1.sym = bb.a AND s2.sym = bb.b
 ),
-keep{r} AS (
+keep{r} AS MATERIALIZED (
   SELECT word, i FROM (
     SELECT word, i, i - MIN(i) OVER (PARTITION BY word, grp) AS off
     FROM (
@@ -5987,7 +5988,7 @@ keep{r} AS (
     ) g
   ) h WHERE off % 2 = 0
 ),
-seg{r} AS (
+seg{r} AS MATERIALIZED (
   SELECT word, cnt,
          CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS INT) AS i,
          sym
@@ -6137,4 +6138,79 @@ _l(
     ivfpq_recall_oracle(),
     ref="SURVEY.md §2.4 ANN family (l80 persisted index + l86 audit "
     "pattern); Jégou et al. 2011 (IVF-ADC)",
+)
+
+
+# ---------------------------------------------------------------------------
+# MM12 — REAL resize through the COMPRESSED path (the mm04 stub's
+# real upgrade): PNG decode (inflate + defilter) → nearest-neighbor
+# index-map → PNG re-encode (refilter + deflate) → decode again for
+# the stats, gated against the oracle's restatement of the resize
+# index arithmetic over the generative pixels. Every pixel of the
+# RESIZED census passes through the compressed codec twice, so a
+# wrong index map, filter, or DEFLATE leg hash-fails.
+#
+# Scale: two binary-in/binary-out Arrow-batched map stages; pixels
+# never shuffle (the 1→1 heavy-byte transform pattern of mm04, now
+# with a real codec inside).
+# ---------------------------------------------------------------------------
+
+_MM12_TH, _MM12_TW = 3, 5
+
+
+def _mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        documents_as_png,
+        png_decode_stats,
+        png_resize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
+    )
+    media = png_resize(documents_as_png(docs), _MM12_TH, _MM12_TW)
+    return png_decode_stats(media).orderBy("media_id")
+
+
+def _mm12_channel_sum(c: int) -> str:
+    # resized pixel (y, x, ch) = orig((y*h)//th, (x*w)//tw, ch);
+    # orig(row, col, ch) = ascii(text[((row*w + col)*3 + ch) % len]) % 256
+    return (
+        "CAST(list_sum(flatten(list_transform("
+        f"generate_series(0, {_MM12_TH - 1}), "
+        "y -> list_transform("
+        f"generate_series(0, {_MM12_TW - 1}), "
+        f"x -> ascii(substr(text, CAST((((y * height) // {_MM12_TH}) * width "
+        f"+ ((x * width) // {_MM12_TW})) * 3 + {c} AS INT) % len + 1, 1))"
+        " % 256)))) AS BIGINT)"
+    )
+
+
+_l(
+    "mm12_png_resize_census",
+    "real resize through the compressed codec: PNG decode -> "
+    "nearest-neighbor index map -> PNG re-encode -> decoded census of "
+    "the resized image vs the oracle's restatement of the index "
+    "arithmetic",
+    _mm12,
+    f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 4 AS INT) AS height,
+         CAST(4 + doc_id % 3 AS INT) AS width,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       CAST({_MM12_TH} AS INT) AS height,
+       CAST({_MM12_TW} AS INT) AS width,
+       {_mm12_channel_sum(0)} AS sum_r,
+       {_mm12_channel_sum(1)} AS sum_g,
+       {_mm12_channel_sum(2)} AS sum_b
+FROM d
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (mm04 stub -> real compressed "
+    "transform); RFC 2083 PNG + nearest-neighbor index map",
 )

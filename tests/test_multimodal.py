@@ -356,3 +356,21 @@ def test_documents_as_png_payloads_decode(spark):
         px = decode_png(bytes(r.payload)).reshape(-1, 3).sum(axis=0)
         s = stats[r.media_id]
         assert (s.sum_r, s.sum_g, s.sum_b) == tuple(int(x) for x in px)
+
+
+def test_png_resize_nn_matches_numpy_reference():
+    from graal_cdc_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_png_nn,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w), (th, tw) in [((7, 6), (3, 5)), ((4, 4), (8, 8)), ((1, 1), (2, 3))]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_png(resize_png_nn(encode_png(px), th, tw))
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        assert (out == px[ys][:, xs]).all()
+    with pytest.raises(ValueError, match="target dims"):
+        resize_png_nn(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)), 0, 3)
