@@ -45,6 +45,11 @@ BENCH_SKIP: dict[str, str] = {
     # l12/l33/l78
     "l80_ivfpq_probe": "index build+publish lifecycle, not query-shaped",
     "l89_ivfpq_recall_audit": "rides the l80 index build+publish lifecycle",
+    "c27_log_compaction_census": (
+        "log write+compact+rewrite lifecycle through the Python "
+        "datasource (filesystem-bound); the in-plane compaction cost "
+        "is benched as c06"
+    ),
 }
 
 

@@ -1527,3 +1527,127 @@ ORDER BY tbl
         "ElasticsearchUtils.java:131-177 (upsert/delete semantics)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C27 — log compaction / retention census: the END-TO-END file
+# lifecycle of `compact_log` (distributed log read → latest-by-key
+# head collapse with tombstone retention → staged-commit rewrite →
+# atomic directory swap → re-read through the same connector), gated
+# on the post-compaction log CONTENT. The oracle restates the
+# retention contract declaratively over the same envelope slice:
+# head (seq <= boundary) keeps exactly its latest record per key —
+# whatever kind that record is, tombstone and DDL included — and the
+# tail survives verbatim. Any error in the rewrite (lost segment,
+# double-published partition, boundary off-by-one, head row that
+# escaped compaction) changes a census cell.
+#
+# Scale: this is the operation that BOUNDS replay storage at 100 TB —
+# the head converges to O(live keys) while the tail stays a faithful
+# recent history. The reference's Chronicle Queue rolls hourly but
+# never compacts (DebeziumEngineRecordHandler.java:89-93); its disk
+# grows without bound.
+# ---------------------------------------------------------------------------
+
+
+def _c27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sources import cdc_log_ds as DS
+
+    configure(spark)
+    DS.register(spark)
+    raw = build_cdc_events(spark, sf_dir).filter(
+        (F.col("seq") % 10 <= 2) & F.expr("(seq div 10) % 4 = 0")
+    )
+    log = tempfile.mkdtemp(prefix="c27-log-") + "/log"
+    raw.write.format("graal_cdc_log").mode("append").save(log)
+
+    # deterministic retention boundary: 60% of the max seq (1-row
+    # bounded collect — the same class as scalar min/max metadata)
+    upto = raw.agg(
+        (F.max("seq") * 6 / F.lit(10)).cast("long").alias("u")
+    ).collect()[0].u
+    DS.compact_log(spark, log, upto)
+
+    relog = spark.read.format("graal_cdc_log").load(log)
+    op = F.get_json_object("value", "$.payload.op")
+    kind = (
+        F.when(F.col("value").isNull(), F.lit("tombstone"))
+        .when(
+            F.get_json_object("value", "$.payload.ddl").isNotNull(),
+            F.lit("ddl"),
+        )
+        .when(op.isin("c", "u", "d", "r"), op)
+        .otherwise(F.lit("other"))
+    )
+    return (
+        relog.withColumn("kind", kind)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.sum((F.col("seq") <= upto).cast("long")).alias("n_head"),
+            F.sum((F.col("seq") > upto).cast("long")).alias("n_tail"),
+        )
+        .orderBy("kind")
+    )
+
+
+register(
+    QuerySpec(
+        name="c27_log_compaction_census",
+        category="cdc",
+        description="log compaction/retention lifecycle: distributed "
+        "rewrite with latest-per-key head + verbatim tail, gated on "
+        "the re-read post-compaction log content per record kind",
+        spark=_c27,
+        oracle=cdc_events_cte()
+        + """
+, sliced AS (
+  SELECT seq, key, value FROM cdc_events
+  WHERE seq % 10 <= 2 AND (seq // 10) % 4 = 0
+),
+bound AS (
+  SELECT CAST(max(seq) * 6 / 10 AS BIGINT) AS u FROM sliced
+),
+head AS (
+  SELECT s.seq, s.key, s.value
+  FROM (
+    SELECT seq, key, value,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM sliced, bound WHERE seq <= bound.u
+  ) s WHERE s.rn = 1
+),
+tail AS (
+  SELECT seq, key, value FROM sliced, bound WHERE seq > bound.u
+),
+log AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+kinds AS (
+  SELECT seq, key,
+         CASE
+           WHEN value IS NULL THEN 'tombstone'
+           WHEN json_extract(value, '$.payload.ddl') IS NOT NULL THEN 'ddl'
+           WHEN json_extract_string(value, '$.payload.op')
+                IN ('c','u','d','r')
+             THEN json_extract_string(value, '$.payload.op')
+           ELSE 'other'
+         END AS kind
+  FROM log
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN seq <= (SELECT u FROM bound) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_head,
+       CAST(SUM(CASE WHEN seq > (SELECT u FROM bound) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tail
+FROM kinds
+GROUP BY kind
+ORDER BY kind
+""",
+        reference="DebeziumEngineRecordHandler.java:89-93 (queue "
+        "roll, no compaction); Kafka log-compaction semantics "
+        "(latest-per-key + tombstone retention)",
+    )
+)

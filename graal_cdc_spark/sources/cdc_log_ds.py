@@ -470,3 +470,81 @@ class CdcLogDataSource(DataSource):
 def register(spark) -> None:
     """Register the source with a session (idempotent)."""
     spark.dataSource.register(CdcLogDataSource)
+
+
+def compact_log(
+    spark, path: str, upto_seq: int, drop_keyless_head: bool = True
+) -> None:
+    """Kafka-style log compaction with a retention boundary: records
+    with ``seq <= upto_seq`` collapse to the LATEST record per key
+    (tombstones included — a key whose final head record is a
+    tombstone keeps exactly that tombstone, so late joiners still see
+    the delete); records with ``seq > upto_seq`` are retained
+    verbatim. This is the operation that keeps replay storage BOUNDED
+    at 100 TB: the head of the log converges to O(live keys) while
+    the tail stays a faithful recent history. The reference's
+    Chronicle Queue rolls segments hourly but never compacts
+    (``DebeziumEngineRecordHandler.java:89-93``) — its disk grows
+    without bound; this closes that gap.
+
+    ``drop_keyless_head``: keyless records cannot be compacted (no
+    identity) — Kafka refuses them on compacted topics; we drop them
+    from the HEAD only (the tail keeps everything, so recent keyless
+    diagnostics survive until the boundary passes them).
+
+    Execution shape: one distributed batch read of the log, one
+    latest-by-key shuffle over the head slice, one distributed
+    staged-commit write of the new log — no data ever passes through
+    the driver. The directory swap is two renames with a crash-repair
+    preamble (the log is a LOCAL disk queue in the reference's
+    deployment shape, so plain ``os.rename`` is the atomic unit; a
+    crash between the renames leaves ``<path>.compact-old`` holding
+    the complete previous log, which the next call restores before
+    doing anything else).
+
+    Consumers' checkpointed stream offsets reference the OLD segment
+    files — compaction is an offline retention operation: run it when
+    tailers are parked, then restart them (their downstream state is
+    keyed/idempotent, so replay from the compacted log converges —
+    the Q3 at-least-once contract).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.cdc.compaction import latest_by_key
+
+    old = path.rstrip("/") + ".compact-old"
+    tmp = path.rstrip("/") + ".compact-tmp"
+    # crash repair: a previous run that died between its two renames
+    # left the complete old log at <path>.compact-old and possibly no
+    # <path> — restore before anything else
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    df = spark.read.format("graal_cdc_log").load(path)
+    head = df.filter(F.col("seq") <= F.lit(upto_seq))
+    if drop_keyless_head:
+        head = head.filter(F.col("key").isNotNull())
+    compacted = latest_by_key(head, ["key"], "seq").select(
+        "seq", "key", "value"
+    )
+    tail = df.filter(F.col("seq") > F.lit(upto_seq))
+    out = compacted.unionByName(tail)
+    # distributed staged-commit write into the NEW directory; range
+    # partitioning keeps each output segment a contiguous seq band
+    # (cosmetic for humans — replay order comes from seq downstream)
+    n_par = max(2, spark.sparkContext.defaultParallelism // 4)
+    (
+        out.repartitionByRange(n_par, "seq")
+        .sortWithinPartitions("seq")
+        .write.format("graal_cdc_log")
+        .mode("append")
+        .save(tmp)
+    )
+    os.makedirs(tmp, exist_ok=True)  # an all-empty write stages no files
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -153,6 +153,13 @@ PROBES = [
     "l86_ann_recall_audit",
     "l87_bloom_dedup_probe",
     "mm10_bmp_channel_histogram",
+    # round 8 (iterative BPE over the capped vocab table, compressed
+    # codec round-trip + resize, persisted-index recall join)
+    "l88_bpe_merge_training",
+    "mm11_png_roundtrip_census",
+    "mm12_png_resize_census",
+    "l89_ivfpq_recall_audit",
+    "c27_log_compaction_census",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by

@@ -390,3 +390,68 @@ def test_stream_writer_cleans_empty_partition_staging(tmp_path):
     w.commit([empty, full], batchId=0)
     assert not os.listdir(os.path.join(log, ".staging"))
     assert len(DS._segments(log)) == 1
+
+
+# --- compact_log: Kafka-style retention over the segment log ---
+
+
+def _read_all(spark, log):
+    return {
+        (r.seq, r.key, r.value)
+        for r in spark.read.format("graal_cdc_log").load(log).collect()
+    }
+
+
+def test_compact_log_latest_per_key_head_verbatim_tail(spark, log_dir):
+    DS.append_segment(log_dir, [
+        (1, "a", "a1"), (2, "b", "b1"), (3, "a", "a2"),
+    ], seal=True)
+    DS.append_segment(log_dir, [
+        (4, "b", None),          # tombstone is b's latest head record
+        (5, "c", "c1"),
+        (6, "a", "a3"), (7, "c", "c2"),  # tail: kept verbatim
+    ], seal=True)
+    DS.compact_log(spark, log_dir, upto_seq=5)
+    assert _read_all(spark, log_dir) == {
+        (3, "a", "a2"),   # a's latest head survives
+        (4, "b", None),   # tombstone RETAINED (late joiners see delete)
+        (5, "c", "c1"),
+        (6, "a", "a3"), (7, "c", "c2"),
+    }
+    # idempotent: compacting again at the same boundary is a no-op
+    DS.compact_log(spark, log_dir, upto_seq=5)
+    assert len(_read_all(spark, log_dir)) == 5
+
+
+def test_compact_log_drops_keyless_head_keeps_keyless_tail(spark, log_dir):
+    DS.append_segment(log_dir, [
+        (1, None, "junk-head"), (2, "a", "a1"),
+        (3, None, "junk-tail"), (4, "a", "a2"),
+    ], seal=True)
+    DS.compact_log(spark, log_dir, upto_seq=2)
+    assert _read_all(spark, log_dir) == {
+        (2, "a", "a1"), (3, None, "junk-tail"), (4, "a", "a2"),
+    }
+
+
+def test_compact_log_crash_repair_restores_old_log(spark, log_dir):
+    import shutil
+
+    DS.append_segment(log_dir, [(1, "a", "a1"), (2, "a", "a2")], seal=True)
+    before = _read_all(spark, log_dir)
+    # simulate a crash between the two renames: the old log was moved
+    # aside and the new one never landed
+    shutil.move(log_dir, log_dir + ".compact-old")
+    DS.compact_log(spark, log_dir, upto_seq=2)
+    assert _read_all(spark, log_dir) == {(2, "a", "a2")}
+    assert not os.path.isdir(log_dir + ".compact-old")
+    assert before == {(1, "a", "a1"), (2, "a", "a2")}
+
+
+def test_compact_log_roundtrips_envelope_json(spark, log_dir):
+    """Values survive the rewrite byte-identically (JSON strings with
+    quotes/unicode) — the rewrite must not re-encode payloads."""
+    v = '{"payload":{"op":"c","after":{"x":"q\\"uoteé"}}}'
+    DS.append_segment(log_dir, [(1, "k", v), (2, "k", v)], seal=True)
+    DS.compact_log(spark, log_dir, upto_seq=2)
+    assert _read_all(spark, log_dir) == {(2, "k", v)}
