@@ -60,6 +60,9 @@ _BNLJ_OK = {
     "l86_ann_recall_audit",
     # l87 cross-broadcasts the 1-row Bloom set-bit array
     "l87_bloom_dedup_probe",
+    # round 8: l89's exact side broadcasts the bounded n_queries batch
+    # onto one corpus scan (the l04/l86 shape)
+    "l89_ivfpq_recall_audit",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
