@@ -1,0 +1,102 @@
+"""Mergeable frequency sketches — the filter-then-verify pattern for
+frequent items at sizes a full groupBy can't afford to keep.
+
+Misra–Gries (1982) is the deterministic heavy-hitters summary: a
+capacity-``k`` counter map whose survivors are guaranteed to include
+EVERY item with frequency > n/(k+1). Summaries are mergeable with the
+same guarantee (Agarwal et al. 2012, "Mergeable summaries"), so the
+distributed shape is: one MG summary per partition (map-side, bounded
+memory), union the tiny survivor sets as CANDIDATES, then verify with
+exact counts of candidates only — the same candidate-generation /
+exact-verification asymmetry as MinHash-LSH (l06→l13) and the Bloom
+probe (l87). The final answer is EXACT: the sketch only bounds what
+must be counted, never what is reported.
+
+Scale shape: the sketch pass is map-only with O(k) state per
+partition; the candidate set is ≤ k × partitions rows (broadcastable);
+the exact verify counts ONLY candidate occurrences (semi-join before
+the aggregate), so the one corpus-sized shuffle carries just the
+heavy-hitter stream, not the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def misra_gries_summaries(
+    tokens: DataFrame, token_col: str, k: int
+) -> DataFrame:
+    """One capacity-``k`` Misra–Gries summary per partition.
+
+    Returns (token, weight) — the per-partition survivor sets, each at
+    most ``k`` rows. Batches are pre-aggregated with a vectorized
+    ``value_counts`` and MG-MERGED into the running summary (add
+    counts; if more than ``k`` survive, subtract the (k+1)-th largest
+    weight from all and drop the non-positive) — the Agarwal et al.
+    merge, which preserves the undercount bound, instead of a
+    per-token Python loop.
+    """
+    if k < 1:
+        raise ValueError("misra_gries_summaries: k must be >= 1")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf[token_col].value_counts()
+            combined = summary.add(counts, fill_value=0).astype("int64")
+            if len(combined) > k:
+                # subtract the (k+1)-th largest weight from everything,
+                # keep strictly-positive survivors (<= k of them)
+                cut = combined.nlargest(k + 1).iloc[-1]
+                combined = combined - cut
+                combined = combined[combined > 0]
+            summary = combined
+        yield pd.DataFrame(
+            {"token": summary.index.astype(str), "weight": summary.values}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("weight", T.LongType()),
+        ]
+    )
+    return tokens.select(F.col(token_col).cast("string").alias(token_col)).mapInPandas(
+        run, schema
+    )
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, token_col: str, k: int
+) -> DataFrame:
+    """EXACT frequent items via MG-candidates + exact verification.
+
+    Returns every token whose exact count satisfies
+    ``cnt * (k+1) > n_total`` (i.e. frequency > n/(k+1) — the MG
+    guarantee threshold, compared in integers so no division rounds),
+    as (token, cnt, n_total). Guaranteed complete: a token above the
+    global threshold is above the per-partition threshold in at least
+    one partition (pigeonhole), so it survives that partition's
+    summary and reaches the verify stage.
+    """
+    toks = tokens.select(F.col(token_col).alias("token"))
+    cands = (
+        misra_gries_summaries(toks, "token", k).select("token").distinct()
+    )
+    # candidates are <= k x partitions rows — broadcast the semi-join
+    # so the exact count only shuffles candidate occurrences
+    hits = toks.join(F.broadcast(cands), "token", "left_semi")
+    counts = hits.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )

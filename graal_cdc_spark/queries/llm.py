@@ -6214,3 +6214,72 @@ ORDER BY media_id
     ref="SURVEY.md §2.4 MM family (mm04 stub -> real compressed "
     "transform); RFC 2083 PNG + nearest-neighbor index map",
 )
+
+
+# ---------------------------------------------------------------------------
+# L90 — Misra–Gries heavy hitters with EXACT verification: the
+# deterministic frequent-items sketch (one capacity-k summary per
+# partition, map-side bounded memory; Agarwal et al. mergeable-
+# summaries merge per Arrow batch) generates candidates, and exact
+# counts of candidates-only produce the answer — the filter-then-
+# verify asymmetry of l06/l87 applied to frequency. The reported set
+# is EXACT (every token with freq > n/(k+1), compared in integers as
+# cnt*(k+1) > n), so the oracle is the plain exact SQL; a sketch that
+# ever dropped a true heavy hitter would hash-fail. Stream: char
+# trigrams (377 distinct at the fixture — well above the k=60
+# capacity, so evictions actually happen; the near-uniform word vocab
+# would never evict).
+#
+# Scale: the sketch pass is map-only with O(k) state; candidates are
+# <= k x partitions (broadcast); the one corpus-sized shuffle carries
+# only candidate occurrences (semi-join before the aggregate) — the
+# full-vocabulary groupBy this replaces is exactly what you cannot
+# afford when the vocabulary is data-sized (URLs, n-grams) at 100 TB.
+# ---------------------------------------------------------------------------
+
+_L90_K = 60
+
+
+def _l90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "j -> substring(text, j, 3))"
+            )
+        ).alias("g")
+    )
+    return heavy_hitters_exact(grams, "g", _L90_K).orderBy(
+        F.desc("cnt"), "token"
+    )
+
+
+_l(
+    "l90_heavy_hitters_sketch",
+    "Misra-Gries heavy hitters over char trigrams: per-partition "
+    "capacity-60 summaries -> broadcast candidates -> exact verify; "
+    "reported set is exact (cnt*(k+1) > n in integers)",
+    _l90,
+    f"""
+WITH toks AS (
+  SELECT substr(text, CAST(j AS INT), 3) AS token
+  FROM documents, unnest(generate_series(1, length(text) - 2)) t(j)
+  WHERE length(text) >= 3
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+)
+SELECT token, cnt, n_total
+FROM counts, tot
+WHERE cnt * {_L90_K + 1} > n_total
+ORDER BY cnt DESC, token
+""",
+    ref="SURVEY.md §2.4 sketch family (l14 HLL, l87 Bloom); "
+    "Misra-Gries 1982; Agarwal et al. 2012 mergeable summaries",
+)

@@ -528,9 +528,13 @@ def compact_log(
     head = df.filter(F.col("seq") <= F.lit(upto_seq))
     if drop_keyless_head:
         head = head.filter(F.col("key").isNotNull())
-    compacted = latest_by_key(head, ["key"], "seq").select(
-        "seq", "key", "value"
-    )
+    # tiebreak on value: an at-least-once producer can re-append the
+    # same (key, seq) — usually byte-identical, but if a violating
+    # producer wrote different values the survivor is still
+    # deterministic instead of partition-order-dependent
+    compacted = latest_by_key(
+        head, ["key"], "seq", tiebreak_cols=["value"]
+    ).select("seq", "key", "value")
     tail = df.filter(F.col("seq") > F.lit(upto_seq))
     out = compacted.unionByName(tail)
     # distributed staged-commit write into the NEW directory; range

@@ -982,3 +982,55 @@ def test_l88_bpe_equals_reference(spark, words):
     )
     merges, top = _ref_bpe(words, rounds=3, top_syms=10)
     assert got == sorted(merges + top)
+
+
+# ---------------------------------------------------------------------------
+# l90 Misra-Gries: heavy_hitters_exact must equal the naive exact
+# answer for ANY stream (the sketch is only a candidate generator —
+# dropping a true heavy hitter would change the result), and each
+# per-partition summary must respect the capacity bound.
+# ---------------------------------------------------------------------------
+
+_mg_streams = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=120,
+)
+
+
+@_SETTINGS
+@given(toks=_mg_streams, k=st.integers(min_value=1, max_value=5))
+def test_l90_heavy_hitters_equals_exact(spark, toks, k):
+    from collections import Counter
+
+    from graal_cdc_spark.operators.sketch import heavy_hitters_exact
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = sorted(
+        (r.token, r.cnt)
+        for r in heavy_hitters_exact(df, "token", k).collect()
+    )
+    n = len(toks)
+    exp = sorted(
+        (t, c) for t, c in Counter(toks).items() if c * (k + 1) > n
+    )
+    assert got == exp
+
+
+def test_l90_mg_summary_capacity_and_superset(spark):
+    """A deliberately skewed single-partition stream: the summary
+    stays within capacity AND keeps every above-threshold token."""
+    from graal_cdc_spark.operators.sketch import misra_gries_summaries
+
+    # 1000 x 'hot', 400 x 'warm', 120 distinct cold tokens x 3
+    toks = (
+        ["hot"] * 1000 + ["warm"] * 400
+        + [f"cold{i}" for i in range(120) for _ in range(3)]
+    )
+    df = spark.createDataFrame([(t,) for t in toks], "t string").coalesce(1)
+    rows = misra_gries_summaries(df, "t", k=10).collect()
+    assert len(rows) <= 10
+    survivors = {r.token for r in rows}
+    n = len(toks)
+    for tok, cnt in (("hot", 1000), ("warm", 400)):
+        assert cnt * 11 > n and tok in survivors
