@@ -61,8 +61,10 @@ _BNLJ_OK = {
     # l87 cross-broadcasts the 1-row Bloom set-bit array
     "l87_bloom_dedup_probe",
     # round 8: l89's exact side broadcasts the bounded n_queries batch
-    # onto one corpus scan (the l04/l86 shape)
+    # onto one corpus scan (the l04/l86 shape); l90 cross-joins the
+    # 1-row corpus-total aggregate (the l84/l85 shape)
     "l89_ivfpq_recall_audit",
+    "l90_heavy_hitters_sketch",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
