@@ -141,3 +141,33 @@ def merge_registry(existing: DataFrame, fresh: DataFrame) -> DataFrame:
         )
     )
     return known.unionByName(new)
+
+
+def schema_as_of(parsed: DataFrame, probe_seqs) -> DataFrame:
+    """Point-in-time schema read: for each probe seq, the ACTIVE
+    version per (db, tbl) — the latest version whose ``first_seq`` is
+    at or before the probe (backward as-of over the registry). This is
+    the lookup a consumer uses to interpret an OLD slice of the log:
+    "which layout were users rows written under at seq S?".
+
+    ``probe_seqs`` is a bounded list of (probe_id, seq) pairs —
+    control-plane metadata, never data-sized. The registry itself is
+    bounded by distinct-schema count, so the as-of is one broadcast
+    join + a window over probes × registry rows.
+    """
+    spark = parsed.sparkSession
+    reg = schema_versions(parsed)
+    probes = spark.createDataFrame(
+        list(probe_seqs), "probe_id INT, as_of_seq BIGINT"
+    )
+    w = Window.partitionBy("probe_id", "db", "tbl").orderBy(
+        F.col("first_seq").desc(), F.col("version").desc()
+    )
+    return (
+        probes.join(
+            F.broadcast(reg), F.col("first_seq") <= F.col("as_of_seq")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("probe_id", "as_of_seq", "db", "tbl", "version", "fields")
+    )

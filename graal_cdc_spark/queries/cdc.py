@@ -1651,3 +1651,106 @@ ORDER BY kind
         "(latest-per-key + tombstone retention)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C28 — schema AS-OF lookup: the point-in-time read of the c23
+# control table (which layout was table T written under at seq S?) —
+# what a consumer interpreting an OLD log slice, a backfill job, or a
+# point-in-time restore (c10) asks before touching the rows. Probe
+# seqs are the even deciles of the log's seq range (deterministic on
+# both engines); for each probe, the active version per (db, tbl) is
+# the latest registry entry whose first appearance is at or before
+# the probe — the backward as-of of r09, applied to the control
+# plane.
+#
+# Scale: probes and the registry are both control-plane-bounded; the
+# only corpus-sized work is c23's one (db, tbl, fields) aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _c28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.cdc.schema_registry import schema_as_of
+
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0].m
+    # the fixture's after-image carries ONE field-set, which would make
+    # any as-of trivially v1 — synthesize the DDL moment by appending a
+    # field to every late event (seq past 60% of the range), exactly
+    # like a column added mid-stream; the oracle restates the same
+    # string surgery, so the 2-version registry is derived identically
+    boundary = mx * 6 // 10
+    evolved = parsed.withColumn(
+        "after_json",
+        F.when(
+            (F.col("seq") > boundary)
+            & F.col("after_json").isNotNull()
+            & (F.col("after_json") != "null"),
+            F.regexp_replace(
+                "after_json", r"\}$", ',"zz_added":"1"}'
+            ),
+        ).otherwise(F.col("after_json")),
+    )
+    probes = [(i, mx * i // 10) for i in (2, 4, 6, 8, 10)]
+    return schema_as_of(evolved, probes).orderBy(
+        "probe_id", "db", "tbl"
+    )
+
+
+register(
+    QuerySpec(
+        name="c28_schema_as_of",
+        category="cdc",
+        description="point-in-time schema lookup: active version per "
+        "(db, tbl) at each probe seq (backward as-of over the c23 "
+        "registry)",
+        spark=_c28,
+        oracle=cdc_parsed_cte()
+        + """
+, bnd AS (
+  SELECT CAST(max(seq) * 6 // 10 AS BIGINT) AS b FROM cdc_parsed
+),
+evid AS (
+  SELECT c.db, c.tbl, c.seq,
+         list_aggr(list_sort(json_keys(e.value, '$.payload.after')),
+                   'string_agg', ',')
+         || CASE WHEN c.seq > (SELECT b FROM bnd)
+                 THEN ',zz_added' ELSE '' END AS fields
+  FROM cdc_parsed c JOIN cdc_events e USING (seq)
+  WHERE c.op <> 'd'
+    AND json_extract(e.value, '$.payload.after') IS NOT NULL
+    AND json_extract(e.value, '$.payload.after') != 'null'
+),
+per_schema AS (
+  SELECT db, tbl, coalesce(fields, '') AS fields,
+         min(seq) AS first_seq
+  FROM evid GROUP BY 1, 2, 3
+),
+reg AS (
+  SELECT db, tbl,
+         CAST(row_number() OVER (PARTITION BY db, tbl
+                                 ORDER BY first_seq, fields)
+              AS INT) AS version,
+         fields, first_seq
+  FROM per_schema
+),
+probes AS (
+  SELECT CAST(i AS INT) AS probe_id,
+         CAST(max(seq) * i // 10 AS BIGINT) AS as_of_seq
+  FROM cdc_parsed, (SELECT unnest([2, 4, 6, 8, 10]) AS i) g
+  GROUP BY i
+)
+SELECT probe_id, as_of_seq, db, tbl, version, fields
+FROM (
+  SELECT p.probe_id, p.as_of_seq, r.db, r.tbl, r.version, r.fields,
+         row_number() OVER (PARTITION BY p.probe_id, r.db, r.tbl
+                            ORDER BY r.first_seq DESC, r.version DESC)
+           AS rn
+  FROM probes p JOIN reg r ON r.first_seq <= p.as_of_seq
+) t WHERE rn = 1
+ORDER BY probe_id, db, tbl
+""",
+        reference="DebeziumEngineManager.java:91-120 (schema history); "
+        "SURVEY.md §1.4 + R09 as-of pattern on the control plane",
+    )
+)

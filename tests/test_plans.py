@@ -65,6 +65,9 @@ _BNLJ_OK = {
     # 1-row corpus-total aggregate (the l84/l85 shape)
     "l89_ivfpq_recall_audit",
     "l90_heavy_hitters_sketch",
+    # c28's as-of is a range join between the 5-row probe list and the
+    # broadcast registry (both control-plane-bounded)
+    "c28_schema_as_of",
 }
 
 # Declared Python-runtime surface (U1 parity — the analog of the
