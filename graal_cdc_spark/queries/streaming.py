@@ -778,3 +778,87 @@ register(
         "DebeziumEngineRecordHandler.java:89-93 segment replay",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST18 — streaming heavy hitters: the batch twin of
+# ``running_heavy_hitters`` (streaming/stateful.py — one capacity-k
+# Misra–Gries summary per md5 hash bucket, maintained across
+# micro-batches in applyInPandasWithState state). The twin is the
+# EXACT per-bucket frequent-items answer the sketch's survivor set is
+# guaranteed to contain (bucket frequency > n_bucket/(k+1), compared
+# in integers) — the same exact-verify contract as l90, bucketed the
+# way the streaming operator keys its state. The streaming goldens
+# (tests/test_stateful_hh.py) assert the survivor-superset guarantee,
+# the O(k) state bound, and chunked-replay determinism against this
+# twin's semantics.
+#
+# Stream: char trigrams of the events ``props`` payload — JSON
+# structure makes it genuinely skewed (the '{"k' family dominates),
+# and 44–59 distinct trigrams per bucket vs capacity 8 means the MG
+# state actually evicts.
+# ---------------------------------------------------------------------------
+
+_ST18_K, _ST18_BUCKETS = 8, 4
+
+
+def _st18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.length("props") >= 3)
+    toks = ev.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(props) - 2), "
+                "j -> substring(props, j, 3))"
+            )
+        ).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
+        % F.lit(_ST18_BUCKETS)
+    ).cast("int")
+    b = toks.select(bucket.alias("bucket"), "token")
+    counts = b.groupBy("bucket", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return (
+        counts.join(F.broadcast(totals), "bucket")
+        .filter(F.col("cnt") * (_ST18_K + 1) > F.col("n_bucket"))
+        .select("bucket", "token", "cnt", "n_bucket")
+        .orderBy("bucket", F.desc("cnt"), "token")
+    )
+
+
+register(
+    QuerySpec(
+        name="st18_streaming_heavy_hitters",
+        category="streaming",
+        description="per-bucket exact heavy hitters — batch twin of "
+        "the applyInPandasWithState Misra-Gries streaming operator "
+        "(md5 bucket keying, integer threshold)",
+        spark=_st18,
+        oracle=f"""
+WITH toks AS (
+  SELECT substr(props, CAST(j AS INT), 3) AS token
+  FROM events, unnest(generate_series(1, length(props) - 2)) t(j)
+  WHERE length(props) >= 3
+),
+b AS (
+  SELECT token,
+         (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1)
+           % {_ST18_BUCKETS} AS bucket
+  FROM toks
+),
+bt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_bucket
+       FROM b GROUP BY bucket),
+c AS (SELECT bucket, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bucket, token)
+SELECT CAST(c.bucket AS INT) AS bucket, c.token, c.cnt, bt.n_bucket
+FROM c JOIN bt USING (bucket)
+WHERE c.cnt * {_ST18_K + 1} > bt.n_bucket
+ORDER BY bucket, cnt DESC, token
+""",
+        reference="SURVEY.md §2.2 (extension; custom stateful "
+        "operator); Misra-Gries 1982 over streaming state",
+    )
+)

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key STRING, seq BIGINT, op STRING"
@@ -418,6 +419,101 @@ def running_capped_balance(events: DataFrame, cap: int) -> DataFrame:
             _ledger_update(cap),
             outputStructType=LEDGER_OUTPUT_SCHEMA,
             stateStructType=_LEDGER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (Misra–Gries per hash bucket)
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "bucket INT, token STRING, weight BIGINT, emit BIGINT"
+_HH_STATE_SCHEMA = "tokens ARRAY<STRING>, weights ARRAY<BIGINT>, emit BIGINT"
+
+
+def _hh_update(k: int):
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            toks, ws, emit = state.get
+            summary = pd.Series(
+                list(ws), index=list(toks), dtype="int64"
+            )
+        else:
+            summary, emit = pd.Series(dtype="int64"), 0
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            changed = True
+            counts = pdf["token"].value_counts()
+            combined = summary.add(counts, fill_value=0).astype("int64")
+            if len(combined) > k:
+                # mergeable-summaries merge: subtract the (k+1)-th
+                # largest weight, keep strictly-positive survivors
+                cut = combined.nlargest(k + 1).iloc[-1]
+                combined = combined - cut
+                combined = combined[combined > 0]
+            summary = combined
+        if not changed:
+            return
+        emit += 1
+        state.update(
+            (
+                [str(t) for t in summary.index],
+                [int(v) for v in summary.values],
+                emit,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(summary),
+                "token": summary.index.astype(str),
+                "weight": summary.values,
+                "emit": [emit] * len(summary),
+            }
+        )
+
+    return update
+
+
+def running_heavy_hitters(
+    tokens: DataFrame, k: int = 8, n_buckets: int = 4
+) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters (custom stateful operator —
+    the streaming leg of ``operators/sketch.py``): tokens hash into
+    ``n_buckets`` groups via the engine-portable md5 bucket family,
+    and each group maintains ONE capacity-``k`` MG summary across
+    micro-batches, re-emitting its current survivor set per trigger
+    stamped with an ``emit`` counter (consumers keep the max-emit set
+    per bucket; replays re-emit but never regress).
+
+    Guarantee carried across batches: the MG merge never undercounts
+    any token by more than (bucket stream length)/(k+1), so every
+    token with bucket frequency > n_bucket/(k+1) is IN the survivor
+    set at end-of-stream — the candidate-generation contract the
+    exact-verify stage (batch: ``heavy_hitters_exact``; streaming: a
+    foreachBatch count of candidates) relies on.
+
+    Scale: state is O(k) per bucket no matter the stream length or
+    vocabulary size — the point of the sketch; the alternative
+    (streaming groupBy count per token) keeps data-sized state.
+    """
+    # first hex digit of md5(token), mod n_buckets — the portable md5
+    # bucket family (Spark: conv base-16; DuckDB twin: strpos over the
+    # hex alphabet — same integer)
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
+        % F.lit(n_buckets)
+    ).cast("int")
+    return (
+        tokens.select(bucket.alias("bucket"), F.col("token"))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _hh_update(k),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -161,6 +161,7 @@ PROBES = [
     "l89_ivfpq_recall_audit",
     "c27_log_compaction_census",
     "l90_heavy_hitters_sketch",
+    "st18_streaming_heavy_hitters",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by

@@ -1592,3 +1592,86 @@ def test_windowed_histogram_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     want = windowed_value_histogram(events)
     assert _rows(spark, got) == _rows(spark, want)
+
+
+def test_running_heavy_hitters_stream_superset_and_bounded(
+    spark, sf_dir, tmp_path
+):
+    """ST18: the streaming Misra-Gries operator, replayed in TWO
+    micro-batches (cross-batch MG merge in applyInPandasWithState
+    state), keeps per-bucket state within capacity AND its final
+    survivor set contains EVERY exact per-bucket heavy hitter — the
+    candidate-generation guarantee the exact-verify stage relies on.
+    Replaying the same chunking reproduces the same survivors
+    (deterministic merge)."""
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.streaming.stateful import running_heavy_hitters
+
+    K, B = 8, 4
+    events = load_table(spark, sf_dir, "events").filter(
+        F.length("props") >= 3
+    )
+    toks = events.select(
+        "event_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(props) - 2), "
+                "j -> substring(props, j, 3))"
+            )
+        ).alias("token"),
+    )
+    replay = str(tmp_path / "replay")
+    append_chunk(toks.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(toks.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    def run(ck):
+        stream = read_file_stream(
+            spark, replay, "event_id BIGINT, token STRING",
+            max_files_per_trigger=1,
+        )
+        got = run_to_memory(
+            running_heavy_hitters(stream.select("token"), k=K, n_buckets=B),
+            output_mode="update",
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        wmax = Window.partitionBy("bucket")
+        return (
+            got.withColumn("max_emit", F.max("emit").over(wmax))
+            .filter(F.col("emit") == F.col("max_emit"))
+            .select("bucket", "token", "weight")
+        )
+
+    final = run("ck1").collect()
+    by_bucket: dict[int, set[str]] = {}
+    for r in final:
+        by_bucket.setdefault(r.bucket, set()).add(r.token)
+        assert r.weight > 0
+    assert all(len(s) <= K for s in by_bucket.values())
+
+    # exact per-bucket heavy hitters (the st18 batch twin) must all
+    # be in the survivor set
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
+        % F.lit(B)
+    ).cast("int")
+    b = toks.select(bucket.alias("bucket"), "token")
+    counts = b.groupBy("bucket", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    heavy = (
+        counts.join(totals, "bucket")
+        .filter(F.col("cnt") * (K + 1) > F.col("n"))
+        .collect()
+    )
+    assert heavy, "fixture should have heavy hitters"
+    for r in heavy:
+        assert r.token in by_bucket.get(r.bucket, set()), (
+            f"heavy hitter {r.token!r} missing from bucket {r.bucket}"
+        )
+
+    # deterministic: the same chunking replayed into a fresh
+    # checkpoint yields the identical survivor multiset
+    again = run("ck2").collect()
+    assert sorted((r.bucket, r.token, r.weight) for r in final) == sorted(
+        (r.bucket, r.token, r.weight) for r in again
+    )
