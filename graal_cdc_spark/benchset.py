@@ -50,6 +50,10 @@ BENCH_SKIP: dict[str, str] = {
         "datasource (filesystem-bound); the in-plane compaction cost "
         "is benched as c06"
     ),
+    "c29_gdpr_purge_census": (
+        "lake build+purge+re-read lifecycle (filesystem-bound); the "
+        "in-plane compaction cost is benched as c06"
+    ),
 }
 
 

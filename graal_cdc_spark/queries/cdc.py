@@ -1754,3 +1754,99 @@ ORDER BY probe_id, db, tbl
         "SURVEY.md §1.4 + R09 as-of pattern on the control plane",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C29 — GDPR erasure census: the right-to-be-forgotten file lifecycle
+# (`sinks/lake.purge_keys`) gated end to end. Build the compacted
+# live-state lake from the envelope fixture (the c06 contract),
+# partition it by table, erase a deterministic key set through the
+# REAL purge path — locate affected files by scan, stage survivor
+# rewrites, commit via the fsync'd intent marker, delete originals —
+# then census the RE-READ lake. The oracle restates the erasure
+# declaratively (compacted state minus the purged keys); the
+# n_purged_remaining column pins the contract's zero on both sides,
+# so a purge that misses a file, double-applies, or loses survivor
+# rows changes a census cell.
+#
+# Scale: an erasure request touches a handful of files — the rewrite
+# is file-targeted (row-group stats prune the locate scan), never
+# partition- or table-sized. The reference has no erasure story at
+# all (its ES sink deletes by id; its queue keeps every envelope).
+# ---------------------------------------------------------------------------
+
+
+def _c29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks.lake import purge_keys, write_partitioned
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    state = latest_by_key(parsed, ["tbl", "key"], "seq").filter(
+        F.col("op") != "d"
+    ).select("tbl", "key", "op", "seq")
+    lake = tempfile.mkdtemp(prefix="c29-lake-") + "/state"
+    # several files per partition so the purge is genuinely
+    # file-targeted (most files contain no purged key and survive)
+    write_partitioned(state.repartition(8, "key"), lake, ["tbl"])
+
+    erase = [
+        r.key
+        for r in state.select("key")
+        .distinct()
+        .filter(F.col("key").cast("bigint") % 11 == 3)
+        .collect()
+    ]
+    purge_keys(spark, lake, "key", erase)
+
+    relake = spark.read.parquet(lake)
+    return (
+        relake.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.sum(
+                (F.col("key").cast("bigint") % 11 == 3).cast("long")
+            ).alias("n_purged_remaining"),
+        )
+        .orderBy("tbl")
+    )
+
+
+register(
+    QuerySpec(
+        name="c29_gdpr_purge_census",
+        category="cdc",
+        description="right-to-be-forgotten erasure lifecycle: "
+        "file-targeted survivor rewrite with intent-marker commit, "
+        "gated on the re-read lake census (compacted state minus the "
+        "erased keys, zero purged rows remaining)",
+        spark=_c29,
+        oracle=cdc_parsed_cte()
+        + """
+, state AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+kept AS (
+  SELECT * FROM state WHERE CAST(key AS BIGINT) % 11 <> 3
+)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN CAST(key AS BIGINT) % 11 = 3
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged_remaining
+FROM kept
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="ElasticsearchUtils.java:131-177 (id-keyed deletes "
+        "— the sink-side half); GDPR art. 17 erasure over the lake",
+    )
+)

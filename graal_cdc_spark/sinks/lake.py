@@ -118,3 +118,127 @@ def compact_partitions(
         ]
         results[part_dir] = (len(files), len(after))
     return results
+
+
+def _purge_marker(path: str) -> str:
+    return os.path.join(path, ".purge-intent.json")
+
+
+def _apply_purge_manifest(path: str) -> None:
+    """Idempotently complete a recorded purge plan: move staged files
+    that have not landed, delete originals that still exist, then
+    clear the marker. Safe to call at any crash point — once the
+    marker exists, the plan's target names are fixed."""
+    import json
+
+    marker = _purge_marker(path)
+    if not os.path.exists(marker):
+        return
+    with open(marker, encoding="utf-8") as f:
+        plan = json.load(f)
+    for staged, final in plan["add"]:
+        if not os.path.exists(final) and os.path.exists(staged):
+            os.rename(staged, final)
+    for old in plan["delete"]:
+        if os.path.exists(old):
+            os.remove(old)
+    staging = plan.get("staging")
+    if staging and os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+    os.remove(marker)
+
+
+def purge_keys(
+    spark: SparkSession, path: str, key_col: str, keys
+) -> dict[str, int]:
+    """GDPR erasure (right-to-be-forgotten): delete every row whose
+    ``key_col`` is in ``keys`` by rewriting ONLY the parquet files
+    that contain at least one such row — at 100 TB an erasure request
+    touches a handful of files, and rewriting whole partitions (let
+    alone the table) for each request is the difference between a
+    minutes-long job and an outage.
+
+    Protocol (two-phase, crash-repairable — the file-lake analog of
+    the stream writer's intent marker):
+
+    1. LOCATE: one scan finds affected files via ``input_file_name``
+       + the key predicate (parquet row-group stats prune most files
+       before they are read);
+    2. REWRITE: each affected file's survivors are staged as a new
+       uniquely-named file in the same partition directory's staging
+       area (originals untouched);
+    3. COMMIT: an fsync'd-rename intent marker records the full
+       (staged → final, delete-original) plan, then the plan executes
+       — move staged files in, delete originals. A crash anywhere
+       re-runs to completion from the marker on the next call
+       (``_apply_purge_manifest``); before the marker exists nothing
+       has been deleted.
+
+    Returns ``{"files_rewritten", "rows_purged", "partitions"}``.
+    Keys are an erasure REQUEST list — driver-side by nature, bounded.
+    """
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    _apply_purge_manifest(path)  # finish any crashed predecessor
+    keys = list(keys)
+    if not keys:
+        return {"files_rewritten": 0, "rows_purged": 0, "partitions": 0}
+
+    df = spark.read.parquet(path)
+    hits = (
+        df.filter(F.col(key_col).isin(keys))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return {"files_rewritten": 0, "rows_purged": 0, "partitions": 0}
+    affected = {
+        r.f.removeprefix("file://"): int(r.n) for r in hits
+    }
+    rows_purged = sum(affected.values())
+
+    staging = os.path.join(path, f".purge-staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    plan = {"staging": staging, "add": [], "delete": []}
+    dirs = set()
+    for i, old in enumerate(sorted(affected)):
+        part_dir = os.path.dirname(old)
+        dirs.add(part_dir)
+        out_dir = os.path.join(staging, f"file-{i:05d}")
+        (
+            spark.read.parquet(old)
+            .filter(~F.col(key_col).isin(keys))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        parts = [
+            f for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        # an all-purged file stages nothing: the plan just deletes it
+        if parts:
+            staged = os.path.join(out_dir, parts[0])
+            final = os.path.join(
+                part_dir, f"part-purged-{uuid.uuid4().hex}.parquet"
+            )
+            plan["add"].append((staged, final))
+        plan["delete"].append(old)
+
+    marker = _purge_marker(path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(plan, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, marker)
+    _apply_purge_manifest(path)
+    return {
+        "files_rewritten": len(affected),
+        "rows_purged": rows_purged,
+        "partitions": len(dirs),
+    }

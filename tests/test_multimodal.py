@@ -374,3 +374,40 @@ def test_png_resize_nn_matches_numpy_reference():
         assert (out == px[ys][:, xs]).all()
     with pytest.raises(ValueError, match="target dims"):
         resize_png_nn(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)), 0, 3)
+
+
+def test_png_decoder_never_misparses_fuzzed_bytes():
+    """Byte-level fuzz: random garbage, truncations, and single-byte
+    corruptions of a valid PNG must either decode to EXACTLY the
+    original pixels (corruption in a part zlib tolerates is
+    impossible — CRCs cover every chunk) or raise ValueError/
+    zlib.error — never crash differently, never return wrong pixels."""
+    import zlib
+
+    from graal_cdc_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    good = encode_png(px)
+
+    # random garbage
+    for n in (0, 1, 7, 8, 20, 100):
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        with pytest.raises((ValueError, zlib.error)):
+            decode_png(blob)
+    # garbage with a valid signature
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(b"\x89PNG\r\n\x1a\n" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+    # every truncation point
+    for cut in range(len(good)):
+        with pytest.raises((ValueError, zlib.error)):
+            decode_png(good[:cut])
+    # every single-byte corruption: either still-exact or a loud error
+    for pos in range(len(good)):
+        bad = bytearray(good)
+        bad[pos] ^= 0x5A
+        try:
+            out = decode_png(bytes(bad))
+        except (ValueError, zlib.error):
+            continue
+        assert (out == px).all(), f"silent misparse at byte {pos}"

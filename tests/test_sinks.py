@@ -573,3 +573,122 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
 
     after = sorted(r["v"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+# --- purge_keys: GDPR erasure over the parquet lake ---
+
+
+def _lake_rows(spark, path):
+    return sorted(
+        (r.tbl, r.k, r.v)
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def _build_lake(spark, path):
+    from graal_cdc_spark.sinks.lake import write_partitioned
+
+    df = spark.createDataFrame(
+        [("users", i, f"v{i}") for i in range(20)]
+        + [("orders", i, f"o{i}") for i in range(10)],
+        "tbl string, k long, v string",
+    )
+    write_partitioned(df.repartition(4, "k"), path, ["tbl"])
+
+
+def test_purge_keys_removes_only_requested_rows(spark, tmp_path):
+    import os
+
+    from graal_cdc_spark.sinks.lake import purge_keys
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake)
+    stats = purge_keys(spark, lake, "k", [3, 7, 999])
+    assert stats["rows_purged"] == 4  # k=3,7 in users AND orders (k<10)
+    got = _lake_rows(spark, lake)
+    assert not any(k in (3, 7) for _, k, _ in got)
+    assert ("users", 4, "v4") in got and ("orders", 9, "o9") in got
+    assert len(got) == 30 - 4
+    assert not os.path.exists(os.path.join(lake, ".purge-intent.json"))
+    # idempotent: purging again is a no-op
+    assert purge_keys(spark, lake, "k", [3, 7]) == {
+        "files_rewritten": 0, "rows_purged": 0, "partitions": 0,
+    }
+
+
+def test_purge_keys_untouched_files_not_rewritten(spark, tmp_path):
+    """File-targeting: files without a purged key keep their identity
+    (same path, same bytes) — the 100 TB property."""
+    import glob
+    import os
+
+    from graal_cdc_spark.sinks.lake import purge_keys
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake)
+    before = {
+        p: os.path.getsize(p)
+        for p in glob.glob(f"{lake}/*/*.parquet")
+    }
+    purge_keys(spark, lake, "k", [5])
+    after = {
+        p: os.path.getsize(p)
+        for p in glob.glob(f"{lake}/*/*.parquet")
+    }
+    survived = set(before) & set(after)
+    assert survived, "some files must be untouched"
+    for p in survived:
+        assert before[p] == after[p]
+    # at least one original was replaced in each table containing k=5
+    assert set(before) - set(after), "affected files must be rewritten"
+
+
+def test_purge_keys_crash_recovery_completes_plan(spark, tmp_path):
+    """A marker left by a crashed purge (staged files written, nothing
+    applied) is completed by the next call — no duplicates, no
+    survivors lost, no purged rows back."""
+    import json
+    import os
+
+    from graal_cdc_spark.sinks.lake import _purge_marker, purge_keys
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake)
+
+    # run a real purge but intercept: recreate its pre-apply state by
+    # doing the staging manually through the same code path, then
+    # simulate the crash by re-writing the marker and leaving one
+    # "add" unapplied and one "delete" undone.
+    purge_keys(spark, lake, "k", [2])
+    clean = _lake_rows(spark, lake)
+
+    # handcrafted partial plan: stage a replacement for one users file
+    import glob
+
+    target = sorted(glob.glob(f"{lake}/tbl=users/*.parquet"))[0]
+    staged_dir = os.path.join(lake, ".purge-staging-test")
+    os.makedirs(staged_dir)
+    spark.read.parquet(target).filter("k <> 11").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged_dir + "/file-00000")
+    part = [
+        f for f in os.listdir(staged_dir + "/file-00000")
+        if f.endswith(".parquet")
+    ][0]
+    final = os.path.join(lake, "tbl=users", "part-purged-test.parquet")
+    plan = {
+        "staging": staged_dir,
+        "add": [[staged_dir + "/file-00000/" + part, final]],
+        "delete": [target],
+    }
+    with open(_purge_marker(lake), "w") as f:
+        json.dump(plan, f)
+
+    # next purge call first completes the crashed plan
+    purge_keys(spark, lake, "k", [])
+    assert not os.path.exists(_purge_marker(lake))
+    assert not os.path.exists(target)
+    assert os.path.exists(final)
+    got = _lake_rows(spark, lake)
+    expected = [r for r in clean if not (r[0], r[1]) == ("users", 11)]
+    assert got == sorted(expected)
