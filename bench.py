@@ -213,6 +213,10 @@ def main() -> None:
 
     full = {
         "metric": "suite_wall_clock",
+        # value = sum of per-query COLD timings — numerically the
+        # same thing prior rounds' cold-only loop wall-clock measured
+        # (loop overhead was <0.1%); the warm pass interleaves, so the
+        # raw wall including warm re-runs is reported as wall_sec
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -849,6 +849,8 @@ def decode_png(payload: bytes):
         pos = data_end + 4
     if ihdr is None:
         raise ValueError("png: missing IHDR")
+    if len(ihdr) != 13:
+        raise ValueError(f"png: IHDR must be 13 bytes, got {len(ihdr)}")
     if not seen_iend:
         raise ValueError("png: missing IEND")
     if not idat_parts:

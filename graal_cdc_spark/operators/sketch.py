@@ -23,9 +23,36 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def mg_merge(summary, counts, k: int):
+    """Merge a batch's exact counts into a capacity-``k`` MG summary
+    (both pandas Series): add; if more than ``k`` survive, subtract
+    the (k+1)-th largest weight from all and keep the strictly
+    positive — the Agarwal et al. merge, which preserves the
+    undercount bound. THE single definition: the batch operator
+    (``misra_gries_summaries``) and the streaming state update
+    (``streaming/stateful.running_heavy_hitters``) both call this, so
+    they cannot drift."""
+    combined = summary.add(counts, fill_value=0).astype("int64")
+    if len(combined) > k:
+        cut = combined.nlargest(k + 1).iloc[-1]
+        combined = combined - cut
+        combined = combined[combined > 0]
+    return combined
+
+
+def md5_bucket(col, n_buckets: int) -> Column:
+    """Engine-portable hash bucket: first hex digit of md5, mod
+    ``n_buckets`` (Spark: conv base-16; the DuckDB twin spells it
+    ``(strpos('0123456789abcdef', substr(md5(x),1,1)) - 1) % n``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 1), 16, 10).cast("int")
+        % F.lit(n_buckets)
+    ).cast("int")
 
 
 def misra_gries_summaries(
@@ -49,15 +76,7 @@ def misra_gries_summaries(
 
         summary = pd.Series(dtype="int64")
         for pdf in batches:
-            counts = pdf[token_col].value_counts()
-            combined = summary.add(counts, fill_value=0).astype("int64")
-            if len(combined) > k:
-                # subtract the (k+1)-th largest weight from everything,
-                # keep strictly-positive survivors (<= k of them)
-                cut = combined.nlargest(k + 1).iloc[-1]
-                combined = combined - cut
-                combined = combined[combined > 0]
-            summary = combined
+            summary = mg_merge(summary, pdf[token_col].value_counts(), k)
         yield pd.DataFrame(
             {"token": summary.index.astype(str), "weight": summary.values}
         )

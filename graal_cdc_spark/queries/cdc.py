@@ -1565,8 +1565,11 @@ def _c27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # deterministic retention boundary: 60% of the max seq (1-row
     # bounded collect — the same class as scalar min/max metadata)
+    # integer division on BOTH sides: DuckDB's float->int CAST rounds
+    # while Spark's truncates, so a fractional boundary would compact
+    # different head slices (the c28 `div`/`//` rule)
     upto = raw.agg(
-        (F.max("seq") * 6 / F.lit(10)).cast("long").alias("u")
+        F.expr("max(seq) * 6 div 10").alias("u")
     ).collect()[0].u
     DS.compact_log(spark, log, upto)
 
@@ -1609,7 +1612,7 @@ register(
   WHERE seq % 10 <= 2 AND (seq // 10) % 4 = 0
 ),
 bound AS (
-  SELECT CAST(max(seq) * 6 / 10 AS BIGINT) AS u FROM sliced
+  SELECT CAST(max(seq) * 6 // 10 AS BIGINT) AS u FROM sliced
 ),
 head AS (
   SELECT s.seq, s.key, s.value

@@ -812,11 +812,11 @@ def _st18(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token")
     )
-    bucket = (
-        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
-        % F.lit(_ST18_BUCKETS)
-    ).cast("int")
-    b = toks.select(bucket.alias("bucket"), "token")
+    from graal_cdc_spark.operators.sketch import md5_bucket
+
+    b = toks.select(
+        md5_bucket("token", _ST18_BUCKETS).alias("bucket"), "token"
+    )
     counts = b.groupBy("bucket", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -133,6 +133,13 @@ def _apply_purge_manifest(path: str) -> None:
 
     marker = _purge_marker(path)
     if not os.path.exists(marker):
+        # no plan recorded: any .purge-staging-* tree is an orphan
+        # from a crash BEFORE the marker was written — nothing from it
+        # was ever applied, so sweep it (otherwise repeated crashed
+        # purges accumulate full survivor copies on disk)
+        for entry in os.listdir(path) if os.path.isdir(path) else []:
+            if entry.startswith(".purge-staging-"):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
         return
     with open(marker, encoding="utf-8") as f:
         plan = json.load(f)
@@ -211,7 +218,12 @@ def purge_keys(
         out_dir = os.path.join(staging, f"file-{i:05d}")
         (
             spark.read.parquet(old)
-            .filter(~F.col(key_col).isin(keys))
+            # NULL-safe survivor predicate: `~isin` alone evaluates to
+            # NULL (filtered out!) for NULL keys — erasure must never
+            # silently drop rows it was not asked to erase
+            .filter(
+                ~F.col(key_col).isin(keys) | F.col(key_col).isNull()
+            )
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(out_dir)

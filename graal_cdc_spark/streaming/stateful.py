@@ -434,6 +434,8 @@ _HH_STATE_SCHEMA = "tokens ARRAY<STRING>, weights ARRAY<BIGINT>, emit BIGINT"
 
 
 def _hh_update(k: int):
+    from graal_cdc_spark.operators.sketch import mg_merge
+
     def update(key, pdfs, state: GroupState):
         if state.exists:
             toks, ws, emit = state.get
@@ -447,15 +449,7 @@ def _hh_update(k: int):
             if pdf.empty:
                 continue
             changed = True
-            counts = pdf["token"].value_counts()
-            combined = summary.add(counts, fill_value=0).astype("int64")
-            if len(combined) > k:
-                # mergeable-summaries merge: subtract the (k+1)-th
-                # largest weight, keep strictly-positive survivors
-                cut = combined.nlargest(k + 1).iloc[-1]
-                combined = combined - cut
-                combined = combined[combined > 0]
-            summary = combined
+            summary = mg_merge(summary, pdf["token"].value_counts(), k)
         if not changed:
             return
         emit += 1
@@ -500,13 +494,9 @@ def running_heavy_hitters(
     vocabulary size — the point of the sketch; the alternative
     (streaming groupBy count per token) keeps data-sized state.
     """
-    # first hex digit of md5(token), mod n_buckets — the portable md5
-    # bucket family (Spark: conv base-16; DuckDB twin: strpos over the
-    # hex alphabet — same integer)
-    bucket = (
-        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
-        % F.lit(n_buckets)
-    ).cast("int")
+    from graal_cdc_spark.operators.sketch import md5_bucket
+
+    bucket = md5_bucket("token", n_buckets)
     return (
         tokens.select(bucket.alias("bucket"), F.col("token"))
         .groupBy("bucket")

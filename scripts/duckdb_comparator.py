@@ -39,7 +39,10 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1)
     slowest = dict(sorted(art["queries"].items(), key=lambda kv: -kv[1])[:15])
-    headline = {k: v for k, v in art.items() if k != "queries"}
+    headline = {
+        k: v for k, v in art.items()
+        if k not in ("queries", "warm_queries")
+    }
     headline["slowest"] = slowest
     headline.pop("skipped", None)
     headline.pop("spark_only", None)

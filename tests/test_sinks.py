@@ -692,3 +692,42 @@ def test_purge_keys_crash_recovery_completes_plan(spark, tmp_path):
     got = _lake_rows(spark, lake)
     expected = [r for r in clean if not (r[0], r[1]) == ("users", 11)]
     assert got == sorted(expected)
+
+
+def test_purge_keys_preserves_null_key_rows(spark, tmp_path):
+    """NULL-safe survivor predicate: rows with a NULL key in a
+    rewritten file must survive — erasure never drops rows it was not
+    asked to erase (`~isin` alone evaluates NULL -> filtered)."""
+    from graal_cdc_spark.sinks.lake import purge_keys, write_partitioned
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("users", 1, "a"), ("users", None, "n1"),
+         ("users", 2, "b"), ("users", None, "n2")],
+        "tbl string, k long, v string",
+    )
+    write_partitioned(df.coalesce(1), lake, ["tbl"])
+    stats = purge_keys(spark, lake, "k", [1])
+    assert stats["rows_purged"] == 1
+    got = sorted(
+        ((r.k if r.k is not None else -1), r.v)
+        for r in spark.read.parquet(lake).collect()
+    )
+    assert got == [(-1, "n1"), (-1, "n2"), (2, "b")]
+
+
+def test_purge_keys_sweeps_orphan_staging(spark, tmp_path):
+    """A staging tree from a crash BEFORE the marker was written is
+    swept on the next call (nothing from it was ever applied)."""
+    import os
+
+    from graal_cdc_spark.sinks.lake import purge_keys
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake)
+    orphan = os.path.join(lake, ".purge-staging-dead")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+    purge_keys(spark, lake, "k", [1])
+    assert not os.path.exists(orphan)

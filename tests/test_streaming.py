@@ -1651,11 +1651,9 @@ def test_running_heavy_hitters_stream_superset_and_bounded(
 
     # exact per-bucket heavy hitters (the st18 batch twin) must all
     # be in the survivor set
-    bucket = (
-        F.conv(F.substring(F.md5("token"), 1, 1), 16, 10).cast("int")
-        % F.lit(B)
-    ).cast("int")
-    b = toks.select(bucket.alias("bucket"), "token")
+    from graal_cdc_spark.operators.sketch import md5_bucket
+
+    b = toks.select(md5_bucket("token", B).alias("bucket"), "token")
     counts = b.groupBy("bucket", "token").agg(F.count(F.lit(1)).alias("cnt"))
     totals = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     heavy = (
