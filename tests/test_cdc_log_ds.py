@@ -455,3 +455,51 @@ def test_compact_log_roundtrips_envelope_json(spark, log_dir):
     DS.append_segment(log_dir, [(1, "k", v), (2, "k", v)], seal=True)
     DS.compact_log(spark, log_dir, upto_seq=2)
     assert _read_all(spark, log_dir) == {(2, "k", v)}
+
+
+def test_compact_log_matches_reference_on_random_logs(spark, log_dir):
+    """Property (fixed seeds, real Spark round-trips are slow so not
+    hypothesis-driven): compact_log over randomized logs — duplicate
+    (key, seq) pairs, null keys, tombstones, multiple segments, and a
+    randomized boundary — equals a sequential python reference of the
+    retention contract."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        d = f"{log_dir}-{seed}"
+        rows = []
+        for seq in range(1, rng.randint(10, 40)):
+            key = rng.choice(["a", "b", "c", "d", None])
+            value = rng.choice([None, f"v{seq}", f"w{seq}"])
+            rows.append((seq, key, value))
+        # duplicate (key, seq) from an at-least-once producer
+        if len(rows) > 3:
+            rows.append(rows[2])
+        for i in range(0, len(rows), 7):
+            DS.append_segment(d, rows[i : i + 7], seal=True)
+        upto = rng.randint(1, max(r[0] for r in rows))
+        DS.compact_log(spark, d, upto)
+
+        # reference: latest per key in head (ties -> max value), drop
+        # keyless head rows, tail verbatim
+        latest = {}
+        for seq, key, value in rows:
+            if seq > upto or key is None:
+                continue
+            prev = latest.get(key)
+            cand = (seq, value)
+            if prev is None or cand[0] > prev[0] or (
+                cand[0] == prev[0]
+                and (prev[1] is None or (cand[1] or "") > (prev[1] or ""))
+            ):
+                latest[key] = cand
+        want = sorted(
+            [(s, k, v) for k, (s, v) in latest.items()]
+            + [(s, k, v) for s, k, v in rows if s > upto]
+        )
+        got = sorted(
+            (r.seq, r.key, r.value)
+            for r in spark.read.format("graal_cdc_log").load(d).collect()
+        )
+        assert got == want, f"seed {seed} upto {upto}"
