@@ -1,0 +1,128 @@
+"""Operational runbook: the three lifecycle jobs that keep a CDC lake
+healthy at 100 TB, composed from the engine's gated operators.
+
+1. **Log retention** (``compact_log``, gated as c27): collapse the
+   replay log's head to latest-per-key (tombstones retained) behind a
+   moving boundary — the job that BOUNDS replay storage. The
+   reference's Chronicle Queue rolls hourly but never compacts; its
+   disk grows without bound.
+2. **GDPR erasure** (``purge_keys``, gated as c29): remove requested
+   keys from the serving lake by rewriting ONLY the parquet files
+   that contain them (intent-marker commit, crash-to-completion
+   recovery).
+3. **Small-file compaction** (``compact_partitions``): rewrite
+   fragmented partitions to target-size files so file listing stays
+   off the scan's critical path.
+
+Each is idempotent and crash-repairable, so the runbook is "run them
+on a schedule; rerun freely after failures".
+
+Run: python examples/lake_operations.py
+"""
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.cdc.compaction import latest_by_key
+from graal_cdc_spark.cdc.envelope import parse_envelope
+from graal_cdc_spark.session import get_spark
+from graal_cdc_spark.sinks.lake import (
+    compact_partitions,
+    purge_keys,
+    write_partitioned,
+)
+from graal_cdc_spark.sources import cdc_log_ds as DS
+
+BASE = "/tmp/graal_example_lake_ops"
+
+
+def _envelope(op: str, key: str, n: int) -> str:
+    after = None if op == "d" else {"id": key, "n": n}
+    return json.dumps(
+        {"payload": {"op": op, "before": None, "after": after,
+                     "source": {"db": "appdb", "table": "users"}}}
+    )
+
+
+def run(spark, base: str):
+    log = os.path.join(base, "log")
+    lake = os.path.join(base, "lake")
+    DS.register(spark)
+
+    # a day of traffic: every key updated many times, one key deleted
+    for day in range(3):
+        DS.append_segment(
+            log,
+            [
+                (day * 100 + i, f"u{i % 10}",
+                 _envelope("d" if (day == 2 and i % 10 == 3) else
+                           ("c" if day == 0 else "u"), f"u{i % 10}",
+                           day * 100 + i))
+                for i in range(1, 40)
+            ],
+            seal=True,
+        )
+
+    # --- job 1: log retention (keep the last day verbatim) ---
+    before = spark.read.format("graal_cdc_log").load(log).count()
+    DS.compact_log(spark, log, upto_seq=199)
+    after = spark.read.format("graal_cdc_log").load(log).count()
+    assert after < before  # head collapsed to O(live keys)
+
+    # refresh the serving lake from the compacted log (fragmented on
+    # purpose: many small files per partition). ROUND-ROBIN
+    # repartition, deliberately: repartition(8, "key") would be ELIDED
+    # here — latest_by_key's window already hash-partitions by key, so
+    # when shuffle.partitions matches, Catalyst collapses the
+    # repartition into that exchange and AQE byte-coalesces the tiny
+    # shuffle to ONE partition (one file). Round-robin can never
+    # satisfy the window's partitioning, so the explicit-N node
+    # survives and stays AQE-exempt — a refinement of the documented
+    # byte-blind-coalescing trap (the l02 rule).
+    parsed = parse_envelope(
+        spark.read.format("graal_cdc_log").load(log)
+    )
+    state = latest_by_key(parsed, ["key"], "seq").filter(
+        F.col("op") != "d"
+    ).select("tbl", "key", "seq")
+    write_partitioned(state.repartition(6), lake, ["tbl"])
+
+    # --- job 2: GDPR erasure request for two subjects ---
+    stats = purge_keys(spark, lake, "key", ["u1", "u7"])
+    assert stats["rows_purged"] == 2, stats
+    remaining = {r.key for r in spark.read.parquet(lake).collect()}
+    assert {"u1", "u7"}.isdisjoint(remaining)
+    assert "u3" not in remaining  # deleted upstream via tombstone
+
+    # --- job 3: small-file compaction of the fragmented partitions ---
+    rewritten = compact_partitions(
+        spark, lake, target_file_bytes=1 << 20, min_files=2
+    )
+    assert rewritten, "fragmented partition should compact"
+    (files_before, files_after), = rewritten.values()
+    assert files_after < files_before
+    # content unchanged by compaction
+    assert {r.key for r in spark.read.parquet(lake).collect()} == remaining
+
+    return {"log_rows": (before, after), "purge": stats,
+            "compaction": rewritten}
+
+
+def main() -> None:
+    shutil.rmtree(BASE, ignore_errors=True)
+    spark = get_spark(app_name="lake-ops-example", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, BASE)
+    print("lake-ops:", out)
+    print("lake-ops: OK")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

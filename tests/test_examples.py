@@ -132,3 +132,16 @@ def test_cdc_end_to_end_example(spark, tmp_path):
     rows = {r["seq"]: r for r in lake.read_silver("appdb", "users").collect()}
     assert rows[10]["email"] is None and rows[10]["version"] == 1
     assert rows[40]["email"] == "ada@example.com" and rows[40]["version"] == 2
+
+
+def test_lake_operations_example(spark, tmp_path):
+    """The lake-ops runbook: retention collapses the log head, erasure
+    removes exactly the requested subjects, small-file compaction
+    reduces file count without changing content."""
+    from lake_operations import run
+
+    out = run(spark, str(tmp_path))
+    before, after = out["log_rows"]
+    assert after < before
+    assert out["purge"]["rows_purged"] == 2
+    assert out["compaction"]
