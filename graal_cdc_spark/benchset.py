@@ -54,6 +54,11 @@ BENCH_SKIP: dict[str, str] = {
         "lake build+purge+re-read lifecycle (filesystem-bound); the "
         "in-plane compaction cost is benched as c06"
     ),
+    "c30_dead_letter_census": (
+        "DLQ write+replay lifecycle through the Python datasource "
+        "(filesystem-bound); the in-plane filter costs are benched as "
+        "c01/c02"
+    ),
 }
 
 

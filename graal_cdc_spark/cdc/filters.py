@@ -69,3 +69,45 @@ def row_event_filter_chain(df: DataFrame, value_col: str = "value") -> DataFrame
     df = drop_non_row_ops(df, value_col)
     df = require_after_key(df, value_col)
     return df
+
+
+def reject_reason(value_col: str = "value") -> Column:
+    """Dead-letter classification: the FIRST filter of the F3→F7 chain
+    a record fails, or NULL if it passes. Same predicates in the same
+    order as ``row_event_filter_chain`` — a record is rejected for
+    exactly the reason the chain would drop it, so
+    ``df.filter(reject_reason().isNotNull())`` is the precise
+    complement of the accepted stream."""
+    v = F.col(value_col)
+    return (
+        F.when(v.isNull(), F.lit("tombstone"))                    # F3
+        .when(_payload(v).isNull(), F.lit("malformed"))           # F4
+        .when(
+            F.get_json_object(v, "$.payload.ddl").isNotNull(),
+            F.lit("ddl"),                                         # F5
+        )
+        .when(
+            ~F.get_json_object(v, "$.payload.op").isin(*ROW_OPS)
+            | F.get_json_object(v, "$.payload.op").isNull(),
+            F.lit("non_row_op"),                                  # F6
+        )
+        .when(~v.like('%"after"%'), F.lit("missing_after"))       # F7
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def split_dead_letters(
+    df: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """(accepted, rejected-with-reason): the production form of the
+    filter chain — rejects are ROUTED, not silently dropped, so a
+    malformed burst is inspectable and replayable after a producer
+    fix. The reference hard-drops at each filter
+    (``DebeziumEngineRecordHandler.java:154-176``); a DLQ is what an
+    operator actually needs at 100 TB ingest."""
+    reason = reject_reason(value_col)
+    accepted = df.filter(reason.isNull())
+    rejected = df.withColumn("reject_reason", reason).filter(
+        F.col("reject_reason").isNotNull()
+    )
+    return accepted, rejected

@@ -1853,3 +1853,92 @@ ORDER BY tbl
         "— the sink-side half); GDPR art. 17 erasure over the lake",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C30 — dead-letter queue census: the PRODUCTION form of the F3–F7
+# filter chain. The reference hard-drops at each filter
+# (DebeziumEngineRecordHandler.java:154-176); real ingest ROUTES
+# rejects to a DLQ so a malformed burst is inspectable and replayable
+# after a producer fix. The query splits the envelope stream with
+# `split_dead_letters`, writes the rejects through the graal_cdc_log
+# connector (the DLQ IS a log — same replay machinery), re-reads the
+# DLQ, re-classifies, and gates the census: per reject reason —
+# first-failed-filter precedence exactly as the chain orders them —
+# row count, distinct keys, seq range. The oracle restates the
+# classification declaratively; a chain/classifier disagreement, a
+# lost DLQ record, or a precedence swap changes a cell.
+# ---------------------------------------------------------------------------
+
+
+def _c30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.cdc.filters import reject_reason, split_dead_letters
+    from graal_cdc_spark.sources import cdc_log_ds as DS
+
+    configure(spark)
+    DS.register(spark)
+    raw = build_cdc_events(spark, sf_dir)
+    accepted, rejected = split_dead_letters(raw)
+    dlq = tempfile.mkdtemp(prefix="c30-dlq-") + "/dlq"
+    rejected.select("seq", "key", "value").write.format(
+        "graal_cdc_log"
+    ).mode("append").save(dlq)
+
+    replayed = spark.read.format("graal_cdc_log").load(dlq)
+    return (
+        replayed.withColumn("reason", reject_reason())
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .orderBy("reason")
+    )
+
+
+register(
+    QuerySpec(
+        name="c30_dead_letter_census",
+        category="cdc",
+        description="dead-letter routing: F3-F7 rejects written to a "
+        "DLQ log, replayed, and re-classified — census per "
+        "first-failed-filter reason (counts, keys, seq range)",
+        spark=_c30,
+        oracle=cdc_events_cte()
+        + """
+, classified AS (
+  SELECT seq, key,
+         CASE
+           WHEN value IS NULL THEN 'tombstone'
+           WHEN json_extract(value, '$.payload') IS NULL
+             THEN 'malformed'
+           WHEN json_extract(value, '$.payload.ddl') IS NOT NULL
+             THEN 'ddl'
+           WHEN json_extract_string(value, '$.payload.op') IS NULL
+             OR json_extract_string(value, '$.payload.op')
+                NOT IN ('c', 'u', 'd', 'r')
+             THEN 'non_row_op'
+           WHEN value NOT LIKE '%"after"%' THEN 'missing_after'
+           ELSE NULL
+         END AS reason
+  FROM cdc_events
+)
+SELECT reason,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM classified
+WHERE reason IS NOT NULL
+GROUP BY reason
+ORDER BY reason
+""",
+        reference="DebeziumEngineRecordHandler.java:154-176 (the "
+        "hard-drop chain this routes instead); Kafka Connect DLQ "
+        "semantics",
+    )
+)

@@ -253,3 +253,65 @@ def test_sweep_line_peak_matches_naive_overlap_count(spark, starts, dur):
         for t in range(0, max(starts) + dur + 1)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# c30 DLQ: split_dead_letters must be the EXACT complement of the
+# F3->F7 filter chain — accepted == chain output, accepted ∪ rejected
+# == input, disjoint — for adversarial envelopes (null values, no
+# payload, ddl, weird ops, missing after, op='d' with "after": null).
+# ---------------------------------------------------------------------------
+
+_envelope_values = st.lists(
+    st.sampled_from([
+        None,                                               # tombstone
+        '{"noPayload": true}',                              # malformed
+        '{"payload": {"ddl": "ALTER TABLE x"}}',            # ddl
+        '{"payload": {"op": "m", "after": {}}}',            # non-row op
+        '{"payload": {"op": "c"}}',                         # missing after
+        '{"payload": {"op": "c", "after": {"a": 1}}}',      # accepted
+        '{"payload": {"op": "d", "after": null}}',          # delete: F7 passes
+        '{"payload": {"op": "u", "after": {"a": 2}, "ddl": "X"}}',  # ddl wins
+    ]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=_envelope_values)
+def test_dlq_split_is_exact_complement_of_filter_chain(spark, values):
+    from graal_cdc_spark.cdc.filters import (
+        row_event_filter_chain,
+        split_dead_letters,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}", v) for i, v in enumerate(values)],
+        "seq long, key string, value string",
+    )
+    accepted, rejected = split_dead_letters(df)
+    acc = {r.seq for r in accepted.collect()}
+    rej = {r.seq: r.reject_reason for r in rejected.collect()}
+    chain = {r.seq for r in row_event_filter_chain(df).collect()}
+    assert acc == chain
+    assert acc.isdisjoint(rej)
+    assert acc | set(rej) == set(range(len(values)))
+    # precedence: reason == the FIRST failing filter
+    expect = {
+        None: "tombstone",
+        '{"noPayload": true}': "malformed",
+        '{"payload": {"ddl": "ALTER TABLE x"}}': "ddl",
+        '{"payload": {"op": "m", "after": {}}}': "non_row_op",
+        '{"payload": {"op": "c"}}': "missing_after",
+        '{"payload": {"op": "u", "after": {"a": 2}, "ddl": "X"}}': "ddl",
+    }
+    for i, v in enumerate(values):
+        if v in expect:
+            assert rej[i] == expect[v], (i, v)
+        else:
+            assert i in acc, (i, v)
