@@ -162,6 +162,7 @@ PROBES = [
     "c27_log_compaction_census",
     "l90_heavy_hitters_sketch",
     "st18_streaming_heavy_hitters",
+    "c30_dead_letter_census",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
