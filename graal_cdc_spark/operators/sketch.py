@@ -93,7 +93,7 @@ def misra_gries_summaries(
 
 
 def heavy_hitters_exact(
-    tokens: DataFrame, token_col: str, k: int
+    tokens: DataFrame, token_col: str, k: int, n_total: DataFrame | None = None
 ) -> DataFrame:
     """EXACT frequent items via MG-candidates + exact verification.
 
@@ -104,8 +104,20 @@ def heavy_hitters_exact(
     global threshold is above the per-partition threshold in at least
     one partition (pigeonhole), so it survives that partition's
     summary and reaches the verify stage.
+
+    The token frame is consumed TWICE (sketch pass, exact verify) —
+    when it is the product of an explode or another expensive
+    upstream, recomputing it per-consumer dominates the query, so it
+    is localCheckpoint-pinned here and computed once. ``n_total``
+    optionally takes a pre-computed 1-row (n_total BIGINT) frame so
+    callers whose token count is derivable WITHOUT materializing the
+    tokens (e.g. char n-grams: SUM(length(text)-n+1)) skip a third
+    pass entirely.
     """
-    toks = tokens.select(F.col(token_col).alias("token"))
+    toks = (
+        tokens.select(F.col(token_col).cast("string").alias("token"))
+        .localCheckpoint(eager=False)
+    )
     cands = (
         misra_gries_summaries(toks, "token", k).select("token").distinct()
     )
@@ -113,7 +125,11 @@ def heavy_hitters_exact(
     # so the exact count only shuffles candidate occurrences
     hits = toks.join(F.broadcast(cands), "token", "left_semi")
     counts = hits.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    total = (
+        n_total
+        if n_total is not None
+        else toks.agg(F.count(F.lit(1)).alias("n_total"))
+    )
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (k + 1) > F.col("n_total"))

@@ -1615,11 +1615,13 @@ bound AS (
   SELECT CAST(max(seq) * 6 // 10 AS BIGINT) AS u FROM sliced
 ),
 head AS (
+  -- key IS NOT NULL mirrors compact_log's drop_keyless_head=True:
+  -- keyless head rows are dropped, not collapsed into one NULL group
   SELECT s.seq, s.key, s.value
   FROM (
     SELECT seq, key, value,
            row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-    FROM sliced, bound WHERE seq <= bound.u
+    FROM sliced, bound WHERE seq <= bound.u AND key IS NOT NULL
   ) s WHERE s.rn = 1
 ),
 tail AS (

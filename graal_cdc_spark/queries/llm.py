@@ -6243,7 +6243,9 @@ _L90_K = 60
 def _l90(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.sketch import heavy_hitters_exact
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # _par_table: the explode+sketch first stage is compute-heavy
+    # per-row work — a single-row-group local scan would serialize it
+    docs = _par_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
     grams = docs.select(
@@ -6254,7 +6256,12 @@ def _l90(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g")
     )
-    return heavy_hitters_exact(grams, "g", _L90_K).orderBy(
+    # trigram count is derivable from doc lengths — no second pass
+    # over (or explode of) the 3.4M-row gram frame just to count it
+    total = docs.agg(
+        F.sum(F.length("text") - 2).cast("long").alias("n_total")
+    )
+    return heavy_hitters_exact(grams, "g", _L90_K, n_total=total).orderBy(
         F.desc("cnt"), "token"
     )
 

@@ -789,7 +789,9 @@ register(
 # guaranteed to contain (bucket frequency > n_bucket/(k+1), compared
 # in integers) — the same exact-verify contract as l90, bucketed the
 # way the streaming operator keys its state. The streaming goldens
-# (tests/test_stateful_hh.py) assert the survivor-superset guarantee,
+# (tests/test_streaming.py::
+# test_running_heavy_hitters_stream_superset_and_bounded)
+# assert the survivor-superset guarantee,
 # the O(k) state bound, and chunked-replay determinism against this
 # twin's semantics.
 #

@@ -183,11 +183,37 @@ def purge_keys(
 
     Returns ``{"files_rewritten", "rows_purged", "partitions"}``.
     Keys are an erasure REQUEST list — driver-side by nature, bounded.
+
+    The rewrite is ONE Spark job regardless of how many files a hot
+    key touches: all affected files are read together, each row is
+    tagged with its source file id (``input_file_name`` looked up in
+    a literal map of the URIs the locate scan itself emitted — same
+    function, same encoding, so no round-trip through decoded paths),
+    and survivors are written ``partitionBy`` that id into the
+    staging area. A key present in thousands of files costs one
+    scan + one write, not thousands of sequential job submissions.
+    Affected files are read by explicit leaf path, so their physical
+    schemas must be union-compatible (the normal lake layout —
+    partition values live in directory names, not file schemas).
     """
     import json
     import uuid
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
+
+    def _local_path(uri: str) -> str:
+        """file-URI (as emitted by ``input_file_name``) -> local
+        filesystem path. Percent-decodes (space, '%', non-ASCII in
+        partition values arrive URI-escaped) and rejects non-local
+        schemes rather than mangling them into bogus paths."""
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                f"purge_keys: unsupported filesystem scheme "
+                f"{parsed.scheme!r} in {uri!r} (local lake paths only)"
+            )
+        return unquote(parsed.path) if parsed.scheme else unquote(uri)
 
     _apply_purge_manifest(path)  # finish any crashed predecessor
     keys = list(keys)
@@ -203,38 +229,51 @@ def purge_keys(
     )
     if not hits:
         return {"files_rewritten": 0, "rows_purged": 0, "partitions": 0}
-    affected = {
-        r.f.removeprefix("file://"): int(r.n) for r in hits
-    }
-    rows_purged = sum(affected.values())
+    # uri (exactly as input_file_name spells it) -> decoded local path
+    uris = sorted(r.f for r in hits)
+    affected = {u: _local_path(u) for u in uris}
+    rows_purged = sum(int(r.n) for r in hits)
 
     staging = os.path.join(path, f".purge-staging-{uuid.uuid4().hex}")
     os.makedirs(staging)
     plan = {"staging": staging, "add": [], "delete": []}
     dirs = set()
-    for i, old in enumerate(sorted(affected)):
+
+    # ONE job: read every affected file, tag rows with the source
+    # file id, write survivors partitioned by that id
+    fid_of_uri = {u: i for i, u in enumerate(uris)}
+    fid_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for u in uris for x in (u, fid_of_uri[u])]
+        ),
+        F.input_file_name(),
+    )
+    (
+        spark.read.parquet(*[affected[u] for u in uris])
+        # NULL-safe survivor predicate: `~isin` alone evaluates to
+        # NULL (filtered out!) for NULL keys — erasure must never
+        # silently drop rows it was not asked to erase
+        .filter(~F.col(key_col).isin(keys) | F.col(key_col).isNull())
+        .withColumn("__purge_fid", fid_expr)
+        .write.mode("overwrite")
+        .partitionBy("__purge_fid")
+        .parquet(staging)
+    )
+
+    for u in uris:
+        old = affected[u]
         part_dir = os.path.dirname(old)
         dirs.add(part_dir)
-        out_dir = os.path.join(staging, f"file-{i:05d}")
-        (
-            spark.read.parquet(old)
-            # NULL-safe survivor predicate: `~isin` alone evaluates to
-            # NULL (filtered out!) for NULL keys — erasure must never
-            # silently drop rows it was not asked to erase
-            .filter(
-                ~F.col(key_col).isin(keys) | F.col(key_col).isNull()
+        out_dir = os.path.join(staging, f"__purge_fid={fid_of_uri[u]}")
+        parts = sorted(
+            f for f in (
+                os.listdir(out_dir) if os.path.isdir(out_dir) else []
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(out_dir)
-        )
-        parts = [
-            f for f in os.listdir(out_dir)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ]
+        )
         # an all-purged file stages nothing: the plan just deletes it
-        if parts:
-            staged = os.path.join(out_dir, parts[0])
+        for staged_name in parts:
+            staged = os.path.join(out_dir, staged_name)
             final = os.path.join(
                 part_dir, f"part-purged-{uuid.uuid4().hex}.parquet"
             )

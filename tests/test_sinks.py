@@ -731,3 +731,83 @@ def test_purge_keys_sweeps_orphan_staging(spark, tmp_path):
         f.write("x")
     purge_keys(spark, lake, "k", [1])
     assert not os.path.exists(orphan)
+
+
+def _job_count(spark, fn):
+    """Number of Spark jobs submitted while fn() runs (statusTracker
+    group-scoped ids — the submitting thread's job group)."""
+    import uuid
+
+    sc = spark.sparkContext
+    # uuid, not id(fn): CPython reuses ids of collected objects, which
+    # would alias two calls' job groups and double-count
+    group = f"purge-jobcount-{uuid.uuid4().hex}"
+    sc.setJobGroup(group, "count jobs")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_purge_keys_hot_key_one_rewrite_job(spark, tmp_path):
+    """Scale shape: a key spanning many files costs a CONSTANT number
+    of Spark jobs — the rewrite is one job over all affected files
+    (tag with input_file_name, write partitioned by file id), not one
+    job per file. Asserted by comparing the job count of a 2-file
+    purge with a >=20-file purge: equal, not linear in files."""
+    import glob
+
+    from graal_cdc_spark.sinks.lake import purge_keys, write_partitioned
+
+    def build(path, n_files):
+        # one file per tbl partition; the hot key k=0 is in ALL of them
+        df = spark.createDataFrame(
+            [(f"t{i:02d}", j, f"v{i}-{j}") for i in range(n_files)
+             for j in range(5)],
+            "tbl string, k long, v string",
+        )
+        write_partitioned(df.repartition("tbl").coalesce(n_files), path,
+                          ["tbl"])
+
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    build(small, 2)
+    build(big, 24)
+    assert len(glob.glob(f"{big}/*/*.parquet")) >= 20
+
+    jobs_small = _job_count(
+        spark, lambda: purge_keys(spark, small, "k", [0])
+    )
+    stats = {}
+    jobs_big = _job_count(
+        spark, lambda: stats.update(purge_keys(spark, big, "k", [0]))
+    )
+    assert stats["files_rewritten"] >= 20
+    assert stats["rows_purged"] >= 20
+    # constant job count regardless of affected-file fan-out
+    assert jobs_big == jobs_small, (jobs_small, jobs_big)
+    # correctness: k=0 gone everywhere, everything else intact
+    got = sorted((r.tbl, r.k) for r in spark.read.parquet(big).collect())
+    assert not any(k == 0 for _, k in got)
+    assert len(got) == 24 * 4
+
+
+def test_purge_keys_percent_encoded_partition_values(spark, tmp_path):
+    """Partition values that URI-escape in input_file_name (spaces,
+    '%', '=') resolve back to real local paths — the erasure request
+    must not fail on a lake whose partition values need decoding."""
+    from graal_cdc_spark.sinks.lake import purge_keys, write_partitioned
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("north america", 1, "a"), ("north america", 2, "b"),
+         ("50% off", 3, "c"), ("a=b c", 4, "d")],
+        "tbl string, k long, v string",
+    )
+    write_partitioned(df.coalesce(1), lake, ["tbl"])
+    stats = purge_keys(spark, lake, "k", [1, 3, 4])
+    assert stats["rows_purged"] == 3
+    got = sorted((r.tbl, r.k, r.v)
+                 for r in spark.read.parquet(lake).collect())
+    assert got == [("north america", 2, "b")]
