@@ -3533,21 +3533,33 @@ GROUP BY doc_id ORDER BY doc_id
 def _l67(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR quantities: computing them once per side
+    # before the pair join (instead of inside a per-pair cosine) cuts
+    # the higher-order array work per pair from 3 passes to 1 — the
+    # per-pair expression is just the dot product, divided by the two
+    # precomputed norms (same sqrt(dot(v,v)) values, so bitwise equal)
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 30).select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             F.col("embedding").cast("array<double>").alias("qv"),
-        )
+        ).withColumn("qn", S.l2_norm(F.col("qv")))
     )
-    c = emb.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("neg_label"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    # min-parallelism on the candidate side only — the 60k-pair dot
+    # stage is compute-heavy and serializes on a single-row-group scan
+    c = with_min_parallelism(
+        spark,
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+    ).withColumn("cn", S.l2_norm(F.col("cv")))
     pairs = q.crossJoin(c).filter(F.col("qlabel") != F.col("neg_label"))
-    sim = S.cosine(F.col("qv"), F.col("cv"))
+    sim = S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(
         F.col("sim_raw").desc(), F.col("neg_id").asc()
     )
@@ -3850,12 +3862,18 @@ LIMIT 50
 
 
 def _l71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * 1000).cast("long"),
     )
-    qd = emb.select(q.alias("q"))
+    # min-parallelism ONLY on the hot subtree: the upper-triangle
+    # product explode (~dim²/2 structs per row) serializes on a
+    # single-row-group scan; dims/n stay on the plain scan so the
+    # round-robin exchange is paid once, not three times
+    qd = with_min_parallelism(spark, emb.select(q.alias("q")))
     prods = qd.select(
         F.explode(
             F.flatten(

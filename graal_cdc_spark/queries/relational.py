@@ -3722,35 +3722,50 @@ ORDER BY l_orderkey
 def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # integer node encoding (customer 2k, supplier 2k+1) — the joins,
+    # distinct, and aggregations all hash these keys ~5× over the
+    # million-row edge frame; bigint keys keep that JVM-cheap, and the
+    # 'c…'/'s…' labels the oracle speaks are reconstructed at node
+    # grain in the final projection
     pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(li.select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    # edges/deg feed BOTH unrolled iterations (2 consumers each) —
-    # without lineage truncation every consumer re-runs the
-    # orders⋈lineitem distinct (measured 13.6 s → 5.6 s cold at
-    # sf0.1; the connected-components loop uses the same trick)
-    deg = edges.groupBy("a").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=False)
+    # The invariant edge frame feeds BOTH unrolled iterations — the
+    # canonical Spark iterative-graph pattern is to CACHE it,
+    # partitioned by the join key: InMemoryRelation preserves the
+    # hash partitioning (localCheckpoint does not), so neither
+    # iteration re-exchanges the million-row edge table, and the
+    # orders⋈lineitem distinct runs once instead of per-consumer
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition("a")
+        .persist()
+    )
+    # deg reuses the edge partitioning (groupBy on the partition key
+    # needs no exchange); it is node-grain — tiny next to the edges,
+    # and cached because both iterations' rate builds consume it
+    deg = (
+        edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
     scores = deg.select("a", F.lit(1_000_000).cast("bigint").alias("score"))
     for _ in range(2):
-        contrib = (
-            edges.join(scores, "a")
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.expr("score DIV outdeg").alias("c"),
-            )
+        # pre-join the two node-grain frames (scores ⋈ deg — both
+        # bounded by node count) so the edge table is joined ONCE per
+        # iteration, not twice; AQE broadcasts the node-grain side
+        rates = scores.join(deg, "a").select(
+            "a", F.expr("score DIV outdeg").alias("rate")
+        )
+        contrib = edges.join(rates, "a").select(
+            F.col("b").alias("node"), F.col("rate").alias("c")
         )
         scores = (
             contrib.groupBy("node")
@@ -3763,7 +3778,17 @@ def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        scores.select(F.col("a").alias("node"), "score")
+        scores.select(
+            F.when(
+                F.col("a") % 2 == 0,
+                F.concat(F.lit("c"), (F.col("a") / 2).cast("bigint")),
+            )
+            .otherwise(
+                F.concat(F.lit("s"), ((F.col("a") - 1) / 2).cast("bigint"))
+            )
+            .alias("node"),
+            "score",
+        )
         .orderBy(F.col("score").desc(), "node")
         .limit(20)
     )
@@ -4746,19 +4771,39 @@ def _r92(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"),
-        F.col("b.l_partkey").alias("pb"),
-        F.col("a.l_orderkey").alias("ok"),
+    # pair generation WITHOUT the self-join: group the order's parts
+    # into a sorted distinct array, then emit the upper triangle
+    # map-side (the l71 pattern). One exchange on the grouping key
+    # replaces [join exchange + 1M-row countDistinct expand]: each
+    # (pa, pb, order) appears exactly once by construction (distinct
+    # parts, pa < pb via the sort), so support is a plain count
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("l_partkey")))
+            .alias("ps")
+        )
+        .filter(F.size("ps") >= 2)
     )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ps") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ps")),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ps"), i).alias("pa"),
+                            F.element_at(F.col("ps"), j).alias("pb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
         pairs.groupBy("pa", "pb")
-        .agg(F.countDistinct("ok").alias("support"))
+        .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
         # the edge relation feeds 5 consumers (count, both degree

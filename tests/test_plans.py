@@ -422,7 +422,8 @@ def test_l42_is_map_only(spark):
         ("r83_interval_union_length", 3),     # ONE user exchange: 2 windows + 2 aggs
         ("r84_largest_remainder_allocation", 3),  # ONE order exchange + audit aggs
         ("r85_chi2_independence", 4),         # cell agg + 3 windows over 35 rows
-        ("l67_hard_negative_mining", 3),      # broadcast q x scan + qid window
+        ("l67_hard_negative_mining", 4),      # broadcast q x scan + qid window
+        # (+1: min-parallelism round-robin exchange, no-op on real data)
         ("l68_winnowing_fingerprints", 7),    # doc window + fp dedup/df + join + rollup
         ("l69_source_vocab_jaccard", 13),     # vocab dedup x2 + token join + pair agg
     ],
@@ -473,7 +474,8 @@ def test_r81_no_full_group_sort_window(spark):
         ("l70_bpe_pair_frequencies", 4),      # vocab agg -> pair agg -> TakeOrdered
         # NO self-join: upper-triangle products explode map-side and
         # partial-aggregate to O(d^2) keys before the only shuffle
-        ("l71_dim_covariance_pairs", 5),
+        # (+1: min-parallelism round-robin exchange, no-op on real data)
+        ("l71_dim_covariance_pairs", 6),
         ("l72_quality_gate_ablation", 4),     # flag map + 8-row agg + share window
         ("c21_capture_order_inversions", 4),  # key lag window + tiny agg + sort
         ("st15_session_coverage", 3),         # ONE user session-window agg + sort
@@ -502,7 +504,8 @@ def test_l71_no_vector_self_join(spark):
     a = _audit(spark, "l71_dim_covariance_pairs")
     assert a.sortmerge_joins == 0, a.plan
     # the only joins are 64-row dim-sum broadcasts + the 1-row count
-    assert a.shuffles <= 5, a.plan
+    # (+1: min-parallelism round-robin exchange, no-op on real data)
+    assert a.shuffles <= 6, a.plan
 
 
 @pytest.mark.parametrize(
