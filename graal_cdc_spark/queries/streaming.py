@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from graal_cdc_spark.queries import QuerySpec, register
 from graal_cdc_spark.session import configure
-from graal_cdc_spark.sources.tables import load_table
+from graal_cdc_spark.sources.tables import load_table, ordered_result
 from graal_cdc_spark.streaming.windows import (
     session_counts,
     sliding_counts,
@@ -145,10 +145,9 @@ def _st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase")
     errors = ev.filter(F.col("event_type") == "error")
     return (
-        interval_pairs(purchases, errors, lookback="30 minutes")
+        ordered_result(interval_pairs(purchases, errors, lookback="30 minutes")
         .withColumnRenamed("left_id", "purchase_id")
-        .withColumnRenamed("right_id", "error_id")
-        .orderBy("user_id", "purchase_id", "error_id")
+        .withColumnRenamed("right_id", "error_id"), "user_id", "purchase_id", "error_id")
     )
 
 
@@ -227,15 +226,14 @@ def _st6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        ordered_result(ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("string")
             .alias("total_value"),
-        )
-        .orderBy("c_mktsegment")
+        ), "c_mktsegment")
     )
 
 
@@ -347,10 +345,9 @@ def _st9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").desc(), "event_id"
     )
     return (
-        ev.withColumn("rank", F.row_number().over(w))
+        ordered_result(ev.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("user_id", "rank", "event_id", "value")
-        .orderBy("user_id", "rank")
+        .select("user_id", "rank", "event_id", "value"), "user_id", "rank")
     )
 
 
@@ -393,13 +390,12 @@ def _st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, lookback="30 minutes", keep_ts=True
     )
     return (
-        pairs.groupBy(F.window("l_ts", "10 minutes").alias("w"))
+        ordered_result(pairs.groupBy(F.window("l_ts", "10 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_pairs",
-        )
-        .orderBy("window_start")
+        ), "window_start")
     )
 
 
@@ -824,10 +820,9 @@ def _st18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
     return (
-        counts.join(F.broadcast(totals), "bucket")
+        ordered_result(counts.join(F.broadcast(totals), "bucket")
         .filter(F.col("cnt") * (_ST18_K + 1) > F.col("n_bucket"))
-        .select("bucket", "token", "cnt", "n_bucket")
-        .orderBy("bucket", F.desc("cnt"), "token")
+        .select("bucket", "token", "cnt", "n_bucket"), "bucket", F.desc("cnt"), "token")
     )
 
 

@@ -141,3 +141,26 @@ def with_min_parallelism(spark: SparkSession, df: DataFrame, factor: int = 1) ->
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def ordered_result(df: DataFrame, *cols) -> DataFrame:
+    """Deterministic total order for a RESULT-DELIVERY frame.
+
+    A trailing ``orderBy`` plans a range-partitioning exchange whose
+    boundary computation SAMPLES the child — an extra job per query
+    that re-executes the child plan when no materialized shuffle sits
+    between them (for a final stage holding Python work, e.g. the PNG
+    codec censuses, the whole pandas pass runs twice). A
+    single-partition in-partition sort is the same total order with no
+    sampling pass and no second execution — the TakeOrderedAndProject
+    shape without the limit.
+
+    Use ONLY on the final returned frame, whose one consumer is the
+    driver's oracle hash (a single collect point serializes delivery
+    regardless of how the sort was partitioned). The ordering exists
+    for the deterministic compare, not as a data-pipeline stage: a
+    100 TB pipeline would never globally sort a corpus-grain
+    intermediate, and an INTERMEDIATE sort feeding further distributed
+    work must keep ``orderBy``'s parallel range sort.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)

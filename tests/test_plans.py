@@ -247,14 +247,14 @@ def test_r46_interval_join_is_hash_not_nested_loop(spark):
         ("r60_event_transitions", 3),         # user window + pair agg + sort
         ("r61_salted_skew_aggregate", 3),     # salted partial + combine + sort
         ("r62_entropy_gini", 3),              # (type,user) agg + type window + sort
-        ("l41_zipf_token_histogram", 3),      # vocab agg + TakeOrdered + 50-row window
+        ("l41_zipf_token_histogram", 4),      # vocab agg + TakeOrdered + 50-row window + delivery sort
         ("l42_char_bigram_entropy", 2),       # conditional repartition + output sort (map-only)
         ("l43_boilerplate_shingles", 3),      # repartition + shingle doc-freq agg + sort
         ("l44_cross_snapshot_dedup", 1),      # hash anti-join + output sort
         ("l45_unigram_surprisal", 5),         # vocab agg + bcast join + doc agg
         ("st8_chained_window_rollup", 3),     # 10-min agg + hourly agg + sort
         ("c12_snapshot_reconciliation", 4),   # two key windows + outer join + agg
-        ("r57_running_distinct_users", 4),    # user agg + day agg + join + spine window
+        ("r57_running_distinct_users", 5),    # user agg + day agg + join + spine window + delivery sort
         ("r59_cohort_retention", 6),          # user-grain reductions + matrix joins
         ("st9_stateful_topk", 2),             # user ranking window + output sort
         ("r63_asof_forward_join", 2),         # user window + output sort
@@ -338,7 +338,7 @@ def test_r64_no_full_group_sort_window(spark):
         ("r76_percentile_disc", 2),           # custkey window reused by agg + sort
         ("l59_token_distribution_drift", 6),  # token agg + 1-row totals + final agg
         ("l60_token_burstiness", 8),          # (doc,word) agg + top-20 + semi + agg
-        ("l61_dedup_funnel", 11),             # 4 distinct-count stages + union
+        ("l61_dedup_funnel", 12),             # 4 distinct-count stages + union + delivery sort
         # two passes over the corpus by construction (MAD needs pass 1);
         # every exchange after the scans carries O(labels) rows
         ("l62_embedding_norm_outliers", 14),
@@ -669,7 +669,8 @@ def test_r98_full_table_window_partitions_by_month(spark):
     serializes the scan into one task."""
     a = _audit(spark, "r98_sorted_layout_audit")
     assert "hashpartitioning(month" in a.plan, a.plan
-    assert a.plan.count("SinglePartition") == 2, a.plan
+    # 2 metadata frames + the ordered_result delivery sort
+    assert a.plan.count("SinglePartition") == 3, a.plan
     assert a.python_evals == 0
 
 
