@@ -1,0 +1,438 @@
+"""Baseline JPEG (JFIF) codec — pure numpy/stdlib, no PIL.
+
+The LAST compressed-codec gap from VERDICT r8 ("close the JPEG gap or
+park it"): a real ITU-T T.81 baseline sequential DCT codec —
+8×8 forward/inverse DCT, quantization, zigzag, differential DC,
+Annex-K Huffman entropy coding with byte stuffing, JFIF/DQT/SOF0/DHT/
+SOS segment framing — implemented from the public spec (ITU-T T.81 /
+ISO 10918-1; JFIF 1.02), the same environment-compatible route as the
+PNG codec (RFC 2083, ``multimodal.encode_png``).
+
+Scope: GRAYSCALE baseline (one component, no subsampling). That is a
+fully conformant JFIF stream — any standard viewer decodes it — and it
+keeps the oracle story honest: JPEG is lossy in general, so the
+mm13 gate fixture synthesizes images whose 8×8 blocks are CONSTANT
+(flat): a flat block's DCT is DC-only, the DC quantizer here is 8,
+which divides the level-shifted flat DC ``8·(v−128)`` exactly, and a
+DC-only IDCT is a constant block again — so for THAT fixture the
+round-trip is bit-exact and a SQL oracle can restate the decoded
+pixel sums from the source text. General images round-trip within
+quantization error (property-tested in ``tests/test_multimodal.py``),
+exactly like any baseline JPEG at the same tables.
+
+Scale shape: both directions are per-image pure functions used inside
+Arrow-batched ``mapInPandas`` (see ``queries/llm.py`` mm13) — payload
+bytes never leave the Python worker; the driver only ever sees the
+integer census.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- tables ---------------------------------------------------------------
+
+# zigzag order: index i holds the (row*8+col) position of the i-th
+# coefficient in zigzag scan (ITU-T T.81 Figure 5)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 luminance quantization table, with ONE change: DC
+# quantizer 8 instead of 16, so a flat block (DC = 8·(v−128),
+# v integer) quantizes losslessly — the property the mm13 oracle
+# fixture relies on. AC quantizers are the standard Annex K values.
+QTABLE = np.array([
+     8, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68,109,103, 77,
+    24, 35, 55, 64, 81,104,113, 92,
+    49, 64, 78, 87,103,121,120,101,
+    72, 92, 95, 98,112,100,103, 99,
+], dtype=np.int64)
+
+# Annex K.3 luminance DC Huffman table: BITS (codes per length 1..16)
+# and HUFFVAL (symbols in code order)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# Annex K.5 luminance AC Huffman table
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG Huffman assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(DC_BITS, DC_VALS)
+_AC_CODES = _build_codes(AC_BITS, AC_VALS)
+
+# 8x8 DCT basis (type-II, orthonormal): D @ block @ D.T equals the
+# T.81 §A.3.3 FDCT exactly (the (1/4)·Cu·Cv scaling is the same as
+# the orthonormal α_u·α_v), and D.T @ coef @ D is the exact inverse
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0)
+_ALPHA = np.full(8, np.sqrt(2.0 / 8.0))
+_ALPHA[0] = np.sqrt(1.0 / 8.0)
+_DCT = _ALPHA[:, None] * _C
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _DCT.T @ coef @ _DCT
+
+
+# --- bit IO ---------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: bitstream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated stuffing")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"jpeg: unexpected marker 0xFF{nxt:02X} in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, extra bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    extra = v if v > 0 else v + (1 << cat) - 1
+    return cat, extra
+
+
+def _extend(extra: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if extra < (1 << (cat - 1)):
+        return extra - (1 << cat) + 1
+    return extra
+
+
+# --- encoder --------------------------------------------------------------
+
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as baseline JFIF.
+
+    Edge blocks are replicated-padded to 8×8 multiples (standard
+    practice; the decoder crops back to the SOF dimensions).
+    """
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("encode_jpeg_gray: expected (h, w) grayscale")
+    h, w = px.shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError(f"encode_jpeg_gray: bad dims {h}x{w}")
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.int64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]  # replicate last row
+    padded[:, w:] = padded[:, w - 1 : w]  # replicate last col
+
+    bw = _BitWriter()
+    prev_dc = 0
+    shifted = padded.astype(np.float64) - 128.0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coef = _fdct(block)
+            q = np.round(coef.reshape(64) / QTABLE.reshape(8, 8).reshape(64)).astype(np.int64)
+            zz = q[ZIGZAG]
+            # DC: differential
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat, extra = _magnitude(diff)
+            code, length = _DC_CODES[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(extra, cat)
+            # AC: run-length of zeros + magnitude
+            run = 0
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i] != 0:
+                    last_nz = i
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                cat, extra = _magnitude(v)
+                code, length = _AC_CODES[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(extra, cat)
+                run = 0
+            if last_nz != 63:
+                code, length = _AC_CODES[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    # APP0 / JFIF 1.02
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 2, 0, 0, 1, 0, 1, 0, 0]
+    )
+    # DQT (table 0, 8-bit, zigzag order)
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
+    # SOF0: baseline, 8-bit, 1 component, no subsampling (1x1)
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])  # id 1, h1v1, qtable 0
+    # DHT: DC table 0 then AC table 0
+    dc_payload = bytes(DC_BITS) + bytes(DC_VALS)
+    ac_payload = bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + len(dc_payload)) + b"\x00" + dc_payload
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + len(ac_payload)) + b"\x10" + ac_payload
+    # SOS
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# --- decoder --------------------------------------------------------------
+
+
+class _HuffTree:
+    """length-indexed canonical decode: (length, code) -> symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF grayscale stream produced by any
+    conformant encoder (general DQT/DHT parsing — not tied to this
+    module's tables). Returns (h, w) uint8."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_trees: dict[int, _HuffTree] = {}
+    ac_trees: dict[int, _HuffTree] = {}
+    h = w = 0
+    comp_q = 0
+    dc_id = ac_id = 0
+    scan_data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit qtable unsupported (baseline)")
+                zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = zz
+                qtables[tq] = tbl
+        elif marker == 0xC0:  # SOF0
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError("jpeg: only 8-bit baseline supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise ValueError("jpeg: only grayscale (1 component) supported")
+            sampling = seg[7]
+            if sampling != 0x11:
+                raise ValueError("jpeg: subsampling unsupported for grayscale")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                n = sum(bits)
+                vals = list(seg[p : p + n])
+                p += n
+                tree = _HuffTree(bits, vals)
+                if tc == 0:
+                    dc_trees[th] = tree
+                else:
+                    ac_trees[th] = tree
+        elif marker == 0xDA:  # SOS
+            ncomp = seg[0]
+            if ncomp != 1:
+                raise ValueError("jpeg: interleaved scans unsupported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_data = payload[pos + seglen :]
+            break
+        pos += seglen
+    if scan_data is None or h == 0:
+        raise ValueError("jpeg: missing SOS/SOF")
+
+    qt = qtables[comp_q]
+    dct_t = dc_trees[dc_id]
+    act = ac_trees[ac_id]
+    br = _BitReader(scan_data)
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = dct_t.decode(br)
+            diff = _extend(br.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = act.decode(br)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run == 15:  # ZRL
+                        i += 16
+                        continue
+                    raise ValueError("jpeg: bad AC symbol")
+                i += run
+                if i > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[i] = _extend(br.read_bits(cat), cat)
+                i += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[ZIGZAG] = zz
+            block = _idct((coef * qt).reshape(8, 8).astype(np.float64))
+            out[by : by + 8, bx : bx + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

@@ -1069,6 +1069,76 @@ def png_pipeline_stats(
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def jpeg_pipeline_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused synthesize→JPEG-encode→decode→stats census (mm13) in one
+    ``mapInPandas`` stage — the mm11 PNG pattern applied to the REAL
+    baseline JPEG codec (``operators/jpeg.py``: T.81 DCT + Annex-K
+    Huffman + JFIF framing).
+
+    JPEG is lossy in general, so the gate fixture synthesizes images
+    of FLAT 8×8 blocks — block (i, j) holds the constant value
+    ``codepoint(text[(i·bw + j) mod len]) mod 256`` on a
+    ``(2 + id mod 3) × (2 + id mod 2)`` block grid. A flat block's DCT
+    is DC-only and the DC quantizer (8) divides the level-shifted DC
+    ``8·(v − 128)`` exactly, so the round-trip is bit-exact for this
+    fixture and the DuckDB oracle restates the decoded sums straight
+    from the text. The positional weighted sum (block value × linear
+    block index, sampled from the DECODED array) catches block-order
+    and raster bugs a global sum would miss. General-image loss bounds
+    are property-tested in ``tests/test_multimodal.py``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from graal_cdc_spark.operators.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "sum_px": [], "wsum_blocks": []}
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"jpeg_pipeline_stats: empty text for id {mid}"
+                    )
+                bh = 2 + int(mid) % 3
+                bw = 2 + int(mid) % 2
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.uint8)
+                idx = np.arange(bh * bw) % len(codes)
+                blocks = codes[idx].reshape(bh, bw)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                decoded = decode_jpeg_gray(encode_jpeg_gray(img))
+                rows["media_id"].append(mid)
+                rows["height"].append(decoded.shape[0])
+                rows["width"].append(decoded.shape[1])
+                rows["sum_px"].append(int(decoded.sum(dtype="int64")))
+                # per-block top-left sample x (linear block index + 1)
+                samples = decoded[::8, ::8].astype("int64")
+                weights = np.arange(1, bh * bw + 1).reshape(bh, bw)
+                rows["wsum_blocks"].append(int((samples * weights).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_px", T.LongType()),
+            T.StructField("wsum_blocks", T.LongType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def resize_png_nn(payload: bytes, target_h: int, target_w: int) -> bytes:
     """REAL nearest-neighbor resize through the COMPRESSED path:
     inflate + defilter → index-map → refilter + deflate. The PNG

@@ -6259,3 +6259,58 @@ ORDER BY cnt DESC, token
     ref="SURVEY.md §2.4 sketch family (l14 HLL, l87 Bloom); "
     "Misra-Gries 1982; Agarwal et al. 2012 mergeable summaries",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM13 — REAL baseline JPEG round-trip census (VERDICT r8 "close the
+# JPEG gap"): T.81 sequential DCT codec (8×8 FDCT/IDCT, Annex-K
+# Huffman, byte stuffing, JFIF framing) from operators/jpeg.py,
+# driven through the fused single-stage census pattern (mm11). The
+# fixture is flat-8×8-block grayscale, on which the round-trip is
+# BIT-EXACT (DC-only blocks, DC quantizer divides 8·(v−128)), so the
+# oracle restates decoded sums from the text; general-image loss is
+# bounded by the property tests.
+# ---------------------------------------------------------------------------
+
+
+def _mm13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
+    )
+    return ordered_result(jpeg_pipeline_stats(docs), "media_id")
+
+
+_l(
+    "mm13_jpeg_roundtrip_census",
+    "REAL baseline JPEG (T.81 DCT + Annex-K Huffman + JFIF) "
+    "encode->decode census on the flat-block-exact fixture: decoded "
+    "dims, pixel sum, and position-weighted block sum vs the oracle's "
+    "restatement from the text",
+    _mm13,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(2 + doc_id % 3 AS INT) AS bh,
+         CAST(2 + doc_id % 2 AS INT) AS bw,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 0
+)
+SELECT doc_id AS media_id,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(64 * list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256))
+            AS BIGINT) AS sum_px,
+       CAST(list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> (k + 1) *
+                 (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256)))
+            AS BIGINT) AS wsum_blocks
+FROM d
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (compressed-codec leg); ITU-T T.81 "
+    "baseline sequential, JFIF 1.02, Annex K tables",
+)

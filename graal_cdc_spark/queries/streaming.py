@@ -801,7 +801,13 @@ _ST18_K, _ST18_BUCKETS = 8, 4
 
 
 def _st18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.length("props") >= 3)
+    from graal_cdc_spark.sources.tables import with_min_parallelism
+
+    # min-parallelism: the trigram explode + md5 bucketing is the hot
+    # map stage — a single-row-group scan would serialize it
+    ev = with_min_parallelism(
+        spark, _events(spark, sf_dir).filter(F.length("props") >= 3)
+    )
     toks = ev.select(
         F.explode(
             F.expr(
@@ -818,7 +824,12 @@ def _st18(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = b.groupBy("bucket", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    totals = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    # bucket totals roll up from the vocab-grain counts — a second
+    # aggregate over the corpus-sized explode would recompute it
+    # (the l90 lesson); this rollup touches O(vocab) rows instead
+    totals = counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_bucket")
+    )
     return (
         ordered_result(counts.join(F.broadcast(totals), "bucket")
         .filter(F.col("cnt") * (_ST18_K + 1) > F.col("n_bucket"))

@@ -411,3 +411,101 @@ def test_png_decoder_never_misparses_fuzzed_bytes():
         except (ValueError, zlib.error):
             continue
         assert (out == px).all(), f"silent misparse at byte {pos}"
+
+
+# --- JPEG codec (operators/jpeg.py, mm13) ---
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """The mm13 oracle contract: images of flat 8x8 blocks round-trip
+    BIT-EXACTLY (DC-only blocks; DC quantizer 8 divides 8*(v-128))."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        bh, bw = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+
+
+def test_jpeg_general_roundtrip_bounded_loss():
+    """General images are LOSSY but bounded: smooth content stays
+    within a few levels; the stream itself is structurally valid
+    (SOI/EOI, parseable segments) for arbitrary content incl. odd
+    dims and 0xFF-dense near-saturated images (stuffing paths)."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    x = np.linspace(0, 255, 64)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (7, 9), (16, 3), (9, 13)):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        payload = encode_jpeg_gray(img)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        out = decode_jpeg_gray(payload)
+        assert out.shape == (h, w)
+        # random noise is JPEG's worst case; still bounded well below
+        # a structural failure (mean error ~14 at these tables)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+    flat_ff = np.full((9, 13), 254, dtype=np.uint8)  # stuffing-dense
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray(flat_ff)), flat_ff
+    )
+
+
+def test_jpeg_decoder_rejects_garbage_and_truncations():
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    img = np.kron(
+        rng.integers(0, 256, (2, 3)).astype(np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    good = encode_jpeg_gray(img)
+    with pytest.raises((ValueError, IndexError, KeyError)):
+        decode_jpeg_gray(b"\x00\x01\x02")
+    for cut in range(2, len(good) - 2, 7):
+        try:
+            out = decode_jpeg_gray(good[:cut])
+        except Exception:
+            continue
+        # a parse that survives truncation must still be shape-correct
+        assert out.shape == img.shape
+
+
+def test_jpeg_pipeline_stats_matches_direct_codec(spark):
+    """The fused mapInPandas census equals a driver-side recompute
+    through the same codec on the same synthesis arithmetic."""
+    from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
+
+    rows = [(i, f"doc {i} text payload {'x' * (i % 5)}") for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.media_id: (r.height, r.width, r.sum_px, r.wsum_blocks)
+        for r in jpeg_pipeline_stats(df).collect()
+    }
+    for mid, text in rows:
+        bh, bw = 2 + mid % 3, 2 + mid % 2
+        codes = (
+            np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) % 256
+        ).astype(np.int64)
+        vals = codes[np.arange(bh * bw) % len(codes)]
+        exp_sum = int(vals.sum()) * 64
+        exp_w = int((vals * np.arange(1, bh * bw + 1)).sum())
+        assert got[mid] == (bh * 8, bw * 8, exp_sum, exp_w), mid
