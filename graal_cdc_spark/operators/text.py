@@ -371,6 +371,64 @@ def dsir_importance_weights(
     )
 
 
+def _fuse_pair(a: str, b: str):
+    """Column transform: greedily merge adjacent (a, b) symbol pairs
+    left-to-right in a symbol array — THE single definition of the
+    merge fold, shared by training (``bpe_merge_training``) and
+    application (``apply_merges``) so the two cannot drift.
+
+    Non-overlap is free: once (i, i+1) fuse, the accumulator's tail is
+    the MERGED symbol, which cannot equal ``a`` again for a non-empty
+    ``b``, so a run of k candidates merges at offsets 0, 2, 4, … —
+    exactly the sequential greedy algorithm's skip-ahead."""
+    la, lb, merged = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def fuse(syms_col):
+        return F.aggregate(
+            syms_col,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    return fuse
+
+
+def apply_merges(
+    df: DataFrame,
+    syms_col: str,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply an ORDERED BPE merge-rule list to a symbol-array column —
+    the re-segmentation (tokenizer-application) half of BPE as a
+    reusable operator: train once (``bpe_merge_training``), then
+    apply the learned rules to any corpus for fertility measurement
+    (l74/l91), token-budget packing, or chunking.
+
+    Each rule is one map-side higher-order fold (no shuffle, no
+    Python); ``localCheckpoint`` every ``checkpoint_every`` rules caps
+    plan/codegen depth so long rule lists don't blow up Catalyst
+    analysis — rule count is a vocab artifact (bounded), never
+    corpus-sized. For production-sized rule sets (10k+), the same
+    ordered list drives a vectorized pandas tokenizer instead; this
+    JVM form is the exact-semantics reference and is what the oracle
+    gates.
+    """
+    out = df
+    for i, (a, b) in enumerate(merges, 1):
+        out = out.withColumn(syms_col, _fuse_pair(a, b)(F.col(syms_col)))
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
 def bpe_merge_training(
     docs: DataFrame,
     text_col: str = "text",
@@ -448,22 +506,9 @@ def bpe_merge_training(
             break  # every word fused to a single symbol
         a, b, c = best[0].a, best[0].b, int(best[0].c)
         merges.append((rnd, a, b, c))
-        la, lb = F.lit(a), F.lit(b)
-        merged = F.lit(a + b)
+        # the SAME fold apply_merges uses — one definition, no drift
         seg = seg.withColumn(
-            "syms",
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS array<string>)"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == la)
-                    & (s == lb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ),
+            "syms", _fuse_pair(a, b)(F.col("syms"))
         ).localCheckpoint(eager=False)
 
     final_top = (

@@ -6314,3 +6314,139 @@ ORDER BY media_id
     ref="SURVEY.md §2.4 MM family (compressed-codec leg); ITU-T T.81 "
     "baseline sequential, JFIF 1.02, Annex K tables",
 )
+
+
+# ---------------------------------------------------------------------------
+# L91 — BPE rule APPLICATION as a first-class operator (VERDICT r8
+# #6): apply an ordered merge-rule list to every corpus word
+# (operators/text.apply_merges — the re-segmentation half of BPE,
+# sharing ONE fold definition with training) and report the fertility
+# census per word-length bucket. The rule list is fixed so the oracle
+# gates application in isolation; the training↔application
+# equivalence is pinned by tests/test_scale_ops.py (the trained
+# rules re-applied via apply_merges reproduce training's final
+# segmentation exactly).
+# ---------------------------------------------------------------------------
+
+_L91_RULES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r")]
+
+
+def _l91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.text import apply_merges
+
+    docs = _par_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = words.withColumn(
+        "syms",
+        F.expr(
+            "transform(sequence(1, length(word)), j -> substring(word, j, 1))"
+        ),
+    )
+    seg = apply_merges(seg, "syms", _L91_RULES)
+    return ordered_result(
+        seg.groupBy(
+            F.least(F.length("word"), F.lit(10)).cast("int").alias("word_len")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("n_syms"),
+            F.sum(F.col("cnt") * F.length("word")).alias("nch"),
+        )
+        .select(
+            "word_len",
+            "n_words",
+            "n_syms",
+            F.expr("n_syms * 10000 DIV nch").cast("long").alias("fert_bp"),
+        ),
+        "word_len",
+    )
+
+
+def _l91_apply_oracle(rules) -> str:
+    parts = [
+        """
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) t
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+),
+seg0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(j AS INT) AS i,
+         substr(word, CAST(j AS INT), 1) AS sym
+  FROM words, unnest(generate_series(1, length(word))) AS t(j)
+)"""
+    ]
+    for r, (a, b) in enumerate(rules, 1):
+        parts.append(
+            """
+cand{r} AS (
+  SELECT s1.word, s1.i
+  FROM seg{p} s1
+  JOIN seg{p} s2 ON s1.word = s2.word AND s2.i = s1.i + 1
+  WHERE s1.sym = '{a}' AND s2.sym = '{b}'
+),
+keep{r} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, i - MIN(i) OVER (PARTITION BY word, grp) AS off
+    FROM (
+      SELECT word, i,
+             i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+      FROM cand{r}
+    ) g
+  ) h WHERE off % 2 = 0
+),
+seg{r} AS MATERIALIZED (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS INT) AS i,
+         sym
+  FROM (
+    SELECT s.word, s.cnt, s.i, s.sym || '{b}' AS sym
+    FROM seg{p} s
+    JOIN keep{r} k ON s.word = k.word AND s.i = k.i
+    UNION ALL
+    SELECT s.word, s.cnt, s.i, s.sym
+    FROM seg{p} s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM keep{r} k
+      WHERE k.word = s.word AND (k.i = s.i OR k.i = s.i - 1)
+    )
+  ) m
+)""".format(r=r, p=r - 1, a=a, b=b)
+        )
+    last = len(rules)
+    return (
+        ",".join(parts)
+        + f"""
+SELECT CAST(LEAST(length(word), 10) AS INT) AS word_len,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * ns) AS BIGINT) AS n_syms,
+       CAST(SUM(cnt * ns) * 10000 // SUM(cnt * length(word)) AS BIGINT)
+         AS fert_bp
+FROM (
+  SELECT word, cnt, CAST(count(*) AS BIGINT) AS ns
+  FROM seg{last} GROUP BY word, cnt
+) f
+GROUP BY 1
+ORDER BY word_len
+"""
+    )
+
+
+_l(
+    "l91_bpe_apply_fertility",
+    "BPE rule application (apply_merges, the shared training fold) to "
+    "every corpus word + fertility census per word-length bucket",
+    _l91,
+    _l91_apply_oracle(_L91_RULES),
+    ref="SURVEY.md §2.4 L88 family; Sennrich et al. 2016 (apply "
+    "half); VERDICT r8 #6",
+)

@@ -984,6 +984,49 @@ def test_l88_bpe_equals_reference(spark, words):
     assert got == sorted(merges + top)
 
 
+@_SETTINGS
+@given(words=_bpe_words)
+def test_apply_merges_reproduces_training_segmentation(spark, words):
+    """Training↔application equivalence (VERDICT r8 #6): re-applying
+    the TRAINED rules through apply_merges to the raw character
+    segmentation reproduces the reference's final per-word
+    segmentation — the shared _fuse_pair fold really is one
+    definition, and an ordered rule list round-trips through the
+    reusable operator."""
+    import pyspark.sql.functions as F
+
+    from graal_cdc_spark.operators.text import apply_merges
+
+    merges, _ = _ref_bpe(words, rounds=3, top_syms=10)
+    rules = [(a, b) for _, a, b, _ in merges]
+    uniq = sorted(set(words))
+    df = spark.createDataFrame([(w,) for w in uniq], "word string")
+    seg = df.withColumn(
+        "syms",
+        F.expr(
+            "transform(sequence(1, length(word)), j -> substring(word, j, 1))"
+        ),
+    )
+    got = {
+        r.word: list(r.syms)
+        for r in apply_merges(seg, "syms", rules, checkpoint_every=2).collect()
+    }
+    # recompute the reference segmentation for the same rules
+    segs = {w: list(w) for w in uniq}
+    for a, b in rules:
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert got == segs
+
+
 # ---------------------------------------------------------------------------
 # l90 Misra-Gries: heavy_hitters_exact must equal the naive exact
 # answer for ANY stream (the sketch is only a candidate generator —
