@@ -57,6 +57,11 @@ from pyspark.sql.datasource import (
 
 SCHEMA = "seq BIGINT, key STRING, value STRING"
 
+# compaction manifest written by compact_log next to the segments:
+# lets a resuming stream reader translate checkpointed offsets that
+# reference rewritten (pre-compaction) segment names
+REMAP_NAME = ".compact-remap.json"
+
 
 def append_segment(path: str, rows, seal: bool = False) -> str:
     """Producer helper: append rows to the active segment (or start a
@@ -239,8 +244,49 @@ class CdcLogStreamReader(DataSourceStreamReader):
         self._last = dict(capped)
         return {"pos": capped}
 
+    def _translate_compacted(self, s: dict[str, int]) -> dict[str, int]:
+        """Map checkpointed positions that reference segments a
+        ``compact_log`` run rewrote onto the post-compaction layout.
+
+        Preserved (hardlinked) tail segments kept their names, so
+        their positions pass through untouched. Positions on
+        rewritten segments translate via the remap manifest: if the
+        consumer had fully drained EVERY rewritten old segment, the
+        new compacted-head files start fully-consumed (zero replay);
+        otherwise they start at 0 and the consumer replays the
+        compacted head — O(live keys), the at-least-once fallback.
+        Offsets naming segments older than the latest remap (two
+        compactions behind) also fall back to head replay."""
+        stale = [
+            seg for seg in s
+            if not os.path.exists(os.path.join(self.path, seg))
+        ]
+        if not stale:
+            return s
+        s = dict(s)
+        stale_pos = {seg: s.pop(seg) for seg in stale}
+        remap_path = os.path.join(self.path, REMAP_NAME)
+        if os.path.exists(remap_path):
+            with open(remap_path, encoding="utf-8") as f:
+                remap = json.load(f)
+            old_lines = remap.get("old_lines", {})
+            # every rewritten old segment must have been drained —
+            # including ones this consumer never even started (a
+            # consumer two compactions behind has no entries for the
+            # latest remap's names, so it falls through to replay)
+            fully = bool(old_lines) and all(
+                stale_pos.get(seg, 0) >= n for seg, n in old_lines.items()
+            )
+            if fully:
+                for name, n in remap.get("rewritten", {}).items():
+                    s[name] = max(s.get(name, 0), n)
+        return s
+
     def partitions(self, start: dict, end: dict):
         s, e = start.get("pos", {}), end.get("pos", {})
+        # offset translation across compact_log swaps: positions on
+        # rewritten segments map through the remap manifest
+        s = self._translate_compacted(s)
         # restart sync: after recovery the checkpointed start can be
         # ahead of this (fresh) reader's rate-limit cursor — never cap
         # below a position Spark has already committed past
@@ -502,11 +548,23 @@ def compact_log(
     the complete previous log, which the next call restores before
     doing anything else).
 
-    Consumers' checkpointed stream offsets reference the OLD segment
-    files — compaction is an offline retention operation: run it when
-    tailers are parked, then restart them (their downstream state is
-    keyed/idempotent, so replay from the compacted log converges —
-    the Q3 at-least-once contract).
+    OFFSET PRESERVATION (round 9): segments that are entirely tail
+    (the longest name-order suffix whose min seq > ``upto_seq``) are
+    HARDLINKED into the new log verbatim — same names, same bytes —
+    so checkpointed stream offsets on them stay valid across the
+    swap. Only head/straddle segments are rewritten (into
+    ``segment-00000000-cNNNN.jsonl`` files that sort before every
+    preserved name), and a ``.compact-remap.json`` manifest records
+    the rewritten old segments' line counts so a resuming reader can
+    TRANSLATE its checkpointed offsets: a tailer that had fully
+    consumed the rewritten region skips the compacted head entirely
+    (zero replay); a tailer parked mid-head replays only the
+    compacted head — O(live keys), exactly the bound compaction
+    exists to provide. Tailers still park during the swap itself (the
+    two renames); the remap removes the replay cost, not the need for
+    a quiesced swap window. Offsets referencing segments older than
+    the latest remap fall back to head replay — the Q3 at-least-once
+    contract, never data loss.
     """
     import shutil
 
@@ -524,31 +582,118 @@ def compact_log(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 
-    df = spark.read.format("graal_cdc_log").load(path)
-    head = df.filter(F.col("seq") <= F.lit(upto_seq))
-    if drop_keyless_head:
-        head = head.filter(F.col("key").isNotNull())
-    # tiebreak on value: an at-least-once producer can re-append the
-    # same (key, seq) — usually byte-identical, but if a violating
-    # producer wrote different values the survivor is still
-    # deterministic instead of partition-order-dependent
-    compacted = latest_by_key(
-        head, ["key"], "seq", tiebreak_cols=["value"]
-    ).select("seq", "key", "value")
-    tail = df.filter(F.col("seq") > F.lit(upto_seq))
-    out = compacted.unionByName(tail)
-    # distributed staged-commit write into the NEW directory; range
-    # partitioning keeps each output segment a contiguous seq band
-    # (cosmetic for humans — replay order comes from seq downstream)
-    n_par = max(2, spark.sparkContext.defaultParallelism // 4)
-    (
-        out.repartitionByRange(n_par, "seq")
-        .sortWithinPartitions("seq")
-        .write.format("graal_cdc_log")
-        .mode("append")
-        .save(tmp)
+    segs = _segments(path)
+    if not segs:
+        return
+
+    # per-segment stats in ONE distributed pass (min seq + line
+    # count); the collect is len(segments) rows — bounded metadata
+    lines_df = (
+        spark.read.text([os.path.join(path, s) for s in segs])
+        .withColumnRenamed("value", "line")
+        .filter(F.length(F.trim("line")) > 0)
+        .select(
+            F.input_file_name().alias("f"),
+            F.from_json("line", SCHEMA).alias("r"),
+            "line",
+        )
     )
-    os.makedirs(tmp, exist_ok=True)  # an all-empty write stages no files
+    bad = lines_df.filter(F.col("r").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"compact_log: corrupt log line {bad[0].line[:120]!r}"
+        )
+    stats = (
+        lines_df.groupBy("f")
+        .agg(F.min("r.seq").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    min_seq = {os.path.basename(r.f): r.mn for r in stats}
+    n_lines = {os.path.basename(r.f): int(r.n) for r in stats}
+
+    # preserved = longest name-order SUFFIX of all-tail segments
+    # (empty segments ride along — they hold nothing to compact)
+    preserved: list[str] = []
+    for s in reversed(segs):
+        mn = min_seq.get(s)
+        if mn is not None and mn <= upto_seq:
+            break
+        preserved.insert(0, s)
+    rewritten_src = [s for s in segs if s not in set(preserved)]
+
+    os.makedirs(tmp, exist_ok=True)
+    new_names: list[str] = []
+    if rewritten_src:
+        src = (
+            spark.read.text(
+                [os.path.join(path, s) for s in rewritten_src]
+            )
+            .withColumnRenamed("value", "line")
+            .filter(F.length(F.trim("line")) > 0)
+            .select(F.from_json("line", SCHEMA).alias("r"))
+            .select("r.seq", "r.key", "r.value")
+        )
+        head = src.filter(F.col("seq") <= F.lit(upto_seq))
+        if drop_keyless_head:
+            head = head.filter(F.col("key").isNotNull())
+        # tiebreak on value: an at-least-once producer can re-append
+        # the same (key, seq) — usually byte-identical, but if a
+        # violating producer wrote different values the survivor is
+        # still deterministic instead of partition-order-dependent
+        compacted = latest_by_key(
+            head, ["key"], "seq", tiebreak_cols=["value"]
+        ).select("seq", "key", "value")
+        straddle_tail = src.filter(F.col("seq") > F.lit(upto_seq))
+        out = compacted.unionByName(straddle_tail)
+        # distributed staged-commit write; range partitioning keeps
+        # each output segment a contiguous seq band
+        n_par = max(2, spark.sparkContext.defaultParallelism // 4)
+        (
+            out.repartitionByRange(n_par, "seq")
+            .sortWithinPartitions("seq")
+            .write.format("graal_cdc_log")
+            .mode("append")
+            .save(tmp)
+        )
+        # rename the writer's segment-NNNNNNNN names into the
+        # compacted-head namespace: '+' (0x2B) sorts before '-'
+        # (0x2D), '.' (0x2E), and digits, so these names sort BEFORE
+        # every possible preserved name (plain segment-NNNNNNNN,
+        # prior-generation head files) — and the uuid generation tag
+        # makes successive compactions collision-proof (a prior head
+        # file that survives as rewritten INPUT must never be
+        # clobbered by this run's outputs)
+        gen = uuid.uuid4().hex[:8]
+        for i, n in enumerate(_segments(tmp)):
+            cname = f"segment-00000000+c{gen}-{i:04d}.jsonl"
+            os.rename(os.path.join(tmp, n), os.path.join(tmp, cname))
+            new_names.append(cname)
+        shutil.rmtree(os.path.join(tmp, ".staging"), ignore_errors=True)
+    # hardlink preserved tail segments — same names, same bytes, zero
+    # copy (sealed segments are immutable); fall back to copy across
+    # filesystems
+    for s in preserved:
+        target = os.path.join(tmp, s)
+        if os.path.exists(target):  # never clobber a rewritten file
+            raise RuntimeError(
+                f"compact_log: name collision on preserved segment {s}"
+            )
+        try:
+            os.link(os.path.join(path, s), target)
+        except OSError:
+            shutil.copy2(os.path.join(path, s), target)
+    remap = {
+        "upto": int(upto_seq),
+        "old_lines": {s: n_lines.get(s, 0) for s in rewritten_src},
+        "rewritten": {
+            n: _count_lines(os.path.join(tmp, n)) for n in new_names
+        },
+        "preserved": preserved,
+    }
+    with open(
+        os.path.join(tmp, REMAP_NAME), "w", encoding="utf-8"
+    ) as f:
+        json.dump(remap, f)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
