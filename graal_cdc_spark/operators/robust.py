@@ -107,17 +107,28 @@ def binned_group_quantiles(
     src = df.select(group_col, F.col(value_col).alias("__v")).withColumn(
         "__bin", F.floor(F.col("__v") / F.lit(bin_width)).cast("long")
     )
+    vtype = dict(src.dtypes)["__v"]
     hist = src.groupBy(group_col, "__bin").agg(
         F.count(F.lit(1)).alias("__bw")
     )
-    wbin = (
-        Window.partitionBy(group_col)
-        .orderBy("__bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wtot = Window.partitionBy(group_col)
-    hist = hist.withColumn("__cum", F.sum("__bw").over(wbin)).withColumn(
-        "__tot", F.sum("__bw").over(wtot)
+    # Per-group histogram as ONE sorted array (O(bins) per group —
+    # the same bound the former cumulative window had per partition):
+    # the target-bin location becomes a row-local fold instead of two
+    # window passes + a row_number dedup, which removes three
+    # exchanges' worth of AQE stages from every caller (locally each
+    # query stage is a scheduled job; at 100 TB each was a real
+    # shuffle of the histogram)
+    ghist = (
+        hist.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__bin"), F.col("__bw")))
+            ).alias("__bins")
+        )
+        .withColumn(
+            "__tot",
+            F.expr("aggregate(__bins, 0L, (a, x) -> a + x.__bw)"),
+        )
     )
     # integer-exact target ranks: ceil(p*n) computed as
     # (num*n + den - 1) div den from p's exact decimal rational —
@@ -126,46 +137,41 @@ def binned_group_quantiles(
     from fractions import Fraction
 
     fracs = [Fraction(str(float(p))) for p in probabilities]
-    ps = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(float(p)).alias("p"),
-                    F.lit(fr.numerator).alias("num"),
-                    F.lit(fr.denominator).alias("den"),
-                )
-                for p, fr in zip(probabilities, fracs)
-            ]
+    locs = []
+    for p, fr in zip(probabilities, fracs):
+        target = (
+            f"CAST(({fr.numerator} * __tot + {fr.denominator} - 1) "
+            f"div {fr.denominator} AS BIGINT)"
         )
-    ).alias("__pr")
-    targets = hist.select(
-        group_col, "__bin", "__bw", "__cum", "__tot", ps
-    ).select(
-        group_col,
-        "__bin",
-        "__bw",
-        "__cum",
-        "__tot",
-        F.col("__pr.p").alias("p"),
-        F.expr(
-            "CAST((__pr.num * __tot + __pr.den - 1) div __pr.den AS BIGINT)"
-        ).alias("__target"),
-    )
+        # fold: first bin whose cumulative count reaches the target,
+        # carrying the count BEFORE that bin
+        loc = (
+            "aggregate(__bins, "
+            "named_struct('cum', 0L, 'tbin', CAST(NULL AS BIGINT), "
+            "'prev', 0L), (acc, b) -> IF(acc.tbin IS NOT NULL, acc, "
+            f"IF(acc.cum + b.__bw >= {target}, "
+            "named_struct('cum', acc.cum + b.__bw, 'tbin', b.__bin, "
+            "'prev', acc.cum), "
+            "named_struct('cum', acc.cum + b.__bw, "
+            "'tbin', CAST(NULL AS BIGINT), 'prev', 0L))))"
+        )
+        locs.append(
+            f"named_struct('p', CAST({float(p)!r} AS DOUBLE), "
+            f"'loc', {loc}, 'target', {target})"
+        )
     tbin = (
-        targets.filter(F.col("__cum") >= F.col("__target"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(group_col, "p").orderBy("__bin")
+        ghist.select(
+            group_col,
+            F.explode(F.expr("array(" + ", ".join(locs) + ")")).alias(
+                "__pr"
             ),
         )
-        .filter(F.col("__rn") == 1)
         .select(
             F.col(group_col).alias("__tg"),
-            F.col("p"),
-            F.col("__bin").alias("__tbin"),
-            (F.col("__cum") - F.col("__bw")).alias("__prev_cum"),
-            "__target",
+            F.col("__pr.p").alias("p"),
+            F.col("__pr.loc.tbin").alias("__tbin"),
+            F.col("__pr.loc.prev").alias("__prev_cum"),
+            F.col("__pr.target").alias("__target"),
         )
     )
     inbin = src.join(
@@ -173,19 +179,33 @@ def binned_group_quantiles(
         (F.col(group_col) == F.col("__tg"))
         & (F.col("__bin") == F.col("__tbin")),
     ).select(group_col, "p", "__v", "__prev_cum", "__target")
-    vals = inbin.groupBy(group_col, "p", "__v", "__prev_cum", "__target").agg(
-        F.count(F.lit(1)).alias("__vw")
-    )
-    wval = (
-        Window.partitionBy(group_col, "p")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    vals = inbin.groupBy(
+        group_col, "p", "__v", "__prev_cum", "__target"
+    ).agg(F.count(F.lit(1)).alias("__vw"))
+    # pass 2's in-bin rank scan as the same fold shape: the sorted
+    # (value, count) array per (group, p) is O(distinct values in ONE
+    # bin) — exactly the former window partition's row bound
+    need = "(max(__target) - max(__prev_cum))"
     return (
-        vals.withColumn(
-            "__cum", F.col("__prev_cum") + F.sum("__vw").over(wval)
+        vals.groupBy(group_col, "p")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__v"), F.col("__vw")))
+            ).alias("__vals"),
+            F.expr(need).alias("__need"),
         )
-        .filter(F.col("__cum") >= F.col("__target"))
-        .groupBy(group_col, "p")
-        .agg(F.min("__v").alias("value"))
+        .select(
+            group_col,
+            "p",
+            F.expr(
+                "aggregate(__vals, "
+                f"named_struct('cum', 0L, 'val', CAST(NULL AS {vtype})), "
+                "(acc, x) -> IF(acc.val IS NOT NULL, acc, "
+                "IF(acc.cum + x.__vw >= __need, "
+                "named_struct('cum', acc.cum + x.__vw, 'val', x.__v), "
+                "named_struct('cum', acc.cum + x.__vw, "
+                f"'val', CAST(NULL AS {vtype})))))"
+                ".val"
+            ).alias("value"),
+        )
     )

@@ -53,14 +53,18 @@ def cosine_topk_exact(
     Output: (qid, neighbor_id, sim, rank), rank 1..k per query,
     deterministic tiebreak on neighbor id.
     """
+    # norms are per-VECTOR: computed once per side before the pair
+    # join, the per-pair expression is ONE dot product instead of
+    # three array passes (same sqrt(dot(v,v)) values — bitwise equal
+    # to the per-pair cosine)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
-        )
+        ).withColumn("qn", l2_norm(F.col("qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("neighbor_id"))
@@ -68,7 +72,10 @@ def cosine_topk_exact(
         F.col("sim_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
-        pairs.withColumn("sim_raw", cosine(F.col("qv"), F.col("cv")))
+        pairs.withColumn(
+            "sim_raw",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -222,7 +222,7 @@ def _c08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = Window.partitionBy("key").orderBy("seq")
     return (
-        _parsed(spark, sf_dir)
+        ordered_result(_parsed(spark, sf_dir)
         .withColumn("valid_to_seq", F.lead("seq").over(w))
         .filter(F.col("op") != "d")
         .select(
@@ -231,8 +231,7 @@ def _c08(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to_seq",
             "op",
             F.when(F.col("valid_to_seq").isNull(), 1).otherwise(0).alias("is_current"),
-        )
-        .orderBy("key", "valid_from_seq")
+        ), "key", "valid_from_seq")
     )
 
 

@@ -196,9 +196,8 @@ ORDER BY qid, rank
 def _l05(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        S.centroids(emb)
-        .withColumn("dim", F.col("dim").cast("int"))
-        .orderBy("label", "dim")
+        ordered_result(S.centroids(emb)
+        .withColumn("dim", F.col("dim").cast("int")), "label", "dim")
     )
 
 
@@ -301,7 +300,7 @@ def _l09(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary value (-> 4.47); floor of the scaled quotient is identical
     # in both engines.
     return (
-        docs.select(
+        ordered_result(docs.select(
             "doc_id",
             n_words.cast("int").alias("n_words"),
             (F.floor(chars * 100.0 / n_words) / 100.0).alias("avg_word_len"),
@@ -309,8 +308,7 @@ def _l09(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stopword_ratio"
             ),
             TX.bpe_token_count(t).cast("int").alias("bpe_tokens"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -412,13 +410,12 @@ def _mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return (
-        media.select(
+        ordered_result(media.select(
             "media_id",
             "media_type",
             F.col("meta.n_bytes").alias("n_bytes"),
             F.col("meta.sha256").alias("sha256"),
-        )
-        .orderBy("media_id")
+        ), "media_id")
     )
 
 
@@ -442,13 +439,12 @@ def _mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media, fake=True)
     return (
-        feats.select(
+        ordered_result(feats.select(
             "media_id",
             "n_bytes",
             F.size("feature").alias("n_feat"),
             F.round(F.element_at("feature", 1), 4).alias("f0"),
-        )
-        .orderBy("media_id")
+        ), "media_id")
     )
 
 
@@ -464,10 +460,9 @@ def _mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return (
-        MM.frame_sample(media, every_n=10)
+        ordered_result(MM.frame_sample(media, every_n=10)
         .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-        .orderBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames")), "media_id")
     )
 
 
@@ -483,14 +478,13 @@ def _mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return (
-        MM.resize_stub(media, target=64)
+        ordered_result(MM.resize_stub(media, target=64)
         .select(
             "media_id",
             "width",
             "height",
             F.octet_length("payload_out").alias("out_bytes"),
-        )
-        .orderBy("media_id")
+        ), "media_id")
     )
 
 
@@ -583,11 +577,11 @@ def _l15(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.groupBy("label").applyInPandas(
         centroid, "label INT, dim INT, centroid_raw DOUBLE"
     )
-    return out.select(
+    return ordered_result(out.select(
         "label",
         "dim",
         (F.round("centroid_raw", 4) + F.lit(0.0)).alias("centroid"),
-    ).orderBy("label", "dim")
+    ), "label", "dim")
 
 
 _l(
@@ -732,13 +726,12 @@ def _l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _par_table(spark, sf_dir, "embeddings")
     q = S.int8_quantize(emb, "vec_id")
     return (
-        q.select(
+        ordered_result(q.select(
             "vec_id",
             F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
             F.array_min("q").alias("qmin"),
             F.array_max("q").alias("qmax"),
-        )
-        .orderBy("vec_id")
+        ), "vec_id")
     )
 
 
@@ -780,12 +773,11 @@ def _l20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
     norm = TX.normalize_text(F.col("text"))
     return (
-        docs.select(
+        ordered_result(docs.select(
             "doc_id",
             F.substring(norm, 1, 80).alias("norm_prefix"),
             F.length(norm).alias("norm_len"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -818,9 +810,8 @@ def _l21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        pack_by_token_budget(docs, "source", "doc_id", budget=2048)
-        .select("source", "doc_id", "n_tok", "shard")
-        .orderBy("source", "doc_id")
+        ordered_result(pack_by_token_budget(docs, "source", "doc_id", budget=2048)
+        .select("source", "doc_id", "n_tok", "shard"), "source", "doc_id")
     )
 
 
@@ -1092,9 +1083,8 @@ def _l27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        pack_by_token_budget_greedy(docs, "source", "doc_id", budget=2048)
-        .select("source", "doc_id", "n_tok", "shard")
-        .orderBy("source", "doc_id")
+        ordered_result(pack_by_token_budget_greedy(docs, "source", "doc_id", budget=2048)
+        .select("source", "doc_id", "n_tok", "shard"), "source", "doc_id")
     )
 
 
@@ -1151,14 +1141,14 @@ def _l28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sym = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
     dig = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    return docs.select(
+    return ordered_result(docs.select(
         "doc_id",
         n.cast("int").alias("n_tok"),
         ratio(F.size(F.array_distinct(toks)), n).alias("distinct_ratio"),
         F.when(n >= 2, ratio(n_g2 - n_g2_d, n_g2)).otherwise(0.0).alias("dup2_ratio"),
         ratio(sym, n_char).alias("symbol_ratio"),
         ratio(dig, n_char).alias("digit_ratio"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 _l(
@@ -1307,9 +1297,8 @@ def _l31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        kmeans_quantized(emb, k=8, iters=2, scale=10_000)
-        .select(F.col("pid").alias("vec_id"), "cid", "d2")
-        .orderBy("vec_id")
+        ordered_result(kmeans_quantized(emb, k=8, iters=2, scale=10_000)
+        .select(F.col("pid").alias("vec_id"), "cid", "d2"), "vec_id")
     )
 
 
@@ -1540,7 +1529,7 @@ def _l35(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     return (
-        words.join(vocab, "word")
+        ordered_result(words.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
@@ -1553,8 +1542,7 @@ def _l35(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok",
             "n_rare",
             F.expr("n_rare * 10000 DIV n_tok").alias("rare_bp"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -1601,14 +1589,13 @@ def _l36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pat = "[0-9]{4,}"
     return (
-        d.select(
+        ordered_result(d.select(
             "doc_id",
             (F.size(F.split(contact, pat)) - 1).cast("long").alias("n_masked"),
             F.length(F.regexp_replace(contact, pat, "<NUM>"))
             .cast("long")
             .alias("masked_len"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -1853,7 +1840,7 @@ def _l40(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base", F.sum("shard_tok").over(wt) - F.col("shard_tok")
     ).select("shard", "base")
     return (
-        local.join(F.broadcast(offsets), "shard")
+        ordered_result(local.join(F.broadcast(offsets), "shard")
         .select(
             "doc_id",
             "n_tok",
@@ -1861,8 +1848,7 @@ def _l40(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "global_start"
             ),
         )
-        .withColumn("seq_id", F.expr("global_start DIV 2048"))
-        .orderBy("doc_id")
+        .withColumn("seq_id", F.expr("global_start DIV 2048")), "doc_id")
     )
 
 
@@ -2010,7 +1996,7 @@ def _l42(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.get(F.col("bpos"), j - 1),
     )
     p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
-    return with_runs.select(
+    return ordered_result(with_runs.select(
         "doc_id",
         (
             F.floor(
@@ -2024,7 +2010,7 @@ def _l42(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("bigram_entropy"),
         F.size("bpos").alias("n_distinct_bigrams"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 _l(
@@ -2160,12 +2146,11 @@ def _l45(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = toks.join(F.broadcast(vocab), "word").crossJoin(F.broadcast(total))
     nll = -F.log(F.col("cnt") / F.col("tot"))
     return (
-        scored.groupBy("doc_id")
+        ordered_result(scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (F.floor(F.avg(nll) * 10000) / 10000).alias("avg_surprisal"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -2211,14 +2196,13 @@ def _l46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", F.lit(1).alias("in_vocab"))
     )
     return (
-        toks.join(F.broadcast(vocab), "word", "left")
+        ordered_result(toks.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
-        .withColumn("oov_bp", F.expr("10000 * n_oov div n_tokens"))
-        .orderBy("doc_id")
+        .withColumn("oov_bp", F.expr("10000 * n_oov div n_tokens")), "doc_id")
     )
 
 
@@ -2602,14 +2586,13 @@ def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
     return (
-        pairs.join(big, ["w1", "w2"])
+        ordered_result(pairs.join(big, ["w1", "w2"])
         .join(left, "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (F.floor(F.avg(nll) * 10000) / 10000).alias("avg_bigram_nll"),
-        )
-        .orderBy("doc_id")
+        ), "doc_id")
     )
 
 
@@ -3442,7 +3425,7 @@ def _l66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ndocs")
     )
     return (
-        grams.join(df_per_gram, "g")
+        ordered_result(grams.join(df_per_gram, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -3450,8 +3433,7 @@ def _l66(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_shared"
             ),
         )
-        .withColumn("shared_bp", F.expr("10000 * n_shared div n_grams"))
-        .orderBy("doc_id")
+        .withColumn("shared_bp", F.expr("10000 * n_shared div n_grams")), "doc_id")
     )
 
 
@@ -3620,7 +3602,7 @@ def _l68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
     return (
-        fps.join(dfp, "fp")
+        ordered_result(fps.join(dfp, "fp")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fp"),
@@ -3628,8 +3610,7 @@ def _l68(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_shared"
             ),
         )
-        .withColumn("shared_bp", F.expr("10000 * n_shared div n_fp"))
-        .orderBy("doc_id")
+        .withColumn("shared_bp", F.expr("10000 * n_shared div n_fp")), "doc_id")
     )
 
 
@@ -5466,9 +5447,9 @@ ORDER BY term, rank
 
 def _l85(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
-    return TX.dsir_importance_weights(
+    return ordered_result(TX.dsir_importance_weights(
         docs, "doc_id", "text", F.col("lang") == "en", carry=["lang"]
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 _l(
@@ -5786,7 +5767,7 @@ def _mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
     )
     media = documents_as_bmp(docs)
-    return bmp_channel_histogram(media).orderBy(
+    return ordered_result(bmp_channel_histogram(media), 
         "media_id", "channel", "bin"
     )
 

@@ -331,10 +331,9 @@ def _r09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
     return (
-        ev.withColumn("last_error_id", F.last(err_id, ignorenulls=True).over(w))
+        ordered_result(ev.withColumn("last_error_id", F.last(err_id, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "last_error_id")
-        .orderBy("event_id")
+        .select("event_id", "user_id", "last_error_id"), "event_id")
     )
 
 
@@ -413,7 +412,7 @@ def _r12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .select(
             "o_custkey",
             "o_orderkey",
@@ -422,8 +421,7 @@ def _r12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
         )
-        .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        .filter(F.col("rn") <= 3), "o_custkey", "rn")
     )
 
 
@@ -457,7 +455,7 @@ def _r13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_frame = w_order.rowsBetween(-2, 0)
     return (
-        ev.select(
+        ordered_result(ev.select(
             "user_id",
             "event_id",
             # decimal-cast BEFORE the windowed sum: sliding-frame double
@@ -467,8 +465,7 @@ def _r13(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .alias("run_sum"),
             F.lag("value").over(w_order).alias("prev_value"),
-        )
-        .orderBy("user_id", "event_id")
+        ), "user_id", "event_id")
     )
 
 
@@ -593,7 +590,7 @@ ORDER BY nationkey
 def _r16(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     return (
-        t["part"]
+        ordered_result(t["part"]
         .select(
             "p_partkey",
             F.upper("p_name").alias("up"),
@@ -605,8 +602,7 @@ def _r16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_name").alias("len"),
             F.col("p_name").like("%green%").alias("has_green"),
             F.element_at(F.split("p_name", " "), 1).alias("first_word"),
-        )
-        .orderBy("p_partkey")
+        ), "p_partkey")
     )
 
 
@@ -728,14 +724,13 @@ def _r19(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     arr = F.array_sort(F.collect_list("o_orderkey"))
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .groupBy("o_custkey")
         .agg(
             F.array_join(F.slice(arr, 1, 5), ",").alias("first5"),
             F.cardinality(arr).cast("int").alias("n_orders"),
             F.array_contains(arr, 42).alias("contains_42"),
-        )
-        .orderBy("o_custkey")
+        ), "o_custkey")
     )
 
 
@@ -995,10 +990,9 @@ def _r26(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     parts = F.split(F.col("o_orderpriority"), "-")
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .filter(F.col("o_orderkey") <= 4000)
-        .select("o_orderkey", F.posexplode(parts).alias("pos", "word"))
-        .orderBy("o_orderkey", "pos")
+        .select("o_orderkey", F.posexplode(parts).alias("pos", "word")), "o_orderkey", "pos")
     )
 
 
@@ -1186,7 +1180,7 @@ def _r31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        t["orders"]
+        ordered_result(t["orders"]
         .filter(F.col("o_orderkey") <= 500)
         .select(
             "o_orderstatus",
@@ -1195,8 +1189,7 @@ def _r31(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).cast("string").alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).cast("string").alias("cume"),
             F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
-        )
-        .orderBy("o_orderstatus", "o_orderkey")
+        ), "o_orderstatus", "o_orderkey")
     )
 
 
@@ -1528,13 +1521,12 @@ def _r38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = F.when(F.col("event_id") % 5 != 0, F.col("value"))
     return (
-        ev.withColumn("v", v)
+        ordered_result(ev.withColumn("v", v)
         .select(
             "event_id",
             "user_id",
             F.last("v", ignorenulls=True).over(w).alias("filled"),
-        )
-        .orderBy("event_id")
+        ), "event_id")
     )
 
 
@@ -1565,7 +1557,7 @@ def _r39(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        ordered_result(o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "o_custkey",
@@ -1574,8 +1566,7 @@ def _r39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
                 "latest_price"
             ),
-        )
-        .orderBy("o_custkey")
+        ), "o_custkey")
     )
 
 
@@ -1680,7 +1671,7 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 def _r42(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.filter(F.col("o_orderkey") <= 2000)
+        ordered_result(o.filter(F.col("o_orderkey") <= 2000)
         .select(
             "o_orderkey",
             F.add_months("o_orderdate", 3).cast("date").alias("due_month"),
@@ -1689,8 +1680,7 @@ def _r42(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("days_to_end"),
             (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
-        )
-        .orderBy("o_orderkey")
+        ), "o_orderkey")
     )
 
 
@@ -1726,9 +1716,8 @@ def _r43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.split(F.col("p_name"), " "))
     )
     return (
-        p.filter(F.col("p_partkey") <= 500)
-        .select("p_partkey", F.explode_outer(arr).alias("word"))
-        .orderBy("p_partkey", F.col("word").asc_nulls_first())
+        ordered_result(p.filter(F.col("p_partkey") <= 500)
+        .select("p_partkey", F.explode_outer(arr).alias("word")), "p_partkey", F.col("word").asc_nulls_first())
     )
 
 
@@ -1800,13 +1789,12 @@ def _r45(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey") % 3 == 0, F.col("p_partkey").cast("string")
     ).otherwise(F.col("p_name"))
     return (
-        p.filter(F.col("p_partkey") <= 1000)
+        ordered_result(p.filter(F.col("p_partkey") <= 1000)
         .select(
             "p_partkey",
             mixed.try_cast("int").alias("maybe_int"),
             F.try_divide(F.lit(100), F.col("p_size") - 5).alias("ratio"),
-        )
-        .orderBy("p_partkey")
+        ), "p_partkey")
     )
 
 
@@ -1847,10 +1835,9 @@ def _r46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("hi"),
     )
     return (
-        binned_interval_join(purchases, errors, "pts", "lo", "hi", bin_width_s=3600)
+        ordered_result(binned_interval_join(purchases, errors, "pts", "lo", "hi", bin_width_s=3600)
         .groupBy("error_id")
-        .agg(F.count(F.lit(1)).alias("n_purch"))
-        .orderBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_purch")), "error_id")
     )
 
 
@@ -2698,10 +2685,9 @@ def _r63(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
     return (
-        ev.withColumn("next_error_id", F.first(err_id, ignorenulls=True).over(w))
+        ordered_result(ev.withColumn("next_error_id", F.first(err_id, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "next_error_id")
-        .orderBy("event_id")
+        .select("event_id", "user_id", "next_error_id"), "event_id")
     )
 
 
@@ -3503,14 +3489,13 @@ def _r76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        ranked.groupBy("o_custkey")
+        ordered_result(ranked.groupBy("o_custkey")
         .agg(
             F.max("n").alias("n_orders"),
             pick(1, 4, "p25"),
             pick(2, 4, "p50"),
             pick(3, 4, "p75"),
-        )
-        .orderBy("o_custkey")
+        ), "o_custkey")
     )
 
 
@@ -3634,7 +3619,7 @@ def _r78(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = nested.select("l_orderkey", F.inline("items"))
     w = Window.partitionBy("l_orderkey")
     return (
-        flat.withColumn("n_items", F.count(F.lit(1)).over(w))
+        ordered_result(flat.withColumn("n_items", F.count(F.lit(1)).over(w))
         .withColumn("total_qty", F.sum("qty").over(w))
         .filter((F.col("ln") == 1))
         .select(
@@ -3642,8 +3627,7 @@ def _r78(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
             F.col("qty").cast("string").alias("first_line_qty"),
             F.col("total_qty").cast("string").alias("total_qty"),
-        )
-        .orderBy("l_orderkey")
+        ), "l_orderkey")
     )
 
 
@@ -4344,7 +4328,7 @@ def _r87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = ev.withColumn("first_view", F.min(enc).over(w))
     return (
-        tagged.filter(F.col("event_type") == "purchase")
+        ordered_result(tagged.filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
             "user_id",
@@ -4353,8 +4337,7 @@ def _r87(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("s") - decode_ts(F.col("first_view")))
                 / F.lit(1_000_000)
             ).cast("bigint").alias("wait_s"),
-        )
-        .orderBy("event_id")
+        ), "event_id")
     )
 
 
@@ -4663,7 +4646,7 @@ def _r91(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.withColumn("last_err", F.max(enc).over(w))
     age = F.col("s") - decode_ts(F.col("last_err"))
     return (
-        tagged.filter(F.col("event_type") == "purchase")
+        ordered_result(tagged.filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
             "user_id",
@@ -4674,8 +4657,7 @@ def _r91(spark: SparkSession, sf_dir: str) -> DataFrame:
                 age <= tol_us,
                 F.floor(age / F.lit(1_000_000)).cast("bigint"),
             ).alias("age_s"),
-        )
-        .orderBy("event_id")
+        ), "event_id")
     )
 
 

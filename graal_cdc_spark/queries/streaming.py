@@ -37,7 +37,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_counts(_events(spark, sf_dir)).orderBy(
+    return ordered_result(tumbling_counts(_events(spark, sf_dir)), 
         "window_start", "event_type"
     )
 
@@ -64,7 +64,7 @@ ORDER BY 1, 2
 
 
 def _st2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_counts(_events(spark, sf_dir)).orderBy(
+    return ordered_result(sliding_counts(_events(spark, sf_dir)), 
         "window_start", "event_type"
     )
 
@@ -95,7 +95,7 @@ ORDER BY 1, 2
 
 
 def _st3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_counts(_events(spark, sf_dir)).orderBy(
+    return ordered_result(session_counts(_events(spark, sf_dir)), 
         "user_id", "session_start"
     )
 
@@ -180,15 +180,14 @@ def _st5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ordered_result(ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "user_id",
             "event_type",
             F.col("event_id").alias("first_event_id"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
-        )
-        .orderBy("user_id", "event_type")
+        ), "user_id", "event_type")
     )
 
 
@@ -263,10 +262,9 @@ def _st7(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase")
     errors = ev.filter(F.col("event_type") == "error")
     return (
-        interval_pairs(purchases, errors, lookback="30 minutes", how="left_outer")
+        ordered_result(interval_pairs(purchases, errors, lookback="30 minutes", how="left_outer")
         .withColumnRenamed("left_id", "purchase_id")
-        .withColumnRenamed("right_id", "error_id")
-        .orderBy(
+        .withColumnRenamed("right_id", "error_id"), 
             "user_id", "purchase_id", F.col("error_id").asc_nulls_first()
         )
     )
@@ -299,7 +297,7 @@ ORDER BY p.user_id, purchase_id, error_id NULLS FIRST
 def _st8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.streaming.windows import hourly_rollup_of_tumbling
 
-    return hourly_rollup_of_tumbling(_events(spark, sf_dir)).orderBy(
+    return ordered_result(hourly_rollup_of_tumbling(_events(spark, sf_dir)), 
         "hour_start", "event_type"
     )
 
@@ -426,7 +424,7 @@ GROUP BY 1 ORDER BY 1
 def _st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.streaming.windows import windowed_distinct_users
 
-    return windowed_distinct_users(_events(spark, sf_dir)).orderBy(
+    return ordered_result(windowed_distinct_users(_events(spark, sf_dir)), 
         "window_start"
     )
 
@@ -468,7 +466,7 @@ def _st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = cust.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("user_id")
     )
-    return admitted_counts(ev, deny).orderBy("window_start", "event_type")
+    return ordered_result(admitted_counts(ev, deny), "window_start", "event_type")
 
 
 register(
@@ -509,7 +507,7 @@ def _st13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.window("ts", "10 minutes").getField("start")
     ).orderBy("ts", "event_id")
     return (
-        ev.select(
+        ordered_result(ev.select(
             "user_id",
             F.date_format(
                 F.window("ts", "10 minutes").getField("start"),
@@ -518,8 +516,7 @@ def _st13(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.row_number().over(w).alias("rank"),
         )
-        .filter(F.col("rank") <= 3)
-        .orderBy("user_id", "window_start", "event_id")
+        .filter(F.col("rank") <= 3), "user_id", "window_start", "event_id")
     )
 
 
@@ -564,10 +561,9 @@ def _st14(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase")
     errors = ev.filter(F.col("event_type") == "error")
     return (
-        interval_pairs(purchases, errors, lookback="30 minutes", how="full_outer")
+        ordered_result(interval_pairs(purchases, errors, lookback="30 minutes", how="full_outer")
         .withColumnRenamed("left_id", "purchase_id")
-        .withColumnRenamed("right_id", "error_id")
-        .orderBy(
+        .withColumnRenamed("right_id", "error_id"), 
             "user_id",
             F.col("purchase_id").asc_nulls_first(),
             F.col("error_id").asc_nulls_first(),
@@ -606,7 +602,7 @@ ORDER BY user_id,
 def _st15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.streaming.windows import session_coverage
 
-    return session_coverage(_events(spark, sf_dir), gap="30 minutes").orderBy(
+    return ordered_result(session_coverage(_events(spark, sf_dir), gap="30 minutes"), 
         "user_id", "session_start"
     )
 
@@ -653,7 +649,7 @@ ORDER BY user_id, session_start
 def _st16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.streaming.windows import windowed_value_histogram
 
-    return windowed_value_histogram(_events(spark, sf_dir)).orderBy(
+    return ordered_result(windowed_value_histogram(_events(spark, sf_dir)), 
         "window_start", "event_type", "bin"
     )
 
@@ -732,12 +728,11 @@ def _st17(spark: SparkSession, sf_dir: str) -> DataFrame:
     run.query.awaitTermination()
 
     return (
-        lake.read_silver("appdb", "users")
+        ordered_result(lake.read_silver("appdb", "users")
         .select(
             "seq", "key", "op", "version",
             "user_id", "event_type", "value", "ts",
-        )
-        .orderBy("seq")
+        ), "seq")
     )
 
 
