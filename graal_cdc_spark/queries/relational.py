@@ -3616,18 +3616,27 @@ def _r78(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("items")
     )
-    flat = nested.select("l_orderkey", F.inline("items"))
-    w = Window.partitionBy("l_orderkey")
-    return (
-        ordered_result(flat.withColumn("n_items", F.count(F.lit(1)).over(w))
-        .withColumn("total_qty", F.sum("qty").over(w))
-        .filter((F.col("ln") == 1))
-        .select(
+    # per-order stats computed ON the array (row-local) before the
+    # inline() flattening — the generator is still exercised, but the
+    # former count/sum window over the 600k flattened rows (a full
+    # in-partition sort + window pass) collapses to size()/aggregate()
+    flat = nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.expr(
+            "aggregate(items, CAST(0 AS DECIMAL(28,2)), "
+            "(a, x) -> CAST(a + x.qty AS DECIMAL(28,2)))"
+        ).cast("decimal(18,2)").alias("total_qty"),
+        F.inline("items"),
+    )
+    return ordered_result(
+        flat.filter(F.col("ln") == 1).select(
             "l_orderkey",
             "n_items",
             F.col("qty").cast("string").alias("first_line_qty"),
             F.col("total_qty").cast("string").alias("total_qty"),
-        ), "l_orderkey")
+        ),
+        "l_orderkey",
     )
 
 

@@ -261,8 +261,11 @@ def test_kill_and_restart_mid_stream_converges(spark, tmp_path, cdc_chunks):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    # let it get partway through, then kill it mid-stream
-    deadline = _time.time() + 60
+    # let it get partway through, then kill it mid-stream. 180 s: the
+    # first micro-batch commit can lag far behind wall time when the
+    # full suite saturates all 32 cores (observed flake at 60 s under
+    # load; the test is about restart convergence, not latency)
+    deadline = _time.time() + 180
     while _time.time() < deadline and not sink._state():
         _time.sleep(0.2)
     q.stop()
