@@ -46,6 +46,9 @@ PROBES = [
     "l21_token_budget_packing",
     "st1_tumbling_window",
     "st4_stream_stream_join",
+    # round 9 (new members: real JPEG census, BPE rule application)
+    "mm13_jpeg_roundtrip_census",
+    "l91_bpe_apply_fertility",
     # round 3
     "r35_stat_aggregates",
     "r46_binned_interval_join",
