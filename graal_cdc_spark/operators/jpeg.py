@@ -189,6 +189,20 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def read_restart_marker(self) -> int:
+        """Discard padding bits, consume a byte-aligned RSTn marker,
+        return n (0–7)."""
+        self.nbits = 0  # drop the 1-padding before the marker
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("jpeg: truncated at restart marker")
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("jpeg: expected restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"jpeg: expected RSTn, got 0xFF{m:02X}")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude coding: value -> (category, extra bits)."""
@@ -211,11 +225,17 @@ def _extend(extra: int, cat: int) -> int:
 # --- encoder --------------------------------------------------------------
 
 
-def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+def encode_jpeg_gray(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode a (h, w) uint8 grayscale array as baseline JFIF.
 
     Edge blocks are replicated-padded to 8×8 multiples (standard
     practice; the decoder crops back to the SOF dimensions).
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0–7 markers
+    every that-many MCUs (byte-aligned, DC predictor reset — ITU-T
+    T.81 §B.2.4.4/§E.2.4), the error-resilience feature real encoders
+    use so a corrupted scan loses one restart interval, not the rest
+    of the image.
     """
     px = np.asarray(pixels)
     if px.ndim != 2:
@@ -232,9 +252,19 @@ def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     shifted = padded.astype(np.float64) - 128.0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-pad), emit RSTn raw (markers are never
+                # byte-stuffed), reset the DC predictor
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = shifted[by : by + 8, bx : bx + 8]
             coef = _fdct(block)
             q = np.round(coef.reshape(64) / QTABLE.reshape(8, 8).reshape(64)).astype(np.int64)
@@ -289,6 +319,8 @@ def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
     ac_payload = bytes(AC_BITS) + bytes(AC_VALS)
     out += b"\xFF\xC4" + struct.pack(">H", 3 + len(dc_payload)) + b"\x00" + dc_payload
     out += b"\xFF\xC4" + struct.pack(">H", 3 + len(ac_payload)) + b"\x10" + ac_payload
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     out += bw.out
@@ -326,7 +358,9 @@ class _HuffTree:
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF grayscale stream produced by any
     conformant encoder (general DQT/DHT parsing — not tied to this
-    module's tables). Returns (h, w) uint8."""
+    module's tables; DRI/RST0–7 restart intervals honored, with DC
+    predictor reset and marker-sequence validation). Returns
+    (h, w) uint8."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -336,6 +370,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     h = w = 0
     comp_q = 0
     dc_id = ac_id = 0
+    restart_interval = 0
     scan_data = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -389,6 +424,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     dc_trees[th] = tree
                 else:
                     ac_trees[th] = tree
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ncomp = seg[0]
             if ncomp != 1:
@@ -408,8 +445,20 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     pw = (w + 7) // 8 * 8
     out = np.zeros((ph, pw), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
+    rst_expect = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = br.read_restart_marker()
+                if n != rst_expect:
+                    raise ValueError(
+                        f"jpeg: RST out of sequence (got {n}, "
+                        f"expected {rst_expect})"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             cat = dct_t.decode(br)
             diff = _extend(br.read_bits(cat), cat) if cat else 0

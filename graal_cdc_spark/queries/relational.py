@@ -3715,41 +3715,54 @@ def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     )
     scores = deg.select("a", F.lit(1_000_000).cast("bigint").alias("score"))
-    for _ in range(2):
-        # pre-join the two node-grain frames (scores ⋈ deg — both
-        # bounded by node count) so the edge table is joined ONCE per
-        # iteration, not twice; AQE broadcasts the node-grain side
-        rates = scores.join(deg, "a").select(
-            "a", F.expr("score DIV outdeg").alias("rate")
-        )
-        contrib = edges.join(rates, "a").select(
-            F.col("b").alias("node"), F.col("rate").alias("c")
-        )
-        scores = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").alias("inc"))
-            .select(
-                F.col("node").alias("a"),
-                (F.lit(150_000) + F.expr("(85 * inc) DIV 100"))
-                .cast("bigint")
-                .alias("score"),
+    try:
+        for _ in range(2):
+            # pre-join the two node-grain frames (scores ⋈ deg — both
+            # bounded by node count) so the edge table is joined ONCE
+            # per iteration, not twice; AQE broadcasts the node-grain
+            # side
+            rates = scores.join(deg, "a").select(
+                "a", F.expr("score DIV outdeg").alias("rate")
             )
-        )
-    return (
-        scores.select(
-            F.when(
-                F.col("a") % 2 == 0,
-                F.concat(F.lit("c"), (F.col("a") / 2).cast("bigint")),
+            contrib = edges.join(rates, "a").select(
+                F.col("b").alias("node"), F.col("rate").alias("c")
             )
-            .otherwise(
-                F.concat(F.lit("s"), ((F.col("a") - 1) / 2).cast("bigint"))
+            scores = (
+                contrib.groupBy("node")
+                .agg(F.sum("c").alias("inc"))
+                .select(
+                    F.col("node").alias("a"),
+                    (F.lit(150_000) + F.expr("(85 * inc) DIV 100"))
+                    .cast("bigint")
+                    .alias("score"),
+                )
             )
-            .alias("node"),
-            "score",
+        final = (
+            scores.select(
+                F.when(
+                    F.col("a") % 2 == 0,
+                    F.concat(F.lit("c"), (F.col("a") / 2).cast("bigint")),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("s"), ((F.col("a") - 1) / 2).cast("bigint")
+                    )
+                )
+                .alias("node"),
+                "score",
+            )
+            .orderBy(F.col("score").desc(), "node")
+            .limit(20)
         )
-        .orderBy(F.col("score").desc(), "node")
-        .limit(20)
-    )
+        # materialize the bounded top-20 inside the cache lifetime so
+        # edges/deg can be unpersisted deterministically (a returned
+        # lazy plan would otherwise pin the cached partitions until
+        # LRU eviction — they leaked across long bench sessions)
+        rows = final.collect()
+        return spark.createDataFrame(rows, schema=final.schema)
+    finally:
+        edges.unpersist()
+        deg.unpersist()
 
 
 _r(

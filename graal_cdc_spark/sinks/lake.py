@@ -260,6 +260,27 @@ def purge_keys(
         .parquet(staging)
     )
 
+    # Invariant check BEFORE any delete is planned: every survivor row
+    # must have mapped to a located file. If input_file_name() in the
+    # rewrite scan ever spells a URI differently from the locate scan,
+    # element_at returns NULL and those rows land in the Hive default
+    # partition — which the restage loop below would silently skip
+    # while the plan still deletes the original file (survivor-row
+    # loss). Fail fast instead; originals are untouched at this point.
+    null_fid_dir = os.path.join(
+        staging, "__purge_fid=__HIVE_DEFAULT_PARTITION__"
+    )
+    if os.path.isdir(null_fid_dir):
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            "purge_keys: rewrite scan produced rows with no source-file "
+            "mapping (input_file_name URI mismatch between locate and "
+            "rewrite scans) — aborting before any delete; originals are "
+            "intact"
+        )
+
     for u in uris:
         old = affected[u]
         part_dir = os.path.dirname(old)

@@ -74,7 +74,7 @@ def append_segment(path: str, rows, seal: bool = False) -> str:
     os.makedirs(path, exist_ok=True)
     segs = sorted(n for n in os.listdir(path) if n.endswith(".jsonl"))
     if not segs or seal:
-        name = f"segment-{_next_index(segs):08d}.jsonl"
+        name = f"segment-{_next_index_for(path):08d}.jsonl"
     else:
         name = segs[-1]
     full = os.path.join(path, name)
@@ -98,6 +98,41 @@ def _next_index(segs: list[str]) -> int:
         if tail.isdigit():
             mx = max(mx, int(tail))
     return mx + 1
+
+
+def _load_remap_chain(path: str) -> tuple[list[dict], int]:
+    """(remap chain oldest-first, max plain-segment index ever used).
+
+    Handles both the chained manifest ``{"chain": [...],
+    "max_index": N}`` and the legacy single-remap format (a bare
+    remap dict). Returns ``([], -1)`` when no manifest exists."""
+    remap_path = os.path.join(path, REMAP_NAME)
+    if not os.path.exists(remap_path):
+        return [], -1
+    with open(remap_path, encoding="utf-8") as f:
+        m = json.load(f)
+    chain = m.get("chain")
+    if chain is None:
+        chain = [m] if m.get("old_lines") else []
+    return chain, int(m.get("max_index", -1))
+
+
+def _next_index_for(path: str) -> int:
+    """Next segment index honoring the compaction high-water mark.
+
+    After a compaction that rewrites high-numbered segments, the live
+    directory may hold only compacted-head names whose numeric tails
+    are SMALL (their within-run ordinal) — max-existing+1 alone would
+    then RE-USE a rewritten segment's name, and a consumer parked on
+    the old name would silently resume mid-file inside different
+    content (data skip, worse than replay). The remap manifest carries
+    the max index ever used; new names start above it."""
+    nxt = _next_index(_segments(path))
+    try:
+        _, hw = _load_remap_chain(path)
+    except (ValueError, OSError):
+        hw = -1
+    return max(nxt, hw + 1)
 
 
 def _segments(path: str) -> list[str]:
@@ -250,43 +285,61 @@ class CdcLogStreamReader(DataSourceStreamReader):
 
         Preserved (hardlinked) tail segments kept their names, so
         their positions pass through untouched. Positions on
-        rewritten segments translate via the remap manifest: if the
-        consumer had fully drained EVERY rewritten old segment, the
-        new compacted-head files start fully-consumed (zero replay);
-        otherwise they start at 0 and the consumer replays the
-        compacted head — O(live keys), the at-least-once fallback.
-        Offsets naming segments older than the latest remap (two
-        compactions behind) also fall back to head replay."""
-        stale = [
-            seg for seg in s
-            if not os.path.exists(os.path.join(self.path, seg))
-        ]
-        if not stale:
+        rewritten segments translate via the remap CHAIN (one entry
+        per compaction, oldest first): each generation whose rewritten
+        old segments the consumer had fully drained maps those
+        positions onto that generation's output files at full counts,
+        so a checkpoint from BEFORE any number of chained compactions
+        translates transitively to zero replay. The first generation
+        the consumer had NOT fully drained breaks the chain; any
+        position still naming a deleted segment is then dropped —
+        on the start side the compacted head replays from 0
+        (O(live keys), the at-least-once fallback), on the end side
+        the replayed batch simply defers that data to the next batch."""
+        def _missing(seg: str) -> bool:
+            return not os.path.exists(os.path.join(self.path, seg))
+
+        if not any(_missing(seg) for seg in s):
             return s
         s = dict(s)
-        stale_pos = {seg: s.pop(seg) for seg in stale}
-        remap_path = os.path.join(self.path, REMAP_NAME)
-        if os.path.exists(remap_path):
-            with open(remap_path, encoding="utf-8") as f:
-                remap = json.load(f)
+        try:
+            chain, _ = _load_remap_chain(self.path)
+        except (ValueError, OSError):
+            chain = []
+        for remap in chain:
             old_lines = remap.get("old_lines", {})
-            # every rewritten old segment must have been drained —
-            # including ones this consumer never even started (a
-            # consumer two compactions behind has no entries for the
-            # latest remap's names, so it falls through to replay)
+            # every rewritten old segment of THIS generation must have
+            # been drained — including ones this consumer never even
+            # started (missing entries read as position 0)
             fully = bool(old_lines) and all(
-                stale_pos.get(seg, 0) >= n for seg, n in old_lines.items()
+                s.get(seg, 0) >= n for seg, n in old_lines.items()
             )
-            if fully:
-                for name, n in remap.get("rewritten", {}).items():
-                    s[name] = max(s.get(name, 0), n)
+            if not fully:
+                continue
+            for seg in old_lines:
+                s.pop(seg, None)
+            for name, n in remap.get("rewritten", {}).items():
+                s[name] = max(s.get(name, 0), n)
+        for seg in [seg for seg in s if _missing(seg)]:
+            s.pop(seg)
         return s
 
     def partitions(self, start: dict, end: dict):
         s, e = start.get("pos", {}), end.get("pos", {})
         # offset translation across compact_log swaps: positions on
-        # rewritten segments map through the remap manifest
+        # rewritten segments map through the remap manifest. The END
+        # offset translates too — on restart Spark replays a
+        # WAL-planned-but-uncommitted batch whose checkpointed end can
+        # still name segments a compact_log run deleted; without
+        # translation that batch plans reads of missing files and the
+        # stream wedges on FileNotFoundError. A fully-drained end maps
+        # onto the rewritten heads (the replayed batch becomes a no-op
+        # there and commits past the stale names); a mid-head end
+        # drops the stale names, deferring the head to the next batch,
+        # whose start then falls back to 0 — head replay, the
+        # at-least-once contract.
         s = self._translate_compacted(s)
+        e = self._translate_compacted(e)
         # restart sync: after recovery the checkpointed start can be
         # ahead of this (fresh) reader's rate-limit cursor — never cap
         # below a position Spark has already committed past
@@ -359,7 +412,7 @@ def _publish(path: str, staged: list[str]) -> list[str]:
     segments because staged files live under a dot-directory the
     reader ignores."""
     os.makedirs(path, exist_ok=True)
-    base = _next_index(_segments(path))
+    base = _next_index_for(path)
     out = []
     for i, f in enumerate(staged):
         name = f"segment-{base + i:08d}.jsonl"
@@ -466,7 +519,7 @@ class CdcLogStreamWriter(DataSourceStreamWriter):
                     os.remove(f)
             return
         os.makedirs(self.path, exist_ok=True)
-        base = _next_index(_segments(self.path))
+        base = _next_index_for(self.path)
         plan = [
             (f, f"segment-{base + i:08d}.jsonl")
             for i, f in enumerate(staged)
@@ -591,18 +644,24 @@ def compact_log(
     lines_df = (
         spark.read.text([os.path.join(path, s) for s in segs])
         .withColumnRenamed("value", "line")
-        .filter(F.length(F.trim("line")) > 0)
         .select(
             F.input_file_name().alias("f"),
             F.from_json("line", SCHEMA).alias("r"),
             "line",
         )
     )
-    bad = lines_df.filter(F.col("r").isNull()).limit(1).collect()
+    blank = F.length(F.trim("line")) == 0
+    bad = lines_df.filter(~blank & F.col("r").isNull()).limit(1).collect()
     if bad:
         raise ValueError(
             f"compact_log: corrupt log line {bad[0].line[:120]!r}"
         )
+    # n must count RAW lines (blank lines included): reader checkpoint
+    # offsets are raw-line indices (_read_lines enumerates the file and
+    # tolerates blanks), so the remap's old_lines "fully drained" check
+    # compares against the same base — a non-blank count would let a
+    # consumer parked before trailing blank lines pass as drained and
+    # skip unread records. min(r.seq) ignores blank rows (NULL seq).
     stats = (
         lines_df.groupBy("f")
         .agg(F.min("r.seq").alias("mn"), F.count(F.lit(1)).alias("n"))
@@ -682,6 +741,20 @@ def compact_log(
             os.link(os.path.join(path, s), target)
         except OSError:
             shutil.copy2(os.path.join(path, s), target)
+    # CHAINED remap manifest: carry every prior generation's remap
+    # forward so a consumer parked N compactions behind translates
+    # transitively (VERDICT r9 #4). Entries are tiny (a few names per
+    # compaction); the chain is capped at 16 generations — consumers
+    # further behind fall back to head replay, the at-least-once
+    # contract. max_index is the plain-segment naming high-water mark
+    # (see _next_index_for: rewritten names must never be reused).
+    prior_chain, prior_max = _load_remap_chain(path)
+    max_index = prior_max
+    for name in segs:
+        stem = name.rsplit(".", 1)[0]
+        tail = stem.rsplit("-", 1)[-1]
+        if tail.isdigit():
+            max_index = max(max_index, int(tail))
     remap = {
         "upto": int(upto_seq),
         "old_lines": {s: n_lines.get(s, 0) for s in rewritten_src},
@@ -690,10 +763,14 @@ def compact_log(
         },
         "preserved": preserved,
     }
+    manifest = {
+        "chain": (prior_chain + [remap])[-16:],
+        "max_index": max_index,
+    }
     with open(
         os.path.join(tmp, REMAP_NAME), "w", encoding="utf-8"
     ) as f:
-        json.dump(remap, f)
+        json.dump(manifest, f)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -606,3 +606,125 @@ def test_compact_log_midhead_consumer_replays_compacted_head_only(
     # bounded replay: the compacted head is latest-per-key, so the
     # sink holds at most first-pass rows + compacted head + tail
     assert len(got) <= 2 + 3 + 2
+
+
+def test_compact_log_chained_remap_two_compactions_zero_replay(
+    spark, tmp_path, log_dir
+):
+    """VERDICT r9 #4 lifecycle: write → compact → write → compact →
+    resume a checkpoint that last committed BEFORE the first
+    compaction. The remap CHAIN translates transitively: a consumer
+    that had fully drained every rewritten generation resumes with
+    zero replay — only the genuinely new rows arrive."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    DS.append_segment(log_dir, [(1, "a", "a1"), (2, "b", "b1")], seal=True)
+    DS.append_segment(log_dir, [(3, "a", "a2"), (4, "c", "c1")], seal=True)
+    _drain(spark, log_dir, out, ck)
+    assert len(_sunk(spark, out)) == 4
+
+    DS.compact_log(spark, log_dir, upto_seq=4)       # gen 1
+    DS.append_segment(log_dir, [(5, "b", "b2"), (6, "c", "c2")], seal=True)
+    DS.compact_log(spark, log_dir, upto_seq=4)       # gen 2 (tail preserved)
+
+    # checkpoint predates BOTH compactions; chain = [R1, R2]
+    _drain(spark, log_dir, out, ck)
+    got = _sunk(spark, out)
+    assert sorted(got)[-2:] == [(5, "b", "b2"), (6, "c", "c2")]
+    assert len(got) == 6, "transitive translation must not replay the head"
+
+    # a third write still flows on the same checkpoint
+    DS.append_segment(log_dir, [(7, "d", "d1")], seal=True)
+    _drain(spark, log_dir, out, ck)
+    assert len(_sunk(spark, out)) == 7
+
+
+def test_compact_log_chained_remap_head_compacted_twice(
+    spark, tmp_path, log_dir
+):
+    """Both compactions REWRITE (second one consumes the first's
+    compacted head plus a newer segment the consumer also drained):
+    translation walks gen1's outputs into gen2's inputs."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    DS.append_segment(log_dir, [(1, "a", "a1"), (2, "b", "b1")], seal=True)
+    _drain(spark, log_dir, out, ck)
+    DS.compact_log(spark, log_dir, upto_seq=2)       # gen 1
+    DS.append_segment(log_dir, [(3, "a", "a2")], seal=True)
+    _drain(spark, log_dir, out, ck)                  # drains gen1 head + new seg
+    n_before = len(_sunk(spark, out))
+    DS.compact_log(spark, log_dir, upto_seq=3)       # gen 2: rewrites head + seg
+    _drain(spark, log_dir, out, ck)
+    assert len(_sunk(spark, out)) == n_before, "fully drained: zero replay"
+
+
+def test_compact_log_never_reuses_rewritten_segment_names(
+    spark, tmp_path, log_dir
+):
+    """After a compaction that rewrites EVERY segment, the directory
+    holds only compacted names with small numeric tails; naming must
+    still start above the rewritten indexes (a reused name would let
+    a parked consumer resume mid-file inside different content — data
+    SKIP, worse than replay)."""
+    DS.append_segment(log_dir, [(1, "a", "a1")], seal=True)   # segment-00000000
+    DS.append_segment(log_dir, [(2, "b", "b1")], seal=True)   # segment-00000001
+    DS.compact_log(spark, log_dir, upto_seq=2)  # rewrites both
+    live = DS._segments(log_dir)
+    assert all("+c" in n for n in live), live
+    new = os.path.basename(DS.append_segment(log_dir, [(3, "c", "c1")], seal=True))
+    assert new == "segment-00000002.jsonl", new
+    # and the writer path takes the same high-water mark
+    spark.createDataFrame([(4, "d", "d1")], "seq long, key string, value string") \
+        .write.format("graal_cdc_log").mode("append").save(log_dir)
+    assert "segment-00000000.jsonl" not in DS._segments(log_dir)
+    assert "segment-00000001.jsonl" not in DS._segments(log_dir)
+
+
+def test_stream_reader_translates_stale_end_offsets(spark, log_dir):
+    """ADVICE r9 (medium): a WAL-planned-but-uncommitted batch replayed
+    after restart carries a checkpointed END offset that can still name
+    segments compact_log deleted; partitions() must never plan a read
+    of a missing file (the stream would wedge on FileNotFoundError
+    forever). A fully-drained stale end maps onto the rewritten head
+    (no-op batch); a mid-head stale end defers to the next batch."""
+    DS.append_segment(log_dir, [(1, "a", "a1"), (2, "b", "b1")], seal=True)
+    DS.append_segment(log_dir, [(3, "a", "a2"), (4, "c", "c1")], seal=True)
+    DS.compact_log(spark, log_dir, upto_seq=4)
+    reader = DS.CdcLogStreamReader({"path": log_dir})
+
+    stale_full = {"segment-00000000.jsonl": 2, "segment-00000001.jsonl": 2}
+    parts = reader.partitions({"pos": dict(stale_full)}, {"pos": dict(stale_full)})
+    for p in parts:
+        assert os.path.exists(os.path.join(log_dir, p.segment)) or p.end == 0
+        list(reader.read(p))  # must not raise FileNotFoundError
+
+    # mid-head end: stale names drop from the end; nothing read yet,
+    # the head arrives in the NEXT planned batch instead
+    stale_mid = {"segment-00000000.jsonl": 1}
+    parts = reader.partitions({"pos": {}}, {"pos": dict(stale_mid)})
+    for p in parts:
+        assert os.path.exists(os.path.join(log_dir, p.segment)) or p.end == 0
+        list(reader.read(p))
+
+
+def test_compact_remap_old_lines_counts_raw_lines(spark, log_dir):
+    """ADVICE r9: checkpoint offsets are RAW line indices (blank lines
+    tolerated but counted); the remap's drained check must use the
+    same base. A consumer parked before records that FOLLOW a blank
+    line must NOT pass as fully drained (that skipped unread data)."""
+    DS.append_segment(log_dir, [(1, "a", "a1")], seal=True)
+    # blank line injected mid-segment (crash/manual-edit tolerance)
+    with open(os.path.join(log_dir, "segment-00000000.jsonl"), "a") as f:
+        f.write("\n")
+    DS.append_segment(log_dir, [(2, "b", "b1")])  # same segment, line 2
+    DS.compact_log(spark, log_dir, upto_seq=2)
+    chain, _ = DS._load_remap_chain(log_dir)
+    assert chain[-1]["old_lines"] == {"segment-00000000.jsonl": 3}
+
+    reader = DS.CdcLogStreamReader({"path": log_dir})
+    # parked at raw offset 2: saw seq 1 (line 0) and the blank (line 1)
+    # but NOT seq 2 (line 2) — must fall back to head replay
+    s = reader._translate_compacted({"segment-00000000.jsonl": 2})
+    assert s == {}, s
+    # parked at raw offset 3 (all lines): fully drained -> zero replay
+    s = reader._translate_compacted({"segment-00000000.jsonl": 3})
+    live = DS._segments(log_dir)
+    assert s and all(name in live for name in s), s

@@ -489,6 +489,39 @@ def test_jpeg_decoder_rejects_garbage_and_truncations():
         assert out.shape == img.shape
 
 
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn streams (ADVICE r9: conformant baseline encoders may
+    use restart intervals): flat-block images round-trip bit-exactly
+    through every restart cadence, including RSTn index wraparound
+    past 8 intervals; general images match the no-restart decode
+    exactly (restarts change framing, not coefficients). A stream
+    with an out-of-sequence RSTn is rejected."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 256, (4, 5)).astype(np.uint8)  # 20 MCUs
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    for ri in (1, 2, 3, 7):  # ri=1/2 wrap the RSTn index past D7
+        payload = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI present
+        assert np.array_equal(decode_jpeg_gray(payload), img)
+
+    noisy = rng.integers(0, 256, (23, 17)).astype(np.uint8)
+    plain = decode_jpeg_gray(encode_jpeg_gray(noisy))
+    with_rst = decode_jpeg_gray(encode_jpeg_gray(noisy, restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+    # corrupt the first RSTn marker's index -> sequence check trips
+    payload = bytearray(encode_jpeg_gray(img, restart_interval=1))
+    idx = payload.index(b"\xff\xd0", payload.index(b"\xff\xda"))
+    payload[idx + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_gray(bytes(payload))
+
+
 def test_jpeg_pipeline_stats_matches_direct_codec(spark):
     """The fused mapInPandas census equals a driver-side recompute
     through the same codec on the same synthesis arithmetic."""
