@@ -345,6 +345,97 @@ def minhash_lsh_candidates(
     return cands
 
 
+def lsh_component_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    sig: DataFrame | None = None,
+    dense_threshold: int = 64,
+) -> DataFrame:
+    """Connectivity-preserving LSH edge set for connected components —
+    the degree-capped form of :func:`minhash_lsh_candidates`
+    (VERDICT r9 #3).
+
+    Buckets of at most ``dense_threshold`` members emit all pairs
+    (bounded: ≤ T(T−1)/2 per bucket); larger buckets collapse to a
+    STAR on their minimum doc id (edge ``(min_id, id)`` per member).
+    Either form spans exactly the bucket's node set, so the connected
+    components are IDENTICAL to the all-pairs candidate list's
+    components (transitivity) — but a hot bucket of B identical
+    boilerplate documents contributes O(B) edges instead of O(B²).
+    At 100 TB a single million-document boilerplate cluster is the
+    difference between 10⁶ and 10¹² edge rows; this is the standard
+    guard (the "min-hash representative union" production LSH dedup
+    uses). The dense leg exists because sparsification is not free:
+    a star graph has larger diameter, so min-label CC needs extra
+    rounds — paying one bounded pair join on small buckets keeps the
+    common-case round count of the dense graph while the cap bounds
+    the adversarial case.
+
+    NOT a substitute for :func:`minhash_lsh_candidates` when the
+    caller verifies pairs (l06/l57 audit every candidate PAIR; the
+    star drops non-representative pairings by design).
+
+    Shape: one window shuffle on (band, bucket) computing (min, count)
+    per bucket, a pair join restricted to small-bucket rows (each side
+    ≤ T rows per key — never quadratic in corpus size), a distinct.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    key = None
+    if sig is None:
+        # same memo discipline as the candidate list (a pure function
+        # of input plan + params; explicit sig bypasses — see
+        # minhash_lsh_candidates); "star" tag keeps the key spaces
+        # disjoint inside the shared cache
+        for stale in [k for k in _CAND_CACHE if k[0] != app]:
+            del _CAND_CACHE[stale]
+        key = (
+            app, "star", df.semanticHash(), id_col, text_col,
+            n, num_hashes, bands, dense_threshold,
+        )
+        hit = _CAND_CACHE.get(key)
+        if hit is not None:
+            del _CAND_CACHE[key]
+            _CAND_CACHE[key] = hit
+            return hit
+
+    stacked = lsh_buckets(df, id_col, text_col, n, num_hashes, bands, sig)
+    w = Window.partitionBy("band", "bucket")
+    marked = (
+        stacked.withColumn("rep", F.min(F.col(id_col)).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=False)
+    )
+    small = marked.filter(F.col("cnt") <= dense_threshold)
+    dense = (
+        small.select("band", "bucket", F.col(id_col).alias("doc_a"))
+        .join(
+            small.select("band", "bucket", F.col(id_col).alias("doc_b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star = (
+        marked.filter(
+            (F.col("cnt") > dense_threshold) & (F.col(id_col) != F.col("rep"))
+        )
+        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    edges = dense.unionByName(star).distinct().localCheckpoint(eager=False)
+    if key is not None:
+        while len(_CAND_CACHE) >= 16:
+            del _CAND_CACHE[next(iter(_CAND_CACHE))]
+        _CAND_CACHE[key] = edges
+    return edges
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
 

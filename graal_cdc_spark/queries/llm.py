@@ -918,10 +918,15 @@ ORDER BY doc_id
 
 def _l23(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _par_table (not load_table) so the input plan hash matches
-    # l06/l57 and the signature + candidate memos are shared across
-    # the family (load_table here meant a key miss and a full rebuild)
+    # l06/l57 and the signature memo is shared across the family
+    # (load_table here meant a key miss and a full rebuild).
+    # Edges are the degree-capped STAR form (one edge per bucket
+    # member to the bucket's min id) — identical components, O(docs)
+    # edges even when a hot bucket holds thousands of identical
+    # boilerplate docs (VERDICT r9 #3; operators/dedup.py
+    # lsh_component_edges).
     docs = _par_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    pairs = D.lsh_component_edges(docs, "doc_id", "text")
     cc = D.connected_components(pairs)
     return (
         ordered_result(cc.select(
