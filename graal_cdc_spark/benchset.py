@@ -67,6 +67,46 @@ def bench_names(specs: Mapping[str, object]) -> list[str]:
     return [n for n in sorted(specs) if n not in BENCH_SKIP]
 
 
+def duckdb_training_value(
+    con, timings: dict, total: float, progress=None
+) -> tuple[dict, float]:
+    """Build-once symmetry with bench.py: the Spark suite primes
+    trained centroids untimed (index artifacts shared by the k-means
+    family), while each family oracle re-pays its Lloyd-rounds CTE
+    chain. Price TRAINING separately per distinct (k, iters) key so
+    the suite comparison can be read under the same build-once
+    assumption on both engines: ``value_build_once`` charges each
+    member its marginal cost and training once per key. Returns
+    ``(training timings, value_build_once)``."""
+    from graal_cdc_spark.queries.llm import (
+        kmeans_training_oracle,
+        pq_census_oracle,
+    )
+
+    family = {
+        "l31_kmeans_quantized": "k8_i2",
+        "l32_cluster_balanced_sample": "k8_i2",
+        "l75_semdedup_census": "k32_i1",
+        "l77_dedup_threshold_sweep": "k32_i1",
+        "l78_pq_code_census": "pq_m4_k8_i1",
+    }
+    training_sql = {
+        "k8_i2": kmeans_training_oracle(k=8, iters=2),
+        "k32_i1": kmeans_training_oracle(k=32, iters=1),
+        "pq_m4_k8_i1": pq_census_oracle(training_only=True),
+    }
+    training: dict[str, float] = {}
+    for key, sql in training_sql.items():
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        training[key] = round(time.time() - t0, 3)
+        if progress:
+            progress(f"duckdb training {key}: {training[key]:.2f}s")
+    repaid = sum(training[key] for q, key in family.items() if q in timings)
+    value_build_once = round(total - repaid + sum(training.values()), 3)
+    return training, value_build_once
+
+
 def run_duckdb_oracle_suite(sf_dir: str, specs=None, progress=None) -> dict:
     """Time every benched oracle SQL in DuckDB at ``sf_dir``.
 
@@ -77,10 +117,6 @@ def run_duckdb_oracle_suite(sf_dir: str, specs=None, progress=None) -> dict:
     receiving one line per query (e.g. print-to-stderr).
     """
     from graal_cdc_spark.queries import all_specs
-    from graal_cdc_spark.queries.llm import (
-        kmeans_training_oracle,
-        pq_census_oracle,
-    )
     from graal_cdc_spark.testing import duckdb_connect
 
     if specs is None:
@@ -117,34 +153,9 @@ def run_duckdb_oracle_suite(sf_dir: str, specs=None, progress=None) -> dict:
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm.values()), 3) if warm else None
 
-    # Build-once symmetry with bench.py: the Spark suite primes trained
-    # centroids untimed (index artifacts shared by the k-means family),
-    # while each family oracle above re-paid its Lloyd-rounds CTE chain.
-    # Price TRAINING separately per distinct (k, iters) key so the
-    # suite comparison can be read under the same build-once assumption
-    # on both engines: value_build_once charges each member its
-    # marginal cost and training once per key.
-    family = {
-        "l31_kmeans_quantized": "k8_i2",
-        "l32_cluster_balanced_sample": "k8_i2",
-        "l75_semdedup_census": "k32_i1",
-        "l77_dedup_threshold_sweep": "k32_i1",
-        "l78_pq_code_census": "pq_m4_k8_i1",
-    }
-    training_sql = {
-        "k8_i2": kmeans_training_oracle(k=8, iters=2),
-        "k32_i1": kmeans_training_oracle(k=32, iters=1),
-        "pq_m4_k8_i1": pq_census_oracle(training_only=True),
-    }
-    training: dict[str, float] = {}
-    for key, sql in training_sql.items():
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        training[key] = round(time.time() - t0, 3)
-        if progress:
-            progress(f"duckdb training {key}: {training[key]:.2f}s")
-    repaid = sum(training[key] for q, key in family.items() if q in timings)
-    value_build_once = round(total - repaid + sum(training.values()), 3)
+    training, value_build_once = duckdb_training_value(
+        con, timings, total, progress
+    )
     con.close()
 
     return {

@@ -8,15 +8,19 @@ SOS segment framing — implemented from the public spec (ITU-T T.81 /
 ISO 10918-1; JFIF 1.02), the same environment-compatible route as the
 PNG codec (RFC 2083, ``multimodal.encode_png``).
 
-Scope: GRAYSCALE baseline (one component, no subsampling). That is a
-fully conformant JFIF stream — any standard viewer decodes it — and it
-keeps the oracle story honest: JPEG is lossy in general, so the
-mm13 gate fixture synthesizes images whose 8×8 blocks are CONSTANT
-(flat): a flat block's DCT is DC-only, the DC quantizer here is 8,
-which divides the level-shifted flat DC ``8·(v−128)`` exactly, and a
-DC-only IDCT is a constant block again — so for THAT fixture the
-round-trip is bit-exact and a SQL oracle can restate the decoded
-pixel sums from the source text. General images round-trip within
+Scope: GRAYSCALE baseline (mm13: one component, no subsampling) and
+COLOR baseline (mm14, round 10: JFIF YCbCr, interleaved scan, 4:2:0
+chroma subsampling or 4:4:4) with DRI/RST0–7 restart intervals in
+both. These are fully conformant JFIF streams — any standard viewer
+decodes them — and the oracle story stays honest: JPEG is lossy in
+general, so the gate fixtures synthesize images whose blocks are
+CONSTANT (flat): a flat block's DCT is DC-only, the DC quantizer
+here is 8, which divides the level-shifted flat DC ``8·(v−128)``
+exactly, and a DC-only IDCT is a constant block again — so for THOSE
+fixtures the round-trip is bit-exact and a SQL oracle can restate the
+decoded pixel sums from the source text (the color fixture uses
+gray-valued RGB, whose JFIF transform is exactly Y=v, Cb=Cr=128 —
+see the color section below). General images round-trip within
 quantization error (property-tested in ``tests/test_multimodal.py``),
 exactly like any baseline JPEG at the same tables.
 
@@ -225,6 +229,50 @@ def _extend(extra: int, cat: int) -> int:
 # --- encoder --------------------------------------------------------------
 
 
+def _entropy_encode_block(
+    bw: "_BitWriter", block: np.ndarray, prev_dc: int
+) -> int:
+    """FDCT + quantize + zigzag + Huffman-encode ONE level-shifted 8×8
+    block into ``bw``; returns the new DC predictor. Shared by the
+    grayscale and color encoders (same Annex-K tables for every
+    component — conformant, components may share tables)."""
+    coef = _fdct(block)
+    q = np.round(
+        coef.reshape(64) / QTABLE.reshape(8, 8).reshape(64)
+    ).astype(np.int64)
+    zz = q[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    cat, extra = _magnitude(diff)
+    code, length = _DC_CODES[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(extra, cat)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i] != 0:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        cat, extra = _magnitude(v)
+        code, length = _AC_CODES[(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(extra, cat)
+        run = 0
+    if last_nz != 63:
+        code, length = _AC_CODES[0x00]  # EOB
+        bw.write(code, length)
+    return prev_dc
+
+
 def encode_jpeg_gray(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode a (h, w) uint8 grayscale array as baseline JFIF.
 
@@ -265,41 +313,9 @@ def encode_jpeg_gray(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
                 rst = (rst + 1) % 8
                 prev_dc = 0
             mcu += 1
-            block = shifted[by : by + 8, bx : bx + 8]
-            coef = _fdct(block)
-            q = np.round(coef.reshape(64) / QTABLE.reshape(8, 8).reshape(64)).astype(np.int64)
-            zz = q[ZIGZAG]
-            # DC: differential
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat, extra = _magnitude(diff)
-            code, length = _DC_CODES[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(extra, cat)
-            # AC: run-length of zeros + magnitude
-            run = 0
-            last_nz = 0
-            for i in range(1, 64):
-                if zz[i] != 0:
-                    last_nz = i
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = _AC_CODES[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat, extra = _magnitude(v)
-                code, length = _AC_CODES[(run << 4) | cat]
-                bw.write(code, length)
-                bw.write(extra, cat)
-                run = 0
-            if last_nz != 63:
-                code, length = _AC_CODES[0x00]  # EOB
-                bw.write(code, length)
+            prev_dc = _entropy_encode_block(
+                bw, shifted[by : by + 8, bx : bx + 8], prev_dc
+            )
     bw.flush()
 
     out = bytearray()
@@ -485,3 +501,297 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             block = _idct((coef * qt).reshape(8, 8).astype(np.float64))
             out[by : by + 8, bx : bx + 8] = block
     return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# --- color (YCbCr, optional 4:2:0) -----------------------------------------
+#
+# ITU-T T.81 interleaved baseline with the JFIF YCbCr transform
+# (JFIF 1.02 §7): Y/Cb/Cr components in one interleaved scan, Y at
+# full resolution, chroma either full (4:4:4, sampling 1×1) or
+# 2×2-averaged (4:2:0, Y sampling 2×2) — the MCU is then 16×16 pixels
+# carrying 4 Y blocks + 1 Cb + 1 Cr, each component with its own DC
+# predictor. All components share the Annex-K table set (conformant;
+# table ids are per-component declarations, not per-type mandates).
+#
+# Exactness contract for the mm14 oracle (same honest-oracle trick as
+# the grayscale mm13 fixture): GRAY-VALUED RGB (r=g=b=v) converts to
+# Y=v, Cb=Cr=128 EXACTLY under the JFIF equations, flat 16×16
+# macroblocks make every component block DC-only, the DC quantizer 8
+# divides 8·(v−128) exactly, and the inverse transform at Cb=Cr=128
+# returns r=g=b=Y — so the full color path (subsampling, interleaved
+# entropy coding, three predictors, upsampling, color conversion)
+# round-trips BIT-EXACTLY on that fixture. General color images
+# round-trip within quantization error (property-tested).
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(
+    pixels: np.ndarray,
+    restart_interval: int = 0,
+    subsample: bool = True,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF YCbCr.
+
+    ``subsample=True`` → 4:2:0 (Y 2×2, chroma 2×2-averaged; 16×16
+    MCUs); ``False`` → 4:4:4 (8×8 MCUs, one block per component).
+    ``restart_interval`` as in :func:`encode_jpeg_gray` (all three DC
+    predictors reset at each RSTn)."""
+    px = np.asarray(pixels)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color: expected (h, w, 3) RGB")
+    h, w, _ = px.shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError(f"encode_jpeg_color: bad dims {h}x{w}")
+    m = 16 if subsample else 8
+    ph = (h + m - 1) // m * m
+    pw = (w + m - 1) // m * m
+    padded = np.empty((ph, pw, 3), dtype=np.uint8)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    y, cb, cr = _rgb_to_ycbcr(padded)
+    if subsample:
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+    y -= 128.0
+    cb -= 128.0
+    cr -= 128.0
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(0, ph, m):
+        for mx in range(0, pw, m):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu += 1
+            if subsample:
+                for by in (0, 8):
+                    for bx in (0, 8):
+                        pred[0] = _entropy_encode_block(
+                            bw,
+                            y[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                            pred[0],
+                        )
+                cy, cx = my // 2, mx // 2
+                pred[1] = _entropy_encode_block(
+                    bw, cb[cy : cy + 8, cx : cx + 8], pred[1]
+                )
+                pred[2] = _entropy_encode_block(
+                    bw, cr[cy : cy + 8, cx : cx + 8], pred[2]
+                )
+            else:
+                pred[0] = _entropy_encode_block(
+                    bw, y[my : my + 8, mx : mx + 8], pred[0]
+                )
+                pred[1] = _entropy_encode_block(
+                    bw, cb[my : my + 8, mx : mx + 8], pred[1]
+                )
+                pred[2] = _entropy_encode_block(
+                    bw, cr[my : my + 8, mx : mx + 8], pred[2]
+                )
+    bw.flush()
+
+    samp_y = 0x22 if subsample else 0x11
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 2, 0, 0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
+    # SOF0: 3 components — Y (id 1, sampling per mode), Cb/Cr (id 2/3,
+    # 1x1), all on quant table 0
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, samp_y, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dc_payload = bytes(DC_BITS) + bytes(DC_VALS)
+    ac_payload = bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + len(dc_payload)) + b"\x00" + dc_payload
+    out += b"\xFF\xC4" + struct.pack(">H", 3 + len(ac_payload)) + b"\x10" + ac_payload
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    # SOS: 3 components, all DC/AC table 0
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def decode_jpeg_color(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF YCbCr stream (interleaved scan, 4:4:4 or
+    4:2:0 sampling, general DQT/DHT parsing, DRI/RSTn honored).
+    Returns (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_trees: dict[int, _HuffTree] = {}
+    ac_trees: dict[int, _HuffTree] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
+    scan_data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit qtable unsupported (baseline)")
+                zzv = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = zzv
+                qtables[tq] = tbl
+        elif marker == 0xC0:
+            if seg[0] != 8:
+                raise ValueError("jpeg: only 8-bit baseline supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for k in range(ncomp):
+                cid = seg[6 + 3 * k]
+                hs, vs = seg[7 + 3 * k] >> 4, seg[7 + 3 * k] & 0x0F
+                comps.append((cid, hs, vs, seg[8 + 3 * k]))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("jpeg: only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(seg[p : p + nv])
+                p += nv
+                tree = _HuffTree(bits, vals)
+                if tc == 0:
+                    dc_trees[th] = tree
+                else:
+                    ac_trees[th] = tree
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            for k in range(ns):
+                cid = seg[1 + 2 * k]
+                scan_tables[cid] = (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 0x0F)
+            scan_data = payload[pos + seglen :]
+            break
+        pos += seglen
+    if scan_data is None or h == 0 or not comps:
+        raise ValueError("jpeg: missing SOS/SOF")
+    if len(comps) == 1:
+        gray = decode_jpeg_gray(payload)
+        return np.stack([gray, gray, gray], axis=-1)
+    if len(comps) != 3:
+        raise ValueError(f"jpeg: {len(comps)} components unsupported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+
+    br = _BitReader(scan_data)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu = 0
+    rst_expect = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                n = br.read_restart_marker()
+                if n != rst_expect:
+                    raise ValueError(
+                        f"jpeg: RST out of sequence (got {n}, "
+                        f"expected {rst_expect})"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu += 1
+            for cid, hs, vs, tq in comps:
+                dct_t = dc_trees[scan_tables[cid][0]]
+                act = ac_trees[scan_tables[cid][1]]
+                qt = qtables[tq]
+                for bv in range(vs):
+                    for bh_ in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = dct_t.decode(br)
+                        diff = _extend(br.read_bits(cat), cat) if cat else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        i = 1
+                        while i < 64:
+                            sym = act.decode(br)
+                            if sym == 0x00:
+                                break
+                            run, cat = sym >> 4, sym & 0x0F
+                            if cat == 0:
+                                if run == 15:
+                                    i += 16
+                                    continue
+                                raise ValueError("jpeg: bad AC symbol")
+                            i += run
+                            if i > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[i] = _extend(br.read_bits(cat), cat)
+                            i += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[ZIGZAG] = zz
+                        block = _idct(
+                            (coef * qt).reshape(8, 8).astype(np.float64)
+                        )
+                        py = (my * vs + bv) * 8
+                        px_ = (mx * hs + bh_) * 8
+                        planes[cid][py : py + 8, px_ : px_ + 8] = block
+
+    # upsample each plane to full padded resolution by replication,
+    # then crop and color-convert
+    full = {}
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid] + 128.0
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[: mcus_y * mcu_h, : mcus_x * mcu_w][:h, :w]
+    y_id, cb_id, cr_id = (c[0] for c in comps)
+    return _ycbcr_to_rgb(full[y_id], full[cb_id], full[cr_id])

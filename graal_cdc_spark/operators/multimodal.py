@@ -1139,6 +1139,82 @@ def jpeg_pipeline_stats(
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def jpeg_color_pipeline_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused synthesize→color-JPEG-encode→decode→stats census (mm14):
+    the mm13 pattern through the COLOR leg of ``operators/jpeg.py`` —
+    JFIF YCbCr, interleaved scan, 4:2:0 chroma subsampling, three DC
+    predictors.
+
+    Fixture: GRAY-VALUED RGB (r=g=b=v) images of flat 16×16
+    macroblocks — macroblock (i, j) holds
+    ``codepoint(text[(i·bw + j) mod len]) mod 256`` on a
+    ``(1 + id mod 2) × (1 + id mod 3)`` macroblock grid. Gray RGB maps
+    to Y=v, Cb=Cr=128 EXACTLY under the JFIF equations, every
+    component block is DC-only, and the DC quantizer (8) divides
+    ``8·(v−128)`` exactly, so the FULL color path (subsampling,
+    interleaving, per-component predictors, upsampling, inverse color
+    transform) round-trips bit-exactly and the oracle restates the
+    per-channel sums from the text. All three channel sums are
+    censused separately: a chroma-path bug breaks their equality even
+    though the fixture is gray. General-color loss bounds are
+    property-tested in ``tests/test_multimodal.py``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from graal_cdc_spark.operators.jpeg import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        for pdf in batches:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "sum_r": [], "sum_g": [], "sum_b": [],
+                    "wsum_blocks": []}
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    raise ValueError(
+                        f"jpeg_color_pipeline_stats: empty text for id {mid}"
+                    )
+                bh = 1 + int(mid) % 2
+                bw = 1 + int(mid) % 3
+                codes = (
+                    np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ) % 256
+                ).astype(np.uint8)
+                idx = np.arange(bh * bw) % len(codes)
+                blocks = codes[idx].reshape(bh, bw)
+                gray = np.kron(blocks, np.ones((16, 16), dtype=np.uint8))
+                img = np.stack([gray, gray, gray], axis=-1)
+                decoded = decode_jpeg_color(encode_jpeg_color(img))
+                rows["media_id"].append(mid)
+                rows["height"].append(decoded.shape[0])
+                rows["width"].append(decoded.shape[1])
+                for k, ch in zip(("sum_r", "sum_g", "sum_b"), range(3)):
+                    rows[k].append(int(decoded[:, :, ch].sum(dtype="int64")))
+                samples = decoded[::16, ::16, 0].astype("int64")
+                weights = np.arange(1, bh * bw + 1).reshape(bh, bw)
+                rows["wsum_blocks"].append(int((samples * weights).sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("wsum_blocks", T.LongType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def resize_png_nn(payload: bytes, target_h: int, target_w: int) -> bytes:
     """REAL nearest-neighbor resize through the COMPRESSED path:
     inflate + defilter → index-map → refilter + deflate. The PNG

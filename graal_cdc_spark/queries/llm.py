@@ -6303,6 +6303,70 @@ ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# MM14 — COLOR JPEG round-trip census (VERDICT r9 #7): the mm13
+# pattern through the YCbCr 4:2:0 leg — interleaved scan, chroma
+# subsampling, three DC predictors, inverse color transform. The
+# fixture is gray-valued RGB flat 16×16 macroblocks (Y=v, Cb=Cr=128
+# exactly under JFIF; DC-only blocks; quantizer divides exactly), so
+# the full color path is bit-exact on it and the oracle restates the
+# per-channel sums from the text; all three channel sums are censused
+# separately so a chroma bug breaks their equality.
+# ---------------------------------------------------------------------------
+
+
+def _mm14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        jpeg_color_pipeline_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+    )
+    return ordered_result(jpeg_color_pipeline_stats(docs), "media_id")
+
+
+_l(
+    "mm14_jpeg_color_roundtrip_census",
+    "COLOR baseline JPEG (JFIF YCbCr, interleaved scan, 4:2:0 chroma "
+    "subsampling) encode->decode census on the gray-RGB flat-"
+    "macroblock-exact fixture: decoded dims, per-channel sums, and "
+    "position-weighted macroblock sum vs the oracle's restatement "
+    "from the text",
+    _mm14,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(1 + doc_id % 2 AS INT) AS bh,
+         CAST(1 + doc_id % 3 AS INT) AS bw,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id, bh, bw,
+         CAST(256 * list_sum(list_transform(generate_series(0, bh * bw - 1),
+              k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256))
+              AS BIGINT) AS chan_sum,
+         CAST(list_sum(list_transform(generate_series(0, bh * bw - 1),
+              k -> (k + 1) *
+                   (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256)))
+              AS BIGINT) AS wsum_blocks
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(bh * 16 AS INT) AS height,
+       CAST(bw * 16 AS INT) AS width,
+       chan_sum AS sum_r, chan_sum AS sum_g, chan_sum AS sum_b,
+       wsum_blocks
+FROM s
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (compressed-codec leg); ITU-T T.81 "
+    "baseline sequential interleaved, JFIF 1.02 YCbCr + 4:2:0",
+)
+
+
+# ---------------------------------------------------------------------------
 # L91 — BPE rule APPLICATION as a first-class operator (VERDICT r8
 # #6): apply an ordered merge-rule list to every corpus word
 # (operators/text.apply_merges — the re-segmentation half of BPE,

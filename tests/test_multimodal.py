@@ -522,6 +522,100 @@ def test_jpeg_restart_interval_roundtrip():
         decode_jpeg_gray(bytes(payload))
 
 
+def test_jpeg_color_flat_macroblock_roundtrip_exact():
+    """mm14 oracle contract: gray-valued RGB (Y=v, Cb=Cr=128 exactly)
+    with flat 16×16 macroblocks round-trips BIT-EXACTLY through the
+    full 4:2:0 color path, and through 4:4:4."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(29)
+    for _ in range(6):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+        img = np.stack([gray, gray, gray], axis=-1)
+        for kw in ({}, {"subsample": False}, {"restart_interval": 2}):
+            out = decode_jpeg_color(encode_jpeg_color(img, **kw))
+            assert out.shape == img.shape
+            assert np.array_equal(out, img), kw
+
+
+def test_jpeg_color_general_roundtrip_bounded_loss():
+    """Real color content is lossy but bounded; odd dims crop back;
+    a grayscale stream decodes through the color API as stacked
+    channels."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    x = np.linspace(0, 255, 48)
+    sm = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    col = np.stack([sm, sm[::-1], sm.T], axis=-1)
+    for kw in ({}, {"subsample": False}):
+        out = decode_jpeg_color(encode_jpeg_color(col, **kw))
+        assert np.abs(out.astype(int) - col.astype(int)).max() <= 12, kw
+
+    rng = np.random.default_rng(31)
+    for h, w in ((1, 1), (7, 9), (17, 30)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg_color(encode_jpeg_color(img))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 60
+
+    g = np.kron(
+        rng.integers(0, 256, (2, 2)).astype(np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    out = decode_jpeg_color(encode_jpeg_gray(g))
+    assert np.array_equal(out, np.stack([g, g, g], axis=-1))
+
+
+def test_jpeg_color_pipeline_stats_matches_direct_codec(spark):
+    """The fused mm14 mapInPandas census equals a driver-side
+    recompute through the same color codec on the same synthesis
+    arithmetic."""
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+    from graal_cdc_spark.operators.multimodal import (
+        jpeg_color_pipeline_stats,
+    )
+
+    rows = [(i, f"colorcensus {i} " * (1 + i % 4)) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.media_id: (
+            r.height, r.width, r.sum_r, r.sum_g, r.sum_b, r.wsum_blocks
+        )
+        for r in jpeg_color_pipeline_stats(df).collect()
+    }
+    for mid, text in rows:
+        bh, bw = 1 + mid % 2, 1 + mid % 3
+        codes = (
+            np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) % 256
+        ).astype(np.uint8)
+        blocks = codes[np.arange(bh * bw) % len(codes)].reshape(bh, bw)
+        gray = np.kron(blocks, np.ones((16, 16), dtype=np.uint8))
+        img = np.stack([gray] * 3, axis=-1)
+        dec = decode_jpeg_color(encode_jpeg_color(img))
+        samples = dec[::16, ::16, 0].astype("int64")
+        weights = np.arange(1, bh * bw + 1).reshape(bh, bw)
+        want = (
+            dec.shape[0], dec.shape[1],
+            int(dec[:, :, 0].sum(dtype="int64")),
+            int(dec[:, :, 1].sum(dtype="int64")),
+            int(dec[:, :, 2].sum(dtype="int64")),
+            int((samples * weights).sum()),
+        )
+        assert got[mid] == want
+
+
 def test_jpeg_pipeline_stats_matches_direct_codec(spark):
     """The fused mapInPandas census equals a driver-side recompute
     through the same codec on the same synthesis arithmetic."""
