@@ -49,6 +49,9 @@ PROBES = [
     # round 9 (new members: real JPEG census, BPE rule application)
     "mm13_jpeg_roundtrip_census",
     "l91_bpe_apply_fertility",
+    # round 10 (color JPEG census; star-capped LSH component edges)
+    "mm14_jpeg_color_roundtrip_census",
+    "l23_lsh_components",
     # round 3
     "r35_stat_aggregates",
     "r46_binned_interval_join",
