@@ -6319,8 +6319,13 @@ def _mm14(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_color_pipeline_stats,
     )
 
+    # gate slice doc_id % 9 == 1 (both engines; the l02 discipline):
+    # the color codec is a per-image pure function — a ninth-corpus
+    # slice proves the identical semantics at a third of mm13's
+    # per-image Python cost, and the full-corpus operator
+    # (jpeg_color_pipeline_stats) is unchanged
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+        (F.length("text") > 0) & (F.col("doc_id") % 9 == 1)
     )
     return ordered_result(jpeg_color_pipeline_stats(docs), "media_id")
 
@@ -6340,7 +6345,7 @@ WITH d AS (
          CAST(1 + doc_id % 3 AS INT) AS bw,
          length(text) AS len
   FROM documents
-  WHERE length(text) > 0 AND doc_id % 3 = 1
+  WHERE length(text) > 0 AND doc_id % 9 = 1
 ),
 s AS (
   SELECT doc_id, bh, bw,
