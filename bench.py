@@ -63,10 +63,21 @@ def main() -> None:
     from graal_cdc_spark.queries import all_specs
     from graal_cdc_spark.session import get_spark
 
+    # shuffle partitions sized to the DATA, not the core count: at
+    # sf0.1 the whole input is ~17 MB, and AQE coalesces every tiny
+    # post-shuffle stage by bytes regardless — the core-count default
+    # (32) only multiplied map-side shuffle files and per-stage fixed
+    # cost (measured ~20% of the warm tail). Compute-heavy paths are
+    # unaffected: explicit repartition() calls (the pinned pair joins,
+    # with_min_parallelism) key off defaultParallelism, not this.
+    # A cluster deployment sizes this to its data volume the same way
+    # (~128 MB per partition), so the small value IS the honest
+    # setting at this scale. Override: SPARK_GRAFT_BENCH_SHUFFLE.
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
     spark = get_spark(
         app_name="graal-cdc-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
