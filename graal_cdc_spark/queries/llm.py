@@ -4286,7 +4286,23 @@ def _l77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n2").cast("decimal(38,0)")
         * F.col("b.n2").cast("decimal(38,0)")
     )
-    pairs = a.join(
+    # The four thresholds are NESTED (hit@0.40 ⊆ hit@0.30 ⊆ … given
+    # pos and increasing num), so instead of 4 conditional
+    # countDistincts — which Catalyst plans as an Expand that
+    # multiplies the pair stream ×5 before the shuffle — each pair
+    # carries its MAX satisfied threshold level once, n_pairs(τ) is a
+    # single conditional-sum pass, and n_dropped(τ) = count of pb
+    # whose per-pb max level ≥ τ (one bounded groupBy on pb). Same
+    # numbers, no Expand, no distinct aggregate.
+    lvl = (
+        F.when(~F.col("pos"), 0)
+        .when(F.col("lhs") >= F.lit(16) * F.col("rhs"), 4)
+        .when(F.col("lhs") >= F.lit(9) * F.col("rhs"), 3)
+        .when(F.col("lhs") >= F.lit(4) * F.col("rhs"), 2)
+        .when(F.col("lhs") >= F.lit(1) * F.col("rhs"), 1)
+        .otherwise(0)
+    )
+    lp = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid"))
         & (F.col("a.pid") < F.col("b.pid")),
@@ -4295,30 +4311,35 @@ def _l77(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot > 0).alias("pos"),
         lhs.alias("lhs"),
         rhs.alias("rhs"),
+    ).select("pb", lvl.alias("lvl"))
+    # ONE pass over the pair stream: per-pb partial pair counts + max
+    # level (map-side combine on pb), then a bounded final aggregate —
+    # the join output is consumed exactly once
+    per_pb = lp.groupBy("pb").agg(
+        F.max("lvl").alias("ml"),
+        *[
+            F.sum(F.when(F.col("lvl") >= i, 1).otherwise(0)).alias(f"c{i}")
+            for i in (1, 2, 3, 4)
+        ],
     )
-    aggs = []
-    for num, label in _L77_TAUS:
-        hit = F.col("pos") & (F.col("lhs") >= F.lit(num) * F.col("rhs"))
-        aggs.append(
-            F.sum(F.when(hit, 1).otherwise(0)).alias(f"p{label[2:]}")
-        )
-        aggs.append(
-            F.countDistinct(F.when(hit, F.col("pb"))).alias(
-                f"d{label[2:]}"
-            )
-        )
-    out = pairs.agg(*aggs)
+    out = per_pb.agg(
+        *[F.sum(f"c{i}").alias(f"p{i}") for i in (1, 2, 3, 4)],
+        *[
+            F.sum(F.when(F.col("ml") >= i, 1).otherwise(0)).alias(f"d{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
     rows = []
-    for num, label in _L77_TAUS:
+    for i, (num, label) in enumerate(_L77_TAUS, start=1):
         rows.append(
             F.struct(
                 F.lit(label).alias("tau"),
                 # coalesce: a pair-free corpus leaves the global agg's
                 # SUM NULL while the oracle's LEFT JOIN sweep emits 0
-                F.coalesce(F.col(f"p{label[2:]}"), F.lit(0))
+                F.coalesce(F.col(f"p{i}"), F.lit(0))
                 .cast("long")
                 .alias("n_pairs"),
-                F.coalesce(F.col(f"d{label[2:]}"), F.lit(0))
+                F.coalesce(F.col(f"d{i}"), F.lit(0))
                 .cast("long")
                 .alias("n_dropped"),
             )
