@@ -123,3 +123,31 @@ def test_events_round_trip_avro_if_available(spark, tmp_path):
         _pytest.skip(f"spark-avro datasource not on classpath: {ex}")
     back = spark.read.format("avro").load(path)
     assert _canon(back) == _canon(ev)
+
+
+def test_reblock_sf_dir_same_rows_more_partitions(spark, tmp_path):
+    """reblock_sf_dir (the bench's scan-layout priming): the copy
+    holds EXACTLY the original rows for every table, big tables gain
+    scan partitions, tiny dimension tables stay single-partition, and
+    a second call is an idempotent cache hit (marker file)."""
+    import os
+    import time
+
+    from graal_cdc_spark.sources.tables import TABLES, reblock_sf_dir
+
+    src = "/root/testdata/sf0.001"
+    dest = reblock_sf_dir(spark, src, dest_root=str(tmp_path))
+    assert os.path.exists(os.path.join(dest, "_REBLOCKED_OK"))
+    for name in TABLES:
+        a = spark.read.parquet(f"{src}/{name}.parquet")
+        b = spark.read.parquet(f"{dest}/{name}.parquet")
+        assert a.schema == b.schema, name
+        assert a.count() == b.count(), name
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), name
+    # region is a handful of rows — re-blocking must not shred it
+    region = spark.read.parquet(f"{dest}/region.parquet")
+    assert region.rdd.getNumPartitions() == 1
+    # idempotence: second call returns instantly via the marker
+    t0 = time.time()
+    assert reblock_sf_dir(spark, src, dest_root=str(tmp_path)) == dest
+    assert time.time() - t0 < 1.0
