@@ -110,8 +110,59 @@ def run(spark, base: str):
     # content unchanged by compaction
     assert {r.key for r in spark.read.parquet(lake).collect()} == remaining
 
+    # --- job 4: retention RE-RUNS never strand parked consumers ---
+    # A consumer checkpointed BEFORE a whole series of retention runs
+    # resumes with zero head replay: each compact_log appends its
+    # remap to the CHAIN in .compact-remap.json, and the reader
+    # translates its old offsets transitively through every
+    # generation (round 10; see sources/cdc_log_ds.py
+    # _translate_compacted). Operationally this means retention can
+    # run on any cadence without coordinating with consumers.
+    out_dir = os.path.join(base, "consumer_out")
+    ck = os.path.join(base, "consumer_ck")
+    q = (
+        spark.readStream.format("graal_cdc_log").load(log)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.read.parquet(out_dir).count()
+    # two more retention cycles over data the consumer has fully
+    # drained (the zero-replay contract covers drained generations;
+    # data that arrives between a checkpoint and a compaction is
+    # re-delivered under at-least-once, never lost), then fresh
+    # traffic after both
+    DS.compact_log(spark, log, upto_seq=220)
+    DS.compact_log(spark, log, upto_seq=239)
+    DS.append_segment(
+        log, [(300 + i, f"u{i}", _envelope("u", f"u{i}", 300 + i))
+              for i in range(1, 4)], seal=True)
+    manifest = json.load(
+        open(os.path.join(log, ".compact-remap.json"), encoding="utf-8")
+    )
+    assert len(manifest["chain"]) >= 2  # one remap per retention run
+    q = (
+        spark.readStream.format("graal_cdc_log").load(log)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    resumed = spark.read.parquet(out_dir).count()
+    # exactly the three new rows — no replay of the compacted head
+    # despite the checkpoint predating BOTH compactions
+    assert resumed == drained + 3, (drained, resumed)
+
     return {"log_rows": (before, after), "purge": stats,
-            "compaction": rewritten}
+            "compaction": rewritten,
+            "parked_consumer": (drained, resumed)}
 
 
 def main() -> None:
