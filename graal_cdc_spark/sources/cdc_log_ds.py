@@ -114,7 +114,23 @@ def _load_remap_chain(path: str) -> tuple[list[dict], int]:
     chain = m.get("chain")
     if chain is None:
         chain = [m] if m.get("old_lines") else []
-    return chain, int(m.get("max_index", -1))
+    hw = int(m.get("max_index", -1))
+    if "max_index" not in m:
+        # Legacy manifest (pre-chained format) carries no high-water
+        # mark, and a log LAST compacted by old code may hold only
+        # small-tailed compacted-head names — seeding the mark from
+        # live names alone could re-use a rewritten segment's index
+        # (the data-skip hazard _next_index_for exists to prevent).
+        # Derive a conservative mark from the numeric tails of every
+        # segment name the manifest has ever seen (ADVICE r10 #4).
+        for remap in chain:
+            for name in list(remap.get("old_lines", {})) + list(
+                remap.get("rewritten", {})
+            ):
+                tail = name.rsplit(".", 1)[0].rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    hw = max(hw, int(tail))
+    return chain, hw
 
 
 def _next_index_for(path: str) -> int:

@@ -130,11 +130,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a testdata directory: per-table file
+    sizes + mtimes, hashed. Regenerated testdata (same path, new
+    bytes) or two different datasets sharing a basename therefore land
+    in DIFFERENT reblock cache dirs instead of silently reusing a
+    stale copy (ADVICE r10 #2)."""
+    import hashlib
+
+    parts = []
+    for name in TABLES:
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.isfile(src):
+            st = os.stat(src)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(src, f))
+                    parts.append(
+                        f"{name}/{f}:{st.st_size}:{st.st_mtime_ns}"
+                    )
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def reblock_sf_dir(
     spark: SparkSession, sf_dir: str, dest_root: str = "/tmp"
 ) -> str:
     """Materialize a MULTI-BLOCK copy of a testdata directory and
-    return its path (idempotent: cached on disk across sessions).
+    return its path (idempotent: cached on disk across sessions,
+    keyed by a source-content fingerprint so regenerated testdata
+    invalidates the cache).
 
     The driver's testdata tables are single-file, SINGLE-ROW-GROUP
     parquet — a layout whose scan cannot parallelize (Spark assigns a
@@ -151,18 +177,28 @@ def reblock_sf_dir(
     single-partition.
 
     Used by ``bench.py`` (disclosed there and timed into
-    ``priming_sec``; the DuckDB comparator keeps reading the ORIGINAL
-    files). Correctness gates keep reading the original directory.
+    ``priming_sec``); as of round 11 BOTH engines read this copy —
+    the DuckDB comparator's views glob the same re-blocked directory,
+    so the engine comparison is like-for-like on identical files
+    (VERDICT r10 #1). Correctness gates keep reading the original
+    directory.
+
+    Concurrency: the copy is built under a pid-suffixed temp dir and
+    atomically renamed into place, so two processes racing on a cold
+    cache cannot observe a half-built directory (ADVICE r10 #2).
     """
     import shutil
 
     sf = os.path.basename(sf_dir.rstrip("/"))
-    dest = os.path.join(dest_root, f"graal-reblock-{sf}")
+    dest = os.path.join(
+        dest_root, f"graal-reblock-{sf}-{_sf_fingerprint(sf_dir)}"
+    )
     marker = os.path.join(dest, "_REBLOCKED_OK")
     if os.path.exists(marker):
         return dest
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     cores = spark.sparkContext.defaultParallelism
     for name in TABLES:
         src = f"{sf_dir}/{name}.parquet"
@@ -180,10 +216,17 @@ def reblock_sf_dir(
             spark.read.parquet(src)
             .repartition(n)
             .write.mode("overwrite")
-            .parquet(f"{dest}/{name}.parquet")
+            .parquet(f"{tmp}/{name}.parquet")
         )
-    with open(marker, "w", encoding="utf-8"):
+    with open(os.path.join(tmp, "_REBLOCKED_OK"), "w", encoding="utf-8"):
         pass
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        # lost the race to a concurrent builder — use its copy
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return dest
 
 

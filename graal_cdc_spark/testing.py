@@ -18,10 +18,21 @@ from graal_cdc_spark.sources.tables import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with every test table registered as a view.
+
+    ``{table}.parquet`` may be a single file (the driver's original
+    testdata) or a DIRECTORY of part files (a Spark-written copy, e.g.
+    the bench's re-blocked scan layout) — directories are registered
+    via a glob so both engines can be pointed at identical files
+    (VERDICT r10 #1)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'"
         )
     return con
 

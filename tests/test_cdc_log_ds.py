@@ -678,6 +678,94 @@ def test_compact_log_never_reuses_rewritten_segment_names(
     assert "segment-00000001.jsonl" not in DS._segments(log_dir)
 
 
+def test_retention_reruns_never_strand_parked_consumer(
+    spark, tmp_path, log_dir
+):
+    """VERDICT r10 #5 golden (promoted from examples/lake_operations.py
+    job 4): a LIVE readStream consumer checkpointed before a SERIES of
+    retention runs resumes with zero head replay — each compact_log
+    appends its remap to the chain and the reader translates its old
+    offsets transitively — and fresh traffic appended after both runs
+    arrives exactly once. Retention can run on any cadence without
+    coordinating with consumers."""
+    import json
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # a realistically shaped log: four sealed segments, churning keys
+    for s in range(4):
+        DS.append_segment(
+            log_dir,
+            [
+                (s * 10 + i, f"k{i % 5}", f"v{s * 10 + i}")
+                for i in range(1, 8)
+            ],
+            seal=True,
+        )
+    _drain(spark, log_dir, out, ck)
+    drained = len(_sunk(spark, out))
+    assert drained == 28
+
+    # two retention cycles over fully drained data, then fresh traffic
+    DS.compact_log(spark, log_dir, upto_seq=20)
+    DS.compact_log(spark, log_dir, upto_seq=36)
+    DS.append_segment(
+        log_dir, [(100 + i, f"n{i}", f"nv{i}") for i in range(1, 4)],
+        seal=True,
+    )
+    with open(
+        os.path.join(log_dir, DS.REMAP_NAME), encoding="utf-8"
+    ) as f:
+        manifest = json.load(f)
+    assert len(manifest["chain"]) >= 2  # one remap per retention run
+
+    _drain(spark, log_dir, out, ck)
+    got = _sunk(spark, out)
+    # exactly the three new rows — no replay of the compacted head
+    # despite the checkpoint predating BOTH compactions
+    assert len(got) == drained + 3, (drained, len(got))
+    assert sorted(got)[-3:] == [
+        (101, "n1", "nv1"),
+        (102, "n2", "nv2"),
+        (103, "n3", "nv3"),
+    ]
+
+
+def test_legacy_manifest_derives_naming_high_water_mark(spark, log_dir):
+    """ADVICE r10 #4: a log LAST compacted by pre-round-10 code has a
+    legacy single-remap manifest with NO max_index, and its live
+    directory may hold only compacted-head names (small tails) — the
+    high-water mark must be derived from the numeric tails of the
+    manifest's old_lines/rewritten names, never left at -1 (a reused
+    rewritten name is the data-skip hazard _next_index_for prevents)."""
+    import json
+
+    DS.append_segment(log_dir, [(1, "a", "a1")], seal=True)   # segment-00000000
+    DS.append_segment(log_dir, [(2, "a", "a2")], seal=True)   # segment-00000001
+    DS.compact_log(spark, log_dir, upto_seq=2)  # rewrites both
+    manifest_path = os.path.join(log_dir, DS.REMAP_NAME)
+    with open(manifest_path, encoding="utf-8") as f:
+        m = json.load(f)
+    # rewrite as the legacy format: bare single-remap dict, no chain,
+    # no max_index (exactly what pre-chained compact_log persisted)
+    legacy = {k: v for k, v in m["chain"][-1].items()}
+    legacy.pop("max_index", None)
+    with open(manifest_path, "w", encoding="utf-8") as f:
+        json.dump(legacy, f)
+
+    chain, hw = DS._load_remap_chain(log_dir)
+    assert len(chain) == 1
+    assert hw >= 1, f"high-water mark must cover segment-00000001, got {hw}"
+    assert DS._next_index_for(log_dir) >= 2
+    new = os.path.basename(
+        DS.append_segment(log_dir, [(3, "b", "b1")], seal=True)
+    )
+    assert new == "segment-00000002.jsonl", new
+    # and a NEW-code compaction folds the derived mark forward
+    DS.compact_log(spark, log_dir, upto_seq=3)
+    _, hw2 = DS._load_remap_chain(log_dir)
+    assert hw2 >= 2
+
+
 def test_stream_reader_translates_stale_end_offsets(spark, log_dir):
     """ADVICE r9 (medium): a WAL-planned-but-uncommitted batch replayed
     after restart carries a checkpointed END offset that can still name

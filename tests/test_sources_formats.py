@@ -151,3 +151,49 @@ def test_reblock_sf_dir_same_rows_more_partitions(spark, tmp_path):
     t0 = time.time()
     assert reblock_sf_dir(spark, src, dest_root=str(tmp_path)) == dest
     assert time.time() - t0 < 1.0
+    # the DuckDB comparator must read the directory-shaped copy (both
+    # engines scan identical files — VERDICT r10 #1): same row counts
+    # through the glob views as through the original single files
+    from graal_cdc_spark.testing import duckdb_connect
+
+    co, cr = duckdb_connect(src), duckdb_connect(dest)
+    try:
+        for name in TABLES:
+            a = co.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
+            b = cr.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
+            assert a == b, name
+    finally:
+        co.close()
+        cr.close()
+    # no partial-build exposure: a *.tmp-<pid> build dir never
+    # survives a successful call
+    leftovers = [
+        d for d in os.listdir(tmp_path) if ".tmp-" in d
+    ]
+    assert leftovers == []
+
+
+def test_reblock_fingerprint_invalidates_on_source_change(spark, tmp_path):
+    """Regenerated testdata (same path, new bytes/mtime) must land in
+    a DIFFERENT cache dir — the stale-copy hazard of basename-only
+    keying (ADVICE r10 #2)."""
+    import os
+    import shutil
+
+    from graal_cdc_spark.sources.tables import TABLES, reblock_sf_dir
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    for name in TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{name}.parquet",
+            src / f"{name}.parquet",
+        )
+    dest_root = tmp_path / "cache"
+    dest_root.mkdir()
+    d1 = reblock_sf_dir(spark, str(src), dest_root=str(dest_root))
+    # "regenerate" one table: same name, different mtime
+    os.utime(src / "region.parquet")
+    d2 = reblock_sf_dir(spark, str(src), dest_root=str(dest_root))
+    assert d1 != d2
+    assert os.path.exists(os.path.join(d2, "_REBLOCKED_OK"))
