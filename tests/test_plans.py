@@ -417,7 +417,8 @@ def test_l42_is_map_only(spark):
         # median lookups (22 observed after the median became the
         # p=0.5 quantile wrapper — the extra exchanges are (group, p)
         # windows over the tiny histogram)
-        ("r81_mad_outliers", 24),
+        # r11: medians are driver literals — one agg + delivery sort
+        ("r81_mad_outliers", 3),
         ("r82_strict_sequence_match", 3),     # ONE user exchange: lead window + agg
         ("r83_interval_union_length", 3),     # ONE user exchange: 2 windows + 2 aggs
         ("r84_largest_remainder_allocation", 3),  # ONE order exchange + audit aggs
@@ -448,12 +449,15 @@ def test_r81_no_full_group_sort_window(spark):
     """Both medians (value and deviation) must run through the binned
     two-pass operator: no Window may sit directly above the orders
     scan (that would sort ~1/3 of the table per task on the 3-value
-    status key — the r64 anti-pattern the operator exists to avoid)."""
-    import re
-
+    status key — the r64 anti-pattern the operator exists to avoid).
+    Round 11: the medians hand off as O(groups) driver literals, so
+    the FINAL plan is one scan + one hash aggregate — no joins, no
+    Window at all (the former broadcast-join form re-executed the
+    median subplan per consumer: 15 Spark jobs per run)."""
     a = _audit(spark, "r81_mad_outliers")
-    assert a.broadcast_joins >= 2, a.plan  # median + MAD lookup sides
-    assert not re.search(r"Window.*\n.*Scan parquet", a.plan), a.plan
+    assert "Window" not in a.plan, a.plan
+    assert "Join" not in a.plan, a.plan
+    assert a.partial_aggregates, a.plan  # map-side combine on status
 
 
 # ---------------------------------------------------------------------------
