@@ -346,6 +346,19 @@ def main() -> None:
     if con is not None:
         con.close()
 
+    # Symmetric build-once cold decomposition (VERDICT r10 #3): the
+    # declared index-building families charge build = cold − warm-med
+    # on BOTH engines, and the cold ratio is re-emitted ex-build so
+    # the once-per-deployment constants read separately from the
+    # per-query work. Warm headline unchanged.
+    build_pricing = {}
+    if duck is not None and warm_med and duck_warm_med:
+        from graal_cdc_spark.benchset import build_once_pricing
+
+        build_pricing = build_once_pricing(
+            timings, warm_med, duck_cold, duck_warm_med
+        )
+
     ratio = None
     warm_ratio = None
     warm_ratio_interleaved = None
@@ -425,6 +438,7 @@ def main() -> None:
         "suite_ratio_warm": warm_ratio,
         "suite_ratio_warm_interleaved": warm_ratio_interleaved,
         "suite_ratio_warm_min_interleaved": warm_ratio_min,
+        **build_pricing,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
@@ -468,6 +482,9 @@ def main() -> None:
                 "suite_ratio_warm": warm_ratio,
                 "suite_ratio_warm_interleaved": warm_ratio_interleaved,
                 "suite_ratio_warm_min_interleaved": warm_ratio_min,
+                "suite_ratio_cold_ex_build_once": build_pricing.get(
+                    "suite_ratio_cold_ex_build_once"
+                ),
                 "full_breakdown": "BENCH_FULL.json",
             },
             separators=(",", ":"),

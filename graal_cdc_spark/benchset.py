@@ -59,12 +59,75 @@ BENCH_SKIP: dict[str, str] = {
         "(filesystem-bound); the in-plane filter costs are benched as "
         "c01/c02"
     ),
+    "c31_lake_time_travel_census": (
+        "versioned-lake append/merge/delete/vacuum lifecycle "
+        "(filesystem-bound commit protocol); the in-plane costs are "
+        "benched as c06 (compaction) and the scan path is plain "
+        "parquet"
+    ),
 }
 
 
 def bench_names(specs: Mapping[str, object]) -> list[str]:
     """The benched query names — identical for both engines."""
     return [n for n in sorted(specs) if n not in BENCH_SKIP]
+
+
+# Build-once families (VERDICT r10 #3): these matched queries build a
+# reusable index artifact on FIRST execution (cross-run memo or
+# in-plan checkpoint) — the Misra-Gries token frame, the symmetrized
+# trading graph, the DSIR bucket LM, the k-means assigned-points
+# index. A cluster deployment builds each once and serves many
+# queries, so the honest cold decomposition prices the build
+# separately from the per-query marginal cost. The pricing formula is
+# SYMMETRIC by construction: build_q = max(0, cold_q - warm_median_q)
+# computed from the same interleaved samples on BOTH engines (for
+# Spark the delta includes the family's plan-compile; that
+# conflation is disclosed — it is also a once-per-deployment cost).
+# ``suite_ratio_cold_ex_build_once`` divides the build-excluded cold
+# totals; the kmeans TRAINING legs stay priced via
+# ``duckdb_training_value`` (primed on the Spark side, repaid once in
+# ``value_build_once`` on the DuckDB side) exactly as before.
+BUILD_ONCE: dict[str, str] = {
+    "l90_heavy_hitters_sketch": "MG token checkpoint + python workers",
+    "r79_pagerank_quantized": "symmetrized trading graph (edges+degrees)",
+    "l85_dsir_importance": "256-bucket importance LM",
+    "l75_semdedup_census": "k-means assigned-points index (k32_i1)",
+    "l77_dedup_threshold_sweep": "k-means assigned-points index (k32_i1)",
+}
+
+
+def build_once_pricing(
+    cold: dict, warm_med: dict, duck_cold: dict, duck_warm_med: dict
+) -> dict:
+    """Symmetric build-once cold decomposition over the matched set.
+
+    Returns the dict merged into the bench artifacts:
+    per-engine build charges for the declared ``BUILD_ONCE`` families
+    (cold minus warm-median, floored at 0 — same formula both
+    engines) and the build-excluded cold ratio.
+    """
+    matched = set(duck_cold)
+    fams = [q for q in BUILD_ONCE if q in matched and q in cold]
+    s_build = {q: round(max(0.0, cold[q] - warm_med.get(q, cold[q])), 3) for q in fams}
+    d_build = {
+        q: round(max(0.0, duck_cold[q] - duck_warm_med.get(q, duck_cold[q])), 3)
+        for q in fams
+    }
+    s_cold = sum(t for q, t in cold.items() if q in matched)
+    d_cold = sum(duck_cold.values())
+    s_ex = round(s_cold - sum(s_build.values()), 3)
+    d_ex = round(d_cold - sum(d_build.values()), 3)
+    return {
+        "build_once_families": {q: BUILD_ONCE[q] for q in fams},
+        "spark_build_once": s_build,
+        "duckdb_build_once": d_build,
+        "spark_cold_ex_build_once_sec": s_ex,
+        "duckdb_cold_ex_build_once_sec": d_ex,
+        "suite_ratio_cold_ex_build_once": (
+            round(s_ex / d_ex, 2) if d_ex > 0 else None
+        ),
+    }
 
 
 def duckdb_training_value(

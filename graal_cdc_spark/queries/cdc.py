@@ -1926,3 +1926,140 @@ ORDER BY reason
         "semantics",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C31 — versioned-lake time-travel census: the Delta/Iceberg-shaped
+# transaction log (sinks/versioned_lake.py) driven through a full
+# lifecycle — append the compacted early state (v0), MERGE the
+# mid-window changes by key (v1, one atomic commit: old key versions
+# dropped, incoming rows added), copy-on-write DELETE a key slice
+# (v2), vacuum with all three versions retained — then census every
+# version via time travel. The oracle restates the three snapshots
+# declaratively from the envelope stream; a snapshot-fold bug, a lost
+# or double-counted file, a non-atomic merge, or a vacuum that
+# deleted a retained file changes a cell.
+#
+# Scale shape: data files are immutable parquet (full scan pushdown);
+# commits are O(files touched) JSON; the reader folds checkpoint +
+# tail, never the whole history; delete/upsert rewrite ONLY the files
+# containing matching keys — the file-targeted asymmetry that makes
+# mutation affordable on a 100 TB table.
+# ---------------------------------------------------------------------------
+
+
+def _c31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    # split points from the stream's own extent (1-row collect —
+    # bounded metadata; the oracle derives the same values in SQL)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c31-vlake-") + "/state"
+    # several files so the merge/delete are genuinely file-targeted
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    VL.commit_upsert_keys(
+        spark, upd.repartition(4, "key"), table, ["tbl", "key"]
+    )                                                                # v1
+    VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
+    VL.vacuum(table, keep_versions=3)  # all three retained — censuses below
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            VL.read_table(spark, table, version=v)
+            .groupBy("tbl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("key").alias("n_keys"),
+                F.max("seq").alias("max_seq"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return ordered_result(
+        out.select("version", "tbl", "n_rows", "n_keys", "max_seq"),
+        "version",
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c31_lake_time_travel_census",
+        category="cdc",
+        description="versioned-lake lifecycle: append / atomic "
+        "key-merge / copy-on-write delete through the transaction "
+        "log, vacuum with retention, then a per-version time-travel "
+        "census (rows, keys, max seq per table)",
+        spark=_c31,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+v2 AS (SELECT * FROM v1 WHERE CAST(key AS BIGINT) % 7 <> 2),
+census AS (
+  SELECT 0 AS version, tbl, count(*) AS n_rows,
+         count(DISTINCT key) AS n_keys, max(seq) AS max_seq
+  FROM base GROUP BY tbl
+  UNION ALL
+  SELECT 1, tbl, count(*), count(DISTINCT key), max(seq)
+  FROM v1 GROUP BY tbl
+  UNION ALL
+  SELECT 2, tbl, count(*), count(DISTINCT key), max(seq)
+  FROM v2 GROUP BY tbl
+)
+SELECT CAST(version AS INT) AS version, tbl,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_seq AS BIGINT) AS max_seq
+FROM census
+ORDER BY version, tbl
+""",
+        reference="no reference analog (its only sink is ES upserts, "
+        "ElasticsearchUtils.java:131-177); Delta Lake transaction-log "
+        "/ Iceberg snapshot protocols, re-expressed minimally "
+        "(VERDICT r10 #7)",
+    )
+)

@@ -1312,3 +1312,33 @@ def test_l86_recall_audit_matches_numpy_bruteforce(spark, sf_dir):
         if approx:
             exp[ids[qi]] = (len(approx), hits, hits * 2000)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# k-means assigned-points index memo (SemDeDup family, round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assigned_index_memo_and_contract(spark, sf_dir):
+    """The index frame carries (pid, cid, x, n2) with n2 = |x|^2; a
+    repeat call returns the SAME memoized frame (build-once — repeat
+    sweeps rebuild nothing), and the assignment agrees with
+    kmeans_quantized."""
+    from graal_cdc_spark.operators.clustering import (
+        kmeans_assigned_index,
+        kmeans_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = kmeans_assigned_index(emb, k=4, iters=1, scale=10_000)
+    assert set(m1.columns) == {"pid", "cid", "x", "n2"}
+    m2 = kmeans_assigned_index(emb, k=4, iters=1, scale=10_000)
+    assert m1 is m2  # memo hit — no rebuild
+    rows = m1.collect()
+    for r in rows[:50]:
+        assert r["n2"] == sum(v * v for v in r["x"])
+    ref = {
+        r["pid"]: r["cid"]
+        for r in kmeans_quantized(emb, k=4, iters=1, scale=10_000).collect()
+    }
+    assert {r["pid"]: r["cid"] for r in rows} == ref

@@ -1,0 +1,168 @@
+"""Versioned parquet table format (Delta/Iceberg-shaped log) —
+atomic commits, snapshot isolation, time travel, conflict handling,
+checkpointed log replay, vacuum vs time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graal_cdc_spark.sinks import versioned_lake as VL
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_read_and_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    v1 = VL.commit_append(spark, _df(spark, [(3, "c")]), t)
+    assert (v0, v1) == (0, 1)
+    got = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    hist = VL.table_history(t)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["operation"] == "append" for h in hist)
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    VL.commit_append(spark, _df(spark, [(2, "b")]), t)
+    VL.commit_delete_where(spark, t, "k = 1")
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {2}
+    assert {r.k for r in VL.read_table(spark, t, version=1).collect()} == {1, 2}
+    assert {r.k for r in VL.read_table(spark, t, version=0).collect()} == {1}
+    with pytest.raises(ValueError, match="does not exist"):
+        VL.read_table(spark, t, version=99)
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """File-targeted copy-on-write: files with no matching rows keep
+    their EXACT path across the delete (never rewritten)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=2)
+    VL.commit_append(spark, _df(spark, [(10, "x")]), t)
+    before = VL.live_files(t)
+    VL.commit_delete_where(spark, t, "k = 1")
+    after = VL.live_files(t)
+    # the file(s) holding only k in {2, 10} survive verbatim
+    untouched_before = set()
+    for p in before:
+        rows = {r.k for r in spark.read.parquet(os.path.join(t, p)).collect()}
+        if 1 not in rows:
+            untouched_before.add(p)
+    assert untouched_before <= set(after)
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {2, 10}
+
+
+def test_upsert_keys_is_atomic_merge(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, n_files=3
+    )
+    VL.commit_upsert_keys(
+        spark, _df(spark, [(2, "B2"), (4, "d")]), t, ["k"]
+    )
+    got = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # one key never appears twice after a merge
+    counts = (
+        VL.read_table(spark, t).groupBy("k").count().filter("count > 1")
+    )
+    assert counts.isEmpty()
+
+
+def test_commit_conflict_first_writer_wins(spark, tmp_path):
+    """O_EXCL arbitration: a commit computed against a stale snapshot
+    raises CommitConflict instead of clobbering the winner."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    base = VL.latest_version(t)
+    # writer A claims version base+1 out-of-band (simulated racer)
+    VL._try_commit(t, [], "noop", base)
+    with pytest.raises(VL.CommitConflict):
+        VL._try_commit(t, [], "noop", base)
+    # append's retry loop absorbs the race and lands on the next slot
+    v = VL.commit_append(spark, _df(spark, [(2, "b")]), t)
+    assert v == base + 2
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    """A crashed writer's staged data files never surface in reads;
+    vacuum removes them."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    # orphan data file with valid parquet content but no commit
+    VL._stage_data_files(_df(spark, [(99, "zz")]), t)
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {1}
+    deleted = VL.vacuum(t, keep_versions=5)
+    assert any(p.endswith(".parquet") for p in deleted)
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {1}
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    """After checkpoint_every commits, a checkpoint file exists and a
+    read folds checkpoint + tail (verified by corrupting a PRE-
+    checkpoint commit file: reads at/after the checkpoint stay
+    correct)."""
+    t = str(tmp_path / "t")
+    for i in range(12):  # default checkpoint_every=10 -> cp at v10
+        VL.commit_append(spark, _df(spark, [(i, f"v{i}")]), t)
+    cp = os.path.join(t, VL.LOG_DIR, "00000010.checkpoint.json")
+    assert os.path.exists(cp)
+    with open(cp, encoding="utf-8") as f:
+        assert len(json.load(f)["live"]) == 11
+    # mangle an early commit: the checkpointed read must not consult it
+    with open(os.path.join(t, VL.LOG_DIR, "00000003.json"), "w") as f:
+        f.write("{corrupt")
+    got = {r.k for r in VL.read_table(spark, t).collect()}
+    assert got == set(range(12))
+
+
+def test_vacuum_respects_retained_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)       # v0
+    VL.commit_append(spark, _df(spark, [(2, "b")]), t)       # v1
+    VL.commit_delete_where(spark, t, "k = 1")                # v2
+    deleted = VL.vacuum(t, keep_versions=2)  # retain v1, v2
+    # v1 still readable (its files were all retained)
+    assert {r.k for r in VL.read_table(spark, t, version=1).collect()} == {1, 2}
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {2}
+    # nothing live was deleted
+    live_now = set(VL.live_files(t)) | set(VL.live_files(t, 1))
+    assert not (set(deleted) & live_now)
+
+
+def test_empty_input_appends_no_zero_row_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t, n_files=4)
+    # 1 row across 4 requested files -> 3 empty task outputs dropped
+    assert all(r > 0 for r in VL.live_files(t).values())
+    v = VL.commit_append(spark, _df(spark, []).filter("k > 0"), t)
+    hist = VL.table_history(t)
+    assert hist[-1]["n_add"] == 0 and hist[-1]["version"] == v
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {1}
+
+
+def test_schema_projection_pushdown_reaches_scan(spark, tmp_path):
+    """The versioned read is an ordinary parquet relation: projection
+    and filters push to the scan (ReadSchema / PushedFilters)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark, _df(spark, [(i, f"v{i}") for i in range(100)]), t
+    )
+    plan = (
+        VL.read_table(spark, t)
+        .filter(F.col("k") > 50)
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<k:bigint>" in plan
+    assert "GreaterThan(k,50)" in plan
