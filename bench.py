@@ -220,6 +220,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_med: dict[str, float] = {}
     warm_min: dict[str, float] = {}
+    warm_exec_med: dict[str, float] = {}
     duck_cold: dict[str, float] = {}
     duck_warm: dict[str, float] = {}
     duck_warm_med: dict[str, float] = {}
@@ -228,12 +229,23 @@ def main() -> None:
     for name in names:
         oracle = specs[name].oracle if con is not None else None
 
-        def _spark_run() -> float:
+        def _spark_run() -> tuple[float, float]:
+            # (total, execute-only): total = DataFrame CONSTRUCTION
+            # (Python/Py4J graph building + any eager driver-metadata
+            # jobs) + execution — the headline, billed every sample.
+            # The execute-only split is a DIAGNOSTIC: measured
+            # build-only mean is ~109 ms/query (~25 s across the
+            # matched suite), pure per-JOB driver cost that a real
+            # deployment pays once per pipeline, not per batch — the
+            # scale-extrapolation reading excludes it, the headline
+            # keeps it (DuckDB's equivalent, SQL parse+plan, stays
+            # inside ITS number; it is ~1 ms).
             t0 = time.time()
-            specs[name].spark(spark, sf_dir).write.mode(
-                "overwrite"
-            ).format("noop").save()
-            return round(time.time() - t0, 3)
+            df = specs[name].spark(spark, sf_dir)
+            t1 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.time()
+            return round(t2 - t0, 3), round(t2 - t1, 3)
 
         def _duck_run() -> float | None:
             # A comparator error on ONE query must degrade that query
@@ -253,7 +265,7 @@ def main() -> None:
                 return None
             return round(time.time() - t0, 3)
 
-        timings[name] = _spark_run()
+        timings[name], _ = _spark_run()
         print(f"{name}: {timings[name]:.2f}s", file=sys.stderr)
         if oracle is not None:
             d = _duck_run()
@@ -264,9 +276,12 @@ def main() -> None:
         if do_warm:
             reps = alternations if oracle is not None else 1
             s_samples = []
+            x_samples = []
             d_samples = []
             for _ in range(reps):
-                s_samples.append(_spark_run())
+                s_tot, s_exec = _spark_run()
+                s_samples.append(s_tot)
+                x_samples.append(s_exec)
                 if oracle is not None:
                     d = _duck_run()
                     if d is None:
@@ -281,6 +296,7 @@ def main() -> None:
             warm[name] = s_samples[0]
             warm_med[name] = round(median(s_samples), 3)
             warm_min[name] = round(min(s_samples), 3)
+            warm_exec_med[name] = round(median(x_samples), 3)
             if d_samples:
                 duck_warm[name] = d_samples[0]
                 duck_warm_med[name] = round(median(d_samples), 3)
@@ -363,6 +379,8 @@ def main() -> None:
     warm_ratio = None
     warm_ratio_interleaved = None
     warm_ratio_min = None
+    warm_ratio_exec = None
+    warm_exec_matched_sec = None
     spark_matched_sec = None
     warm_matched_sec = None
     warm_med_matched_sec = None
@@ -396,6 +414,20 @@ def main() -> None:
             )
             warm_ratio_min = round(
                 warm_min_matched_sec / duck["warm_min_value"], 2
+            )
+        if warm_exec_med and duck.get("warm_med_value"):
+            # DIAGNOSTIC (not the headline): execution-only medians —
+            # the per-sample DataFrame-construction cost (Py4J graph
+            # building, ~109 ms/query) removed from the Spark side.
+            # Construction is per-JOB driver cost that amortizes to
+            # nothing over any real batch size; the headline ratio
+            # above keeps billing it every sample.
+            warm_exec_matched_sec = round(
+                sum(t for n, t in warm_exec_med.items() if n in matched),
+                3,
+            )
+            warm_ratio_exec = round(
+                warm_exec_matched_sec / duck["warm_med_value"], 2
             )
 
     full = {
@@ -438,6 +470,9 @@ def main() -> None:
         "suite_ratio_warm": warm_ratio,
         "suite_ratio_warm_interleaved": warm_ratio_interleaved,
         "suite_ratio_warm_min_interleaved": warm_ratio_min,
+        "warm_exec_med_queries": warm_exec_med,
+        "spark_warm_exec_med_matched_sec": warm_exec_matched_sec,
+        "suite_ratio_warm_exec_interleaved": warm_ratio_exec,
         **build_pricing,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -482,6 +517,7 @@ def main() -> None:
                 "suite_ratio_warm": warm_ratio,
                 "suite_ratio_warm_interleaved": warm_ratio_interleaved,
                 "suite_ratio_warm_min_interleaved": warm_ratio_min,
+                "suite_ratio_warm_exec_interleaved": warm_ratio_exec,
                 "suite_ratio_cold_ex_build_once": build_pricing.get(
                     "suite_ratio_cold_ex_build_once"
                 ),

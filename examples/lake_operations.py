@@ -13,6 +13,12 @@ healthy at 100 TB, composed from the engine's gated operators.
 3. **Small-file compaction** (``compact_partitions``): rewrite
    fragmented partitions to target-size files so file listing stays
    off the scan's critical path.
+4. **Retention re-runs over parked consumers**: compact_log on any
+   cadence; a consumer checkpointed before a SERIES of compactions
+   resumes with zero head replay via the chained remap.
+5. **Versioned serving table** (``sinks/versioned_lake``, gated as
+   c31): atomic key-merges into a transaction-logged table with
+   snapshot isolation, time travel, and vacuum-bounded storage.
 
 Each is idempotent and crash-repairable, so the runbook is "run them
 on a schedule; rerun freely after failures".
@@ -160,9 +166,39 @@ def run(spark, base: str):
     # despite the checkpoint predating BOTH compactions
     assert resumed == drained + 3, (drained, resumed)
 
+    # --- job 5: versioned serving table (transaction log, gated as
+    # c31) --- the lake's serving layer as a Delta/Iceberg-shaped
+    # versioned table: atomic key-merge of each retention cycle's
+    # compacted state, snapshot-isolated readers, time travel for
+    # audits, vacuum bounding storage.
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    vt = os.path.join(base, "versioned")
+    cur = parse_envelope(
+        spark.read.format("graal_cdc_log").load(log)
+        .select("seq", "key", "value")
+    )
+    state_now = latest_by_key(cur, ["key"], "seq").filter(
+        F.col("op") != "d"
+    ).select("key", "seq")
+    VL.commit_append(spark, state_now, vt)                      # v0
+    VL.commit_upsert_keys(
+        spark,
+        state_now.withColumn("seq", F.col("seq") + 1000).limit(2),
+        vt,
+        ["key"],
+    )                                                           # v1
+    assert VL.latest_version(vt) == 1
+    n_v0 = VL.read_table(spark, vt, version=0).count()
+    n_v1 = VL.read_table(spark, vt).count()
+    assert n_v1 == n_v0  # merge replaced keys, never duplicated them
+    VL.vacuum(vt, keep_versions=2)
+    assert VL.read_table(spark, vt, version=0).count() == n_v0
+
     return {"log_rows": (before, after), "purge": stats,
             "compaction": rewritten,
-            "parked_consumer": (drained, resumed)}
+            "parked_consumer": (drained, resumed),
+            "versioned_table": VL.table_history(vt)}
 
 
 def main() -> None:

@@ -91,6 +91,7 @@ def bench_names(specs: Mapping[str, object]) -> list[str]:
 BUILD_ONCE: dict[str, str] = {
     "l90_heavy_hitters_sketch": "MG token checkpoint + python workers",
     "r79_pagerank_quantized": "symmetrized trading graph (edges+degrees)",
+    "r92_triangle_census": "support-filtered co-purchase edge set",
     "l85_dsir_importance": "256-bucket importance LM",
     "l75_semdedup_census": "k-means assigned-points index (k32_i1)",
     "l77_dedup_threshold_sweep": "k-means assigned-points index (k32_i1)",

@@ -2587,6 +2587,11 @@ def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # pairs feeds THREE consumers (the bigram LM, the left-context LM,
+    # and the scoring join) — truncate lineage so the interpreted
+    # bigram explode runs once per execution, not per consumer (the
+    # l75 rule)
+    pairs = pairs.localCheckpoint(eager=False)
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
@@ -3105,6 +3110,11 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.transform(
         v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int")
     )
+    # normsq feeds FOUR consumers (the stats broadcast, devs via the
+    # join, the outlier filter, and the final census) — without
+    # lineage truncation each broadcast materialization re-evaluates
+    # the interpreted quantize+fold over the corpus (the l75 rule);
+    # one lazy checkpoint runs it once per execution
     normsq = emb.select(
         "vec_id",
         "label",
@@ -3113,7 +3123,7 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
         ).alias("nsq"),
-    )
+    ).localCheckpoint(eager=False)
     stats = normsq.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("nsq").alias("s"),
