@@ -65,6 +65,11 @@ BENCH_SKIP: dict[str, str] = {
         "benched as c06 (compaction) and the scan path is plain "
         "parquet"
     ),
+    "c32_lake_change_feed": (
+        "rides the same versioned-lake commit lifecycle as c31 "
+        "(filesystem-bound); the in-plane diff cost is an exceptAll "
+        "over touched files, benched as r15b (except)"
+    ),
 }
 
 
@@ -95,6 +100,8 @@ BUILD_ONCE: dict[str, str] = {
     "l85_dsir_importance": "256-bucket importance LM",
     "l75_semdedup_census": "k-means assigned-points index (k32_i1)",
     "l77_dedup_threshold_sweep": "k-means assigned-points index (k32_i1)",
+    "r81_mad_outliers": "per-group median/MAD literal statistics",
+    "l88_bpe_merge_training": "learned BPE merge table (trained tokenizer)",
 }
 
 

@@ -2063,3 +2063,139 @@ ORDER BY version, tbl
         "(VERDICT r10 #7)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C32 — versioned-lake change feed: the Delta-CDF-shaped incremental
+# read over C31's transaction log, with NO extra change files — each
+# commit's row-level delta is reconstructed from its copy-on-write
+# file diff (rows in ADDED files exceptAll rows in REMOVED files =
+# inserts; the reverse = deletes; survivors rewritten unchanged
+# cancel). Drives the same lifecycle as c31 (append v0, atomic
+# key-merge v1, copy-on-write delete v2), reads changes 0..2, and
+# censuses per (version, change type, table). The oracle restates the
+# three snapshots declaratively and takes the same multiset
+# differences with EXCEPT ALL — equal by construction because
+# added ∪ untouched = new snapshot and removed ∪ untouched = old
+# snapshot, so the file diff IS the snapshot diff.
+#
+# Scale shape: a commit's diff reads only the files that commit
+# touched (never the table); each exceptAll is one hash shuffle over
+# those rows — the incremental-consumer pattern that lets a 100 TB
+# downstream job process per-commit deltas instead of full snapshots.
+# ---------------------------------------------------------------------------
+
+
+def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c32-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    VL.commit_upsert_keys(
+        spark, upd.repartition(4, "key"), table, ["tbl", "key"]
+    )                                                                # v1
+    VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
+    feed = VL.read_changes(spark, table, 0, 2)
+    return ordered_result(
+        feed.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+            "tbl",
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("seq").alias("max_seq"),
+        ),
+        "version",
+        "change_type",
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c32_lake_change_feed",
+        category="cdc",
+        description="versioned-lake change data feed: per-commit "
+        "row-level deltas reconstructed from the copy-on-write file "
+        "diffs (no change files) across append / key-merge / delete "
+        "commits — census per (version, change type, table)",
+        spark=_c32,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+v2 AS (SELECT * FROM v1 WHERE CAST(key AS BIGINT) % 7 <> 2),
+feed AS (
+  SELECT 0 AS version, 'insert' AS change_type, *
+  FROM base
+  UNION ALL
+  SELECT 1, 'insert', * FROM (
+    SELECT * FROM v1 EXCEPT ALL SELECT * FROM base)
+  UNION ALL
+  SELECT 1, 'delete', * FROM (
+    SELECT * FROM base EXCEPT ALL SELECT * FROM v1)
+  UNION ALL
+  SELECT 2, 'insert', * FROM (
+    SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+  UNION ALL
+  SELECT 2, 'delete', * FROM (
+    SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+)
+SELECT CAST(version AS INT) AS version, change_type, tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM feed
+GROUP BY version, change_type, tbl
+ORDER BY version, change_type, tbl
+""",
+        reference="no reference analog; Delta Lake Change Data Feed "
+        "semantics re-derived from copy-on-write file diffs "
+        "(VERDICT r10 #7 follow-through)",
+    )
+)

@@ -2587,21 +2587,26 @@ def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    # pairs feeds THREE consumers (the bigram LM, the left-context LM,
-    # and the scoring join) — truncate lineage so the interpreted
-    # bigram explode runs once per execution, not per consumer (the
-    # l75 rule)
+    # pairs feeds TWO consumers (the bigram LM and the scoring join) —
+    # truncate lineage so the interpreted bigram explode runs once per
+    # execution, not per consumer (the l75 rule)
     pairs = pairs.localCheckpoint(eager=False)
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    nll = -F.log(F.col("c2") / F.col("c1"))
+    # the left-context LM is the bigram LM's row-sum (c1 = Σ_w2 c2 by
+    # definition), so it aggregates the VOCABULARY-sized bigram table,
+    # not the corpus-sized pair stream; pre-joining the two LMs gives
+    # the scorer ONE corpus-sized join against a per-bigram NLL table
+    # instead of two
+    left = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = big.join(left, "w1").select(
+        "w1", "w2", (-F.log(F.col("c2") / F.col("c1"))).alias("nll")
+    )
     return (
-        ordered_result(pairs.join(big, ["w1", "w2"])
-        .join(left, "w1")
+        ordered_result(pairs.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.floor(F.avg(nll) * 10000) / 10000).alias("avg_bigram_nll"),
+            (F.floor(F.avg("nll") * 10000) / 10000).alias("avg_bigram_nll"),
         ), "doc_id")
     )
 

@@ -166,3 +166,74 @@ def test_schema_projection_pushdown_reaches_scan(spark, tmp_path):
     )
     assert "ReadSchema: struct<k:bigint>" in plan
     assert "GreaterThan(k,50)" in plan
+
+
+def test_change_feed_append_is_all_inserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    feed = VL.read_changes(spark, t, 0).collect()
+    assert {(r.k, r.v, r._change_type, r._commit_version) for r in feed} == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+    }
+
+
+def test_change_feed_upsert_emits_net_delta_only(spark, tmp_path):
+    """A copy-on-write upsert rewrites whole files, but the feed must
+    carry only the NET row changes: unchanged survivors rewritten
+    alongside the hit keys cancel in the multiset diff."""
+    t = str(tmp_path / "t")
+    # one file holding both keys -> the upsert rewrites it entirely
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
+    VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])
+    feed = VL.read_changes(spark, t, 1, 1).collect()
+    got = {(r.k, r.v, r._change_type) for r in feed}
+    # k=2 survived the rewrite unchanged -> absent from the feed
+    assert got == {(1, "a", "delete"), (1, "A", "insert")}
+
+
+def test_change_feed_delete_emits_deletes_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    VL.commit_delete_where(spark, t, "k >= 2")
+    feed = VL.read_changes(spark, t, 1, 1).collect()
+    assert {(r.k, r._change_type) for r in feed} == {
+        (2, "delete"),
+        (3, "delete"),
+    }
+
+
+def test_change_feed_equals_snapshot_diff_across_range(spark, tmp_path):
+    """Folding the feed over [0, head] reproduces the head snapshot:
+    inserts minus deletes == read_table(head) as a multiset."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, f"v{i}") for i in range(20)]), t,
+                     n_files=3)
+    VL.commit_upsert_keys(
+        spark, _df(spark, [(3, "X"), (25, "new")]), t, ["k"]
+    )
+    VL.commit_delete_where(spark, t, "k % 5 = 0")
+    feed = VL.read_changes(spark, t, 0)
+    ins = feed.filter("_change_type = 'insert'").select("k", "v")
+    dele = feed.filter("_change_type = 'delete'").select("k", "v")
+    folded = {(r.k, r.v) for r in ins.exceptAll(dele).collect()}
+    head = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    assert folded == head
+
+
+def test_change_feed_rejects_vacuumed_range(spark, tmp_path):
+    """CDF needs the pre-image files: a commit whose removed side was
+    vacuumed raises cleanly; ranges whose files survive keep working."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
+    VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])  # v1
+    VL.commit_append(spark, _df(spark, [(9, "z")]), t)              # v2
+    # retain v1+v2: v0's file (also v1's REMOVED pre-image) is deleted
+    VL.vacuum(t, keep_versions=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        VL.read_changes(spark, t, 0).collect()
+    with pytest.raises(ValueError, match="vacuumed"):
+        VL.read_changes(spark, t, 1, 1).collect()
+    # v2's diff needs only surviving files
+    feed = VL.read_changes(spark, t, 2, 2).collect()
+    assert {(r.k, r._change_type) for r in feed} == {(9, "insert")}
