@@ -2925,49 +2925,63 @@ def _r67(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    # Pin the grouping partitioning EXPLICITLY: AQE's byte-based
-    # coalescing sees a ~1 MB shuffle and folds it to ONE partition,
-    # serializing every python group call in a single task (5.6x
-    # slower here). An explicit repartition(N, key) is AQE-exempt and
-    # satisfies the cogroup's distribution, so the engine runs the
-    # pandas stage at N-way parallelism. Per-group python cost is
-    # invisible to byte-based planners — pin partitioning for any
-    # grouped/cogrouped pandas op whose groups are small in bytes.
+    # TWO scale lessons pinned here. (1) Pin the grouping partitioning
+    # EXPLICITLY: AQE's byte-based coalescing sees a ~1 MB shuffle and
+    # folds it to ONE partition, serializing the python stage in a
+    # single task (5.6x slower here) — explicit repartition(N, key) is
+    # AQE-exempt. (2) Cogroup on a BUCKET of the key, not the raw key:
+    # Spark pays fixed per-group machinery (arrow framing, schema
+    # checks, a 1-row frame per call) that is invisible to the planner
+    # — per-user groups cost ~0.6 ms each (1.28 s at sf0.1); hashing
+    # users into 2N buckets and resolving per-user stats INSIDE the
+    # python function with a vectorized pandas groupby bounds the call
+    # count at 2N forever (0.94 s, identical rows). At 100 TB the
+    # per-user form is 1e9 python calls; the bucketed form is still 2N.
     n_par = spark.sparkContext.defaultParallelism
+    n_buckets = 2 * n_par
+    bucket = F.pmod("user_id", F.lit(n_buckets))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    ).repartition(n_par, "user_id")
+        "user_id", "ts", "event_id", bucket.alias("bucket")
+    ).repartition(n_par, "bucket")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id"
-    ).repartition(n_par, "user_id")
+        "user_id", "ts", "event_id", bucket.alias("bucket")
+    ).repartition(n_par, "bucket")
 
     def stats(key, p: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
-        n_err_before = 0
-        if len(p) and len(e):
-            import numpy as np
+        import numpy as np
 
-            # int64 nanoseconds (mixed Timestamp/np dtypes don't
-            # order against each other); searchsorted vectorized over
-            # ALL purchases at once — a python-level per-purchase loop
-            # costs ~10x at sf0.1
-            ets = np.sort(e["ts"].astype("int64").to_numpy())
-            pts = p["ts"].astype("int64").to_numpy()
-            half_hour = 30 * 60 * 1_000_000_000
-            lo = np.searchsorted(ets, pts - half_hour, "left")
-            hi = np.searchsorted(ets, pts, "right")
-            n_err_before = int((hi - lo).sum())
+        pg = {u: g for u, g in p.groupby("user_id")} if len(p) else {}
+        eg = {u: g for u, g in e.groupby("user_id")} if len(e) else {}
+        half_hour = 30 * 60 * 1_000_000_000
+        out_u, out_np, out_ne, out_pairs = [], [], [], []
+        for u in set(pg) | set(eg):
+            pp, ee = pg.get(u), eg.get(u)
+            n_err_before = 0
+            if pp is not None and ee is not None:
+                # int64 nanoseconds (mixed Timestamp/np dtypes don't
+                # order against each other); searchsorted vectorized
+                # over ALL of a user's purchases at once
+                ets = np.sort(ee["ts"].astype("int64").to_numpy())
+                pts = pp["ts"].astype("int64").to_numpy()
+                lo = np.searchsorted(ets, pts - half_hour, "left")
+                hi = np.searchsorted(ets, pts, "right")
+                n_err_before = int((hi - lo).sum())
+            out_u.append(u)
+            out_np.append(0 if pp is None else len(pp))
+            out_ne.append(0 if ee is None else len(ee))
+            out_pairs.append(n_err_before)
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_purchases": [len(p)],
-                "n_errors": [len(e)],
-                "n_error_purchase_pairs": [n_err_before],
+                "user_id": out_u,
+                "n_purchases": out_np,
+                "n_errors": out_ne,
+                "n_error_purchase_pairs": out_pairs,
             }
         )
 
     return (
-        ordered_result(purchases.groupBy("user_id")
-        .cogroup(errors.groupBy("user_id"))
+        ordered_result(purchases.groupBy("bucket")
+        .cogroup(errors.groupBy("bucket"))
         .applyInPandas(
             stats,
             "user_id bigint, n_purchases bigint, n_errors bigint, "
