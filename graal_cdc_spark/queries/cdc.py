@@ -2086,12 +2086,17 @@ ORDER BY version, tbl
 # ---------------------------------------------------------------------------
 
 
-def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_vlake_lifecycle(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> str:
+    """The shared append/key-merge/delete versioned-lake lifecycle
+    (c31/c32/st19): v0 = compacted early state, v1 = atomic key-merge
+    of the mid-window changes, v2 = copy-on-write delete of a key
+    slice. Returns the table path."""
     import tempfile
 
     from graal_cdc_spark.sinks import versioned_lake as VL
 
-    configure(spark)
     parsed = _parsed(spark, sf_dir)
     mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
     s0, s1 = mx // 3, (2 * mx) // 3
@@ -2101,7 +2106,7 @@ def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "d")
         .select("tbl", "key", "op", "seq")
     )
-    table = tempfile.mkdtemp(prefix="c32-vlake-") + "/state"
+    table = tempfile.mkdtemp(prefix=f"{prefix}-vlake-") + "/state"
     VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
     upd = (
         latest_by_key(
@@ -2116,7 +2121,13 @@ def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, upd.repartition(4, "key"), table, ["tbl", "key"]
     )                                                                # v1
     VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
-    feed = VL.read_changes(spark, table, 0, 2)
+    return table
+
+
+def change_feed_census(feed: DataFrame) -> DataFrame:
+    """Per-(version, change type, table) census of a change feed —
+    the shared gate shape of c32 (batch read_changes) and st19 (the
+    graal_vlake streaming source)."""
     return ordered_result(
         feed.groupBy(
             F.col("_commit_version").alias("version"),
@@ -2133,17 +2144,20 @@ def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    QuerySpec(
-        name="c32_lake_change_feed",
-        category="cdc",
-        description="versioned-lake change data feed: per-commit "
-        "row-level deltas reconstructed from the copy-on-write file "
-        "diffs (no change files) across append / key-merge / delete "
-        "commits — census per (version, change type, table)",
-        spark=_c32,
-        oracle=cdc_parsed_cte()
-        + """
+def _c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    table = build_vlake_lifecycle(spark, sf_dir, "c32")
+    return change_feed_census(VL.read_changes(spark, table, 0, 2))
+
+
+# shared by c32 (batch read_changes) and st19 (graal_vlake streaming
+# source): both paths must reproduce the same declarative snapshot
+# diffs
+C32_ORACLE = (
+    cdc_parsed_cte()
+    + """
 , mx AS (SELECT max(seq) AS m FROM cdc_parsed),
 base AS (
   SELECT tbl, key, op, seq FROM (
@@ -2193,7 +2207,20 @@ SELECT CAST(version AS INT) AS version, change_type, tbl,
 FROM feed
 GROUP BY version, change_type, tbl
 ORDER BY version, change_type, tbl
-""",
+"""
+)
+
+
+register(
+    QuerySpec(
+        name="c32_lake_change_feed",
+        category="cdc",
+        description="versioned-lake change data feed: per-commit "
+        "row-level deltas reconstructed from the copy-on-write file "
+        "diffs (no change files) across append / key-merge / delete "
+        "commits — census per (version, change type, table)",
+        spark=_c32,
+        oracle=C32_ORACLE,
         reference="no reference analog; Delta Lake Change Data Feed "
         "semantics re-derived from copy-on-write file diffs "
         "(VERDICT r10 #7 follow-through)",

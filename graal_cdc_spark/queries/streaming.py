@@ -865,3 +865,68 @@ ORDER BY bucket, cnt DESC, token
         "operator); Misra-Gries 1982 over streaming state",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST19 — versioned-lake STREAMING change feed: the ``graal_vlake``
+# Structured Streaming source (sources/vlake_ds.py, the
+# Delta-streaming-source analog) driven through the same
+# append / key-merge / delete lifecycle as c31/c32, drained with
+# Trigger.availableNow into a parquet sink, and censused per
+# (version, change type, table). Shares C32's oracle verbatim: the
+# per-commit micro-batches must reproduce EXACTLY the declarative
+# snapshot diffs the batch read_changes produces — a wrong offset
+# boundary, a dropped commit, a double-emitted partition, or a broken
+# multiset diff in the partition reader changes a cell.
+#
+# Scale shape: latestOffset is one directory listing; each micro-batch
+# reads only its commit's touched files; the diff is a weight-summed
+# groupby inside the partition reader; the checkpoint holds one
+# integer version.
+# ---------------------------------------------------------------------------
+
+
+def _st19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.queries.cdc import (
+        build_vlake_lifecycle,
+        change_feed_census,
+    )
+    from graal_cdc_spark.sources import vlake_ds
+
+    configure(spark)
+    table = build_vlake_lifecycle(spark, sf_dir, "st19")
+    vlake_ds.register(spark)
+    root = tempfile.mkdtemp(prefix="st19-")
+    q = (
+        spark.readStream.format("graal_vlake")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return change_feed_census(spark.read.parquet(f"{root}/out"))
+
+
+from graal_cdc_spark.queries.cdc import C32_ORACLE as _C32_ORACLE  # noqa: E402
+
+register(
+    QuerySpec(
+        name="st19_lake_stream_changes",
+        category="streaming",
+        description="graal_vlake streaming source: per-commit "
+        "change-feed micro-batches over the versioned table format "
+        "(append / key-merge / delete lifecycle), availableNow drain, "
+        "census per (version, change type, table) — same oracle as "
+        "the batch change feed (c32)",
+        spark=_st19,
+        oracle=_C32_ORACLE,
+        reference="no reference analog; Delta Lake streaming-source "
+        "semantics (startingVersion / skipChangeCommits) on the "
+        "public PySpark Python DataSource API",
+    )
+)
