@@ -8,10 +8,12 @@ SOS segment framing — implemented from the public spec (ITU-T T.81 /
 ISO 10918-1; JFIF 1.02), the same environment-compatible route as the
 PNG codec (RFC 2083, ``multimodal.encode_png``).
 
-Scope: GRAYSCALE baseline (mm13: one component, no subsampling) and
+Scope: GRAYSCALE baseline (mm13: one component, no subsampling),
 COLOR baseline (mm14, round 10: JFIF YCbCr, interleaved scan, 4:2:0
 chroma subsampling or 4:4:4) with DRI/RST0–7 restart intervals in
-both. These are fully conformant JFIF streams — any standard viewer
+both, and PROGRESSIVE grayscale (mm15, round 11: SOF2 spectral
+selection — DC scan + AC band scans, general EOB-run decode;
+successive approximation and DRI-in-progressive raise clearly). These are fully conformant JFIF streams — any standard viewer
 decodes them — and the oracle story stays honest: JPEG is lossy in
 general, so the gate fixtures synthesize images whose blocks are
 CONSTANT (flat): a flat block's DCT is DC-only, the DC quantizer
@@ -795,3 +797,343 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
         full[cid] = p[: mcus_y * mcu_h, : mcus_x * mcu_w][:h, :w]
     y_id, cb_id, cr_id = (c[0] for c in comps)
     return _ycbcr_to_rgb(full[y_id], full[cb_id], full[cr_id])
+
+
+# --- progressive (SOF2, spectral-selection scan script) --------------------
+#
+# ITU-T T.81 Annex G progressive DCT, spectral-selection mode: the
+# quantized coefficients are IDENTICAL to baseline's (same FDCT, same
+# tables) but delivered across MULTIPLE scans — a DC-only first scan
+# (Ss=Se=0), then AC band scans (Ss..Se inside 1..63), each its own
+# SOS. This is the web's "image sharpens as it loads" format and the
+# second SOF the reference's users would actually hit (SOF2 is ~2/3
+# of large-site JPEGs). Successive approximation (Ah/Al != 0) is out
+# of scope and raises clearly — spectral selection alone is a legal,
+# conformant progressive stream (T.81 G.1.1.1.1).
+#
+# Exactness contract: because the coefficients equal baseline's, a
+# progressive decode of a progressive encode is BIT-IDENTICAL to the
+# baseline round-trip of the same image — not just on flat-block
+# fixtures but on EVERY image (property-tested cross-codec in
+# tests/test_multimodal.py). The mm15 oracle reuses the mm13
+# flat-block fixture arithmetic unchanged.
+#
+# The AC decoder handles general EOB runs (EOBn symbols, r extra
+# bits, run = (1 << r) + extra — other encoders emit them); this
+# encoder emits only EOB1 (symbol 0x00), which the Annex-K table
+# already contains, so the standard table set serves both directions.
+
+
+def _quantized_blocks_gray(px: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """(h, w, zz) — zigzag-ordered quantized coefficients, one row per
+    8×8 block in raster order, replicate-padded like the baseline
+    encoder."""
+    h, w = px.shape
+    if h < 1 or w < 1 or h > 65535 or w > 65535:
+        raise ValueError(f"jpeg progressive: bad dims {h}x{w}")
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.int64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    shifted = padded.astype(np.float64) - 128.0
+    out = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = _fdct(shifted[by : by + 8, bx : bx + 8])
+            q = np.round(coef.reshape(64) / QTABLE.astype(np.float64)).astype(
+                np.int64
+            )
+            out.append(q[ZIGZAG])
+    return h, w, np.stack(out)
+
+
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as PROGRESSIVE JFIF
+    (SOF2, spectral selection): one DC scan, then one AC scan per
+    ``(Ss, Se)`` band. Bands must be ascending, disjoint, and cover
+    1..63 so every coefficient is delivered exactly once."""
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive: expected (h, w)")
+    expect = 1
+    for ss, se in bands:
+        if ss != expect or se < ss or se > 63:
+            raise ValueError(
+                f"jpeg progressive: bands must tile 1..63, got {bands}"
+            )
+        expect = se + 1
+    if expect != 64:
+        raise ValueError(
+            f"jpeg progressive: bands must cover through 63, got {bands}"
+        )
+    h, w, zz = _quantized_blocks_gray(px)
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 2, 0, 0, 1, 0, 1, 0, 0]
+    )
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(int(QTABLE[ZIGZAG[i]]) for i in range(64))
+    # SOF2: progressive, 8-bit, 1 component, no subsampling
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    dc_payload = bytes(DC_BITS) + bytes(DC_VALS)
+    ac_payload = bytes(AC_BITS) + bytes(AC_VALS)
+    out += (
+        b"\xFF\xC4" + struct.pack(">H", 3 + len(dc_payload)) + b"\x00"
+        + dc_payload
+    )
+    out += (
+        b"\xFF\xC4" + struct.pack(">H", 3 + len(ac_payload)) + b"\x10"
+        + ac_payload
+    )
+
+    # scan 1: DC (Ss=0, Se=0, Ah=Al=0) — differential DC, baseline DC
+    # Huffman coding (T.81 G.1.2.1)
+    bw_ = _BitWriter()
+    prev_dc = 0
+    for b in range(zz.shape[0]):
+        diff = int(zz[b, 0]) - prev_dc
+        prev_dc = int(zz[b, 0])
+        cat, extra = _magnitude(diff)
+        code, length = _DC_CODES[cat]
+        bw_.write(code, length)
+        if cat:
+            bw_.write(extra, cat)
+    bw_.flush()
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    out += bw_.out
+
+    # AC band scans (Ah=Al=0): baseline-style run/size coding
+    # restricted to the band; EOB1 when the band's tail is zero
+    for ss, se in bands:
+        bw_ = _BitWriter()
+        for b in range(zz.shape[0]):
+            band = zz[b]
+            last_nz = 0
+            for i in range(ss, se + 1):
+                if band[i] != 0:
+                    last_nz = i
+            if last_nz == 0:
+                code, length = _AC_CODES[0x00]  # EOB (run length 1)
+                bw_.write(code, length)
+                continue
+            run = 0
+            for i in range(ss, last_nz + 1):
+                v = int(band[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    bw_.write(code, length)
+                    run -= 16
+                cat, extra = _magnitude(v)
+                code, length = _AC_CODES[(run << 4) | cat]
+                bw_.write(code, length)
+                bw_.write(extra, cat)
+                run = 0
+            if last_nz != se:
+                code, length = _AC_CODES[0x00]
+                bw_.write(code, length)
+        bw_.flush()
+        out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, 0]
+        )
+        out += bw_.out
+
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past an entropy-coded segment: the first 0xFF
+    followed by a real marker (not 0x00 stuffing, not RSTn)."""
+    p = start
+    n = len(payload)
+    while p < n - 1:
+        if payload[p] == 0xFF:
+            nxt = payload[p + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return p
+            p += 2
+            continue
+        p += 1
+    raise ValueError("jpeg progressive: unterminated scan")
+
+
+def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE (SOF2) grayscale JFIF stream: general
+    marker parsing, any number of spectral-selection scans in any
+    band order, general EOB-run (EOBn) handling in AC scans.
+    Successive approximation and restart intervals raise clearly
+    (documented scope). Returns (h, w) uint8."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_trees: dict[int, _HuffTree] = {}
+    ac_trees: dict[int, _HuffTree] = {}
+    h = w = 0
+    comp_q = 0
+    coefs: np.ndarray | None = None
+    delivered = np.zeros(64, dtype=bool)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("jpeg progressive: truncated segment header")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if pos + seglen > len(payload):
+            raise ValueError("jpeg progressive: truncated segment")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit qtable unsupported")
+                zzt = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                    np.int64
+                )
+                p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = zzt
+                qtables[tq] = tbl
+        elif marker == 0xC2:  # SOF2
+            if seg[0] != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise ValueError(
+                    "jpeg progressive: only grayscale supported"
+                )
+            if seg[7] != 0x11:
+                raise ValueError("jpeg progressive: subsampling unsupported")
+            comp_q = seg[8]
+            nb = ((h + 7) // 8) * ((w + 7) // 8)
+            coefs = np.zeros((nb, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError(
+                "decode_jpeg_gray_progressive: stream is not SOF2 "
+                "(use decode_jpeg_gray for baseline)"
+            )
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                nsym = sum(bits)
+                vals = list(seg[p : p + nsym])
+                p += nsym
+                tree = _HuffTree(bits, vals)
+                (dc_trees if tc == 0 else ac_trees)[th] = tree
+        elif marker == 0xDD:
+            raise ValueError(
+                "jpeg progressive: restart intervals unsupported "
+                "(documented scope)"
+            )
+        elif marker == 0xDA:  # SOS — one scan
+            if coefs is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            if seg[0] != 1:
+                raise ValueError("jpeg progressive: interleaved scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            ss, se, ahal = seg[3], seg[4], seg[5]
+            if ahal != 0:
+                raise NotImplementedError(
+                    "jpeg progressive: successive approximation "
+                    "(Ah/Al != 0) not supported — spectral-selection "
+                    "scans only (documented scope)"
+                )
+            data_start = pos + seglen
+            data_end = _entropy_end(payload, data_start)
+            br = _BitReader(payload[data_start:data_end])
+            nb = coefs.shape[0]
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("jpeg progressive: DC scan with Se != 0")
+                tree = dc_trees[dc_id]
+                pred = 0
+                for b in range(nb):
+                    cat = tree.decode(br)
+                    pred += _extend(br.read_bits(cat), cat) if cat else 0
+                    coefs[b, 0] = pred
+                delivered[0] = True
+            else:  # AC band scan
+                if ss > se or se > 63:
+                    raise ValueError(
+                        f"jpeg progressive: bad band {ss}..{se}"
+                    )
+                if delivered[ss : se + 1].any():
+                    raise ValueError(
+                        f"jpeg progressive: band {ss}..{se} overlaps a "
+                        "previous scan"
+                    )
+                tree = ac_trees[ac_id]
+                eobrun = 0
+                for b in range(nb):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    i = ss
+                    while i <= se:
+                        sym = tree.decode(br)
+                        run, cat = sym >> 4, sym & 0x0F
+                        if cat == 0:
+                            if run == 15:  # ZRL
+                                i += 16
+                                continue
+                            # EOBn: run of (1 << run) + extra bands end
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += br.read_bits(run)
+                            break
+                        i += run
+                        if i > se:
+                            raise ValueError(
+                                "jpeg progressive: AC index past Se"
+                            )
+                        coefs[b, i] = _extend(br.read_bits(cat), cat)
+                        i += 1
+                delivered[ss : se + 1] = True
+            pos = data_end
+            continue
+        pos += seglen
+    if coefs is None or h == 0:
+        raise ValueError("jpeg progressive: missing SOF2")
+    if not delivered.all():
+        missing = np.flatnonzero(~delivered)
+        raise ValueError(
+            f"jpeg progressive: coefficients never delivered: "
+            f"{missing[:6].tolist()}…"
+        )
+
+    qt = qtables[comp_q]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    bpr = pw // 8
+    for b in range(coefs.shape[0]):
+        zzb = coefs[b]
+        coef = np.zeros(64, dtype=np.int64)
+        coef[ZIGZAG] = zzb
+        block = _idct((coef * qt).reshape(8, 8).astype(np.float64))
+        by, bx = (b // bpr) * 8, (b % bpr) * 8
+        out[by : by + 8, bx : bx + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]

@@ -1070,7 +1070,10 @@ def png_pipeline_stats(
 
 
 def jpeg_pipeline_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    progressive: bool = False,
 ) -> DataFrame:
     """Fused synthesize→JPEG-encode→decode→stats census (mm13) in one
     ``mapInPandas`` stage — the mm11 PNG pattern applied to the REAL
@@ -1095,7 +1098,9 @@ def jpeg_pipeline_stats(
 
         from graal_cdc_spark.operators.jpeg import (
             decode_jpeg_gray,
+            decode_jpeg_gray_progressive,
             encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
         )
 
         for pdf in batches:
@@ -1116,7 +1121,15 @@ def jpeg_pipeline_stats(
                 idx = np.arange(bh * bw) % len(codes)
                 blocks = codes[idx].reshape(bh, bw)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                decoded = decode_jpeg_gray(encode_jpeg_gray(img))
+                if progressive:
+                    # SOF2 spectral-selection scan script (mm15):
+                    # same quantized coefficients, delivered across a
+                    # DC scan + two AC band scans
+                    decoded = decode_jpeg_gray_progressive(
+                        encode_jpeg_gray_progressive(img)
+                    )
+                else:
+                    decoded = decode_jpeg_gray(encode_jpeg_gray(img))
                 rows["media_id"].append(mid)
                 rows["height"].append(decoded.shape[0])
                 rows["width"].append(decoded.shape[1])

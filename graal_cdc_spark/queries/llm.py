@@ -6400,6 +6400,63 @@ ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# MM15 — PROGRESSIVE JPEG (SOF2, spectral selection) round-trip
+# census (VERDICT r10 #7 optional extension; ROADMAP "progressive if
+# a use case appears" — the web's multi-scan format, ~2/3 of
+# large-site JPEGs): DC scan + two AC band scans, general EOB-run
+# decoding, coefficient-accumulation across scans. Quantized
+# coefficients are IDENTICAL to baseline's, so the progressive
+# round-trip is bit-identical to mm13's on EVERY image
+# (cross-codec property test); the gate reuses the mm13 flat-block
+# arithmetic on the third doc slice.
+# ---------------------------------------------------------------------------
+
+
+def _mm15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
+    )
+    return ordered_result(
+        jpeg_pipeline_stats(docs, progressive=True), "media_id"
+    )
+
+
+_l(
+    "mm15_jpeg_progressive_census",
+    "PROGRESSIVE JPEG (SOF2 spectral selection: DC scan + AC band "
+    "scans, EOB-run decode, cross-scan coefficient accumulation) "
+    "encode->decode census on the flat-block-exact fixture",
+    _mm15,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(2 + doc_id % 3 AS INT) AS bh,
+         CAST(2 + doc_id % 2 AS INT) AS bw,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(64 * list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256))
+            AS BIGINT) AS sum_px,
+       CAST(list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> (k + 1) *
+                 (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256)))
+            AS BIGINT) AS wsum_blocks
+FROM d
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (progressive leg); ITU-T T.81 "
+    "Annex G progressive DCT, spectral selection, JFIF 1.02",
+)
+
+
+# ---------------------------------------------------------------------------
 # L91 — BPE rule APPLICATION as a first-class operator (VERDICT r8
 # #6): apply an ordered merge-rule list to every corpus word
 # (operators/text.apply_merges — the re-segmentation half of BPE,

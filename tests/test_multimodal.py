@@ -636,3 +636,94 @@ def test_jpeg_pipeline_stats_matches_direct_codec(spark):
         exp_sum = int(vals.sum()) * 64
         exp_w = int((vals * np.arange(1, bh * bw + 1)).sum())
         assert got[mid] == (bh * 8, bw * 8, exp_sum, exp_w), mid
+
+
+# --- progressive JPEG (operators/jpeg.py SOF2 leg, mm15) ---
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Spectral selection only re-ORDERS coefficient delivery — the
+    quantized coefficients equal baseline's, so decode(progressive
+    encode) must be BIT-IDENTICAL to decode(baseline encode) on every
+    image, not just flat fixtures. This single property exercises the
+    whole multi-scan path (DC scan, band scans, EOB, ZRL,
+    cross-scan accumulation)."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        h, w = rng.integers(3, 50, 2)
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = decode_jpeg_gray(encode_jpeg_gray(img))
+        prog = decode_jpeg_gray_progressive(encode_jpeg_gray_progressive(img))
+        assert base.shape == prog.shape == (int(h), int(w))
+        assert (base == prog).all()
+    # a many-band scan script (one band per coefficient run) decodes
+    # the same too
+    img = rng.integers(0, 256, (17, 23)).astype(np.uint8)
+    bands = ((1, 1), (2, 9), (10, 35), (36, 63))
+    prog = decode_jpeg_gray_progressive(
+        encode_jpeg_gray_progressive(img, bands=bands)
+    )
+    assert (prog == decode_jpeg_gray(encode_jpeg_gray(img))).all()
+
+
+def test_jpeg_progressive_flat_block_exact():
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(0, 256, (3, 2)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    assert (
+        decode_jpeg_gray_progressive(encode_jpeg_gray_progressive(img)) == img
+    ).all()
+
+
+def test_jpeg_progressive_strictness():
+    import numpy as np
+    import pytest
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    # encoder validates the scan script tiles 1..63
+    with pytest.raises(ValueError, match="tile"):
+        encode_jpeg_gray_progressive(img, bands=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="cover"):
+        encode_jpeg_gray_progressive(img, bands=((1, 40),))
+    # a baseline stream is rejected by the progressive decoder and
+    # vice versa (wrong SOF)
+    with pytest.raises(ValueError, match="not SOF2"):
+        decode_jpeg_gray_progressive(encode_jpeg_gray(img))
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_gray(encode_jpeg_gray_progressive(img))
+    # successive approximation raises the documented scope error
+    prog = bytearray(encode_jpeg_gray_progressive(img))
+    # find the DC SOS (FF DA ... Ss=0 Se=0 AhAl byte) and set Al=1
+    i = prog.find(b"\xFF\xDA")
+    # FF DA len(2) Ns comp tables Ss Se AhAl -> AhAl at i+9
+    assert prog[i + 7 : i + 10] == bytes([0, 0, 0])
+    prog[i + 9] = 0x01
+    with pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg_gray_progressive(bytes(prog))
+    # truncation inside a scan fails loudly
+    good = encode_jpeg_gray_progressive(img)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray_progressive(good[: len(good) - 8])
