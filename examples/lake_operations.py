@@ -195,10 +195,49 @@ def run(spark, base: str):
     VL.vacuum(vt, keep_versions=2)
     assert VL.read_table(spark, vt, version=0).count() == n_v0
 
+    # --- job 6: incremental downstream consumer of the serving table
+    # (graal_vlake streaming source, gated as st19) --- a checkpointed
+    # availableNow stream drains the change feed per commit; parked
+    # across the next merge, it resumes with ONLY the new commit's
+    # deltas (zero replay), so a 100 TB downstream job processes
+    # per-commit changes, never full snapshots.
+    from graal_cdc_spark.sources import vlake_ds
+
+    vlake_ds.register(spark)
+    feed_out = os.path.join(base, "feed_out")
+    feed_ck = os.path.join(base, "feed_ck")
+
+    def drain_feed():
+        q = (
+            spark.readStream.format("graal_vlake").load(vt)
+            .writeStream.format("parquet")
+            .option("path", feed_out)
+            .option("checkpointLocation", feed_ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(feed_out)
+
+    first = drain_feed().count()
+    # consumer parked; another merge lands (v2)
+    VL.commit_upsert_keys(
+        spark,
+        state_now.withColumn("seq", F.col("seq") + 2000).limit(1),
+        vt,
+        ["key"],
+    )
+    resumed_feed = drain_feed()
+    v2_rows = resumed_feed.filter("_commit_version = 2").count()
+    assert v2_rows == 2  # one delete + one insert for the merged key
+    # zero replay: earlier versions' rows appear exactly once
+    assert resumed_feed.count() == first + v2_rows
+
     return {"log_rows": (before, after), "purge": stats,
             "compaction": rewritten,
             "parked_consumer": (drained, resumed),
-            "versioned_table": VL.table_history(vt)}
+            "versioned_table": VL.table_history(vt),
+            "change_feed": (first, v2_rows)}
 
 
 def main() -> None:
