@@ -419,6 +419,44 @@ def commit_upsert_keys(
     return _try_commit(table, actions, "upsert", base)
 
 
+def commit_optimize(
+    spark: SparkSession,
+    table: str,
+    n_files: int = 1,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Bin-pack the table's live files into ``n_files`` (optionally
+    range-sorted by ``sort_cols`` for scan locality) as ONE
+    data-identical commit: every live file is removed, the rewritten
+    files added, rows unchanged — the Delta OPTIMIZE (+ optional
+    Z-ORDER-style clustering) analog, and the standard answer to the
+    small-file problem a long-lived CDC-fed table accumulates. Readers
+    at older versions still see the old files (vacuum reclaims them
+    once the retention horizon passes); a concurrent writer wins or
+    loses the version race atomically as usual.
+
+    Scale shape: one read of the live set, one write of ``n_files``
+    range/round-robin partitions — no driver-side data movement; at
+    cluster scale ``n_files`` is sized to ~128 MB/file like any
+    compaction job."""
+    base = latest_version(table)
+    files = live_files(table, base)
+    if not files:
+        raise ValueError(f"versioned table {table!r} is empty")
+    df = spark.read.parquet(*[os.path.join(table, p) for p in files])
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        staged = _stage_data_files(df, table)
+    else:
+        staged = _stage_data_files(df, table, n_files)
+    actions = [{"remove": {"path": p}} for p in files]
+    actions += [{"add": {"path": p, "rows": r}} for p, r in staged]
+    # like delete: a stale-snapshot optimize must not blind-retry
+    return _try_commit(table, actions, "optimize", base)
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by every RETAINED version (the
     newest ``keep_versions``), plus orphans from crashed writers.

@@ -237,3 +237,57 @@ def test_change_feed_rejects_vacuumed_range(spark, tmp_path):
     # v2's diff needs only surviving files
     feed = VL.read_changes(spark, t, 2, 2).collect()
     assert {(r.k, r._change_type) for r in feed} == {(9, "insert")}
+
+
+def test_optimize_binpacks_without_changing_rows(spark, tmp_path):
+    """OPTIMIZE is a data-identical commit: fewer live files, same
+    multiset of rows, old versions still time-travelable, and the
+    change feed sees NO row changes (everything cancels)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, f"v{i}") for i in range(10)]),
+                     t, n_files=4)
+    VL.commit_append(spark, _df(spark, [(10, "x"), (11, "y")]), t, n_files=2)
+    before = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    n_before = len(VL.live_files(t))
+    v = VL.commit_optimize(spark, t, n_files=1)
+    assert VL.table_history(t)[-1]["operation"] == "optimize"
+    assert len(VL.live_files(t)) < n_before
+    assert {(r.k, r.v) for r in VL.read_table(spark, t).collect()} == before
+    # time travel to the pre-optimize version still works
+    assert {
+        (r.k, r.v) for r in VL.read_table(spark, t, version=v - 1).collect()
+    } == before
+    # the change feed of an optimize commit is EMPTY (rows cancel)
+    assert VL.read_changes(spark, t, v, v).count() == 0
+
+
+def test_optimize_sorted_clusters_files_by_key(spark, tmp_path):
+    """sort_cols clusters rows so per-file key ranges are disjoint —
+    the scan-locality property a min/max-pruning reader exploits."""
+    t = str(tmp_path / "t")
+    import random
+
+    rows = [(k, f"v{k}") for k in random.Random(7).sample(range(1000), 200)]
+    VL.commit_append(spark, _df(spark, rows), t, n_files=8)
+    VL.commit_optimize(spark, t, n_files=4, sort_cols=["k"])
+    ranges = []
+    for p in VL.live_files(t):
+        ks = [r.k for r in spark.read.parquet(
+            __import__("os").path.join(t, p)).collect()]
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint, ordered key ranges
+    assert {(r.k, r.v) for r in VL.read_table(spark, t).collect()} == set(rows)
+
+
+def test_optimize_then_vacuum_reclaims_old_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=2)
+    VL.commit_optimize(spark, t, n_files=1)
+    deleted = VL.vacuum(t, keep_versions=1)
+    assert len(deleted) == 2  # the two pre-optimize files
+    assert {(r.k, r.v) for r in VL.read_table(spark, t).collect()} == {
+        (1, "a"), (2, "b")
+    }
