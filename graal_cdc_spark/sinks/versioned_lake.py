@@ -130,16 +130,111 @@ def live_files(table: str, version: int | None = None) -> dict[str, int]:
     return state
 
 
+def live_file_stats(
+    table: str, version: int | None = None
+) -> dict[str, dict]:
+    """``{relative data path: {column: [min, max]}}`` for the files
+    live at ``version`` — the file-skipping metadata each commit's
+    add actions carry (Delta add.stats / Iceberg manifest-metrics
+    analog). Files committed before stats existed (or columns whose
+    types carry no stats) are simply absent — absence means "never
+    prune", so pruning is advisory and can never change results."""
+    target = latest_version(table) if version is None else version
+    if target < 0:
+        return {}
+    vs = _versions(table)
+    if target not in vs:
+        raise ValueError(f"version {target} does not exist")
+    log = _log_path(table)
+    state: dict[str, dict] = {}
+    live: set[str] = set()
+    start = 0
+    cps = [c for c in _checkpoints(table) if c <= target]
+    if cps:
+        cp = cps[-1]
+        with open(
+            os.path.join(log, f"{cp:08d}.checkpoint.json"),
+            encoding="utf-8",
+        ) as f:
+            body = json.load(f)
+        live = set(body["live"])
+        state = dict(body.get("stats", {}))
+        start = cp + 1
+    for v in vs:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log, f"{v:08d}.json"), encoding="utf-8") as f:
+            commit = json.load(f)
+        for action in commit["actions"]:
+            if "add" in action:
+                p = action["add"]["path"]
+                live.add(p)
+                st = action["add"].get("stats")
+                if st:
+                    state[p] = st
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                live.discard(p)
+                state.pop(p, None)
+    return {p: st for p, st in state.items() if p in live}
+
+
+def pruned_files(
+    table: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> list[str]:
+    """The live files that MAY hold rows matching every
+    ``{column: (lo, hi)}`` inclusive range — files whose committed
+    min/max DISPROVE intersection are skipped; files or columns
+    without stats are conservatively kept. This is file skipping from
+    log metadata alone: no parquet footer is opened, which is the
+    point at 100 TB — a point lookup on a table clustered by
+    ``commit_optimize(sort_cols=...)`` plans one file, not thousands."""
+    files = live_files(table, version)
+    stats = live_file_stats(table, version)
+    kept = []
+    for p in files:
+        st = stats.get(p, {})
+        keep = True
+        for col, (lo, hi) in predicates.items():
+            rng = st.get(col)
+            if rng is None:
+                continue  # no stats -> cannot prune on this column
+            if rng[1] < lo or rng[0] > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(p)
+    return kept
+
+
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read: the DataFrame over exactly the data files live
     at ``version`` (default newest) — time travel is just an older
-    version number. An empty table raises (no schema to serve)."""
+    version number. ``prune`` ({column: (lo, hi)} inclusive ranges)
+    skips files whose committed min/max stats disprove intersection
+    BEFORE Spark ever lists them; it is advisory metadata pruning —
+    the caller still applies its own row filter, so results are
+    identical with or without it. An empty table raises (no schema to
+    serve)."""
     files = live_files(table, version)
     if not files:
         raise ValueError(f"versioned table {table!r} is empty at {version}")
-    return spark.read.parquet(*[os.path.join(table, p) for p in files])
+    keep = (
+        pruned_files(table, prune, version) if prune else list(files)
+    )
+    if not keep:
+        # every file pruned: zero rows, schema from any live file
+        return spark.read.parquet(
+            os.path.join(table, next(iter(files)))
+        ).limit(0)
+    return spark.read.parquet(*[os.path.join(table, p) for p in keep])
 
 
 def commit_actions(table: str, version: int) -> tuple[list[str], list[str]]:
@@ -255,28 +350,55 @@ def table_history(table: str) -> list[dict]:
     return out
 
 
+def _file_stats(md) -> dict[str, list]:
+    """Per-column [min, max] from a parquet footer's row-group
+    statistics — the file-skipping metadata every commit carries
+    (Delta's add.stats / Iceberg's manifest metrics analog). Only
+    JSON-safe scalar columns participate; anything else is simply
+    absent, and absence means "never prune on this column"."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+
 def _stage_data_files(
     df: DataFrame, table: str, n_files: int | None = None
-) -> list[tuple[str, int]]:
+) -> list[tuple[str, int, dict]]:
     """Write ``df`` as new immutable uuid-named parquet files inside
-    the table dir; returns [(relative path, rows)]. The files are
-    INVISIBLE until a commit references them."""
+    the table dir; returns [(relative path, rows, column stats)]. The
+    files are INVISIBLE until a commit references them."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
     w = df if n_files is None else df.repartition(n_files)
     w.write.mode("overwrite").parquet(staging)
     os.makedirs(table, exist_ok=True)
-    out: list[tuple[str, int]] = []
+    out: list[tuple[str, int, dict]] = []
     import pyarrow.parquet as pq
 
     for n in sorted(os.listdir(staging)):
         if not n.endswith(".parquet"):
             continue
-        rows = pq.read_metadata(os.path.join(staging, n)).num_rows
+        md = pq.read_metadata(os.path.join(staging, n))
+        rows = md.num_rows
         if rows == 0:
             continue  # empty task outputs never enter the log
         name = f"part-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(staging, n), os.path.join(table, name))
-        out.append((name, rows))
+        out.append((name, rows, _file_stats(md)))
     shutil.rmtree(staging, ignore_errors=True)
     return out
 
@@ -318,10 +440,13 @@ def _try_commit(
     os.unlink(tmp)
     if checkpoint_every and version % checkpoint_every == 0:
         live = live_files(table, version)
+        stats = live_file_stats(table, version)
         cp = os.path.join(log, f"{version:08d}.checkpoint.json")
         cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
         with open(cp_tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "live": live}, f)
+            json.dump(
+                {"version": version, "live": live, "stats": stats}, f
+            )
         os.replace(cp_tmp, cp)
     return version
 
@@ -336,8 +461,8 @@ def commit_append(
     """Append ``df`` as a new version. Appends never conflict
     logically, so a racing writer just re-claims the next number."""
     adds = [
-        {"add": {"path": p, "rows": r}}
-        for p, r in _stage_data_files(df, table, n_files)
+        {"add": {"path": p, "rows": r, "stats": st}}
+        for p, r, st in _stage_data_files(df, table, n_files)
     ]
     for _ in range(max_retries):
         try:
@@ -373,8 +498,8 @@ def commit_delete_where(
             *[os.path.join(table, p) for p in touched]
         ).filter(f"NOT ({predicate})")
         actions += [
-            {"add": {"path": p, "rows": r}}
-            for p, r in _stage_data_files(survivors, table)
+            {"add": {"path": p, "rows": r, "stats": st}}
+            for p, r, st in _stage_data_files(survivors, table)
         ]
     # a delete computed against a stale snapshot must NOT blind-retry:
     # the conflict surfaces to the caller, who re-runs on the new head
@@ -409,12 +534,12 @@ def commit_upsert_keys(
             *[os.path.join(table, p) for p in touched]
         ).join(keys, key_cols, "left_anti")
         actions += [
-            {"add": {"path": p, "rows": r}}
-            for p, r in _stage_data_files(survivors, table)
+            {"add": {"path": p, "rows": r, "stats": st}}
+            for p, r, st in _stage_data_files(survivors, table)
         ]
     actions += [
-        {"add": {"path": p, "rows": r}}
-        for p, r in _stage_data_files(df, table)
+        {"add": {"path": p, "rows": r, "stats": st}}
+        for p, r, st in _stage_data_files(df, table)
     ]
     return _try_commit(table, actions, "upsert", base)
 
@@ -452,7 +577,9 @@ def commit_optimize(
     else:
         staged = _stage_data_files(df, table, n_files)
     actions = [{"remove": {"path": p}} for p in files]
-    actions += [{"add": {"path": p, "rows": r}} for p, r in staged]
+    actions += [
+        {"add": {"path": p, "rows": r, "stats": st}} for p, r, st in staged
+    ]
     # like delete: a stale-snapshot optimize must not blind-retry
     return _try_commit(table, actions, "optimize", base)
 

@@ -291,3 +291,70 @@ def test_optimize_then_vacuum_reclaims_old_files(spark, tmp_path):
     assert {(r.k, r.v) for r in VL.read_table(spark, t).collect()} == {
         (1, "a"), (2, "b")
     }
+
+
+def test_file_skipping_stats_prune_without_changing_results(spark, tmp_path):
+    """Commits carry per-column min/max; read_table(prune=...) skips
+    files from log metadata alone. Pruning is advisory: pruned + row
+    filter == full + row filter, always."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, f"v{i}") for i in range(100)]),
+                     t, n_files=5)
+    VL.commit_optimize(spark, t, n_files=4, sort_cols=["k"])
+    stats = VL.live_file_stats(t)
+    assert stats and all("k" in st for st in stats.values())
+    # clustered table: a narrow range hits a strict subset of files
+    kept = VL.pruned_files(t, {"k": (10, 12)})
+    assert 0 < len(kept) < len(VL.live_files(t))
+    full = {r.k for r in VL.read_table(spark, t)
+            .filter("k between 10 and 12").collect()}
+    pruned = {r.k for r in VL.read_table(spark, t, prune={"k": (10, 12)})
+              .filter("k between 10 and 12").collect()}
+    assert pruned == full == {10, 11, 12}
+    # a disjoint range prunes everything -> empty frame, schema kept
+    empty = VL.read_table(spark, t, prune={"k": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_file_skipping_keeps_statless_files(spark, tmp_path):
+    """A legacy add action without stats can never be pruned."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    # strip the stats from the committed action (legacy log shape);
+    # version 0 also checkpoints (0 % checkpoint_every == 0), so strip
+    # the folded copy there too
+    log = os.path.join(t, VL.LOG_DIR, "00000000.json")
+    with open(log, encoding="utf-8") as f:
+        body = json.load(f)
+    for a in body["actions"]:
+        a["add"].pop("stats", None)
+    with open(log, "w", encoding="utf-8") as f:
+        json.dump(body, f)
+    cp = os.path.join(t, VL.LOG_DIR, "00000000.checkpoint.json")
+    with open(cp, encoding="utf-8") as f:
+        cpb = json.load(f)
+    cpb.pop("stats", None)
+    with open(cp, "w", encoding="utf-8") as f:
+        json.dump(cpb, f)
+    assert VL.live_file_stats(t) == {}
+    assert len(VL.pruned_files(t, {"k": (999, 999)})) == 1  # kept
+    assert VL.read_table(spark, t, prune={"k": (999, 999)}).count() == 1
+
+
+def test_file_skipping_stats_survive_checkpoint(spark, tmp_path):
+    """The checkpoint folds stats, so pruning works for files added
+    BEFORE the newest checkpoint (the tail-only fold would lose
+    them)."""
+    t = str(tmp_path / "t")
+    for i in range(12):  # checkpoint_every=10 -> cp at v10
+        VL.commit_append(spark, _df(spark, [(i * 10, f"v{i}")]), t)
+    assert os.path.exists(
+        os.path.join(t, VL.LOG_DIR, "00000010.checkpoint.json")
+    )
+    stats = VL.live_file_stats(t)
+    assert len(stats) == 12  # pre-checkpoint files still have stats
+    kept = VL.pruned_files(t, {"k": (30, 30)})
+    assert len(kept) == 1
+    got = {r.k for r in VL.read_table(spark, t, prune={"k": (30, 30)})
+           .filter("k = 30").collect()}
+    assert got == {30}
