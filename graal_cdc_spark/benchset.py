@@ -70,6 +70,11 @@ BENCH_SKIP: dict[str, str] = {
         "(filesystem-bound); the in-plane diff cost is an exceptAll "
         "over touched files, benched as r15b (except)"
     ),
+    "c33_lake_pruned_lookup": (
+        "rides the versioned-lake commit lifecycle + OPTIMIZE rewrite "
+        "(filesystem-bound); the in-plane scan cost is plain parquet, "
+        "benched as r01"
+    ),
     "st19_lake_stream_changes": (
         "checkpointed availableNow streaming drain over the c31/c32 "
         "commit lifecycle (filesystem-bound), same class as st17"

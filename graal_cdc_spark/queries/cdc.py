@@ -2226,3 +2226,95 @@ register(
         "(VERDICT r10 #7 follow-through)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C33 — versioned-lake clustered pruned lookup: OPTIMIZE the c31/c32
+# lifecycle table (bin-pack + sort-cluster by key, one data-identical
+# commit) and serve a key-range lookup through log-metadata file
+# skipping (`read_table(prune=...)` — files whose committed min/max
+# disprove the range are never listed to Spark). The oracle restates
+# the post-delete snapshot filtered to the same range, so a wrong
+# stats bound, an over-eager prune, a non-data-identical optimize, or
+# a broken sort-clustering changes a cell. Pruning is advisory by
+# construction (the row filter still applies), so the gate holds on
+# any file layout; the pruning EFFECTIVENESS (one file scanned, not
+# all) is pinned by tests/test_versioned_lake.py.
+#
+# Scale shape: the lookup plans O(files intersecting the range) scan
+# tasks from commit metadata alone — no parquet footer is opened for
+# skipped files; this is the read-side payoff of OPTIMIZE's
+# clustering at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _c33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    table = build_vlake_lifecycle(spark, sf_dir, "c33")
+    VL.commit_optimize(spark, table, n_files=4, sort_cols=["key"])  # v3
+    lo, hi = "2", "5"  # lexicographic key range (string keys)
+    looked_up = VL.read_table(spark, table, prune={"key": (lo, hi)}).filter(
+        (F.col("key") >= lo) & (F.col("key") <= hi)
+    )
+    return ordered_result(
+        looked_up.groupBy("tbl").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("seq").alias("max_seq"),
+        ),
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c33_lake_pruned_lookup",
+        category="cdc",
+        description="versioned-lake clustered lookup: OPTIMIZE "
+        "(bin-pack + sort-cluster by key) then a key-range read "
+        "through log-metadata file skipping — census per table over "
+        "the pruned range",
+        spark=_c33,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+v2 AS (SELECT * FROM v1 WHERE CAST(key AS BIGINT) % 7 <> 2)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM v2
+WHERE key >= '2' AND key <= '5'
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="no reference analog; Delta OPTIMIZE + data-skipping "
+        "stats / Iceberg manifest metrics, re-expressed minimally",
+    )
+)
