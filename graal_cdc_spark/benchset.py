@@ -79,6 +79,14 @@ BENCH_SKIP: dict[str, str] = {
         "checkpointed availableNow streaming drain over the c31/c32 "
         "commit lifecycle (filesystem-bound), same class as st17"
     ),
+    "c34_lake_schema_evolution": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with a mid-log schema change, same class as c31"
+    ),
+    "c35_lake_cdf_past_vacuum": (
+        "versioned-lake lifecycle + OPTIMIZE + vacuum back-fill "
+        "(filesystem-bound), same class as c31/c33"
+    ),
 }
 
 
@@ -103,7 +111,10 @@ def bench_names(specs: Mapping[str, object]) -> list[str]:
 # ``duckdb_training_value`` (primed on the Spark side, repaid once in
 # ``value_build_once`` on the DuckDB side) exactly as before.
 BUILD_ONCE: dict[str, str] = {
-    "l90_heavy_hitters_sketch": "MG token checkpoint + python workers",
+    # l90 left this list in round 12: the MG sketch now counts
+    # n-grams inside the Arrow batches (no materialized token frame,
+    # no checkpoint artifact), so its cold-warm delta is ordinary
+    # plan-compile like any other query
     "r79_pagerank_quantized": "symmetrized trading graph (edges+degrees)",
     "r92_triangle_census": "support-filtered co-purchase edge set",
     "l85_dsir_importance": "256-bucket importance LM",

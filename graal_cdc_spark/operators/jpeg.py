@@ -393,6 +393,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before taking the marker byte
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -660,6 +664,10 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before taking the marker byte
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -987,6 +995,10 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before taking the marker byte
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

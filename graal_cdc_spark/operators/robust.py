@@ -188,6 +188,7 @@ def mad_outlier_profile(
     value_col: str,
     k: float = 3.0,
     bin_width: float = 64.0,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Median / MAD / robust-outlier profile per group, exact.
 
@@ -201,6 +202,14 @@ def mad_outlier_profile(
     aggregate is ONE scan with row-local expressions: 5 Spark jobs
     end-to-end instead of 15 (VERDICT r10 weak-list r81, was 8.4x its
     DuckDB twin).  Returns (group, median, mad, n, n_outliers).
+
+    ``use_cache``: the median/MAD literals are memoized per
+    (application, input plan) — correct ONLY while the files behind
+    the plan are immutable, which the bench/gate protocol guarantees.
+    Callers re-reading a PATH whose contents change within one Spark
+    application must pass ``use_cache=False`` (the plan hash cannot
+    see file contents; a stale hit would silently serve old
+    statistics — ADVICE r11).
     """
     spark = df.sparkSession
     app = spark.sparkContext.applicationId
@@ -208,7 +217,7 @@ def mad_outlier_profile(
         del _PROFILE_CACHE[stale]
     key = (app, df.semanticHash(), group_col, value_col, float(bin_width))
     src = df.select(group_col, F.col(value_col).alias("__v"))
-    cached = _PROFILE_CACHE.get(key)
+    cached = _PROFILE_CACHE.get(key) if use_cache else None
     if cached is not None:
         med, mad_cached = cached
     else:
@@ -240,9 +249,10 @@ def mad_outlier_profile(
             group_col,
             bin_width,
         )
-        while len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
-            del _PROFILE_CACHE[next(iter(_PROFILE_CACHE))]
-        _PROFILE_CACHE[key] = (med, mad)
+        if use_cache:
+            while len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+                del _PROFILE_CACHE[next(iter(_PROFILE_CACHE))]
+            _PROFILE_CACHE[key] = (med, mad)
     mad_map = F.create_map(
         *[x for g, v in mad.items() for x in (F.lit(g), F.lit(v))]
     )

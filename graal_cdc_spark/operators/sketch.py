@@ -152,3 +152,148 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
         .select("token", "cnt", "n_total")
     )
+
+
+def _packed_ngram_counts(texts, n: int):
+    """Exact char n-gram counts of a batch of strings, vectorized:
+    decode the ``\\x00``-joined batch to a codepoint array
+    (utf-32-le), slide ``n`` windows, drop windows touching the
+    separator, pack each n-gram into ONE int64 (21 bits/codepoint,
+    n <= 3) and ``np.unique``-count the packed ints — O(total chars)
+    numpy, no per-row Python, no exploded frame. Returns a pandas
+    Series indexed by packed int64."""
+    import numpy as np
+    import pandas as pd
+
+    joined = "\x00".join(texts)
+    if len(joined) < n:
+        return pd.Series(dtype="int64")
+    cp = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    windows = [cp[i : len(cp) - (n - 1) + i] for i in range(n)]
+    mask = windows[0] != 0
+    for wnd in windows[1:]:
+        mask &= wnd != 0
+    packed = windows[0][mask]
+    for wnd in windows[1:]:
+        packed = (packed << 21) | wnd[mask]
+    vals, cnts = np.unique(packed, return_counts=True)
+    return pd.Series(cnts, index=vals)
+
+
+def _unpack_ngram(v: int, n: int) -> str:
+    return "".join(
+        chr((v >> (21 * (n - 1 - i))) & 0x1FFFFF) for i in range(n)
+    )
+
+
+def heavy_hitters_exact_chargrams(
+    docs: DataFrame,
+    text_col: str,
+    n: int,
+    k: int,
+    n_total: DataFrame,
+) -> DataFrame:
+    """EXACT frequent char n-grams of a document corpus — the l90
+    operator with the gram stream never materialized (VERDICT r11
+    #3: the explode+localCheckpoint build cost 13.9 s cold for a
+    3.4M-row trigram frame that existed only to be counted twice).
+
+    Two Arrow passes over ``docs`` directly:
+
+    1. **Sketch**: per partition, count each batch's n-grams inside
+       the Arrow batch (:func:`_packed_ngram_counts` — vectorized
+       codepoint windows, packed int64 keys) and MG-merge into a
+       capacity-``k`` summary (:func:`mg_merge`, the same single
+       merge definition the token-frame and streaming paths use).
+       Survivors are collected — <= k x partitions rows, bounded
+       metadata, the candidate set (pigeonhole: any gram above the
+       global n/(k+1) threshold is above it in some partition).
+    2. **Verify**: per partition, count ONLY candidate grams per
+       batch (same packed counter + an ``isin`` mask) and emit
+       per-partition candidate subtotals — O(candidates) rows per
+       partition; one tiny groupBy sums them. The reported set is
+       EXACT: ``cnt * (k+1) > n_total`` in integers.
+
+    ``n_total`` is the caller's 1-row (n_total BIGINT) frame — for
+    char n-grams it is derivable from doc lengths without touching
+    the gram stream at all.
+
+    Scale shape: two corpus scans, zero corpus-sized shuffles (only
+    candidate subtotals move), zero materialized intermediate; the
+    sketch state is O(k) per partition.
+    """
+    if k < 1:
+        raise ValueError("heavy_hitters_exact_chargrams: k must be >= 1")
+    if n < 1 or n > 3:
+        raise ValueError(
+            "heavy_hitters_exact_chargrams: n must be 1..3 "
+            "(3 x 21-bit packed codepoints per int64)"
+        )
+    src = docs.select(F.col(text_col).cast("string").alias("__t"))
+
+    def sketch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = _packed_ngram_counts(pdf["__t"].tolist(), n)
+            summary = mg_merge(summary, counts, k)
+        yield pd.DataFrame(
+            {"g": summary.index.astype("int64"), "w": summary.values}
+        )
+
+    sk_schema = T.StructType(
+        [
+            T.StructField("g", T.LongType()),
+            T.StructField("w", T.LongType()),
+        ]
+    )
+    # <= k x partitions rows: bounded metadata, same class as the
+    # centroid/LM collects
+    cand_ints = sorted(
+        {r["g"] for r in src.mapInPandas(sketch, sk_schema).collect()}
+    )
+    if not cand_ints:
+        return n_total.select(
+            F.lit("").alias("token"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.col("n_total"),
+        ).limit(0)
+
+    def verify(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cand_idx = pd.Index(np.asarray(cand_ints, dtype="int64"))
+        tot = pd.Series(0, index=cand_idx, dtype="int64")
+        for pdf in batches:
+            counts = _packed_ngram_counts(pdf["__t"].tolist(), n)
+            hits = counts[counts.index.isin(cand_idx)]
+            if len(hits):
+                tot = tot.add(hits, fill_value=0).astype("int64")
+        tot = tot[tot > 0]
+        yield pd.DataFrame(
+            {
+                "token": [_unpack_ngram(int(v), n) for v in tot.index],
+                "cnt": tot.values,
+            }
+        )
+
+    vf_schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    counts = (
+        src.mapInPandas(verify, vf_schema)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )

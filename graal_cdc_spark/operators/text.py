@@ -483,6 +483,7 @@ def bpe_merge_training(
     rounds: int = 3,
     vocab_cap: int = 300,
     top_syms: int = 10,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016): ``rounds``
     rounds of count-adjacent-pairs → pick the most frequent pair
@@ -523,14 +524,18 @@ def bpe_merge_training(
     # protocol). Memoize the O(rounds + top_syms) result rows per
     # (app, input plan, params): first call pays the per-round
     # count/collect/fold rounds, repeats re-emit the tiny result
-    # frame. App-scoped; FIFO-capped.
+    # frame. App-scoped; FIFO-capped. Correct ONLY while the files
+    # behind the plan are immutable (the bench/gate guarantee): the
+    # plan hash cannot see file contents, so callers re-reading a
+    # path whose data changes within one application must pass
+    # use_cache=False (ADVICE r11).
     app = spark.sparkContext.applicationId
     for stale in [k for k in _BPE_TRAIN_CACHE if k[0] != app]:
         del _BPE_TRAIN_CACHE[stale]
     memo_key = (
         app, docs.semanticHash(), text_col, rounds, vocab_cap, top_syms
     )
-    hit = _BPE_TRAIN_CACHE.get(memo_key)
+    hit = _BPE_TRAIN_CACHE.get(memo_key) if use_cache else None
     if hit is not None:
         return spark.createDataFrame(
             hit,
@@ -594,9 +599,10 @@ def bpe_merge_training(
         (int(r.rnd), r.left_sym, r.right_sym, int(r.pair_count))
         for r in final_top.collect()
     ]  # O(rounds + top_syms) — bounded metadata
-    while len(_BPE_TRAIN_CACHE) >= _BPE_TRAIN_CACHE_MAX:
-        del _BPE_TRAIN_CACHE[next(iter(_BPE_TRAIN_CACHE))]
-    _BPE_TRAIN_CACHE[memo_key] = rows
+    if use_cache:
+        while len(_BPE_TRAIN_CACHE) >= _BPE_TRAIN_CACHE_MAX:
+            del _BPE_TRAIN_CACHE[next(iter(_BPE_TRAIN_CACHE))]
+        _BPE_TRAIN_CACHE[memo_key] = rows
     return spark.createDataFrame(
         rows, "rnd int, left_sym string, right_sym string, pair_count long"
     )

@@ -2318,3 +2318,189 @@ ORDER BY tbl
         "stats / Iceberg manifest metrics, re-expressed minimally",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C34 — versioned-lake schema evolution: a column ADDED mid-log
+# (Delta metaData-action analog — the commit records the merged
+# column list; `sinks/versioned_lake.py` docstring "Schema evolution
+# is a log action"). v0 appends the compacted early state WITHOUT
+# the column; v1 key-merges the mid-window changes WITH a derived
+# `mod5` column, evolving the table additively. The census reads
+# BOTH versions through the log's per-version schema: v0 rows (and
+# v1 rows served from pre-evolution survivor files) carry NULL for
+# the later column, so the per-table non-null count and sum pin (a)
+# the additive merge, (b) the NULL fill for old files, (c) that time
+# travel sees the old column set (the v0 leg would fail to resolve
+# `mod5` at all if the as-of schema leaked forward — the query adds
+# it as a typed NULL, which only matches the oracle if the v0 read
+# genuinely lacks the column's values).
+#
+# Scale shape: evolution costs ZERO data rewrites — old files are
+# never touched; the commit carries O(columns) JSON and readers
+# apply the schema at plan time (explicit read schema over plain
+# parquet). That is the only affordable evolution at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _c34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c34-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select(
+            "tbl", "key", "op", "seq",
+            (F.col("seq") % 5).cast("long").alias("mod5"),  # the NEW column
+        )
+    )
+    VL.commit_upsert_keys(
+        spark, upd.repartition(4, "key"), table, ["tbl", "key"]
+    )                                                                # v1
+    parts = []
+    for v in (0, 1):
+        snap = VL.read_table(spark, table, version=v)
+        if "mod5" not in snap.columns:  # pre-evolution snapshot
+            snap = snap.withColumn("mod5", F.lit(None).cast("long"))
+        parts.append(
+            snap.groupBy("tbl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("mod5").alias("n_evolved"),
+                F.coalesce(F.sum("mod5"), F.lit(0)).alias("sum_mod5"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    return ordered_result(
+        parts[0].unionByName(parts[1]).select(
+            "version", "tbl", "n_rows", "n_evolved", "sum_mod5"
+        ),
+        "version",
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c34_lake_schema_evolution",
+        category="cdc",
+        description="versioned-lake schema evolution: a column added "
+        "by a mid-log key-merge commit (schema recorded as a log "
+        "action, zero data rewrites); per-version census counts the "
+        "rows that carry the new column vs the NULL-served old files",
+        spark=_c34,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq, seq % 5 AS mod5 FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v0 AS (SELECT tbl, key, CAST(NULL AS BIGINT) AS mod5 FROM base),
+v1 AS (
+  SELECT tbl, key, mod5 FROM upd
+  UNION ALL
+  SELECT b.tbl, b.key, CAST(NULL AS BIGINT) FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+census AS (
+  SELECT 0 AS version, tbl, count(*) AS n_rows,
+         count(mod5) AS n_evolved,
+         coalesce(sum(mod5), 0) AS sum_mod5
+  FROM v0 GROUP BY tbl
+  UNION ALL
+  SELECT 1, tbl, count(*), count(mod5), coalesce(sum(mod5), 0)
+  FROM v1 GROUP BY tbl
+)
+SELECT CAST(version AS INT) AS version, tbl,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_evolved AS BIGINT) AS n_evolved,
+       CAST(sum_mod5 AS BIGINT) AS sum_mod5
+FROM census
+ORDER BY version, tbl
+""",
+        reference="no reference analog; Delta Lake metaData schema "
+        "action / mergeSchema semantics, re-expressed as a log "
+        "action over plain parquet (VERDICT r11 #5)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# C35 — retention-aware change feed: the SAME lifecycle and census as
+# c32, but after OPTIMIZE has rewritten every live file and
+# vacuum(keep_versions=1, spark=...) has RECLAIMED every pre-image
+# data file the commits 0..2 referenced. The feed is then served
+# entirely from persisted change files: the delete/upsert deltas
+# written at commit time plus the append delta back-filled by vacuum
+# before it deleted the files (Delta's persisted CDF). The oracle is
+# c32's VERBATIM — vacuuming the horizon must not change a single
+# feed row, which is the whole retention contract (VERDICT r11 #6).
+#
+# Scale shape: post-vacuum consumers read O(delta) parquet per
+# commit — no pre-image reads, no diff shuffles; vacuum pays the
+# back-fill once for commits written before persisted CDF existed.
+# ---------------------------------------------------------------------------
+
+
+def _c35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    table = build_vlake_lifecycle(spark, sf_dir, "c35")
+    VL.commit_optimize(spark, table, n_files=2)          # v3, dataChange:false
+    # reclaim EVERY file versions 0..2 referenced; spark= back-fills
+    # the append delta first so the feed below never touches them
+    VL.vacuum(table, keep_versions=1, spark=spark)
+    return change_feed_census(VL.read_changes(spark, table, 0, 2))
+
+
+register(
+    QuerySpec(
+        name="c35_lake_cdf_past_vacuum",
+        category="cdc",
+        description="versioned-lake change feed served PAST the "
+        "vacuum horizon: optimize + vacuum reclaim every pre-image "
+        "file, then read_changes(0..2) answers from persisted change "
+        "files (write-time deltas + vacuum back-fill) — c32's oracle "
+        "verbatim, because retention must not change the feed",
+        spark=_c35,
+        oracle=C32_ORACLE,
+        reference="no reference analog; Delta Lake persisted "
+        "change-data files + dataChange:false semantics "
+        "(VERDICT r11 #6)",
+    )
+)

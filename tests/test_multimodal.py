@@ -727,3 +727,38 @@ def test_jpeg_progressive_strictness():
     good = encode_jpeg_gray_progressive(img)
     with pytest.raises(ValueError):
         decode_jpeg_gray_progressive(good[: len(good) - 8])
+
+
+def test_jpeg_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: markers may be padded with extra 0xFF fill bytes;
+    all three decoders must skip them instead of misreading a bogus
+    0xFF 'segment' (ADVICE r11)."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (24, 16)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    def inject_fill(payload: bytes, n: int = 3) -> bytes:
+        i = payload.find(b"\xFF\xDB")  # pad before the first DQT
+        assert i > 0
+        return payload[:i] + b"\xFF" * n + payload[i:]
+
+    for enc, dec, img in [
+        (encode_jpeg_gray, decode_jpeg_gray, gray),
+        (encode_jpeg_gray_progressive, decode_jpeg_gray_progressive, gray),
+        (encode_jpeg_color, decode_jpeg_color, rgb),
+    ]:
+        p = enc(img)
+        assert np.array_equal(
+            np.asarray(dec(p)), np.asarray(dec(inject_fill(p)))
+        )

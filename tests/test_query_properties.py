@@ -1077,3 +1077,43 @@ def test_l90_mg_summary_capacity_and_superset(spark):
     n = len(toks)
     for tok, cnt in (("hot", 1000), ("warm", 400)):
         assert cnt * 11 > n and tok in survivors
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdé☃xyz "), min_size=3, max_size=24
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_l90_chargram_heavy_hitters_equals_exact(spark, texts, k):
+    """The batch-internal char-trigram counter (no exploded frame)
+    must equal naive exact counting for ANY corpus — including
+    non-ASCII codepoints through the 21-bit packing."""
+    from collections import Counter
+
+    from graal_cdc_spark.operators.sketch import (
+        heavy_hitters_exact_chargrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    total = docs.agg(
+        F.sum(F.length("text") - 2).cast("long").alias("n_total")
+    )
+    got = sorted(
+        (r.token, r.cnt)
+        for r in heavy_hitters_exact_chargrams(
+            docs, "text", 3, k, total
+        ).collect()
+    )
+    exact = Counter(
+        t[i : i + 3] for t in texts for i in range(len(t) - 2)
+    )
+    n = sum(exact.values())
+    exp = sorted((g, c) for g, c in exact.items() if c * (k + 1) > n)
+    assert got == exp
