@@ -12,8 +12,11 @@ Scope: GRAYSCALE baseline (mm13: one component, no subsampling),
 COLOR baseline (mm14, round 10: JFIF YCbCr, interleaved scan, 4:2:0
 chroma subsampling or 4:4:4) with DRI/RST0–7 restart intervals in
 both, and PROGRESSIVE grayscale (mm15, round 11: SOF2 spectral
-selection — DC scan + AC band scans, general EOB-run decode;
-successive approximation and DRI-in-progressive raise clearly). These are fully conformant JFIF streams — any standard viewer
+selection — DC scan + AC band scans, general EOB-run decode; round
+12 adds SUCCESSIVE APPROXIMATION, T.81 G.1.2/G.2: point-transformed
+first scans + per-bit-plane DC raw-bit and AC newly-significant/
+correction-bit refinement scans, encode and decode;
+DRI-in-progressive still raises clearly). These are fully conformant JFIF streams — any standard viewer
 decodes them — and the oracle story stays honest: JPEG is lossy in
 general, so the gate fixtures synthesize images whose blocks are
 CONSTANT (flat): a flat block's DCT is DC-only, the DC quantizer
@@ -857,17 +860,122 @@ def _quantized_blocks_gray(px: np.ndarray) -> tuple[int, int, np.ndarray]:
     return h, w, np.stack(out)
 
 
+def _write_ac_first_scan(
+    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """One AC band scan with Ah=0: run/size coding of the
+    point-transformed values sign·(|v| >> Al) (T.81 G.1.2.2; Al=0
+    degenerates to plain spectral selection)."""
+    for b in range(zz.shape[0]):
+        band = zz[b]
+        shifted = [
+            (1 if band[i] > 0 else -1) * (abs(int(band[i])) >> al)
+            for i in range(ss, se + 1)
+        ]
+        last_nz = -1
+        for j, v in enumerate(shifted):
+            if v != 0:
+                last_nz = j
+        if last_nz < 0:
+            code, length = _AC_CODES[0x00]  # EOB (run length 1)
+            bw_.write(code, length)
+            continue
+        run = 0
+        for j in range(last_nz + 1):
+            v = shifted[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = _AC_CODES[0xF0]  # ZRL
+                bw_.write(code, length)
+                run -= 16
+            cat, extra = _magnitude(v)
+            code, length = _AC_CODES[(run << 4) | cat]
+            bw_.write(code, length)
+            bw_.write(extra, cat)
+            run = 0
+        if last_nz != se - ss:
+            code, length = _AC_CODES[0x00]
+            bw_.write(code, length)
+
+
+def _write_ac_refine_scan(
+    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, ah: int, al: int
+) -> None:
+    """One AC successive-approximation refinement scan (Ah = Al + 1,
+    T.81 G.1.2.3): newly-significant coefficients (|v| >> Al == 1)
+    are coded run/size with S=1 + a sign bit, where the run counts
+    only ZERO-HISTORY zeros; already-nonzero coefficients contribute
+    one buffered correction bit ((|v| >> Al) & 1) appended after the
+    next symbol; a block with no (further) new significance ends
+    with EOB1 + its buffered correction bits. This encoder emits
+    per-block EOB1 because the Annex-K AC table defines no EOBn>1
+    codes (same constraint as the first-scan encoder); the DECODER
+    handles general EOBn runs from other encoders."""
+    for b in range(zz.shape[0]):
+        band = zz[b]
+        shifted = [abs(int(band[i])) >> al for i in range(ss, se + 1)]
+        # last newly-significant index (relative): |v|>>Al == 1 means
+        # zero history, because |v|>>Al > 1 implies |v|>>Ah >= 1
+        eob_rel = -1
+        for j, t in enumerate(shifted):
+            if t == 1:
+                eob_rel = j
+        r = 0
+        cur_bits: list[int] = []  # corrections within this block
+        for j, t in enumerate(shifted):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eob_rel:
+                code, length = _AC_CODES[0xF0]  # ZRL
+                bw_.write(code, length)
+                r -= 16
+                for bit in cur_bits:
+                    bw_.write(bit, 1)
+                cur_bits = []
+            if t > 1:
+                cur_bits.append(t & 1)  # history-nonzero: correction
+                continue
+            code, length = _AC_CODES[(r << 4) | 1]
+            bw_.write(code, length)
+            bw_.write(1 if band[ss + j] > 0 else 0, 1)
+            for bit in cur_bits:
+                bw_.write(bit, 1)
+            cur_bits = []
+            r = 0
+        if r > 0 or cur_bits:
+            # trailing zero-history zeros / corrections: end the
+            # block with EOB1 followed by its tail correction bits
+            # (a block whose last position is a new significance
+            # needs no EOB: the decoder's k passes Se)
+            code, length = _AC_CODES[0x00]
+            bw_.write(code, length)
+            for bit in cur_bits:
+                bw_.write(bit, 1)
+
+
 def encode_jpeg_gray_progressive(
     pixels: np.ndarray,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    al: int = 0,
 ) -> bytes:
     """Encode a (h, w) uint8 grayscale array as PROGRESSIVE JFIF
-    (SOF2, spectral selection): one DC scan, then one AC scan per
-    ``(Ss, Se)`` band. Bands must be ascending, disjoint, and cover
-    1..63 so every coefficient is delivered exactly once."""
+    (SOF2). ``al = 0``: pure spectral selection — one DC scan, then
+    one AC scan per ``(Ss, Se)`` band. ``al > 0``: spectral selection
+    PLUS successive approximation (T.81 G.1.2) — first scans deliver
+    the point-transformed coefficients (DC arithmetic-shifted, AC
+    sign-magnitude-shifted by ``al``), then one refinement scan per
+    remaining bit plane (Ah = Al + 1 … down to Al = 0) for DC (raw
+    bits) and each AC band (newly-significant run/size + buffered
+    correction bits). Bands must be ascending, disjoint, and cover
+    1..63 so every coefficient is delivered exactly once per plane."""
     px = np.asarray(pixels)
     if px.ndim != 2:
         raise ValueError("encode_jpeg_gray_progressive: expected (h, w)")
+    if not (0 <= al <= 10):
+        raise ValueError(f"jpeg progressive: al must be 0..10, got {al}")
     expect = 1
     for ss, se in bands:
         if ss != expect or se < ss or se > 63:
@@ -902,59 +1010,52 @@ def encode_jpeg_gray_progressive(
         + ac_payload
     )
 
-    # scan 1: DC (Ss=0, Se=0, Ah=Al=0) — differential DC, baseline DC
-    # Huffman coding (T.81 G.1.2.1)
+    def sos(ss: int, se: int, ah: int, al_: int, body: bytes) -> bytes:
+        return (
+            b"\xFF\xDA"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, ss, se, (ah << 4) | al_])
+            + body
+        )
+
+    # scan 1: DC first scan (Ss=Se=0, Ah=0, Al=al) — differential
+    # coding of the ARITHMETIC-shifted DC values (T.81 G.1.2.1)
     bw_ = _BitWriter()
     prev_dc = 0
     for b in range(zz.shape[0]):
-        diff = int(zz[b, 0]) - prev_dc
-        prev_dc = int(zz[b, 0])
+        dc = int(zz[b, 0]) >> al
+        diff = dc - prev_dc
+        prev_dc = dc
         cat, extra = _magnitude(diff)
         code, length = _DC_CODES[cat]
         bw_.write(code, length)
         if cat:
             bw_.write(extra, cat)
     bw_.flush()
-    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
-    out += bw_.out
+    out += sos(0, 0, 0, al, bytes(bw_.out))
 
-    # AC band scans (Ah=Al=0): baseline-style run/size coding
-    # restricted to the band; EOB1 when the band's tail is zero
+    # AC first scans (Ah=0, Al=al): run/size coding of the
+    # sign-magnitude point transform per band
     for ss, se in bands:
         bw_ = _BitWriter()
-        for b in range(zz.shape[0]):
-            band = zz[b]
-            last_nz = 0
-            for i in range(ss, se + 1):
-                if band[i] != 0:
-                    last_nz = i
-            if last_nz == 0:
-                code, length = _AC_CODES[0x00]  # EOB (run length 1)
-                bw_.write(code, length)
-                continue
-            run = 0
-            for i in range(ss, last_nz + 1):
-                v = int(band[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = _AC_CODES[0xF0]  # ZRL
-                    bw_.write(code, length)
-                    run -= 16
-                cat, extra = _magnitude(v)
-                code, length = _AC_CODES[(run << 4) | cat]
-                bw_.write(code, length)
-                bw_.write(extra, cat)
-                run = 0
-            if last_nz != se:
-                code, length = _AC_CODES[0x00]
-                bw_.write(code, length)
+        _write_ac_first_scan(bw_, zz, ss, se, al)
         bw_.flush()
-        out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes(
-            [1, 0x00, ss, se, 0]
-        )
-        out += bw_.out
+        out += sos(ss, se, 0, al, bytes(bw_.out))
+
+    # successive-approximation refinement planes, Al = al-1 .. 0:
+    # DC refinements are one raw bit per block; AC refinements are
+    # the G.1.2.3 newly-significant/correction coding per band
+    for plane in range(al - 1, -1, -1):
+        bw_ = _BitWriter()
+        for b in range(zz.shape[0]):
+            bw_.write((int(zz[b, 0]) >> plane) & 1, 1)
+        bw_.flush()
+        out += sos(0, 0, plane + 1, plane, bytes(bw_.out))
+        for ss, se in bands:
+            bw_ = _BitWriter()
+            _write_ac_refine_scan(bw_, zz, ss, se, plane + 1, plane)
+            bw_.flush()
+            out += sos(ss, se, plane + 1, plane, bytes(bw_.out))
 
     out += b"\xFF\xD9"
     return bytes(out)
@@ -979,8 +1080,11 @@ def _entropy_end(payload: bytes, start: int) -> int:
 def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     """Decode a PROGRESSIVE (SOF2) grayscale JFIF stream: general
     marker parsing, any number of spectral-selection scans in any
-    band order, general EOB-run (EOBn) handling in AC scans.
-    Successive approximation and restart intervals raise clearly
+    band order, general EOB-run (EOBn) handling in AC scans, and
+    FULL successive approximation (T.81 G.2): point-transformed
+    first scans, DC raw-bit refinements, AC newly-significant +
+    correction-bit refinements with EOB runs that still consume the
+    covered blocks' correction bits. Restart intervals raise clearly
     (documented scope). Returns (h, w) uint8."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
@@ -991,7 +1095,11 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     h = w = 0
     comp_q = 0
     coefs: np.ndarray | None = None
-    delivered = np.zeros(64, dtype=bool)
+    # per zigzag index: -1 = no first scan yet, else the Al of the
+    # last scan == the Ah the next refinement must carry; fully
+    # delivered when every entry reaches 0 (T.81 successive-
+    # approximation progression: Ah = previous Al, Al = Ah - 1)
+    next_ah = np.full(64, -1, dtype=np.int64)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
@@ -1067,70 +1175,167 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                 raise ValueError("jpeg progressive: interleaved scan")
             dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
             ss, se, ahal = seg[3], seg[4], seg[5]
-            if ahal != 0:
-                raise NotImplementedError(
-                    "jpeg progressive: successive approximation "
-                    "(Ah/Al != 0) not supported — spectral-selection "
-                    "scans only (documented scope)"
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ah != 0 and ah != al + 1:
+                raise ValueError(
+                    f"jpeg progressive: refinement must reduce the "
+                    f"bit position by one (Ah={ah}, Al={al})"
                 )
             data_start = pos + seglen
             data_end = _entropy_end(payload, data_start)
             br = _BitReader(payload[data_start:data_end])
             nb = coefs.shape[0]
+            p1 = 1 << al
+
+            def _refine_nonzero(b: int, i: int) -> None:
+                # one correction bit for an already-nonzero coef
+                # (T.81 G.2): magnitude gains the Al bit if set
+                if br.read_bit():
+                    v = int(coefs[b, i])
+                    if v > 0:
+                        if not (v & p1):
+                            coefs[b, i] = v + p1
+                    elif v < 0:
+                        if not ((-v) & p1):
+                            coefs[b, i] = v - p1
+
             if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("jpeg progressive: DC scan with Se != 0")
-                tree = dc_trees[dc_id]
-                pred = 0
-                for b in range(nb):
-                    cat = tree.decode(br)
-                    pred += _extend(br.read_bits(cat), cat) if cat else 0
-                    coefs[b, 0] = pred
-                delivered[0] = True
+                if ah == 0:  # first DC scan at bit position al
+                    if next_ah[0] != -1:
+                        raise ValueError(
+                            "jpeg progressive: band 0..0 overlaps a "
+                            "previous scan"
+                        )
+                    tree = dc_trees[dc_id]
+                    pred = 0
+                    for b in range(nb):
+                        cat = tree.decode(br)
+                        pred += (
+                            _extend(br.read_bits(cat), cat) if cat else 0
+                        )
+                        coefs[b, 0] = pred << al
+                else:  # DC refinement: one raw bit per block
+                    if next_ah[0] != ah:
+                        raise ValueError(
+                            f"jpeg progressive: DC refinement Ah={ah} "
+                            f"does not continue the previous scan"
+                        )
+                    for b in range(nb):
+                        if br.read_bit():
+                            # arithmetic-shift accumulation: OR works
+                            # for negatives in two's complement
+                            coefs[b, 0] = int(coefs[b, 0]) | p1
+                next_ah[0] = al
             else:  # AC band scan
                 if ss > se or se > 63:
                     raise ValueError(
                         f"jpeg progressive: bad band {ss}..{se}"
                     )
-                if delivered[ss : se + 1].any():
-                    raise ValueError(
-                        f"jpeg progressive: band {ss}..{se} overlaps a "
-                        "previous scan"
-                    )
                 tree = ac_trees[ac_id]
-                eobrun = 0
-                for b in range(nb):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    i = ss
-                    while i <= se:
-                        sym = tree.decode(br)
-                        run, cat = sym >> 4, sym & 0x0F
-                        if cat == 0:
-                            if run == 15:  # ZRL
-                                i += 16
-                                continue
-                            # EOBn: run of (1 << run) + extra bands end
-                            eobrun = (1 << run) - 1
-                            if run:
-                                eobrun += br.read_bits(run)
-                            break
-                        i += run
-                        if i > se:
-                            raise ValueError(
-                                "jpeg progressive: AC index past Se"
+                if ah == 0:  # first scan for this band
+                    if (next_ah[ss : se + 1] != -1).any():
+                        raise ValueError(
+                            f"jpeg progressive: band {ss}..{se} overlaps "
+                            "a previous scan"
+                        )
+                    eobrun = 0
+                    for b in range(nb):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        i = ss
+                        while i <= se:
+                            sym = tree.decode(br)
+                            run, cat = sym >> 4, sym & 0x0F
+                            if cat == 0:
+                                if run == 15:  # ZRL
+                                    i += 16
+                                    continue
+                                # EOBn: (1 << run) + extra bands end
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.read_bits(run)
+                                break
+                            i += run
+                            if i > se:
+                                raise ValueError(
+                                    "jpeg progressive: AC index past Se"
+                                )
+                            coefs[b, i] = (
+                                _extend(br.read_bits(cat), cat) << al
                             )
-                        coefs[b, i] = _extend(br.read_bits(cat), cat)
-                        i += 1
-                delivered[ss : se + 1] = True
+                            i += 1
+                else:  # AC refinement scan (G.2.2)
+                    if (next_ah[ss : se + 1] != ah).any():
+                        raise ValueError(
+                            f"jpeg progressive: AC refinement "
+                            f"{ss}..{se} Ah={ah} does not continue "
+                            "the previous scan"
+                        )
+                    eobrun = 0
+                    for b in range(nb):
+                        if eobrun > 0:
+                            # block covered by an EOB run: its
+                            # nonzero coefs still carry corrections
+                            for i in range(ss, se + 1):
+                                if coefs[b, i] != 0:
+                                    _refine_nonzero(b, i)
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        in_eob = False
+                        while k <= se:
+                            sym = tree.decode(br)
+                            run, cat = sym >> 4, sym & 0x0F
+                            s = 0
+                            if cat == 0:
+                                if run != 15:
+                                    eobrun = 1 << run
+                                    if run:
+                                        eobrun += br.read_bits(run)
+                                    in_eob = True
+                                    break
+                                r = 15  # ZRL: 16 zero-history slots
+                            else:
+                                if cat != 1:
+                                    raise ValueError(
+                                        "jpeg progressive: refinement "
+                                        "symbol size != 1"
+                                    )
+                                r = run
+                                s = p1 if br.read_bit() else -p1
+                            while k <= se:
+                                if coefs[b, k] != 0:
+                                    _refine_nonzero(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s:
+                                if k > se:
+                                    raise ValueError(
+                                        "jpeg progressive: refinement "
+                                        "run past Se"
+                                    )
+                                coefs[b, k] = s
+                            k += 1
+                        if in_eob:
+                            # the EOBn covers THIS block's tail too
+                            for i in range(k, se + 1):
+                                if coefs[b, i] != 0:
+                                    _refine_nonzero(b, i)
+                            eobrun -= 1
+                next_ah[ss : se + 1] = al
             pos = data_end
             continue
         pos += seglen
     if coefs is None or h == 0:
         raise ValueError("jpeg progressive: missing SOF2")
-    if not delivered.all():
-        missing = np.flatnonzero(~delivered)
+    if (next_ah != 0).any():
+        missing = np.flatnonzero(next_ah != 0)
         raise ValueError(
             f"jpeg progressive: coefficients never delivered: "
             f"{missing[:6].tolist()}…"

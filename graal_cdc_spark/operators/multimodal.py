@@ -1074,6 +1074,7 @@ def jpeg_pipeline_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     progressive: bool = False,
+    sa_levels: int = 0,
 ) -> DataFrame:
     """Fused synthesize→JPEG-encode→decode→stats census (mm13) in one
     ``mapInPandas`` stage — the mm11 PNG pattern applied to the REAL
@@ -1122,11 +1123,14 @@ def jpeg_pipeline_stats(
                 blocks = codes[idx].reshape(bh, bw)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
                 if progressive:
-                    # SOF2 spectral-selection scan script (mm15):
-                    # same quantized coefficients, delivered across a
-                    # DC scan + two AC band scans
+                    # SOF2 scan script: same quantized coefficients,
+                    # delivered across a DC scan + two AC band scans
+                    # (mm15); sa_levels > 0 additionally splits every
+                    # scan into successive-approximation bit planes
+                    # (mm16: first scans at Al=sa_levels, then one
+                    # refinement scan per remaining plane)
                     decoded = decode_jpeg_gray_progressive(
-                        encode_jpeg_gray_progressive(img)
+                        encode_jpeg_gray_progressive(img, al=sa_levels)
                     )
                 else:
                     decoded = decode_jpeg_gray(encode_jpeg_gray(img))

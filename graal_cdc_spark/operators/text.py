@@ -401,9 +401,17 @@ def dsir_importance_weights(
     # SLOWER here: higher-order-function lambdas run interpreted,
     # outside whole-stage codegen, while explode + hash join stay
     # inside it.)
-    lm_df = spark.createDataFrame(lm_rows, "bkt string, lw double")
+    # O(buckets) literal map instead of a broadcast-join relation:
+    # the lookup becomes a row-local expression inside the explode's
+    # codegen stage — no join operator, no broadcast exchange, one
+    # fewer plan stage (VERDICT r11 #4: "ship as ONE broadcast map
+    # literal"). Every bucket is present in the raw LM by
+    # construction, so the lookup never misses.
+    lw_map = F.create_map(
+        *[x for b, w in lm_rows for x in (F.lit(b), F.lit(w))]
+    )
     return (
-        feats.join(F.broadcast(lm_df), "bkt")
+        feats.withColumn("lw", lw_map[F.col("bkt")])
         .groupBy(id_col, *carry)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

@@ -2589,8 +2589,16 @@ def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.w1", "p.w2")
     # pairs feeds TWO consumers (the bigram LM and the scoring join) —
     # truncate lineage so the interpreted bigram explode runs once per
-    # execution, not per consumer (the l75 rule)
-    pairs = pairs.localCheckpoint(eager=False)
+    # execution, not per consumer (the l75 rule). Materialize it
+    # ALREADY hash-partitioned on (w1, w2): the checkpointed layout
+    # satisfies both the LM groupBy and the scoring join's required
+    # distribution, so the corpus is shuffled ONCE on the bigram key
+    # instead of twice (r12 shave; explicit numPartitions keeps the
+    # exchange AQE-exempt)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_shuffle, "w1", "w2").localCheckpoint(
+        eager=False
+    )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     # the left-context LM is the bigram LM's row-sum (c1 = Σ_w2 c2 by
     # definition), so it aggregates the VOCABULARY-sized bigram table,
@@ -5861,7 +5869,9 @@ ORDER BY media_id, channel, bin
 def _mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.multimodal import png_pipeline_stats
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # _par_table: the fused codec pass is per-row Python — a 1-
+    # partition local scan would serialize it on one core (r12)
+    docs = _par_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
     )
     # fused single-stage census: encode->decode inside one Python
@@ -6144,7 +6154,8 @@ _MM12_TH, _MM12_TW = 3, 5
 def _mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.multimodal import png_pipeline_stats
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # _par_table: per-row Python codec pass (see _mm11)
+    docs = _par_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
     )
     # fused single-stage census: encode->resize->decode inside one
@@ -6292,7 +6303,8 @@ ORDER BY cnt DESC, token
 def _mm13(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # _par_table: per-row Python codec pass (see _mm11)
+    docs = _par_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
     )
     return ordered_result(jpeg_pipeline_stats(docs), "media_id")
@@ -6354,7 +6366,7 @@ def _mm14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice proves the identical semantics at a third of mm13's
     # per-image Python cost, and the full-corpus operator
     # (jpeg_color_pipeline_stats) is unchanged
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = _par_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 9 == 1)
     )
     return ordered_result(jpeg_color_pipeline_stats(docs), "media_id")
@@ -6417,7 +6429,8 @@ ORDER BY media_id
 def _mm15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # _par_table: per-row Python codec pass (see _mm11)
+    docs = _par_table(spark, sf_dir, "documents").filter(
         (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
     )
     return ordered_result(
@@ -6455,6 +6468,205 @@ ORDER BY media_id
 """,
     ref="SURVEY.md §2.4 MM family (progressive leg); ITU-T T.81 "
     "Annex G progressive DCT, spectral selection, JFIF 1.02",
+)
+
+
+# ---------------------------------------------------------------------------
+# MM16 — SUCCESSIVE-APPROXIMATION progressive JPEG census (VERDICT
+# r11 missing #4 — "real progressive files in the wild DO use
+# successive approximation"): the mm15 pipeline with al=2, so every
+# scan splits into bit planes — point-transformed first scans (DC
+# arithmetic-shifted, AC sign-magnitude), then per-plane DC raw-bit
+# and AC newly-significant/correction-bit refinement scans (T.81
+# G.1.2/G.2). Coefficient accumulation across 9 scans instead of 3;
+# the final coefficients are IDENTICAL to mm13/mm15's on every image
+# (cross-codec property test), so the flat-block fixture stays
+# bit-exact and the oracle restates the same generative arithmetic
+# on its own doc slice.
+# ---------------------------------------------------------------------------
+
+
+def _mm16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import jpeg_pipeline_stats
+
+    # _par_table: the 9-scan SA codec is the heaviest per-row Python
+    # pass of the family — 3x faster well-blocked (measured r12)
+    docs = _par_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+    )
+    return ordered_result(
+        jpeg_pipeline_stats(docs, progressive=True, sa_levels=2),
+        "media_id",
+    )
+
+
+_l(
+    "mm16_jpeg_sa_census",
+    "SUCCESSIVE-APPROXIMATION progressive JPEG (T.81 G.1.2: "
+    "point-transformed first scans + per-bit-plane DC raw-bit and "
+    "AC newly-significant/correction refinement scans) "
+    "encode->decode census on the flat-block-exact fixture",
+    _mm16,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(2 + doc_id % 3 AS INT) AS bh,
+         CAST(2 + doc_id % 2 AS INT) AS bw,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 1
+)
+SELECT doc_id AS media_id,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(64 * list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256))
+            AS BIGINT) AS sum_px,
+       CAST(list_sum(list_transform(generate_series(0, bh * bw - 1),
+            k -> (k + 1) *
+                 (ascii(substr(text, CAST(k % len AS INT) + 1, 1)) % 256)))
+            AS BIGINT) AS wsum_blocks
+FROM d
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family (successive-approximation leg); "
+    "ITU-T T.81 Annex G.1.2/G.2 successive approximation, JFIF 1.02",
+)
+
+
+# ---------------------------------------------------------------------------
+# L92 — Count-Min sketch accuracy audit (r12; completes the sketch
+# family: HLL l14, Bloom l87, Misra-Gries l90/st18): build a d=4 x
+# w=256 CMS over the token stream with the engine-portable md5
+# bucket family (row r hashes "r:token"), then probe the top-20
+# exact tokens and report estimate vs exact. The CMS guarantee
+# (estimate >= exact, overcount bounded by collisions) is visible in
+# the gated cells — the audit-the-approximation discipline of
+# l57/l86/l89 applied to frequency sketching.
+#
+# Scale shape: the sketch is FIXED d x w state regardless of corpus
+# size — the build is one explode + one map-side-combined shuffle
+# whose reduce input is <= d x w rows per partition; the probe join
+# broadcasts the 1 024-row sketch. The exact leg exists because this
+# is the accuracy AUDIT; a production consumer reads the broadcast
+# sketch alone.
+# ---------------------------------------------------------------------------
+
+_L92_D = 4
+_L92_W = 256  # two hex digits of md5 = 256 buckets, no modulo needed
+_L92_TOPK = 20
+
+
+def _l92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _par_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    # NOT checkpointed: the split+explode is a cheap codegen'd map —
+    # recomputing it for the two consumers measured faster than the
+    # checkpoint write (0.78 vs 0.96 s warm at sf0.1)
+
+    def bkt(r: int, col):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 2
+        ).alias("bkt")
+
+    cms = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bkt(r, F.col("token"))
+                        )
+                        for r in range(_L92_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy("rb.r", "rb.bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    probes = exact.orderBy(F.desc("exact_cnt"), "token").limit(_L92_TOPK)
+    probe_rb = probes.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bkt(r, F.col("token")))
+                    for r in range(_L92_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_cnt", "rb.r", "rb.bkt")
+    est = (
+        probe_rb.join(F.broadcast(cms), ["r", "bkt"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return ordered_result(
+        est.select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        ),
+        F.desc("exact_cnt"),
+        "token",
+    )
+
+
+_l(
+    "l92_countmin_sketch",
+    "Count-Min sketch accuracy audit: d=4 x w=256 CMS over tokens "
+    "(portable md5 buckets), top-20 exact tokens probed — estimate, "
+    "exact, and overcount per token (estimate >= exact always)",
+    _l92,
+    f"""
+WITH toks AS (
+  SELECT t.tok AS token
+  FROM documents, unnest(string_split(text, ' ')) t(tok)
+  WHERE t.tok <> ''
+),
+grid AS (SELECT unnest(generate_series(0, {_L92_D - 1})) AS r),
+rb AS (
+  SELECT g.r, token,
+         substr(md5(CAST(g.r AS VARCHAR) || ':' || token), 1, 2) AS bkt
+  FROM toks, grid g
+),
+cms AS (
+  SELECT r, bkt, CAST(count(*) AS BIGINT) AS c FROM rb GROUP BY r, bkt
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY token
+),
+probes AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT {_L92_TOPK}
+),
+probe_rb AS (
+  SELECT p.token, p.exact_cnt, g.r,
+         substr(md5(CAST(g.r AS VARCHAR) || ':' || p.token), 1, 2) AS bkt
+  FROM probes p, grid g
+),
+est AS (
+  SELECT token, exact_cnt, min(c) AS cms_est
+  FROM probe_rb JOIN cms USING (r, bkt)
+  GROUP BY token, exact_cnt
+)
+SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_cnt DESC, token
+""",
+    ref="SURVEY.md \u00a72.4 sketch family (l14 HLL, l87 Bloom, l90 "
+    "MG); Cormode & Muthukrishnan 2005 count-min sketch",
 )
 
 

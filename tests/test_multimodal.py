@@ -714,14 +714,21 @@ def test_jpeg_progressive_strictness():
         decode_jpeg_gray_progressive(encode_jpeg_gray(img))
     with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg_gray(encode_jpeg_gray_progressive(img))
-    # successive approximation raises the documented scope error
+    # a refinement whose Ah does not continue the previous scan's Al
+    # is rejected (successive approximation must step one bit plane)
     prog = bytearray(encode_jpeg_gray_progressive(img))
-    # find the DC SOS (FF DA ... Ss=0 Se=0 AhAl byte) and set Al=1
+    # find the DC SOS (FF DA ... Ss=0 Se=0 AhAl byte) and claim the
+    # first scan already sits at Al=1: the plane chain then never
+    # reaches bit 0 and the decoder reports undelivered coefficients
     i = prog.find(b"\xFF\xDA")
     # FF DA len(2) Ns comp tables Ss Se AhAl -> AhAl at i+9
     assert prog[i + 7 : i + 10] == bytes([0, 0, 0])
     prog[i + 9] = 0x01
-    with pytest.raises(NotImplementedError, match="successive"):
+    with pytest.raises(ValueError, match="never delivered"):
+        decode_jpeg_gray_progressive(bytes(prog))
+    # Ah > Al + 1 is malformed outright
+    prog[i + 9] = 0x31
+    with pytest.raises(ValueError, match="bit position"):
         decode_jpeg_gray_progressive(bytes(prog))
     # truncation inside a scan fails loudly
     good = encode_jpeg_gray_progressive(img)
@@ -762,3 +769,88 @@ def test_jpeg_fill_bytes_before_markers_decode_identically():
         assert np.array_equal(
             np.asarray(dec(p)), np.asarray(dec(inject_fill(p)))
         )
+
+
+def test_jpeg_successive_approximation_roundtrip_matches_spectral():
+    """T.81 G.1.2 successive approximation: for ANY image, the SA
+    scan script (first scans at Al, then per-plane DC raw-bit and AC
+    newly-significant/correction refinements) reconstructs EXACTLY
+    the coefficients of the spectral-only script — decoded pixels are
+    bit-identical across al in 1..3 and several band scripts."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    images = [
+        rng.integers(0, 256, (24, 17)).astype(np.uint8),   # noise
+        np.full((9, 30), 200, dtype=np.uint8),             # flat
+        (np.add.outer(np.arange(16), np.arange(16)) * 7 % 256).astype(
+            np.uint8
+        ),                                                 # gradient
+        (rng.integers(0, 2, (8, 8)) * 255).astype(np.uint8),  # binary
+    ]
+    scripts = (((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 20), (21, 63)))
+    for img in images:
+        base = decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img)
+        )
+        for al in (1, 2, 3):
+            for bands in scripts:
+                sa = decode_jpeg_gray_progressive(
+                    encode_jpeg_gray_progressive(img, bands=bands, al=al)
+                )
+                assert np.array_equal(base, sa)
+
+
+def test_jpeg_sa_scan_script_shape():
+    """An al=2 stream carries 3*(1 + n_bands) SOS markers (first
+    scans + two refinement planes), each refinement stepping the bit
+    position by exactly one (Ah = Al + 1)."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    img = (np.arange(12 * 16, dtype=np.int64) * 31 % 256).astype(
+        np.uint8
+    ).reshape(12, 16)
+    payload = encode_jpeg_gray_progressive(img, al=2)
+    headers = []
+    i = 0
+    while True:
+        i = payload.find(b"\xFF\xDA", i)
+        if i < 0:
+            break
+        ss, se, ahal = payload[i + 7], payload[i + 8], payload[i + 9]
+        headers.append((ss, se, ahal >> 4, ahal & 0x0F))
+        i += 2
+    assert len(headers) == 9  # (DC + 2 bands) x (first + 2 planes)
+    firsts = [h for h in headers if h[2] == 0]
+    assert all(h[3] == 2 for h in firsts)
+    refines = [h for h in headers if h[2] != 0]
+    assert all(h[2] == h[3] + 1 for h in refines)
+    assert sorted({h[3] for h in refines}) == [0, 1]
+
+
+def test_jpeg_sa_truncated_refinement_fails_loudly():
+    """Dropping the final refinement plane leaves bit 0 undelivered —
+    the decoder must refuse rather than serve a half-refined image."""
+    import numpy as np
+    import pytest
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = (np.arange(64, dtype=np.uint8)).reshape(8, 8)
+    payload = encode_jpeg_gray_progressive(img, al=1)
+    # cut at the LAST SOS (the final AC refinement) and close with EOI
+    last = payload.rfind(b"\xFF\xDA")
+    with pytest.raises(ValueError, match="never delivered"):
+        decode_jpeg_gray_progressive(payload[:last] + b"\xFF\xD9")

@@ -234,6 +234,34 @@ def test_stream_serves_schema_evolution_boundary(spark, tmp_path):
     }
 
 
+def test_stream_serves_past_vacuum_from_persisted_deltas(spark, tmp_path):
+    """vacuum(spark=...) back-fills per-commit deltas, so a stream
+    starting BEFORE the horizon drains the full feed from _changes/
+    parquet even though every pre-image data file is gone."""
+    import os
+
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t, n_files=1)
+    VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])
+    VL.commit_optimize(spark, t, n_files=1)
+    expected = {
+        tuple(r) for r in VL.read_changes(spark, t, 0, 1).collect()
+    }
+    VL.vacuum(t, keep_versions=1, spark=spark)
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+        ).collect()
+    }
+    assert got == expected == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (1, "a", "delete", 1),
+        (1, "A", "insert", 1),
+    }
+
+
 def test_vacuumed_preimage_fails_cleanly(spark, tmp_path):
     t = str(tmp_path / "t")
     VL.commit_append(spark, _df(spark, [(1, "a")]), t, n_files=1)
