@@ -87,6 +87,10 @@ BENCH_SKIP: dict[str, str] = {
         "versioned-lake lifecycle + OPTIMIZE + vacuum back-fill "
         "(filesystem-bound), same class as c31/c33"
     ),
+    "c36_lake_update_feed": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with update-classified deltas, same class as c32"
+    ),
 }
 
 

@@ -2504,3 +2504,122 @@ register(
         "(VERDICT r11 #6)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C36 — versioned-lake change feed with UPDATE semantics: the same
+# lifecycle as c32, but the key-merge commit persists its delta with
+# Delta-CDF update classification (update_preimage / update_postimage
+# per key present on both sides — even when byte-identical, MERGE
+# touched it — plus insert for new keys) instead of the net
+# insert/delete diff. The oracle restates the classification as
+# keyed EXISTS joins between the two snapshots, so a wrong class, a
+# lost pre-image, or a key leaking between classes changes a cell.
+#
+# Scale shape: the update-classified delta is CHEAPER to write than
+# the net diff (two key-semi-joins over O(rows touched), no
+# exceptAll shuffle), and consumers needing MERGE provenance read it
+# as a plain scan — the trade is delta size (identical rewrites no
+# longer cancel), which is why it is an opt-in per commit.
+# ---------------------------------------------------------------------------
+
+
+def _c36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c36-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    VL.commit_upsert_keys(
+        spark,
+        upd.repartition(4, "key"),
+        table,
+        ["tbl", "key"],
+        update_semantics=True,                                       # v1
+    )
+    VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
+    return change_feed_census(VL.read_changes(spark, table, 0, 2))
+
+
+register(
+    QuerySpec(
+        name="c36_lake_update_feed",
+        category="cdc",
+        description="versioned-lake change feed with Delta-CDF "
+        "update classification: the key-merge commit feeds "
+        "update_preimage/update_postimage per overlapping key and "
+        "insert for new keys — census per (version, change type, "
+        "table)",
+        spark=_c36,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+feed AS (
+  SELECT 0 AS version, 'insert' AS change_type, * FROM base
+  UNION ALL
+  SELECT 1, 'update_preimage', b.* FROM base b WHERE EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+  UNION ALL
+  SELECT 1, 'update_postimage', u.* FROM upd u WHERE EXISTS (
+    SELECT 1 FROM base b WHERE b.tbl = u.tbl AND b.key = u.key)
+  UNION ALL
+  SELECT 1, 'insert', u.* FROM upd u WHERE NOT EXISTS (
+    SELECT 1 FROM base b WHERE b.tbl = u.tbl AND b.key = u.key)
+  UNION ALL
+  SELECT 2, 'delete', * FROM v1 WHERE CAST(key AS BIGINT) % 7 = 2
+)
+SELECT CAST(version AS INT) AS version, change_type, tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM feed
+GROUP BY version, change_type, tbl
+ORDER BY version, change_type, tbl
+""",
+        reference="no reference analog; Delta Lake Change Data Feed "
+        "update_preimage/update_postimage classification (r12)",
+    )
+)

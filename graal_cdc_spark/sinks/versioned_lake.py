@@ -752,6 +752,7 @@ def commit_upsert_keys(
     table: str,
     key_cols: list[str],
     write_cdf: bool = True,
+    update_semantics: bool = False,
 ) -> int:
     """MERGE by key: rewrite the live files holding any incoming key
     (old versions of those keys dropped), append the incoming rows.
@@ -765,7 +766,17 @@ def commit_upsert_keys(
     same multiset semantics the file-diff reconstruction yields) is
     persisted under ``_changes/`` at write time: one diff shuffle
     paid by the writer over O(rows touched), zero paid by any number
-    of feed consumers."""
+    of feed consumers.
+
+    ``update_semantics`` switches the persisted delta to Delta-CDF
+    update classification: a key present on both sides feeds its old
+    row as ``update_preimage`` and its new row as
+    ``update_postimage`` (even when byte-identical — MERGE touched
+    it), a new key feeds ``insert``. Cheaper than the net diff (two
+    key-semi-joins, no exceptAll) and the classification downstream
+    MERGE consumers want; the default stays the net insert/delete
+    feed so the batch reconstruction and the write-time delta agree
+    bit-for-bit."""
     base = latest_version(table)
     existing_fields = (
         schema_fields(table, base) if base >= 0 else None
@@ -818,6 +829,19 @@ def commit_upsert_keys(
         incoming = _align(df, out_schema)
         if dropped is None:
             feed = incoming.withColumn("_change_type", F.lit("insert"))
+        elif update_semantics:
+            dropped = _align(dropped, out_schema)
+            old_keys = dropped.select(*key_cols).distinct()
+            pre = dropped.withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = incoming.join(old_keys, key_cols, "left_semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = incoming.join(old_keys, key_cols, "left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            feed = pre.unionByName(post).unionByName(ins)
         else:
             dropped = _align(dropped, out_schema)
             inserts = incoming.exceptAll(dropped).withColumn(

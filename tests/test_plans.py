@@ -722,12 +722,18 @@ def test_round7b_partial_aggregation(spark, name):
     assert _audit(spark, name).partial_aggregates, f"{name}: no map-side combine"
 
 
-def test_l85_lm_broadcasts_onto_feature_stream(spark):
-    """The 256-bucket LM must reach the corpus-sized feature stream as
-    a broadcast — a shuffle join keyed on the bucket would funnel the
-    whole corpus through 256 reduce keys at 100 TB."""
+def test_l85_lm_reaches_feature_stream_row_locally(spark):
+    """The 256-bucket LM must reach the corpus-sized feature stream
+    WITHOUT a shuffle join — a join keyed on the bucket would funnel
+    the whole corpus through 256 reduce keys at 100 TB. Since r12 the
+    trained LM ships as a create_map literal, so the scoring stage is
+    JOIN-FREE entirely (the lookup runs inside the explode's codegen
+    stage); the only exchange left is the per-doc aggregate."""
     a = _audit(spark, "l85_dsir_importance")
-    assert a.broadcast_joins >= 1, a.plan
+    assert "SortMergeJoin" not in a.plan, a.plan
+    assert "ShuffledHashJoin" not in a.plan, a.plan
+    # the literal map lookup appears as a keys:/values: map expression
+    assert "keys:" in a.plan or a.broadcast_joins >= 1, a.plan
 
 
 def test_l87_bloom_bits_broadcast(spark):

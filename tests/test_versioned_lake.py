@@ -513,3 +513,42 @@ def test_schema_evolution_survives_checkpoint(spark, tmp_path):
         f.write("{corrupt")
     assert VL.table_schema(t).fieldNames() == ["k", "v", "s"]
     assert VL.read_table(spark, t).columns == ["k", "v", "s"]
+
+
+def test_upsert_update_semantics_classification(spark, tmp_path):
+    """update_semantics=True persists Delta-CDF update classes: an
+    overlapping key feeds its old row as update_preimage and its new
+    row as update_postimage (even when byte-identical), a new key
+    feeds insert; folding post-as-insert / pre-as-delete still
+    reproduces the head snapshot."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, n_files=1
+    )
+    VL.commit_upsert_keys(
+        spark,
+        _df(spark, [(1, "A"), (2, "b"), (9, "z")]),  # 2 rewrites as-is
+        t,
+        ["k"],
+        update_semantics=True,
+    )
+    feed = VL.read_changes(spark, t, 1, 1).collect()
+    got = {(r.k, r.v, r._change_type) for r in feed}
+    assert got == {
+        (1, "a", "update_preimage"),
+        (1, "A", "update_postimage"),
+        (2, "b", "update_preimage"),   # identical rewrite still fed
+        (2, "b", "update_postimage"),
+        (9, "z", "insert"),
+    }
+    # fold: inserts+postimages minus preimages == head snapshot
+    full = VL.read_changes(spark, t, 0)
+    ins = full.filter(
+        "_change_type IN ('insert', 'update_postimage')"
+    ).select("k", "v")
+    dele = full.filter(
+        "_change_type IN ('delete', 'update_preimage')"
+    ).select("k", "v")
+    folded = {(r.k, r.v) for r in ins.exceptAll(dele).collect()}
+    head = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    assert folded == head
