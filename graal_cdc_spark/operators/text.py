@@ -407,6 +407,14 @@ def dsir_importance_weights(
     # fewer plan stage (VERDICT r11 #4: "ship as ONE broadcast map
     # literal"). Every bucket is present in the raw LM by
     # construction, so the lookup never misses.
+    if not lm_rows:
+        # degenerate corpus with zero bigram features: the feature
+        # stream is empty, so the grouped result is too (an empty
+        # create_map() would fail to type-check the lookup)
+        return feats.groupBy(id_col, *carry).agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.max(F.lit(None).cast("double")).alias("weight"),
+        )
     lw_map = F.create_map(
         *[x for b, w in lm_rows for x in (F.lit(b), F.lit(w))]
     )
