@@ -91,6 +91,10 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with update-classified deltas, same class as c32"
     ),
+    "c37_lake_column_mapping": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with metadata-only rename/drop commits, same class as c31"
+    ),
 }
 
 

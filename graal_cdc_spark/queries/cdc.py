@@ -2623,3 +2623,138 @@ ORDER BY version, change_type, tbl
         "update_preimage/update_postimage classification (r12)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C37 — versioned-lake column RENAME + DROP + RE-ADD (Delta
+# column-mapping analog, r12): v0 appends the compacted early state;
+# v1 renames op -> op_code (metadata-only, physical name pinned, zero
+# rewrites); v2 drops op_code (metadata-only, physical name RETIRED);
+# v3 appends the mid-window changes with a RE-ADDED op_code column
+# (same logical name, fresh physical identity). The census reads v0
+# (old name, all rows populated) and the head (new name: ONLY v3's
+# rows may be non-null — if the drop failed to retire the physical
+# name, v0's old op bytes would resurrect under the re-added column
+# and inflate n_named). The oracle restates both snapshots with plain
+# aliasing, so a leaked value, a lost rename, or a broken NULL fill
+# changes a cell.
+#
+# Scale shape: rename and drop cost O(columns) JSON — no data file is
+# touched; the head read is one plan-time projection over physical
+# names. That is the only affordable column evolution at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _c37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c37-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)   # v0
+    VL.rename_column(table, "op", "op_code")                     # v1
+    VL.drop_column(table, "op_code")                             # v2
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", F.col("op").alias("op_code"), "seq")
+    )
+    VL.commit_append(spark, upd.repartition(4, "key"), table)    # v3
+    v0 = VL.read_table(spark, table, version=0).select(
+        "tbl", "key", F.col("op").alias("named"), "seq"
+    )
+    head = VL.read_table(spark, table).select(
+        "tbl", "key", F.col("op_code").alias("named"), "seq"
+    )
+    parts = []
+    for ver, snap in ((0, v0), (3, head)):
+        parts.append(
+            snap.groupBy("tbl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("key").alias("n_keys"),
+                F.count("named").alias("n_named"),
+                F.max("seq").alias("max_seq"),
+            )
+            .withColumn("version", F.lit(ver).cast("int"))
+        )
+    return ordered_result(
+        parts[0].unionByName(parts[1]).select(
+            "version", "tbl", "n_rows", "n_keys", "n_named", "max_seq"
+        ),
+        "version",
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c37_lake_column_mapping",
+        category="cdc",
+        description="versioned-lake column rename + drop + re-add "
+        "over pinned physical names: metadata-only commits, zero "
+        "rewrites, retired physicals keep dropped bytes from "
+        "resurrecting under a re-added column — per-version census "
+        "of rows carrying the mapped column",
+        spark=_c37,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+head AS (
+  SELECT tbl, key, CAST(NULL AS VARCHAR) AS named, seq FROM base
+  UNION ALL
+  SELECT tbl, key, op, seq FROM upd
+),
+census AS (
+  SELECT 0 AS version, tbl, count(*) AS n_rows,
+         count(DISTINCT key) AS n_keys, count(op) AS n_named,
+         max(seq) AS max_seq
+  FROM base GROUP BY tbl
+  UNION ALL
+  SELECT 3, tbl, count(*), count(DISTINCT key), count(named), max(seq)
+  FROM head GROUP BY tbl
+)
+SELECT CAST(version AS INT) AS version, tbl,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_named AS BIGINT) AS n_named,
+       CAST(max_seq AS BIGINT) AS max_seq
+FROM census
+ORDER BY version, tbl
+""",
+        reference="no reference analog; Delta Lake column mapping "
+        "(rename/drop over stable physical names), re-expressed "
+        "minimally (r12)",
+    )
+)

@@ -53,7 +53,13 @@ safe file cleanup. The design is the standard one:
   (``"schema"`` — Delta's ``metaData`` analog); readers at version v
   apply the schema as of v (missing columns in older files read as
   null), and a same-name/different-type append is rejected at commit
-  time instead of corrupting reads later.
+  time instead of corrupting reads later. RENAME and DROP are
+  metadata-only commits over stable PHYSICAL column names (Delta
+  column mapping): a rename pins the field's on-disk name and only
+  changes the logical one (zero rewrites, old files stay readable),
+  a drop retires the physical name so a re-added column of the same
+  logical name gets a fresh physical identity and old bytes never
+  resurrect.
 
 Scale shape: commit files are O(files touched) JSON; readers list one
 directory and read a checkpoint + tail (no full-log fold after the
@@ -127,16 +133,16 @@ def commit_body(table: str, version: int) -> dict:
 
 def _fold_log(
     table: str, version: int | None = None
-) -> tuple[dict[str, int], dict[str, dict], list[dict] | None]:
+) -> tuple[dict[str, int], dict[str, dict], list[dict] | None, list[str]]:
     """ONE checkpoint+tail replay producing everything a snapshot
     reader needs: (live ``{path: rows}``, per-file column stats
     ``{path: {col: [lo, hi]}}``, schema fields as of the version or
-    ``None`` for pre-evolution logs). All public snapshot accessors
-    derive from this single fold — a pruned read replays the log
-    once, not three times (ADVICE r11)."""
+    ``None`` for pre-evolution logs, retired physical column names).
+    All public snapshot accessors derive from this single fold — a
+    pruned read replays the log once, not three times (ADVICE r11)."""
     target = latest_version(table) if version is None else version
     if target < 0:
-        return {}, {}, None
+        return {}, {}, None, []
     vs = _versions(table)
     if target not in vs:
         raise ValueError(
@@ -148,6 +154,7 @@ def _fold_log(
     files: dict[str, int] = {}
     stats: dict[str, dict] = {}
     schema: list[dict] | None = None
+    retired: list[str] = []
     start = 0
     cps = [c for c in _checkpoints(table) if c <= target]
     if cps:
@@ -160,6 +167,7 @@ def _fold_log(
         files = dict(body["live"])
         stats = dict(body.get("stats", {}))
         schema = body.get("schema")
+        retired = list(body.get("schema_retired", []))
         start = cp + 1
     for v in vs:
         if v < start or v > target:
@@ -168,6 +176,8 @@ def _fold_log(
             commit = json.load(f)
         if commit.get("schema"):
             schema = commit["schema"]
+        if commit.get("schema_retired") is not None:
+            retired = list(commit["schema_retired"])
         for action in commit["actions"]:
             if "add" in action:
                 p = action["add"]["path"]
@@ -181,7 +191,7 @@ def _fold_log(
                 p = action["remove"]["path"]
                 files.pop(p, None)
                 stats.pop(p, None)
-    return files, stats, schema
+    return files, stats, schema, retired
 
 
 def live_files(table: str, version: int | None = None) -> dict[str, int]:
@@ -200,7 +210,7 @@ def live_file_stats(
     analog). Files committed before stats existed (or columns whose
     types carry no stats) are simply absent — absence means "never
     prune", so pruning is advisory and can never change results."""
-    files, stats, _ = _fold_log(table, version)
+    files, stats, _, _ = _fold_log(table, version)
     return {p: st for p, st in stats.items() if p in files}
 
 
@@ -223,6 +233,51 @@ def table_schema(
         return None
     ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
     return T.StructType.fromDDL(ddl)
+
+
+def _phys(field: dict) -> str:
+    """A field's PHYSICAL (on-disk) column name — pinned at column
+    creation and NEVER changed by renames (Delta column-mapping
+    analog), so every data file ever written stays readable."""
+    return field.get("physical", field["name"])
+
+
+def _phys_preds(
+    fields: list[dict] | None, predicates: dict[str, tuple]
+) -> dict[str, tuple]:
+    """Map logical predicate columns to physical names (stats come
+    from parquet footers, which know only physical names)."""
+    if fields is None:
+        return predicates
+    m = {f["name"]: _phys(f) for f in fields}
+    return {m.get(c, c): rng for c, rng in predicates.items()}
+
+
+def _physical_schema(fields: list[dict]) -> T.StructType:
+    ddl = ", ".join(f"`{_phys(f)}` {f['type']}" for f in fields)
+    return T.StructType.fromDDL(ddl)
+
+
+def _read_data(
+    spark: SparkSession,
+    table: str,
+    paths: list[str],
+    fields: list[dict] | None,
+) -> DataFrame:
+    """Read data files under the PHYSICAL schema (files written
+    before a column existed serve NULL), then alias each column to
+    its current LOGICAL name — the whole rename machinery is one
+    plan-time projection, zero data movement."""
+    if fields is None:
+        return spark.read.parquet(*[os.path.join(table, p) for p in paths])
+    df = spark.read.schema(_physical_schema(fields)).parquet(
+        *[os.path.join(table, p) for p in paths]
+    )
+    if any(_phys(f) != f["name"] for f in fields):
+        df = df.select(
+            *[F.col(_phys(f)).alias(f["name"]) for f in fields]
+        )
+    return df
 
 
 def _keep_after_prune(
@@ -258,8 +313,8 @@ def pruned_files(
     log metadata alone: no parquet footer is opened, which is the
     point at 100 TB — a point lookup on a table clustered by
     ``commit_optimize(sort_cols=...)`` plans one file, not thousands."""
-    files, stats, _ = _fold_log(table, version)
-    return _keep_after_prune(files, stats, predicates)
+    files, stats, fields, _ = _fold_log(table, version)
+    return _keep_after_prune(files, stats, _phys_preds(fields, predicates))
 
 
 def _read_files(
@@ -294,22 +349,20 @@ def read_table(
     set evolved serves older files with NULL for the later columns.
     An empty table raises (no schema to serve). One log replay total
     (fold once, prune from the same fold — ADVICE r11)."""
-    files, stats, fields = _fold_log(table, version)
+    files, stats, fields, _ = _fold_log(table, version)
     if not files:
         raise ValueError(f"versioned table {table!r} is empty at {version}")
-    schema = None
-    if fields is not None:
-        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
-        schema = T.StructType.fromDDL(ddl)
     keep = (
-        _keep_after_prune(files, stats, prune) if prune else list(files)
+        _keep_after_prune(files, stats, _phys_preds(fields, prune))
+        if prune
+        else list(files)
     )
     if not keep:
         # every file pruned: zero rows, schema from any live file
-        return _read_files(
-            spark, table, [next(iter(files))], schema
+        return _read_data(
+            spark, table, [next(iter(files))], fields
         ).limit(0)
-    return _read_files(spark, table, keep, schema)
+    return _read_data(spark, table, keep, fields)
 
 
 def commit_actions(table: str, version: int) -> tuple[list[str], list[str]]:
@@ -387,7 +440,14 @@ def read_changes(
         raise ValueError(
             f"change range [{start_version}, {end}] outside log {vs}"
         )
+    end_fields = schema_fields(table, end)
     feed_schema = _feed_schema(table, end)
+    feed_fields = (
+        end_fields
+        + [{"name": "_change_type", "type": "string"}]
+        if end_fields is not None
+        else None
+    )
     parts: list[DataFrame] = []
     for v in range(start_version, end + 1):
         if v not in vs:
@@ -416,7 +476,7 @@ def read_changes(
                 )
             if not cdf_paths:
                 continue  # change commit whose net delta was empty
-            part = _read_files(spark, table, cdf_paths, feed_schema)
+            part = _read_data(spark, table, cdf_paths, feed_fields)
         elif not removed:
             # pure append: the added files ARE the inserts
             for p in added:
@@ -427,9 +487,8 @@ def read_changes(
                         "or raise the retention horizon (vacuum with "
                         "spark= persists deltas before reclaiming)"
                     )
-            data_schema = table_schema(table, end)
-            part = _read_files(
-                spark, table, added, data_schema
+            part = _read_data(
+                spark, table, added, end_fields
             ).withColumn("_change_type", F.lit("insert"))
         else:
             # legacy change commit: reconstruct from the file diff
@@ -459,6 +518,18 @@ def read_changes(
                 "_change_type", F.lit("delete")
             )
             part = inserts.unionByName(deletes)
+            if end_fields is not None:
+                # the raw diff carries PHYSICAL column names — project
+                # to the current logical names before alignment
+                have = set(part.columns)
+                part = part.select(
+                    *[
+                        F.col(_phys(f)).alias(f["name"])
+                        for f in end_fields
+                        if _phys(f) in have
+                    ],
+                    F.col("_change_type"),
+                )
         if feed_schema is not None:
             part = _align(part, feed_schema)
         parts.append(
@@ -557,20 +628,41 @@ def _stage_parquet(
     return out
 
 
+def _to_physical(df: DataFrame, fields: list[dict] | None) -> DataFrame:
+    """Rename logical columns to their stable physical names before
+    writing (extra non-data columns like _change_type pass through);
+    data files then always carry physical names regardless of later
+    renames."""
+    if fields is None:
+        return df
+    m = {f["name"]: _phys(f) for f in fields}
+    if all(m.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(m.get(c, c)) for c in df.columns]
+    )
+
+
 def _stage_data_files(
-    df: DataFrame, table: str, n_files: int | None = None
+    df: DataFrame,
+    table: str,
+    n_files: int | None = None,
+    fields: list[dict] | None = None,
 ) -> list[tuple[str, int, dict]]:
-    return _stage_parquet(df, table, "", "part", n_files)
+    return _stage_parquet(_to_physical(df, fields), table, "", "part", n_files)
 
 
-def _stage_cdf_files(feed: DataFrame, table: str) -> list[dict]:
+def _stage_cdf_files(
+    feed: DataFrame, table: str, fields: list[dict] | None = None
+) -> list[dict]:
     """Persist a commit's net row delta (data columns +
-    ``_change_type``) under ``_changes/``; returns the ``"cdf"``
-    entries for the commit body."""
+    ``_change_type``) under ``_changes/``, physical column names;
+    returns the ``"cdf"`` entries for the commit body."""
     return [
         {"path": p, "rows": r}
         for p, r, _ in _stage_parquet(
-            feed, table, CDF_DIR, "cdf", with_stats=False
+            _to_physical(feed, fields), table, CDF_DIR, "cdf",
+            with_stats=False,
         )
     ]
 
@@ -583,14 +675,23 @@ def _schema_fields_of(df: DataFrame) -> list[dict]:
 
 
 def _merged_schema(
-    existing: list[dict] | None, incoming: list[dict], context: str
+    existing: list[dict] | None,
+    incoming: list[dict],
+    context: str,
+    retired: list[str] | None = None,
 ) -> list[dict] | None:
-    """Existing columns first (types must match by name), then the
-    incoming-only columns appended — the additive evolution contract.
+    """Existing columns first (types must match by logical name),
+    then the incoming-only columns appended — the additive evolution
+    contract. A new column whose name collides with a physical name
+    still present in old data files (a retired dropped column, or a
+    rename's pinned physical) gets a fresh uuid-suffixed physical
+    name, so old bytes can never resurrect under the new column.
     Returns the fields to RECORD (None = no schema action needed)."""
+    used = set(retired or [])
     if existing is None:
         return incoming
     by_name = {f["name"]: f["type"] for f in existing}
+    used |= {_phys(f) for f in existing}
     for f in incoming:
         have = by_name.get(f["name"])
         if have is not None and have != f["type"]:
@@ -600,7 +701,14 @@ def _merged_schema(
                 "changing a column's type is not supported (add a "
                 "new column instead)"
             )
-    new = [f for f in incoming if f["name"] not in by_name]
+    new = []
+    for f in incoming:
+        if f["name"] in by_name:
+            continue
+        nf = dict(f)
+        if nf["name"] in used:
+            nf["physical"] = f"{nf['name']}-{uuid.uuid4().hex[:8]}"
+        new.append(nf)
     if not new:
         return None  # no evolution: keep the current schema action
     return existing + new
@@ -615,6 +723,7 @@ def _try_commit(
     data_change: bool = True,
     cdf: list[dict] | None = None,
     schema: list[dict] | None = None,
+    schema_retired: list[str] | None = None,
 ) -> int:
     """Claim version ``expected_version + 1`` atomically. Raises
     :class:`CommitConflict` if another writer got there first."""
@@ -632,6 +741,8 @@ def _try_commit(
         body["cdf"] = cdf
     if schema is not None:
         body["schema"] = schema
+    if schema_retired is not None:
+        body["schema_retired"] = schema_retired
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(body, f)
@@ -651,12 +762,14 @@ def _try_commit(
         os.close(fd)
     os.unlink(tmp)
     if checkpoint_every and version % checkpoint_every == 0:
-        files, stats, fields = _fold_log(table, version)
+        files, stats, fields, retired = _fold_log(table, version)
         cp = os.path.join(log, f"{version:08d}.checkpoint.json")
         cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
         cp_body = {"version": version, "live": files, "stats": stats}
         if fields is not None:
             cp_body["schema"] = fields
+        if retired:
+            cp_body["schema_retired"] = retired
         with open(cp_tmp, "w", encoding="utf-8") as f:
             json.dump(cp_body, f)
         os.replace(cp_tmp, cp)
@@ -674,23 +787,41 @@ def commit_append(
     logically, so a racing writer just re-claims the next number.
     New columns evolve the table schema (recorded in the commit);
     a same-name/different-type column raises."""
+    incoming = _schema_fields_of(df)
+    base = latest_version(table)
+    _, _, existing, retired = _fold_log(
+        table, base if base >= 0 else None
+    ) if base >= 0 else ({}, {}, None, [])
+    merged = _merged_schema(existing, incoming, "commit_append", retired)
+    effective = merged if merged is not None else existing
     adds = [
         {"add": {"path": p, "rows": r, "stats": st}}
-        for p, r, st in _stage_data_files(df, table, n_files)
+        for p, r, st in _stage_data_files(df, table, n_files, effective)
     ]
-    incoming = _schema_fields_of(df)
+
+    def mapping(fields):
+        if fields is None:
+            return {c: c for c in df.columns}
+        return {
+            f["name"]: _phys(f) for f in fields if f["name"] in df.columns
+        }
+
+    staged_map = mapping(effective)
     for _ in range(max_retries):
-        base = latest_version(table)
-        merged = _merged_schema(
-            schema_fields(table, base if base >= 0 else None)
-            if base >= 0
-            else None,
-            incoming,
-            "commit_append",
-        )
         try:
             return _try_commit(table, adds, "append", base, schema=merged)
         except CommitConflict:
+            base = latest_version(table)
+            _, _, existing, retired = _fold_log(table, base)
+            merged = _merged_schema(
+                existing, incoming, "commit_append", retired
+            )
+            effective = merged if merged is not None else existing
+            if mapping(effective) != staged_map:
+                raise CommitConflict(
+                    "commit_append: a concurrent commit changed the "
+                    "column mapping under this append — re-run it"
+                ) from None
             continue
     raise CommitConflict(f"append lost {max_retries} version races")
 
@@ -712,12 +843,11 @@ def commit_delete_where(
     persisted once under ``_changes/`` so change-feed consumers read
     them as a plain scan instead of re-diffing the touched files."""
     base = latest_version(table)
-    schema = table_schema(table, base if base >= 0 else None)
-    files = live_files(table, base)
+    files, _, fields, _ = _fold_log(table, base if base >= 0 else None)
     touched: list[str] = []
     for p in files:
         hit = (
-            _read_files(spark, table, [p], schema)
+            _read_data(spark, table, [p], fields)
             .filter(predicate)
             .limit(1)
             .count()
@@ -727,18 +857,18 @@ def commit_delete_where(
     actions: list[dict] = [{"remove": {"path": p}} for p in touched]
     cdf_entries: list[dict] | None = None
     if touched:
-        touched_df = _read_files(spark, table, touched, schema)
+        touched_df = _read_data(spark, table, touched, fields)
         survivors = touched_df.filter(f"NOT ({predicate})")
         actions += [
             {"add": {"path": p, "rows": r, "stats": st}}
-            for p, r, st in _stage_data_files(survivors, table)
+            for p, r, st in _stage_data_files(survivors, table, None, fields)
         ]
         if write_cdf:
             # net delta of a delete == the matching rows, verbatim
             deleted = touched_df.filter(predicate).withColumn(
                 "_change_type", F.lit("delete")
             )
-            cdf_entries = _stage_cdf_files(deleted, table)
+            cdf_entries = _stage_cdf_files(deleted, table, fields)
     elif write_cdf:
         cdf_entries = []  # empty delta, recorded as such
     # a delete computed against a stale snapshot must NOT blind-retry:
@@ -778,19 +908,20 @@ def commit_upsert_keys(
     feed so the batch reconstruction and the write-time delta agree
     bit-for-bit."""
     base = latest_version(table)
-    existing_fields = (
-        schema_fields(table, base) if base >= 0 else None
-    )
+    if base >= 0:
+        files, _, existing_fields, retired = _fold_log(table, base)
+    else:
+        files, existing_fields, retired = {}, None, []
     merged = _merged_schema(
-        existing_fields, _schema_fields_of(df), "commit_upsert_keys"
+        existing_fields, _schema_fields_of(df), "commit_upsert_keys",
+        retired,
     )
-    schema = table_schema(table, base) if base >= 0 else None
-    files = live_files(table, base)
+    eff = merged if merged is not None else existing_fields
     keys = df.select(*key_cols).distinct()
     touched: list[str] = []
     for p in files:
         hit = (
-            _read_files(spark, table, [p], schema)
+            _read_data(spark, table, [p], existing_fields)
             .join(keys, key_cols, "left_semi")
             .limit(1)
             .count()
@@ -800,17 +931,17 @@ def commit_upsert_keys(
     actions: list[dict] = [{"remove": {"path": p}} for p in touched]
     dropped = None
     if touched:
-        touched_df = _read_files(spark, table, touched, schema)
+        touched_df = _read_data(spark, table, touched, existing_fields)
         survivors = touched_df.join(keys, key_cols, "left_anti")
         actions += [
             {"add": {"path": p, "rows": r, "stats": st}}
-            for p, r, st in _stage_data_files(survivors, table)
+            for p, r, st in _stage_data_files(survivors, table, None, eff)
         ]
         if write_cdf:
             dropped = touched_df.join(keys, key_cols, "left_semi")
     actions += [
         {"add": {"path": p, "rows": r, "stats": st}}
-        for p, r, st in _stage_data_files(df, table)
+        for p, r, st in _stage_data_files(df, table, None, eff)
     ]
     cdf_entries: list[dict] | None = None
     if write_cdf:
@@ -851,7 +982,7 @@ def commit_upsert_keys(
                 "_change_type", F.lit("delete")
             )
             feed = inserts.unionByName(deletes)
-        cdf_entries = _stage_cdf_files(feed, table)
+        cdf_entries = _stage_cdf_files(feed, table, eff)
     return _try_commit(
         table, actions, "upsert", base, cdf=cdf_entries, schema=merged
     )
@@ -881,18 +1012,17 @@ def commit_optimize(
     cluster scale ``n_files`` is sized to ~128 MB/file like any
     compaction job."""
     base = latest_version(table)
-    schema = table_schema(table, base if base >= 0 else None)
-    files = live_files(table, base)
+    files, _, fields, _ = _fold_log(table, base if base >= 0 else None)
     if not files:
         raise ValueError(f"versioned table {table!r} is empty")
-    df = _read_files(spark, table, list(files), schema)
+    df = _read_data(spark, table, list(files), fields)
     if sort_cols:
         df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
-        staged = _stage_data_files(df, table)
+        staged = _stage_data_files(df, table, None, fields)
     else:
-        staged = _stage_data_files(df, table, n_files)
+        staged = _stage_data_files(df, table, n_files, fields)
     actions = [{"remove": {"path": p}} for p in files]
     actions += [
         {"add": {"path": p, "rows": r, "stats": st}} for p, r, st in staged
@@ -900,6 +1030,70 @@ def commit_optimize(
     # like delete: a stale-snapshot optimize must not blind-retry
     return _try_commit(
         table, actions, "optimize", base, data_change=False
+    )
+
+
+def _require_schema_action(table: str, base: int, op: str) -> tuple:
+    if base < 0:
+        raise ValueError(f"{op}: versioned table {table!r} is empty")
+    _, _, fields, retired = _fold_log(table, base)
+    if fields is None:
+        raise ValueError(
+            f"{op}: table {table!r} predates schema actions — run one "
+            "append with the current schema first to upgrade the log"
+        )
+    return fields, retired
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """Rename a column as a METADATA-ONLY commit (Delta
+    column-mapping analog): the field keeps its pinned PHYSICAL name,
+    so every data/change file ever written stays readable and ZERO
+    bytes move; readers at older versions still see the old name.
+    The commit carries ``dataChange: false`` — feeds skip it."""
+    base = latest_version(table)
+    fields, retired = _require_schema_action(table, base, "rename_column")
+    names = {f["name"] for f in fields}
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} (have {sorted(names)})")
+    if new in names:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    out = []
+    for f in fields:
+        if f["name"] == old:
+            nf = dict(f)
+            nf["physical"] = _phys(f)  # pin the on-disk name forever
+            nf["name"] = new
+            out.append(nf)
+        else:
+            out.append(f)
+    return _try_commit(
+        table, [], "rename_column", base, data_change=False,
+        schema=out, schema_retired=retired or None,
+    )
+
+
+def drop_column(table: str, name: str) -> int:
+    """Drop a column as a METADATA-ONLY commit: data files keep the
+    bytes (invisible — reads project the column away), time travel
+    still serves it at older versions, and the column's PHYSICAL name
+    is RETIRED so a later re-add of the same logical name gets a
+    fresh physical name and can never resurrect the old values."""
+    base = latest_version(table)
+    fields, retired = _require_schema_action(table, base, "drop_column")
+    hit = [f for f in fields if f["name"] == name]
+    if not hit:
+        raise ValueError(
+            f"drop_column: no column {name!r} "
+            f"(have {sorted(f['name'] for f in fields)})"
+        )
+    if len(fields) == 1:
+        raise ValueError("drop_column: cannot drop the last column")
+    out = [f for f in fields if f["name"] != name]
+    return _try_commit(
+        table, [], "drop_column", base, data_change=False,
+        schema=out,
+        schema_retired=sorted(set(retired) | {_phys(hit[0])}),
     )
 
 

@@ -95,19 +95,22 @@ def _footer_ddl(table: str) -> list[tuple[str, str]]:
     return out
 
 
-def _table_ddl(table: str) -> tuple[str, list[str]]:
+def _table_ddl(table: str) -> tuple[str, list[str], dict[str, str]]:
     """(full stream DDL incl. the two feed columns, data column
-    names). The log's schema action (newest version) wins — a table
-    whose column set evolved streams the full current schema, older
-    files padded with NULL; pre-evolution logs fall back to one live
-    parquet footer."""
+    names, logical->physical on-disk name map). The log's schema
+    action (newest version) wins — a table whose column set evolved
+    streams the full current schema, older files padded with NULL and
+    renamed columns read via their pinned physical names;
+    pre-evolution logs fall back to one live parquet footer."""
     fields = VL.schema_fields(table)
     if fields is not None:
         cols = [(f["name"], f["type"]) for f in fields]
+        phys = {f["name"]: VL._phys(f) for f in fields}
     else:
         cols = _footer_ddl(table)
+        phys = {n: n for n, _ in cols}
     ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
-    return ddl + ", " + _EXTRA_DDL, [n for n, _ in cols]
+    return ddl + ", " + _EXTRA_DDL, [n for n, _ in cols], phys
 
 
 class VLakeFilePartition(InputPartition):
@@ -148,14 +151,16 @@ class VLakeStreamReader(DataSourceStreamReader):
         self.skip_change = (
             options.get("skipchangecommits", "false").lower() == "true"
         )
+        ddl, _, phys = _table_ddl(self.table)
         if schema is None:
             from pyspark.sql.types import StructType
 
-            ddl, _ = _table_ddl(self.table)
             schema = StructType.fromDDL(ddl)
-        # the declared stream schema, shipped to workers for exact
-        # arrow alignment (StructType is a plain picklable object)
+        # the declared stream schema + logical->physical name map,
+        # shipped to workers for exact arrow alignment (both are
+        # plain picklable objects)
         self.schema_struct = schema
+        self.phys = phys
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version - 1}
@@ -232,11 +237,11 @@ class VLakeStreamReader(DataSourceStreamReader):
         ]
         return full, data
 
-    @staticmethod
-    def _aligned(path: str, fields) -> "object":
+    def _aligned(self, path: str, fields) -> "object":
         """Read one parquet file and align it to ``fields`` exactly:
-        reorder, cast, pad schema-evolution-missing columns with
-        typed nulls. Pure Arrow — exact int64 round-trip."""
+        resolve each LOGICAL field via its pinned physical on-disk
+        name, reorder, cast, pad schema-evolution-missing columns
+        with typed nulls. Pure Arrow — exact int64 round-trip."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -244,11 +249,16 @@ class VLakeStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         arrays = []
         for f in fields:
-            if f.name in tbl.column_names:
+            src_name = self.phys.get(f.name, f.name)
+            if src_name in tbl.column_names:
+                arrays.append(tbl.column(src_name).cast(f.type))
+            elif f.name in tbl.column_names:
+                # change files written before a later rename carry the
+                # then-current name
                 arrays.append(tbl.column(f.name).cast(f.type))
             else:
                 arrays.append(pa.nulls(n, type=f.type))
-        return pa.table(arrays, schema=pa.schema(fields))
+        return pa.table(arrays, schema=pa.schema([pa.field(f.name, f.type) for f in fields]))
 
     def read(self, partition):
         import pyarrow as pa
@@ -335,7 +345,7 @@ class VLakeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("graal_vlake requires a path")
-        ddl, _ = _table_ddl(path)
+        ddl, _, _ = _table_ddl(path)
         return ddl
 
     def streamReader(self, schema) -> VLakeStreamReader:

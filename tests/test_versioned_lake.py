@@ -552,3 +552,118 @@ def test_upsert_update_semantics_classification(spark, tmp_path):
     folded = {(r.k, r.v) for r in ins.exceptAll(dele).collect()}
     head = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
     assert folded == head
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """Rename: logical name changes, the pinned physical name keeps
+    every existing file readable with ZERO rewrites; time travel
+    serves the old name; the change feed serves the NEW name even
+    for deltas persisted before the rename."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])
+    files_before = set(VL.live_files(t))
+    VL.rename_column(t, "v", "val")
+    assert set(VL.live_files(t)) == files_before  # zero rewrites
+    cur = VL.read_table(spark, t)
+    assert cur.columns == ["k", "val"]
+    assert {(r.k, r.val) for r in cur.collect()} == {(1, "A"), (2, "b")}
+    old = VL.read_table(spark, t, version=0)
+    assert old.columns == ["k", "v"]
+    # a range ending at the PRE-rename version keeps the old name
+    # (time-travel semantics); extend it through the rename commit
+    # (v2, dataChange:false so it feeds nothing) and the pre-rename
+    # persisted delta serves under the NEW logical name
+    assert VL.read_changes(spark, t, 1, 1).columns[:2] == ["k", "v"]
+    feed = VL.read_changes(spark, t, 1, 2)
+    assert feed.columns[:2] == ["k", "val"]
+    assert {(r.k, r.val, r._change_type) for r in feed.collect()} == {
+        (1, "a", "delete"),
+        (1, "A", "insert"),
+    }
+    # appends after the rename land under the pinned physical name
+    VL.commit_append(
+        spark, spark.createDataFrame([(9, "z")], "k long, val string"), t
+    )
+    assert {(r.k, r.val) for r in VL.read_table(spark, t).collect()} == {
+        (1, "A"), (2, "b"), (9, "z")
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        VL.rename_column(t, "k", "val")
+    with pytest.raises(ValueError, match="no column"):
+        VL.rename_column(t, "nope", "x")
+
+
+def test_drop_column_then_readd_never_resurrects(spark, tmp_path):
+    """Drop retires the physical name: a later re-add of the same
+    logical name gets a fresh physical identity, so the old bytes in
+    surviving files can NEVER leak into the new column."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "OLD1"), (2, "OLD2")]), t)
+    VL.drop_column(t, "v")
+    assert VL.read_table(spark, t).columns == ["k"]
+    # time travel still serves the dropped column
+    assert {r.v for r in VL.read_table(spark, t, version=0).collect()} == {
+        "OLD1", "OLD2"
+    }
+    # re-add a column with the SAME logical name
+    VL.commit_append(
+        spark, spark.createDataFrame([(3, "NEW3")], "k long, v string"), t
+    )
+    got = {(r.k, r.v) for r in VL.read_table(spark, t).collect()}
+    # rows from the pre-drop files serve NULL, never OLD1/OLD2
+    assert got == {(1, None), (2, None), (3, "NEW3")}
+    with pytest.raises(ValueError, match="last column"):
+        VL.drop_column(t, "k")
+        VL.drop_column(t, "v")
+
+
+def test_rename_then_prune_uses_physical_stats(spark, tmp_path):
+    """File-skipping stats are keyed by physical names; a pruned
+    lookup on the RENAMED logical column still skips files."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, f"v{i}") for i in range(100)]),
+                     t, n_files=5)
+    VL.commit_optimize(spark, t, n_files=4, sort_cols=["k"])
+    VL.rename_column(t, "k", "key_id")
+    kept = VL.pruned_files(t, {"key_id": (10, 12)})
+    assert 0 < len(kept) < len(VL.live_files(t))
+    got = {r.key_id for r in VL.read_table(
+        spark, t, prune={"key_id": (10, 12)}
+    ).filter("key_id between 10 and 12").collect()}
+    assert got == {10, 11, 12}
+
+
+def test_rename_streams_current_names(spark, tmp_path):
+    """The graal_vlake stream serves the CURRENT logical schema; data
+    and change files written before the rename read via the pinned
+    physical name."""
+    from graal_cdc_spark.sources import vlake_ds
+
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    VL.commit_upsert_keys(spark, _df(spark, [(1, "A")]), t, ["k"])
+    VL.rename_column(t, "v", "val")
+    VL.commit_append(
+        spark, spark.createDataFrame([(2, "b")], "k long, val string"), t
+    )
+    vlake_ds.register(spark)
+    q = (
+        spark.readStream.format("graal_vlake")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.columns == ["k", "val", "_change_type", "_commit_version"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "a", "insert", 0),
+        (1, "a", "delete", 1),
+        (1, "A", "insert", 1),
+        (2, "b", "insert", 3),
+    }
