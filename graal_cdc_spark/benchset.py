@@ -95,6 +95,10 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with metadata-only rename/drop commits, same class as c31"
     ),
+    "st20_lake_stream_update_feed": (
+        "checkpointed availableNow streaming drain over the c36 "
+        "commit lifecycle (filesystem-bound), same class as st19"
+    ),
 }
 
 

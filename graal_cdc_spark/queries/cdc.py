@@ -2524,12 +2524,16 @@ register(
 # ---------------------------------------------------------------------------
 
 
-def _c36(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_vlake_update_lifecycle(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> str:
+    """The c32 lifecycle with UPDATE-CLASSIFIED deltas on the merge
+    commit (shared by c36 and st20): v0 append, v1 key-merge with
+    update_semantics=True, v2 copy-on-write delete."""
     import tempfile
 
     from graal_cdc_spark.sinks import versioned_lake as VL
 
-    configure(spark)
     parsed = _parsed(spark, sf_dir)
     mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
     s0, s1 = mx // 3, (2 * mx) // 3
@@ -2538,7 +2542,7 @@ def _c36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "d")
         .select("tbl", "key", "op", "seq")
     )
-    table = tempfile.mkdtemp(prefix="c36-vlake-") + "/state"
+    table = tempfile.mkdtemp(prefix=f"{prefix}-vlake-") + "/state"
     VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
     upd = (
         latest_by_key(
@@ -2557,21 +2561,12 @@ def _c36(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_semantics=True,                                       # v1
     )
     VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
-    return change_feed_census(VL.read_changes(spark, table, 0, 2))
+    return table
 
 
-register(
-    QuerySpec(
-        name="c36_lake_update_feed",
-        category="cdc",
-        description="versioned-lake change feed with Delta-CDF "
-        "update classification: the key-merge commit feeds "
-        "update_preimage/update_postimage per overlapping key and "
-        "insert for new keys — census per (version, change type, "
-        "table)",
-        spark=_c36,
-        oracle=cdc_parsed_cte()
-        + """
+C36_ORACLE = (
+    cdc_parsed_cte()
+    + """
 , mx AS (SELECT max(seq) AS m FROM cdc_parsed),
 base AS (
   SELECT tbl, key, op, seq FROM (
@@ -2618,7 +2613,29 @@ SELECT CAST(version AS INT) AS version, change_type, tbl,
 FROM feed
 GROUP BY version, change_type, tbl
 ORDER BY version, change_type, tbl
-""",
+"""
+)
+
+
+def _c36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    table = build_vlake_update_lifecycle(spark, sf_dir, "c36")
+    return change_feed_census(VL.read_changes(spark, table, 0, 2))
+
+
+register(
+    QuerySpec(
+        name="c36_lake_update_feed",
+        category="cdc",
+        description="versioned-lake change feed with Delta-CDF "
+        "update classification: the key-merge commit feeds "
+        "update_preimage/update_postimage per overlapping key and "
+        "insert for new keys — census per (version, change type, "
+        "table)",
+        spark=_c36,
+        oracle=C36_ORACLE,
         reference="no reference analog; Delta Lake Change Data Feed "
         "update_preimage/update_postimage classification (r12)",
     )

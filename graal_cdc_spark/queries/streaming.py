@@ -930,3 +930,64 @@ register(
         "public PySpark Python DataSource API",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST20 — versioned-lake streaming UPDATE-CLASSIFIED feed: the st19
+# drain over the c36 lifecycle (the key-merge commit persisted its
+# delta with Delta-CDF update_preimage/update_postimage classes).
+# Shares C36's oracle verbatim: every micro-batch partition is one
+# persisted change file read as Arrow batches, so a dropped class, a
+# mis-planned file partition, or a broken classification changes a
+# cell. Together with st19 this pins BOTH feed shapes (net
+# insert/delete and update-classified) through the streaming path.
+#
+# Scale shape: identical to st19 — one input partition per persisted
+# change file, zero diff work at read time, checkpointed integer
+# offsets.
+# ---------------------------------------------------------------------------
+
+
+def _st20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.queries.cdc import (
+        build_vlake_update_lifecycle,
+        change_feed_census,
+    )
+    from graal_cdc_spark.sources import vlake_ds
+
+    configure(spark)
+    table = build_vlake_update_lifecycle(spark, sf_dir, "st20")
+    vlake_ds.register(spark)
+    root = tempfile.mkdtemp(prefix="st20-")
+    q = (
+        spark.readStream.format("graal_vlake")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return change_feed_census(spark.read.parquet(f"{root}/out"))
+
+
+from graal_cdc_spark.queries.cdc import C36_ORACLE as _C36_ORACLE  # noqa: E402
+
+register(
+    QuerySpec(
+        name="st20_lake_stream_update_feed",
+        category="streaming",
+        description="graal_vlake streaming source over the "
+        "update-classified change feed: per-file Arrow micro-batch "
+        "partitions serve update_preimage/update_postimage/insert/"
+        "delete classes, availableNow drain, census per (version, "
+        "change type, table) — same oracle as the batch c36",
+        spark=_st20,
+        oracle=_C36_ORACLE,
+        reference="no reference analog; Delta Lake CDF update "
+        "classification through the streaming source (r12)",
+    )
+)
