@@ -19,6 +19,12 @@ healthy at 100 TB, composed from the engine's gated operators.
 5. **Versioned serving table** (``sinks/versioned_lake``, gated as
    c31): atomic key-merges into a transaction-logged table with
    snapshot isolation, time travel, and vacuum-bounded storage.
+6. **Maintenance that costs consumers nothing** (r12, gated as
+   c33/c35/c37): OPTIMIZE is a ``dataChange:false`` commit the
+   change feed skips without reading a byte; ``vacuum(spark=...)``
+   persists per-commit deltas before reclaiming pre-image files, so
+   the feed keeps serving PAST the retention horizon; column renames
+   are metadata-only commits over pinned physical names.
 
 Each is idempotent and crash-repairable, so the runbook is "run them
 on a schedule; rerun freely after failures".
@@ -232,6 +238,23 @@ def run(spark, base: str):
     assert v2_rows == 2  # one delete + one insert for the merged key
     # zero replay: earlier versions' rows appear exactly once
     assert resumed_feed.count() == first + v2_rows
+
+    # --- job 7 (r12): maintenance that costs consumers nothing ---
+    # OPTIMIZE bin-packs the serving table as a data-identical commit
+    # (dataChange:false): the parked feed consumer drains NOTHING new.
+    VL.commit_optimize(spark, vt, n_files=1)
+    after_opt = drain_feed()
+    assert after_opt.count() == first + v2_rows, "optimize fed rows!"
+    # vacuum with spark= back-fills persisted deltas before deleting
+    # the pre-image files, so the FULL feed still answers afterwards
+    VL.vacuum(vt, keep_versions=1, spark=spark)
+    replayed = VL.read_changes(spark, vt, 0, 2).count()
+    assert replayed == first + v2_rows, (replayed, first, v2_rows)
+    # column rename: metadata-only, zero rewrites, old files readable
+    files_before_rename = set(VL.live_files(vt))
+    VL.rename_column(vt, "seq", "version_seq")
+    assert set(VL.live_files(vt)) == files_before_rename
+    assert VL.read_table(spark, vt).columns == ["key", "version_seq"]
 
     return {"log_rows": (before, after), "purge": stats,
             "compaction": rewritten,
