@@ -71,8 +71,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
+from typing import NamedTuple
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,9 +84,27 @@ from pyspark.sql import types as T
 LOG_DIR = "_vlog"
 CDF_DIR = "_changes"
 
+# hive's spelling for a NULL partition value in a directory name
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 class CommitConflict(Exception):
     """Another writer claimed the version this commit raced for."""
+
+
+class ConstraintViolation(Exception):
+    """Incoming rows break a table CHECK constraint; nothing committed."""
+
+
+class _Snapshot(NamedTuple):
+    """Everything a snapshot reader needs, from ONE log replay."""
+
+    files: dict[str, int]            # {relative data path: rows}
+    stats: dict[str, dict]           # {path: {physical col: [lo, hi]}}
+    schema: list[dict] | None        # [{"name", "type", "physical"?}]
+    retired: list[str]               # retired physical column names
+    partition_cols: list[str]        # PHYSICAL partition column names
+    constraints: dict[str, str]      # {constraint name: SQL expr}
 
 
 def _log_path(table: str) -> str:
@@ -131,18 +152,14 @@ def commit_body(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def _fold_log(
-    table: str, version: int | None = None
-) -> tuple[dict[str, int], dict[str, dict], list[dict] | None, list[str]]:
+def _fold_log(table: str, version: int | None = None) -> _Snapshot:
     """ONE checkpoint+tail replay producing everything a snapshot
-    reader needs: (live ``{path: rows}``, per-file column stats
-    ``{path: {col: [lo, hi]}}``, schema fields as of the version or
-    ``None`` for pre-evolution logs, retired physical column names).
-    All public snapshot accessors derive from this single fold — a
-    pruned read replays the log once, not three times (ADVICE r11)."""
+    reader needs (see :class:`_Snapshot`). All public snapshot
+    accessors derive from this single fold — a pruned read replays
+    the log once, not three times (ADVICE r11)."""
     target = latest_version(table) if version is None else version
     if target < 0:
-        return {}, {}, None, []
+        return _Snapshot({}, {}, None, [], [], {})
     vs = _versions(table)
     if target not in vs:
         raise ValueError(
@@ -155,6 +172,8 @@ def _fold_log(
     stats: dict[str, dict] = {}
     schema: list[dict] | None = None
     retired: list[str] = []
+    pcols: list[str] = []
+    constraints: dict[str, str] = {}
     start = 0
     cps = [c for c in _checkpoints(table) if c <= target]
     if cps:
@@ -168,6 +187,8 @@ def _fold_log(
         stats = dict(body.get("stats", {}))
         schema = body.get("schema")
         retired = list(body.get("schema_retired", []))
+        pcols = list(body.get("partition_cols", []))
+        constraints = dict(body.get("constraints", {}))
         start = cp + 1
     for v in vs:
         if v < start or v > target:
@@ -178,6 +199,10 @@ def _fold_log(
             schema = commit["schema"]
         if commit.get("schema_retired") is not None:
             retired = list(commit["schema_retired"])
+        if commit.get("partition_cols"):
+            pcols = list(commit["partition_cols"])
+        if commit.get("constraints") is not None:
+            constraints = dict(commit["constraints"])
         for action in commit["actions"]:
             if "add" in action:
                 p = action["add"]["path"]
@@ -191,7 +216,7 @@ def _fold_log(
                 p = action["remove"]["path"]
                 files.pop(p, None)
                 stats.pop(p, None)
-    return files, stats, schema, retired
+    return _Snapshot(files, stats, schema, retired, pcols, constraints)
 
 
 def live_files(table: str, version: int | None = None) -> dict[str, int]:
@@ -210,8 +235,8 @@ def live_file_stats(
     analog). Files committed before stats existed (or columns whose
     types carry no stats) are simply absent — absence means "never
     prune", so pruning is advisory and can never change results."""
-    files, stats, _, _ = _fold_log(table, version)
-    return {p: st for p, st in stats.items() if p in files}
+    snap = _fold_log(table, version)
+    return {p: st for p, st in snap.stats.items() if p in snap.files}
 
 
 def schema_fields(
@@ -313,8 +338,10 @@ def pruned_files(
     log metadata alone: no parquet footer is opened, which is the
     point at 100 TB — a point lookup on a table clustered by
     ``commit_optimize(sort_cols=...)`` plans one file, not thousands."""
-    files, stats, fields, _ = _fold_log(table, version)
-    return _keep_after_prune(files, stats, _phys_preds(fields, predicates))
+    snap = _fold_log(table, version)
+    return _keep_after_prune(
+        snap.files, snap.stats, _phys_preds(snap.schema, predicates)
+    )
 
 
 def _read_files(
@@ -349,7 +376,8 @@ def read_table(
     set evolved serves older files with NULL for the later columns.
     An empty table raises (no schema to serve). One log replay total
     (fold once, prune from the same fold — ADVICE r11)."""
-    files, stats, fields, _ = _fold_log(table, version)
+    snap = _fold_log(table, version)
+    files, stats, fields = snap.files, snap.stats, snap.schema
     if not files:
         raise ValueError(f"versioned table {table!r} is empty at {version}")
     keep = (
@@ -643,13 +671,111 @@ def _to_physical(df: DataFrame, fields: list[dict] | None) -> DataFrame:
     )
 
 
+def _parse_part_value(raw: str, typ: str):
+    """A hive directory segment's value, restored to the column's
+    type (directory names stringify everything)."""
+    if raw == _HIVE_NULL:
+        return None
+    v = unquote(raw)
+    t = typ.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    return v
+
+
+def _stage_partitioned(
+    pdf: DataFrame,
+    table: str,
+    fields: list[dict] | None,
+    pcols: list[str],
+) -> list[tuple[str, int, dict, dict]]:
+    """Stage ``pdf`` (already physical-named) hive-partitioned by the
+    PHYSICAL columns ``pcols``. The partition columns STAY in the
+    data files (readers keep one ordinary multi-file parquet relation
+    with full pushdown — the directory split exists only at staging
+    time); each file's add action records its exact partition values,
+    which also enter the file's stats as exact [v, v] ranges so
+    ``pruned_files`` skips non-matching partitions from log metadata
+    alone. Returns [(path, rows, stats, partition_values)]."""
+    typ = {_phys(f): f["type"] for f in (fields or [])}
+    hp = {f"__hp_{i}": c for i, c in enumerate(pcols)}
+    dup = pdf
+    for hcol, c in hp.items():
+        dup = dup.withColumn(hcol, F.col(f"`{c}`"))
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    dup.write.mode("overwrite").partitionBy(*hp).parquet(staging)
+    out: list[tuple[str, int, dict, dict]] = []
+    import pyarrow.parquet as pq
+
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        vals: dict[str, object] = {}
+        for seg in rel_dir.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, raw = seg.split("=", 1)
+            if k not in hp:
+                continue
+            col = hp[k]
+            vals[col] = _parse_part_value(raw, typ.get(col, "string"))
+        if len(vals) != len(pcols):
+            continue  # not a leaf partition directory
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, n))
+            if md.num_rows == 0:
+                continue
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(root, n), os.path.join(table, name))
+            st = _file_stats(md)
+            for c, v in vals.items():
+                if v is not None and isinstance(v, (int, float, str, bool)):
+                    st[c] = [v, v]  # exact: the file holds ONLY v
+            out.append((name, md.num_rows, st, dict(vals)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 def _stage_data_files(
     df: DataFrame,
     table: str,
     n_files: int | None = None,
     fields: list[dict] | None = None,
-) -> list[tuple[str, int, dict]]:
-    return _stage_parquet(_to_physical(df, fields), table, "", "part", n_files)
+    pcols: list[str] | None = None,
+    pre_shaped: bool = False,
+) -> list[tuple[str, int, dict, dict]]:
+    """Stage data files; with ``pcols`` (physical partition columns)
+    the write is hive-split per partition value. Unless ``pre_shaped``,
+    a partitioned stage first hash-repartitions by the partition
+    columns (the standard dynamic-partition-insert shuffle) so each
+    value lands in ONE task — one file per partition value per commit,
+    not one per (input task × value)."""
+    pdf = _to_physical(df, fields)
+    if pcols:
+        if not pre_shaped:
+            cols = [F.col(f"`{c}`") for c in pcols]
+            pdf = (
+                pdf.repartition(n_files, *cols)
+                if n_files
+                else pdf.repartition(*cols)
+            )
+        return _stage_partitioned(pdf, table, fields, pcols)
+    return [
+        (p, r, st, {})
+        for p, r, st in _stage_parquet(pdf, table, "", "part", n_files)
+    ]
+
+
+def _add_action(p: str, r: int, st: dict, part: dict) -> dict:
+    body = {"path": p, "rows": r, "stats": st}
+    if part:
+        body["partition"] = part
+    return {"add": body}
 
 
 def _stage_cdf_files(
@@ -724,6 +850,8 @@ def _try_commit(
     cdf: list[dict] | None = None,
     schema: list[dict] | None = None,
     schema_retired: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Claim version ``expected_version + 1`` atomically. Raises
     :class:`CommitConflict` if another writer got there first."""
@@ -743,6 +871,10 @@ def _try_commit(
         body["schema"] = schema
     if schema_retired is not None:
         body["schema_retired"] = schema_retired
+    if partition_cols is not None:
+        body["partition_cols"] = partition_cols
+    if constraints is not None:
+        body["constraints"] = constraints
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(body, f)
@@ -762,18 +894,105 @@ def _try_commit(
         os.close(fd)
     os.unlink(tmp)
     if checkpoint_every and version % checkpoint_every == 0:
-        files, stats, fields, retired = _fold_log(table, version)
+        snap = _fold_log(table, version)
         cp = os.path.join(log, f"{version:08d}.checkpoint.json")
         cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
-        cp_body = {"version": version, "live": files, "stats": stats}
-        if fields is not None:
-            cp_body["schema"] = fields
-        if retired:
-            cp_body["schema_retired"] = retired
+        cp_body = {
+            "version": version,
+            "live": snap.files,
+            "stats": snap.stats,
+        }
+        if snap.schema is not None:
+            cp_body["schema"] = snap.schema
+        if snap.retired:
+            cp_body["schema_retired"] = snap.retired
+        if snap.partition_cols:
+            cp_body["partition_cols"] = snap.partition_cols
+        if snap.constraints:
+            cp_body["constraints"] = snap.constraints
         with open(cp_tmp, "w", encoding="utf-8") as f:
             json.dump(cp_body, f)
         os.replace(cp_tmp, cp)
     return version
+
+
+def _check_constraints(
+    df: DataFrame, constraints: dict[str, str], context: str
+) -> None:
+    """Reject the commit if any incoming row makes a constraint
+    expression FALSE (ANSI CHECK semantics: NULL passes — spell NOT
+    NULL as ``col IS NOT NULL``). One combined pass over the incoming
+    data on the happy path; the per-constraint pass runs only to name
+    the violated constraint in the error."""
+    if not constraints:
+        return
+    viol = None
+    for expr in constraints.values():
+        v = F.expr(f"NOT coalesce(({expr}), true)")
+        viol = v if viol is None else (viol | v)
+    if df.filter(viol).limit(1).count():
+        for name, expr in constraints.items():
+            if (
+                df.filter(F.expr(f"NOT coalesce(({expr}), true)"))
+                .limit(1)
+                .count()
+            ):
+                raise ConstraintViolation(
+                    f"{context}: incoming rows violate constraint "
+                    f"{name!r} ({expr}); nothing was committed"
+                )
+        raise ConstraintViolation(
+            f"{context}: incoming rows violate a table constraint"
+        )
+
+
+def _logical_names(fields: list[dict] | None, phys: list[str]) -> list[str]:
+    if fields is None:
+        return list(phys)
+    m = {_phys(f): f["name"] for f in fields}
+    return [m.get(c, c) for c in phys]
+
+
+def _resolve_partition_cols(
+    snap: _Snapshot,
+    effective: list[dict] | None,
+    partition_by: list[str] | None,
+    context: str,
+) -> tuple[list[str], bool]:
+    """The PHYSICAL partition columns this commit must stage under,
+    plus whether the commit introduces them (first commit only —
+    re-partitioning a live table would strand the existing files
+    outside the layout, so it is rejected like Delta does)."""
+    if snap.partition_cols:
+        if partition_by is not None:
+            m = (
+                {f["name"]: _phys(f) for f in effective}
+                if effective is not None
+                else {}
+            )
+            want = [m.get(c, c) for c in partition_by]
+            if want != snap.partition_cols:
+                raise ValueError(
+                    f"{context}: table is partitioned by "
+                    f"{_logical_names(effective, snap.partition_cols)}, "
+                    f"not {partition_by}"
+                )
+        return snap.partition_cols, False
+    if not partition_by:
+        return [], False
+    if snap.files or snap.schema is not None:
+        raise ValueError(
+            f"{context}: cannot introduce partitioning on an existing "
+            "table — partition_by is only honored on the FIRST commit"
+        )
+    names = {f["name"] for f in (effective or [])}
+    missing = [c for c in partition_by if c not in names]
+    if missing:
+        raise ValueError(
+            f"{context}: partition column(s) {missing} not in the data"
+        )
+    m = {f["name"]: _phys(f) for f in (effective or [])}
+    return [m[c] for c in partition_by], True
 
 
 def commit_append(
@@ -782,21 +1001,36 @@ def commit_append(
     table: str,
     n_files: int | None = None,
     max_retries: int = 20,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new version. Appends never conflict
     logically, so a racing writer just re-claims the next number.
     New columns evolve the table schema (recorded in the commit);
-    a same-name/different-type column raises."""
+    a same-name/different-type column raises.
+
+    ``partition_by`` on the FIRST commit declares hive-style partition
+    columns, recorded as a log action: every write is split per
+    partition value (the columns stay in the data files, so reads are
+    one ordinary parquet relation), each add action carries its exact
+    partition values, and range reads prune non-matching partitions
+    from log metadata alone. Later commits inherit the layout
+    (passing a conflicting ``partition_by`` raises). Incoming rows
+    are checked against the table's CHECK constraints first."""
     incoming = _schema_fields_of(df)
     base = latest_version(table)
-    _, _, existing, retired = _fold_log(
-        table, base if base >= 0 else None
-    ) if base >= 0 else ({}, {}, None, [])
+    snap = _fold_log(table, base) if base >= 0 else _fold_log(table, None)
+    existing, retired = snap.schema, snap.retired
     merged = _merged_schema(existing, incoming, "commit_append", retired)
     effective = merged if merged is not None else existing
+    _check_constraints(df, snap.constraints, "commit_append")
+    pcols, introduces = _resolve_partition_cols(
+        snap, effective, partition_by, "commit_append"
+    )
     adds = [
-        {"add": {"path": p, "rows": r, "stats": st}}
-        for p, r, st in _stage_data_files(df, table, n_files, effective)
+        _add_action(p, r, st, part)
+        for p, r, st, part in _stage_data_files(
+            df, table, n_files, effective, pcols
+        )
     ]
 
     def mapping(fields):
@@ -807,12 +1041,17 @@ def commit_append(
         }
 
     staged_map = mapping(effective)
+    checked = snap.constraints
     for _ in range(max_retries):
         try:
-            return _try_commit(table, adds, "append", base, schema=merged)
+            return _try_commit(
+                table, adds, "append", base, schema=merged,
+                partition_cols=pcols if introduces else None,
+            )
         except CommitConflict:
             base = latest_version(table)
-            _, _, existing, retired = _fold_log(table, base)
+            snap = _fold_log(table, base)
+            existing, retired = snap.schema, snap.retired
             merged = _merged_schema(
                 existing, incoming, "commit_append", retired
             )
@@ -821,6 +1060,24 @@ def commit_append(
                 raise CommitConflict(
                     "commit_append: a concurrent commit changed the "
                     "column mapping under this append — re-run it"
+                ) from None
+            if snap.constraints != checked:
+                # a constraint landed while this append raced: the
+                # staged rows were never checked against it
+                _check_constraints(df, snap.constraints, "commit_append")
+                checked = snap.constraints
+            if introduces:
+                # partitioning may only be introduced by the FIRST
+                # commit; losing the race means the table exists now
+                raise CommitConflict(
+                    "commit_append: lost the first-commit race while "
+                    "introducing partitioning — re-run this append "
+                    "against the now-existing table"
+                ) from None
+            if snap.partition_cols != pcols:
+                raise CommitConflict(
+                    "commit_append: a concurrent commit changed the "
+                    "table's partition layout — re-run this append"
                 ) from None
             continue
     raise CommitConflict(f"append lost {max_retries} version races")
@@ -843,7 +1100,8 @@ def commit_delete_where(
     persisted once under ``_changes/`` so change-feed consumers read
     them as a plain scan instead of re-diffing the touched files."""
     base = latest_version(table)
-    files, _, fields, _ = _fold_log(table, base if base >= 0 else None)
+    snap = _fold_log(table, base if base >= 0 else None)
+    files, fields = snap.files, snap.schema
     touched: list[str] = []
     for p in files:
         hit = (
@@ -860,8 +1118,10 @@ def commit_delete_where(
         touched_df = _read_data(spark, table, touched, fields)
         survivors = touched_df.filter(f"NOT ({predicate})")
         actions += [
-            {"add": {"path": p, "rows": r, "stats": st}}
-            for p, r, st in _stage_data_files(survivors, table, None, fields)
+            _add_action(p, r, st, part)
+            for p, r, st, part in _stage_data_files(
+                survivors, table, None, fields, snap.partition_cols
+            )
         ]
         if write_cdf:
             # net delta of a delete == the matching rows, verbatim
@@ -908,15 +1168,14 @@ def commit_upsert_keys(
     feed so the batch reconstruction and the write-time delta agree
     bit-for-bit."""
     base = latest_version(table)
-    if base >= 0:
-        files, _, existing_fields, retired = _fold_log(table, base)
-    else:
-        files, existing_fields, retired = {}, None, []
+    snap = _fold_log(table, base if base >= 0 else None)
+    files, existing_fields, retired = snap.files, snap.schema, snap.retired
     merged = _merged_schema(
         existing_fields, _schema_fields_of(df), "commit_upsert_keys",
         retired,
     )
     eff = merged if merged is not None else existing_fields
+    _check_constraints(df, snap.constraints, "commit_upsert_keys")
     keys = df.select(*key_cols).distinct()
     touched: list[str] = []
     for p in files:
@@ -934,14 +1193,18 @@ def commit_upsert_keys(
         touched_df = _read_data(spark, table, touched, existing_fields)
         survivors = touched_df.join(keys, key_cols, "left_anti")
         actions += [
-            {"add": {"path": p, "rows": r, "stats": st}}
-            for p, r, st in _stage_data_files(survivors, table, None, eff)
+            _add_action(p, r, st, part)
+            for p, r, st, part in _stage_data_files(
+                survivors, table, None, eff, snap.partition_cols
+            )
         ]
         if write_cdf:
             dropped = touched_df.join(keys, key_cols, "left_semi")
     actions += [
-        {"add": {"path": p, "rows": r, "stats": st}}
-        for p, r, st in _stage_data_files(df, table, None, eff)
+        _add_action(p, r, st, part)
+        for p, r, st, part in _stage_data_files(
+            df, table, None, eff, snap.partition_cols
+        )
     ]
     cdf_entries: list[dict] | None = None
     if write_cdf:
@@ -1012,11 +1275,24 @@ def commit_optimize(
     cluster scale ``n_files`` is sized to ~128 MB/file like any
     compaction job."""
     base = latest_version(table)
-    files, _, fields, _ = _fold_log(table, base if base >= 0 else None)
+    snap = _fold_log(table, base if base >= 0 else None)
+    files, fields = snap.files, snap.schema
     if not files:
         raise ValueError(f"versioned table {table!r} is empty")
     df = _read_data(spark, table, list(files), fields)
-    if sort_cols:
+    pcols = snap.partition_cols
+    if pcols:
+        # partition-preserving compaction: hash each partition value
+        # to ONE task (one output file per value), sorted within when
+        # clustering is requested — the layout survives OPTIMIZE
+        lp = [F.col(f"`{c}`") for c in _logical_names(fields, pcols)]
+        df = df.repartition(n_files, *lp)
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        staged = _stage_data_files(
+            df, table, None, fields, pcols, pre_shaped=True
+        )
+    elif sort_cols:
         df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
@@ -1025,7 +1301,7 @@ def commit_optimize(
         staged = _stage_data_files(df, table, n_files, fields)
     actions = [{"remove": {"path": p}} for p in files]
     actions += [
-        {"add": {"path": p, "rows": r, "stats": st}} for p, r, st in staged
+        _add_action(p, r, st, part) for p, r, st, part in staged
     ]
     # like delete: a stale-snapshot optimize must not blind-retry
     return _try_commit(
@@ -1033,16 +1309,28 @@ def commit_optimize(
     )
 
 
-def _require_schema_action(table: str, base: int, op: str) -> tuple:
+def _require_schema_action(table: str, base: int, op: str) -> _Snapshot:
     if base < 0:
         raise ValueError(f"{op}: versioned table {table!r} is empty")
-    _, _, fields, retired = _fold_log(table, base)
-    if fields is None:
+    snap = _fold_log(table, base)
+    if snap.schema is None:
         raise ValueError(
             f"{op}: table {table!r} predates schema actions — run one "
             "append with the current schema first to upgrade the log"
         )
-    return fields, retired
+    return snap
+
+
+def _constraint_references(constraints: dict[str, str], col: str) -> str | None:
+    """The name of a constraint whose expression mentions ``col`` as
+    an identifier token, or None. Conservative by design (a string
+    literal containing the word also matches): renaming or dropping a
+    possibly-referenced column must drop the constraint first."""
+    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])")
+    for name, expr in constraints.items():
+        if pat.search(expr):
+            return name
+    return None
 
 
 def rename_column(table: str, old: str, new: str) -> int:
@@ -1052,12 +1340,20 @@ def rename_column(table: str, old: str, new: str) -> int:
     bytes move; readers at older versions still see the old name.
     The commit carries ``dataChange: false`` — feeds skip it."""
     base = latest_version(table)
-    fields, retired = _require_schema_action(table, base, "rename_column")
+    snap = _require_schema_action(table, base, "rename_column")
+    fields, retired = snap.schema, snap.retired
     names = {f["name"] for f in fields}
     if old not in names:
         raise ValueError(f"rename_column: no column {old!r} (have {sorted(names)})")
     if new in names:
         raise ValueError(f"rename_column: column {new!r} already exists")
+    ref = _constraint_references(snap.constraints, old)
+    if ref:
+        raise ValueError(
+            f"rename_column: constraint {ref!r} references {old!r} — "
+            "drop the constraint first, rename, then re-add it under "
+            "the new name"
+        )
     out = []
     for f in fields:
         if f["name"] == old:
@@ -1080,7 +1376,8 @@ def drop_column(table: str, name: str) -> int:
     is RETIRED so a later re-add of the same logical name gets a
     fresh physical name and can never resurrect the old values."""
     base = latest_version(table)
-    fields, retired = _require_schema_action(table, base, "drop_column")
+    snap = _require_schema_action(table, base, "drop_column")
+    fields, retired = snap.schema, snap.retired
     hit = [f for f in fields if f["name"] == name]
     if not hit:
         raise ValueError(
@@ -1089,11 +1386,104 @@ def drop_column(table: str, name: str) -> int:
         )
     if len(fields) == 1:
         raise ValueError("drop_column: cannot drop the last column")
+    if _phys(hit[0]) in snap.partition_cols:
+        raise ValueError(
+            f"drop_column: {name!r} is a partition column — the "
+            "table's layout depends on it"
+        )
+    ref = _constraint_references(snap.constraints, name)
+    if ref:
+        raise ValueError(
+            f"drop_column: constraint {ref!r} references {name!r} — "
+            "drop the constraint first"
+        )
     out = [f for f in fields if f["name"] != name]
     return _try_commit(
         table, [], "drop_column", base, data_change=False,
         schema=out,
         schema_retired=sorted(set(retired) | {_phys(hit[0])}),
+    )
+
+
+def table_partition_cols(
+    table: str, version: int | None = None
+) -> list[str]:
+    """The table's declared partition columns (LOGICAL names) as of
+    ``version``, or [] for an unpartitioned table."""
+    snap = _fold_log(table, version)
+    return _logical_names(snap.schema, snap.partition_cols)
+
+
+def table_constraints(
+    table: str, version: int | None = None
+) -> dict[str, str]:
+    """The table's CHECK constraints ``{name: SQL expr}`` as of
+    ``version`` (Delta constraint-metadata analog)."""
+    return dict(_fold_log(table, version).constraints)
+
+
+def add_constraint(
+    table: str,
+    name: str,
+    expr: str,
+    spark: SparkSession | None = None,
+) -> int:
+    """Add a CHECK constraint as a metadata-only commit (Delta
+    ``ALTER TABLE ADD CONSTRAINT`` analog). Every later append/upsert
+    rejects rows for which ``expr`` evaluates to FALSE (ANSI
+    semantics: NULL passes — spell NOT NULL as ``col IS NOT NULL``),
+    BEFORE any file enters the log, so readers never see a row that
+    broke the contract. With ``spark`` the EXISTING live data is
+    validated first (one distributed scan, the same price Delta
+    pays); without it the constraint only governs future writes.
+
+    Scale shape: enforcement is one combined JVM-side filter over the
+    incoming batch (no shuffle, no Python); the constraint itself is
+    O(1) commit JSON."""
+    base = latest_version(table)
+    if base < 0:
+        raise ValueError(f"add_constraint: table {table!r} is empty")
+    snap = _fold_log(table, base)
+    if name in snap.constraints:
+        raise ValueError(
+            f"add_constraint: constraint {name!r} already exists "
+            f"({snap.constraints[name]})"
+        )
+    if spark is not None:
+        bad = (
+            read_table(spark, table, version=base)
+            .filter(F.expr(f"NOT coalesce(({expr}), true)"))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"add_constraint: existing rows violate {name!r} "
+                f"({expr}) — clean the table first"
+            )
+    cons = dict(snap.constraints)
+    cons[name] = expr
+    return _try_commit(
+        table, [], "add_constraint", base, data_change=False,
+        constraints=cons,
+    )
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    base = latest_version(table)
+    if base < 0:
+        raise ValueError(f"drop_constraint: table {table!r} is empty")
+    snap = _fold_log(table, base)
+    if name not in snap.constraints:
+        raise ValueError(
+            f"drop_constraint: no constraint {name!r} "
+            f"(have {sorted(snap.constraints)})"
+        )
+    cons = {k: v for k, v in snap.constraints.items() if k != name}
+    return _try_commit(
+        table, [], "drop_constraint", base, data_change=False,
+        constraints=cons,
     )
 
 
@@ -1227,4 +1617,66 @@ def vacuum(
             if n.endswith(".parquet") and rel not in keep:
                 os.unlink(os.path.join(cdf_dir, n))
                 deleted.append(rel)
+    return deleted
+
+
+def expire_log(table: str, keep_versions: int = 10) -> list[str]:
+    """Bound the LOG directory (Delta log-retention analog): fold the
+    expiry boundary into a checkpoint, then delete the commit JSONs
+    (and superseded checkpoints) strictly BELOW it. Returns the
+    deleted log file names.
+
+    The boundary is ``head - keep_versions + 1`` — the newest
+    ``keep_versions`` commits stay fully readable (time travel,
+    ``read_changes``, ``table_history``); asking for an expired
+    version raises the usual "does not exist". Without expiry a
+    CDC-fed table's log (and the O(versions) scans in vacuum's
+    back-fill pass and orphan accounting) grows forever; checkpoints
+    bound READ replay but not the directory itself. Run AFTER
+    ``vacuum`` with a horizon at least as deep — expiring a commit
+    whose delta was never persisted forfeits its change feed, exactly
+    like Delta's log retention.
+
+    Scale shape: one checkpoint write + O(expired) unlinks of small
+    JSON files; no data file is touched."""
+    vs = _versions(table)
+    if not vs or keep_versions < 1:
+        return []
+    boundary = vs[-1] - keep_versions + 1
+    expired = [v for v in vs if v < boundary]
+    if not expired:
+        return []
+    # the boundary must be a real version the checkpoint can anchor on
+    anchor = min(v for v in vs if v >= boundary)
+    log = _log_path(table)
+    cp = os.path.join(log, f"{anchor:08d}.checkpoint.json")
+    if not os.path.isfile(cp):
+        snap = _fold_log(table, anchor)
+        cp_body = {
+            "version": anchor,
+            "live": snap.files,
+            "stats": snap.stats,
+        }
+        if snap.schema is not None:
+            cp_body["schema"] = snap.schema
+        if snap.retired:
+            cp_body["schema_retired"] = snap.retired
+        if snap.partition_cols:
+            cp_body["partition_cols"] = snap.partition_cols
+        if snap.constraints:
+            cp_body["constraints"] = snap.constraints
+        cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
+        with open(cp_tmp, "w", encoding="utf-8") as f:
+            json.dump(cp_body, f)
+        os.replace(cp_tmp, cp)
+    deleted = []
+    for v in expired:
+        n = f"{v:08d}.json"
+        os.unlink(os.path.join(log, n))
+        deleted.append(n)
+    for c in _checkpoints(table):
+        if c < anchor:
+            n = f"{c:08d}.checkpoint.json"
+            os.unlink(os.path.join(log, n))
+            deleted.append(n)
     return deleted

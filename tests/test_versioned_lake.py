@@ -667,3 +667,286 @@ def test_rename_streams_current_names(spark, tmp_path):
         (1, "A", "insert", 1),
         (2, "b", "insert", 3),
     }
+
+
+# --------------------------------------------------------------------------
+# partition-column actions (r12: hive-style layout as a log action)
+# --------------------------------------------------------------------------
+
+
+def _pdf(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(n)],
+        "id long, grp string, val long",
+    )
+
+
+def test_partitioned_append_records_layout_and_values(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    assert VL.table_partition_cols(t) == ["grp"]
+    body = VL.commit_body(t, 0)
+    assert body["partition_cols"] == ["grp"]
+    adds = [a["add"] for a in body["actions"] if "add" in a]
+    assert adds and all("partition" in a for a in adds)
+    # one file per partition value per commit (the default shape)
+    vals = sorted(a["partition"]["grp"] for a in adds)
+    assert vals == ["g0", "g1", "g2"]
+    # the partition column STAYS in the data: one plain relation
+    got = VL.read_table(spark, t)
+    assert got.filter("grp = 'g1'").count() == 20
+
+
+def test_partitioned_prune_reads_only_matching_partition(spark, tmp_path):
+    """A pruned read of one partition must not OPEN the other
+    partitions' files — revoke read permission on them as the spy."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    body = VL.commit_body(t, 0)
+    other = [
+        a["add"]["path"]
+        for a in body["actions"]
+        if "add" in a and a["add"]["partition"]["grp"] != "g1"
+    ]
+    assert len(other) == 2
+    try:
+        for p in other:
+            os.chmod(os.path.join(t, p), 0)
+        got = VL.read_table(spark, t, prune={"grp": ("g1", "g1")})
+        assert got.filter("grp = 'g1'").count() == 20
+    finally:
+        for p in other:
+            os.chmod(os.path.join(t, p), 0o644)
+
+
+def test_partitioned_upsert_delete_optimize_preserve_layout(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    VL.commit_upsert_keys(
+        spark,
+        spark.createDataFrame(
+            [(1, "g1", 999), (100, "g0", 5)], "id long, grp string, val long"
+        ),
+        t,
+        ["id"],
+    )
+    VL.commit_delete_where(spark, t, "val = 999")
+    VL.commit_optimize(spark, t, n_files=1)
+    head = VL.latest_version(t)
+    for v in range(head + 1):
+        for a in VL.commit_body(t, v)["actions"]:
+            if "add" in a:
+                assert a["add"].get("partition"), (v, a)
+    assert VL.read_table(spark, t).count() == 60  # 60 + 1 - 1
+    # pruning stays exact after the full lifecycle
+    live = VL.live_files(t)
+    kept = VL.pruned_files(t, {"grp": ("g2", "g2")})
+    assert 0 < len(kept) < len(live)
+    got = VL.read_table(spark, t, prune={"grp": ("g2", "g2")})
+    assert got.filter("grp = 'g2'").count() == 20
+
+
+def test_partitioning_existing_table_or_mismatch_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    with pytest.raises(ValueError, match="FIRST commit"):
+        VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    t2 = str(tmp_path / "t2")
+    VL.commit_append(spark, _pdf(spark), t2, partition_by=["grp"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        VL.commit_append(spark, _pdf(spark), t2, partition_by=["id"])
+    # matching partition_by is accepted; omitted inherits
+    VL.commit_append(spark, _pdf(spark), t2, partition_by=["grp"])
+    VL.commit_append(spark, _pdf(spark), t2)
+    with pytest.raises(ValueError, match="partition column"):
+        VL.drop_column(t2, "grp")
+
+
+def test_partition_null_values_round_trip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 2), (3, "a", 3)],
+        "id long, grp string, val long",
+    )
+    VL.commit_append(spark, df, t, partition_by=["grp"])
+    body = VL.commit_body(t, 0)
+    parts = [a["add"]["partition"]["grp"] for a in body["actions"] if "add" in a]
+    assert sorted(parts, key=str) == [None, "a"]
+    got = VL.read_table(spark, t)
+    assert got.filter("grp IS NULL").count() == 1
+    assert got.count() == 3
+    # the NULL partition has no [v, v] stats: conservatively kept
+    assert len(VL.pruned_files(t, {"grp": ("a", "a")})) == 2
+
+
+def test_partition_prune_after_rename(spark, tmp_path):
+    """Renaming a partition column is metadata-only (physical name
+    pinned); pruning under the NEW logical name still skips files."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    VL.rename_column(t, "grp", "bucket")
+    assert VL.table_partition_cols(t) == ["bucket"]
+    live = VL.live_files(t)
+    kept = VL.pruned_files(t, {"bucket": ("g0", "g0")})
+    assert len(kept) == 1 and len(live) == 3
+    got = VL.read_table(spark, t, prune={"bucket": ("g0", "g0")})
+    assert got.filter("bucket = 'g0'").count() == 20
+    # appends keep working against the renamed layout
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(100, "g9", 1)], "id long, bucket string, val long"),
+        t,
+    )
+    assert VL.read_table(spark, t).filter("bucket = 'g9'").count() == 1
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints (r12: Delta ADD CONSTRAINT analog)
+# --------------------------------------------------------------------------
+
+
+def test_constraint_rejects_violating_commits_atomically(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    VL.add_constraint(t, "val_nonneg", "val >= 0", spark=spark)
+    assert VL.table_constraints(t) == {"val_nonneg": "val >= 0"}
+    head = VL.latest_version(t)
+    bad = spark.createDataFrame([(200, "g0", -1)], "id long, grp string, val long")
+    with pytest.raises(VL.ConstraintViolation, match="val_nonneg"):
+        VL.commit_append(spark, bad, t)
+    with pytest.raises(VL.ConstraintViolation, match="val_nonneg"):
+        VL.commit_upsert_keys(spark, bad, t, ["id"])
+    # nothing committed, nothing visible
+    assert VL.latest_version(t) == head
+    assert VL.read_table(spark, t).filter("val < 0").count() == 0
+    # clean rows pass; NULL passes (ANSI CHECK semantics)
+    ok = spark.createDataFrame(
+        [(201, "g0", 7), (202, "g0", None)], "id long, grp string, val long"
+    )
+    VL.commit_append(spark, ok, t)
+    assert VL.read_table(spark, t).count() == 62
+    # dropping the constraint re-admits
+    VL.drop_constraint(t, "val_nonneg")
+    VL.commit_append(spark, bad, t)
+    assert VL.read_table(spark, t).filter("val < 0").count() == 1
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    with pytest.raises(VL.ConstraintViolation, match="existing rows"):
+        VL.add_constraint(t, "tiny", "val < 5", spark=spark)
+    # without spark the constraint governs only future writes
+    VL.add_constraint(t, "tiny", "val < 5")
+    with pytest.raises(VL.ConstraintViolation):
+        VL.commit_append(
+            spark,
+            spark.createDataFrame([(300, "g0", 10)], "id long, grp string, val long"),
+            t,
+        )
+
+
+def test_constraint_blocks_rename_and_drop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        VL.rename_column(t, "val", "amount")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        VL.drop_column(t, "val")
+    VL.drop_constraint(t, "val_nonneg")
+    VL.rename_column(t, "val", "amount")
+    assert "amount" in VL.read_table(spark, t).columns
+
+
+def test_constraints_and_layout_survive_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    for i in range(12):  # cross the checkpoint_every=10 boundary
+        VL.commit_append(
+            spark,
+            spark.createDataFrame(
+                [(1000 + i, "g0", i)], "id long, grp string, val long"
+            ),
+            t,
+        )
+    assert VL._checkpoints(t)  # a checkpoint exists
+    assert VL.table_constraints(t) == {"val_nonneg": "val >= 0"}
+    assert VL.table_partition_cols(t) == ["grp"]
+    with pytest.raises(VL.ConstraintViolation):
+        VL.commit_append(
+            spark,
+            spark.createDataFrame([(99, "g0", -1)], "id long, grp string, val long"),
+            t,
+        )
+
+
+# --------------------------------------------------------------------------
+# log retention (r12: expire_log — Delta log-retention analog)
+# --------------------------------------------------------------------------
+
+
+def test_expire_log_bounds_directory_and_keeps_tail_readable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(12):
+        VL.commit_append(spark, _df(spark, [(i, f"v{i}")]), t)
+    deleted = VL.expire_log(t, keep_versions=3)
+    assert deleted
+    assert VL._versions(t) == [9, 10, 11]
+    # head + retained time travel read fine (anchor checkpoint)
+    assert VL.read_table(spark, t).count() == 12
+    assert VL.read_table(spark, t, version=9).count() == 10
+    with pytest.raises(ValueError, match="does not exist"):
+        VL.read_table(spark, t, version=0)
+    # retained change feed works; expired range raises cleanly
+    assert VL.read_changes(spark, t, 10, 11).count() == 2
+    with pytest.raises(ValueError, match="outside log"):
+        VL.read_changes(spark, t, 0, 11)
+    # expiry is idempotent and re-runnable
+    assert VL.expire_log(t, keep_versions=3) == []
+
+
+def test_expire_log_preserves_schema_partition_constraint_state(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    VL.rename_column(t, "id", "doc_id")  # unconstrained column
+    for i in range(6):
+        VL.commit_append(
+            spark,
+            spark.createDataFrame(
+                [(2000 + i, "g1", i)], "doc_id long, grp string, val long"
+            ),
+            t,
+        )
+    VL.expire_log(t, keep_versions=2)
+    assert VL.table_partition_cols(t) == ["grp"]
+    assert VL.table_constraints(t) == {"val_nonneg": "val >= 0"}
+    assert "doc_id" in VL.read_table(spark, t).columns
+    assert VL.read_table(spark, t).count() == 66
+    # stats survived through the anchor checkpoint: pruning still works
+    assert len(VL.pruned_files(t, {"grp": ("g2", "g2")})) < len(VL.live_files(t))
+
+
+def test_expire_then_vacuum_cleans_orphaned_cdf(spark, tmp_path):
+    """After expiry, change files referenced ONLY by expired commits
+    are unreferenced; vacuum reclaims them."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(i, "x") for i in range(10)]), t)
+    for i in range(6):
+        VL.commit_delete_where(spark, t, f"k = {i}")  # each persists a delta
+    assert os.path.isdir(os.path.join(t, VL.CDF_DIR))
+    n_before = len(os.listdir(os.path.join(t, VL.CDF_DIR)))
+    assert n_before >= 6
+    VL.expire_log(t, keep_versions=2)
+    deleted = VL.vacuum(t, keep_versions=1)
+    cdf_deleted = [p for p in deleted if p.startswith(VL.CDF_DIR)]
+    assert cdf_deleted
+    n_after = len(os.listdir(os.path.join(t, VL.CDF_DIR)))
+    assert n_after < n_before
+    # the retained feed still serves
+    head = VL.latest_version(t)
+    assert VL.read_changes(spark, t, head, head).count() == 1
