@@ -95,6 +95,14 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with metadata-only rename/drop commits, same class as c31"
     ),
+    "c38_lake_partitioned_prune": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "on a partitioned layout, same class as c31/c33"
+    ),
+    "c39_lake_constraint_gate": (
+        "versioned-lake lifecycle with an intentionally-rejected "
+        "commit (filesystem-bound), same class as c31"
+    ),
     "st20_lake_stream_update_feed": (
         "checkpointed availableNow streaming drain over the c36 "
         "commit lifecycle (filesystem-bound), same class as st19"

@@ -2775,3 +2775,263 @@ ORDER BY version, tbl
         "minimally (r12)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C38 — versioned-lake PARTITION columns (r12; Delta partitionBy /
+# hive-layout analog): the c32 lifecycle rebuilt on a table declared
+# `partition_by=["tbl"]` at its first commit. Every write in the
+# lifecycle — the v0 append, the v1 key-merge's survivor rewrite AND
+# incoming rows, the v2 copy-on-write delete's survivors — stages one
+# file per partition value, records the exact value in its add action,
+# and the recorded values double as [v, v] pruning stats. The census
+# reads leg 'all' (the full head) and leg 'pruned' (prune={"tbl":
+# ("orders", "orders")}, which skips every non-orders file from log
+# metadata alone before Spark lists a path). Both legs must agree with
+# the declarative restatement — a file landed in the wrong partition,
+# a survivor rewrite that lost the layout, or pruning that dropped a
+# row changes a cell.
+#
+# Scale shape: partition pruning is THE layout lever at 100 TB — a
+# per-tenant or per-day consumer plans O(its partition), not O(table);
+# the partition columns stay in the data files so the read is still
+# one ordinary multi-file parquet relation with full pushdown.
+# ---------------------------------------------------------------------------
+
+
+def _c38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c38-vlake-") + "/state"
+    VL.commit_append(
+        spark, base.repartition(4, "key"), table, partition_by=["tbl"]
+    )                                                                # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    VL.commit_upsert_keys(
+        spark, upd.repartition(4, "key"), table, ["tbl", "key"]
+    )                                                                # v1
+    VL.commit_delete_where(spark, table, "CAST(key AS BIGINT) % 7 = 2")  # v2
+    legs = []
+    for leg, df in (
+        ("all", VL.read_table(spark, table)),
+        (
+            "pruned",
+            VL.read_table(
+                spark, table, prune={"tbl": ("orders", "orders")}
+            ).filter(F.col("tbl") == "orders"),
+        ),
+    ):
+        legs.append(
+            df.groupBy("tbl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("key").alias("n_keys"),
+                F.max("seq").alias("max_seq"),
+            )
+            .withColumn("leg", F.lit(leg))
+        )
+    return ordered_result(
+        legs[0].unionByName(legs[1]).select(
+            "leg", "tbl", "n_rows", "n_keys", "max_seq"
+        ),
+        "leg",
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c38_lake_partitioned_prune",
+        category="cdc",
+        description="versioned-lake partition columns: the append/"
+        "merge/delete lifecycle on a table partitioned by tbl "
+        "(layout preserved by every rewrite), censused from the full "
+        "head and from a partition-pruned read that skips every "
+        "non-matching file from log metadata alone",
+        spark=_c38,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v1 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+v2 AS (SELECT * FROM v1 WHERE CAST(key AS BIGINT) % 7 <> 2),
+census AS (
+  SELECT 'all' AS leg, tbl, count(*) AS n_rows,
+         count(DISTINCT key) AS n_keys, max(seq) AS max_seq
+  FROM v2 GROUP BY tbl
+  UNION ALL
+  SELECT 'pruned', tbl, count(*), count(DISTINCT key), max(seq)
+  FROM v2 WHERE tbl = 'orders' GROUP BY tbl
+)
+SELECT leg, tbl,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_seq AS BIGINT) AS max_seq
+FROM census
+ORDER BY leg, tbl
+""",
+        reference="no reference analog; Delta Lake partition columns "
+        "/ hive layout + partition pruning, re-expressed as log "
+        "actions over plain parquet (r12)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# C39 — versioned-lake CHECK constraints (r12; Delta ADD CONSTRAINT
+# analog): v0 appends the compacted early state; v1 adds `seq >= 0`
+# as a metadata-only commit (validated against the existing data with
+# a distributed scan); a VIOLATING append (the mid-window rows with
+# negated seqs) is then attempted and MUST be rejected atomically —
+# the query itself raises if enforcement admitted it; v2 appends the
+# clean mid-window rows. The census pins per-table row/key counts,
+# min_seq (a negative value means a violator leaked into the table)
+# and n_versions == 3 (a 4 means the rejected append still claimed a
+# version — rejection wasn't atomic).
+#
+# Scale shape: enforcement is ONE combined JVM-side filter over the
+# incoming batch (no shuffle, no Python, short-circuits at the first
+# violation via limit(1)); the constraint itself is O(1) commit JSON,
+# and readers never pay anything — bad rows never enter the log.
+# ---------------------------------------------------------------------------
+
+
+def _c39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c39-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    VL.add_constraint(table, "seq_nonneg", "seq >= 0", spark=spark)  # v1
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    bad = upd.withColumn("seq", (-F.col("seq") - F.lit(1)).cast("long"))
+    try:
+        VL.commit_append(spark, bad.repartition(4, "key"), table)
+        raise RuntimeError("c39: constraint admitted violating rows")
+    except VL.ConstraintViolation:
+        pass  # the contract: rejected atomically, nothing committed
+    VL.commit_append(spark, upd.repartition(4, "key"), table)        # v2
+    n_versions = VL.latest_version(table) + 1
+    return ordered_result(
+        VL.read_table(spark, table)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("int")),
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c39_lake_constraint_gate",
+        category="cdc",
+        description="versioned-lake CHECK constraints: a violating "
+        "append is rejected atomically (no version claimed, no row "
+        "visible) while clean appends pass — per-table census with "
+        "min_seq (violator leak detector) and the version count",
+        spark=_c39,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+head AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq,
+       CAST(3 AS INT) AS n_versions
+FROM head
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="no reference analog; Delta Lake CHECK constraints "
+        "(ALTER TABLE ADD CONSTRAINT), re-expressed as log metadata "
+        "with commit-time enforcement (r12)",
+    )
+)
