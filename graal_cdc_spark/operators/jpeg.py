@@ -861,12 +861,15 @@ def _quantized_blocks_gray(px: np.ndarray) -> tuple[int, int, np.ndarray]:
 
 
 def _write_ac_first_scan(
-    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, al: int
+    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, al: int,
+    b0: int = 0, b1: int | None = None,
 ) -> None:
     """One AC band scan with Ah=0: run/size coding of the
     point-transformed values sign·(|v| >> Al) (T.81 G.1.2.2; Al=0
-    degenerates to plain spectral selection)."""
-    for b in range(zz.shape[0]):
+    degenerates to plain spectral selection). ``b0``/``b1`` bound the
+    block range so restart-interval encoders can segment the scan
+    (EOB runs here are per-block, so no run ever crosses a segment)."""
+    for b in range(b0, zz.shape[0] if b1 is None else b1):
         band = zz[b]
         shifted = [
             (1 if band[i] > 0 else -1) * (abs(int(band[i])) >> al)
@@ -901,7 +904,8 @@ def _write_ac_first_scan(
 
 
 def _write_ac_refine_scan(
-    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, ah: int, al: int
+    bw_: "_BitWriter", zz: np.ndarray, ss: int, se: int, ah: int, al: int,
+    b0: int = 0, b1: int | None = None,
 ) -> None:
     """One AC successive-approximation refinement scan (Ah = Al + 1,
     T.81 G.1.2.3): newly-significant coefficients (|v| >> Al == 1)
@@ -913,7 +917,7 @@ def _write_ac_refine_scan(
     per-block EOB1 because the Annex-K AC table defines no EOBn>1
     codes (same constraint as the first-scan encoder); the DECODER
     handles general EOBn runs from other encoders."""
-    for b in range(zz.shape[0]):
+    for b in range(b0, zz.shape[0] if b1 is None else b1):
         band = zz[b]
         shifted = [abs(int(band[i])) >> al for i in range(ss, se + 1)]
         # last newly-significant index (relative): |v|>>Al == 1 means
@@ -960,6 +964,7 @@ def encode_jpeg_gray_progressive(
     pixels: np.ndarray,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a (h, w) uint8 grayscale array as PROGRESSIVE JFIF
     (SOF2). ``al = 0``: pure spectral selection — one DC scan, then
@@ -970,7 +975,12 @@ def encode_jpeg_gray_progressive(
     remaining bit plane (Ah = Al + 1 … down to Al = 0) for DC (raw
     bits) and each AC band (newly-significant run/size + buffered
     correction bits). Bands must be ascending, disjoint, and cover
-    1..63 so every coefficient is delivered exactly once per plane."""
+    1..63 so every coefficient is delivered exactly once per plane.
+    ``restart_interval`` > 0 emits a DRI segment and RST0–7 markers
+    every that-many MCUs in EVERY scan (T.81 allows DRI in
+    progressive streams): per-segment byte alignment, DC predictor
+    reset, and no EOB run crossing a boundary — a corrupted scan
+    loses one restart interval, not the rest of the image."""
     px = np.asarray(pixels)
     if px.ndim != 2:
         raise ValueError("encode_jpeg_gray_progressive: expected (h, w)")
@@ -1009,6 +1019,32 @@ def encode_jpeg_gray_progressive(
         b"\xFF\xC4" + struct.pack(">H", 3 + len(ac_payload)) + b"\x10"
         + ac_payload
     )
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    nb_total = zz.shape[0]
+
+    def segmented(write_blocks) -> bytes:
+        """Entropy-code the scan, splitting into restart segments:
+        each segment is independently flushed (byte-aligned) and
+        separated by cycling RST0–7 markers."""
+        if not restart_interval:
+            bw_ = _BitWriter()
+            write_blocks(bw_, 0, nb_total)
+            bw_.flush()
+            return bytes(bw_.out)
+        body = bytearray()
+        m = 0
+        for start in range(0, nb_total, restart_interval):
+            end = min(start + restart_interval, nb_total)
+            bw_ = _BitWriter()
+            write_blocks(bw_, start, end)
+            bw_.flush()
+            body += bw_.out
+            if end < nb_total:
+                body += bytes([0xFF, 0xD0 + (m % 8)])
+                m += 1
+        return bytes(body)
 
     def sos(ss: int, se: int, ah: int, al_: int, body: bytes) -> bytes:
         return (
@@ -1019,43 +1055,52 @@ def encode_jpeg_gray_progressive(
         )
 
     # scan 1: DC first scan (Ss=Se=0, Ah=0, Al=al) — differential
-    # coding of the ARITHMETIC-shifted DC values (T.81 G.1.2.1)
-    bw_ = _BitWriter()
-    prev_dc = 0
-    for b in range(zz.shape[0]):
-        dc = int(zz[b, 0]) >> al
-        diff = dc - prev_dc
-        prev_dc = dc
-        cat, extra = _magnitude(diff)
-        code, length = _DC_CODES[cat]
-        bw_.write(code, length)
-        if cat:
-            bw_.write(extra, cat)
-    bw_.flush()
-    out += sos(0, 0, 0, al, bytes(bw_.out))
+    # coding of the ARITHMETIC-shifted DC values (T.81 G.1.2.1); the
+    # predictor resets at every restart segment
+    def dc_first(bw_, b0, b1):
+        prev_dc = 0
+        for b in range(b0, b1):
+            dc = int(zz[b, 0]) >> al
+            diff = dc - prev_dc
+            prev_dc = dc
+            cat, extra = _magnitude(diff)
+            code, length = _DC_CODES[cat]
+            bw_.write(code, length)
+            if cat:
+                bw_.write(extra, cat)
+
+    out += sos(0, 0, 0, al, segmented(dc_first))
 
     # AC first scans (Ah=0, Al=al): run/size coding of the
     # sign-magnitude point transform per band
     for ss, se in bands:
-        bw_ = _BitWriter()
-        _write_ac_first_scan(bw_, zz, ss, se, al)
-        bw_.flush()
-        out += sos(ss, se, 0, al, bytes(bw_.out))
+        out += sos(
+            ss, se, 0, al,
+            segmented(
+                lambda bw_, b0, b1, _ss=ss, _se=se:
+                _write_ac_first_scan(bw_, zz, _ss, _se, al, b0, b1)
+            ),
+        )
 
     # successive-approximation refinement planes, Al = al-1 .. 0:
     # DC refinements are one raw bit per block; AC refinements are
     # the G.1.2.3 newly-significant/correction coding per band
     for plane in range(al - 1, -1, -1):
-        bw_ = _BitWriter()
-        for b in range(zz.shape[0]):
-            bw_.write((int(zz[b, 0]) >> plane) & 1, 1)
-        bw_.flush()
-        out += sos(0, 0, plane + 1, plane, bytes(bw_.out))
+        def dc_refine(bw_, b0, b1, _plane=plane):
+            for b in range(b0, b1):
+                bw_.write((int(zz[b, 0]) >> _plane) & 1, 1)
+
+        out += sos(0, 0, plane + 1, plane, segmented(dc_refine))
         for ss, se in bands:
-            bw_ = _BitWriter()
-            _write_ac_refine_scan(bw_, zz, ss, se, plane + 1, plane)
-            bw_.flush()
-            out += sos(ss, se, plane + 1, plane, bytes(bw_.out))
+            out += sos(
+                ss, se, plane + 1, plane,
+                segmented(
+                    lambda bw_, b0, b1, _ss=ss, _se=se, _p=plane:
+                    _write_ac_refine_scan(
+                        bw_, zz, _ss, _se, _p + 1, _p, b0, b1
+                    )
+                ),
+            )
 
     out += b"\xFF\xD9"
     return bytes(out)
@@ -1084,8 +1129,10 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     FULL successive approximation (T.81 G.2): point-transformed
     first scans, DC raw-bit refinements, AC newly-significant +
     correction-bit refinements with EOB runs that still consume the
-    covered blocks' correction bits. Restart intervals raise clearly
-    (documented scope). Returns (h, w) uint8."""
+    covered blocks' correction bits. DRI/RST0–7 restart intervals
+    honored in every scan type (per-segment byte alignment, DC
+    predictor reset, EOB runs validated against boundary crossing).
+    Returns (h, w) uint8."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -1094,6 +1141,7 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     ac_trees: dict[int, _HuffTree] = {}
     h = w = 0
     comp_q = 0
+    restart_interval = 0
     coefs: np.ndarray | None = None
     # per zigzag index: -1 = no first scan yet, else the Al of the
     # last scan == the Ah the next refinement must carry; fully
@@ -1163,11 +1211,8 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                 p += nsym
                 tree = _HuffTree(bits, vals)
                 (dc_trees if tc == 0 else ac_trees)[th] = tree
-        elif marker == 0xDD:
-            raise ValueError(
-                "jpeg progressive: restart intervals unsupported "
-                "(documented scope)"
-            )
+        elif marker == 0xDD:  # DRI — restart intervals per T.81
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — one scan
             if coefs is None:
                 raise ValueError("jpeg: SOS before SOF2")
@@ -1211,6 +1256,9 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                     tree = dc_trees[dc_id]
                     pred = 0
                     for b in range(nb):
+                        if restart_interval and b and b % restart_interval == 0:
+                            br.read_restart_marker()
+                            pred = 0  # predictor resets per segment
                         cat = tree.decode(br)
                         pred += (
                             _extend(br.read_bits(cat), cat) if cat else 0
@@ -1223,6 +1271,8 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                             f"does not continue the previous scan"
                         )
                     for b in range(nb):
+                        if restart_interval and b and b % restart_interval == 0:
+                            br.read_restart_marker()
                         if br.read_bit():
                             # arithmetic-shift accumulation: OR works
                             # for negatives in two's complement
@@ -1242,6 +1292,13 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                         )
                     eobrun = 0
                     for b in range(nb):
+                        if restart_interval and b and b % restart_interval == 0:
+                            if eobrun:
+                                raise ValueError(
+                                    "jpeg progressive: EOB run crosses "
+                                    "a restart boundary (T.81 forbids)"
+                                )
+                            br.read_restart_marker()
                         if eobrun > 0:
                             eobrun -= 1
                             continue
@@ -1276,6 +1333,13 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
                         )
                     eobrun = 0
                     for b in range(nb):
+                        if restart_interval and b and b % restart_interval == 0:
+                            if eobrun:
+                                raise ValueError(
+                                    "jpeg progressive: EOB run crosses "
+                                    "a restart boundary (T.81 forbids)"
+                                )
+                            br.read_restart_marker()
                         if eobrun > 0:
                             # block covered by an EOB run: its
                             # nonzero coefs still carry corrections

@@ -854,3 +854,61 @@ def test_jpeg_sa_truncated_refinement_fails_loudly():
     last = payload.rfind(b"\xFF\xDA")
     with pytest.raises(ValueError, match="never delivered"):
         decode_jpeg_gray_progressive(payload[:last] + b"\xFF\xD9")
+
+
+def test_jpeg_progressive_restart_intervals_round_trip():
+    """DRI in PROGRESSIVE scans (T.81 allows restart intervals in
+    SOF2 streams; r12 closes the last documented scope note): every
+    scan type — DC first, DC refinement, AC first, AC refinement —
+    segments at the interval with per-segment byte alignment, DC
+    predictor reset, and cycling RST0-7; reconstruction stays
+    bit-identical to the baseline codec's."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(12)
+    for h, w in [(8, 8), (24, 40), (17, 31)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        base = decode_jpeg_gray(encode_jpeg_gray(img))
+        for al in (0, 2):
+            for ri in (1, 3, 7):
+                enc = encode_jpeg_gray_progressive(
+                    img, al=al, restart_interval=ri
+                )
+                assert b"\xFF\xDD" in enc  # DRI segment present
+                assert np.array_equal(
+                    decode_jpeg_gray_progressive(enc), base
+                ), (h, w, al, ri)
+
+
+def test_jpeg_progressive_restart_strictness():
+    """A stream whose DRI promises restarts but whose scan lacks the
+    marker (or carries a non-RST marker there) is rejected, and a
+    corrupted segment cannot silently desynchronize the rest."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graal_cdc_spark.operators.jpeg import (
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    enc = bytearray(encode_jpeg_gray_progressive(img, restart_interval=2))
+    # find the first RST0 marker inside entropy data and break it into
+    # a non-restart marker byte: the decoder must raise, not misread
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            enc[i + 1] = 0xC9  # not a restart marker
+            break
+    else:
+        raise AssertionError("no RST0 marker found")
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray_progressive(bytes(enc))
