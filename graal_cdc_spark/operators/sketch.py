@@ -297,3 +297,131 @@ def heavy_hitters_exact_chargrams(
         .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
         .select("token", "cnt", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (r12) — the quantile member of the sketch
+# family (HLL l14, Bloom l87, Misra–Gries l90/st18, Count–Min l92).
+# Design: per-partition equal-weight compaction of the sorted values
+# into ``capacity`` points (the classic Munro–Paterson / "mergeable
+# summaries" shape, Agarwal et al. 2012): chunk j of the sorted
+# partition is represented by its MAXIMUM with the chunk size as
+# weight. Summary ranks never OVERcount (a chunk is counted only
+# once its max is passed) and undercount by at most one straddling
+# chunk per partition, so for est_q = first summary value whose
+# cumulative weight reaches target = ceil(q·n):
+#   count(x <= est_q) >= target                       (exact, always)
+#   count(x <  est_q) <= target - 1 + n/capacity + P  (the slack)
+# deterministically — tie-safe (with heavy duplicates the VALUE is
+# the quantile even though its rank interval is wide), and the audit
+# budget l93 gates on. Everything is deterministic: hash
+# repartitioning fixes partition contents, the per-partition sort
+# fixes chunk boundaries, and the merge sorts by value.
+# ---------------------------------------------------------------------------
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 256,
+    num_partitions: int = 32,
+    with_value_counts: bool = False,
+) -> DataFrame:
+    """One (value, weight) quantile summary per hash partition of
+    ``value_col`` (cast to long; NULLs excluded). At most
+    ``capacity`` rows per partition regardless of partition size —
+    the bounded-state one-pass sketch; total weight is preserved
+    exactly. Scale shape: map-only after one hash exchange; the
+    result is ≤ capacity × num_partitions rows (collectable metadata,
+    like the k-means centroid tables).
+
+    ``with_value_counts`` adds a ``kind`` column and EXACT per-value
+    counts (kind=1) alongside the summary points (kind=0) from the
+    SAME single pass: the hash exchange keys on the value, so every
+    copy of a value lands in one partition and the per-partition
+    ``np.unique`` counts are globally exact with NO merge — the
+    audit's exact leg rides the sketch job for free, bounded by the
+    value DOMAIN (never the row count)."""
+    import pyarrow as pa
+
+    cap = int(capacity)
+    if cap < 2:
+        raise ValueError(f"quantile_summary: capacity must be >= 2, got {cap}")
+    part = (
+        df.select(F.col(value_col).cast("long").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .repartition(num_partitions, F.col("x"))
+    )
+
+    def summarize(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        chunks = [
+            b.column(0).to_numpy(zero_copy_only=False) for b in batches
+        ]
+        if not chunks:
+            return
+        v = np.sort(np.concatenate(chunks).astype(np.int64))
+        m = int(v.size)
+        if m == 0:
+            return
+        if m <= cap:
+            vals, ws = v, np.ones(m, dtype=np.int64)
+        else:
+            base, rem = divmod(m, cap)
+            ws = np.full(cap, base, dtype=np.int64)
+            ws[:rem] += 1
+            vals = v[np.cumsum(ws) - 1]  # each chunk's maximum
+        arrays = [pa.array(vals, pa.int64()), pa.array(ws, pa.int64())]
+        if with_value_counts:
+            uv, uc = np.unique(v, return_counts=True)
+            arrays = [
+                pa.array(
+                    np.concatenate([vals, uv]).astype(np.int64), pa.int64()
+                ),
+                pa.array(
+                    np.concatenate([ws, uc]).astype(np.int64), pa.int64()
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(vals.size), np.ones(uv.size)]
+                    ).astype(np.int32),
+                    pa.int32(),
+                ),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, ["x", "w", "kind"])
+        else:
+            yield pa.RecordBatch.from_arrays(arrays, ["x", "w"])
+
+    if with_value_counts:
+        return part.mapInArrow(summarize, "x long, w long, kind int")
+    return part.mapInArrow(summarize, "x long, w long")
+
+
+def quantile_sketch_estimates(
+    summary_rows, probes_bp: list[int]
+) -> tuple[int, dict[int, int]]:
+    """Merge collected summary rows (any iterable of objects with
+    ``.x`` / ``.w`` or (x, w) pairs) and estimate each probe quantile
+    (basis points): the smallest summary value whose cumulative
+    weight reaches ceil(q·n/10000). Returns (n, {q_bp: estimate}).
+    Deterministic: points sorted by (value, weight)."""
+    pts = sorted(
+        (int(r[0]), int(r[1])) if isinstance(r, tuple) else (int(r.x), int(r.w))
+        for r in summary_rows
+    )
+    n = sum(w for _, w in pts)
+    if n == 0:
+        raise ValueError("quantile_sketch_estimates: empty summary")
+    out: dict[int, int] = {}
+    for q in probes_bp:
+        target = -(-q * n // 10000)  # ceil without floats
+        cum = 0
+        est = pts[-1][0]
+        for x, w in pts:
+            cum += w
+            if cum >= target:
+                est = x
+                break
+        out[q] = est
+    return n, out

@@ -6804,3 +6804,111 @@ _l(
     ref="SURVEY.md §2.4 L88 family; Sennrich et al. 2016 (apply "
     "half); VERDICT r8 #6",
 )
+
+
+# ---------------------------------------------------------------------------
+# L93 — mergeable quantile-summary audit (r12; the QUANTILE member of
+# the sketch family: HLL l14, Bloom l87, Misra–Gries l90/st18,
+# Count–Min l92): one bounded-state pass builds a deterministic
+# equal-weight quantile summary of document lengths (<= capacity
+# points per hash partition, Munro–Paterson / mergeable-summaries
+# shape), the merged summary answers seven probe quantiles, and the
+# audit verifies each estimate against the sketch's ANALYTIC rank
+# bounds — count(<= est) >= target exactly, count(< est) within the
+# n/capacity + partitions slack — plus the EXACT quantile from the
+# two-pass binned derivation (r76 disc semantics, no full sort). The
+# gated cells are the exact values and the budget flags; a sketch bug
+# (wrong weights, lost chunk, broken merge order) flips a flag.
+#
+# Scale shape: the sketch is O(capacity) state per partition and ONE
+# hash exchange; the merged summary is <= capacity x partitions rows
+# (collectable metadata, like the k-means centroid tables); the audit
+# passes are a single conditional aggregate + the binned exact leg —
+# nothing sorts the corpus in one task. A production consumer keeps
+# just the summary (8 KB) and answers any quantile offline.
+# ---------------------------------------------------------------------------
+
+_L93_PROBES_BP = (100, 500, 2500, 5000, 7500, 9500, 9900)
+_L93_CAP = 256
+_L93_PARTS = 8  # the scale lever: a cluster raises it with the corpus
+
+
+def _l93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from graal_cdc_spark.operators.sketch import (
+        quantile_sketch_estimates,
+        quantile_summary,
+    )
+
+    docs = _par_table(spark, sf_dir, "documents")
+    lens = docs.select(F.length("text").cast("long").alias("doc_len"))
+    # ONE distributed job: the bounded quantile summary plus the exact
+    # per-value counts (globally exact because the exchange hashes on
+    # the value — see quantile_summary); everything after is numpy
+    # over <= domain rows
+    rows = quantile_summary(
+        lens,
+        "doc_len",
+        capacity=_L93_CAP,
+        num_partitions=_L93_PARTS,
+        with_value_counts=True,
+    ).collect()
+    n, est = quantile_sketch_estimates(
+        [(r["x"], r["w"]) for r in rows if r["kind"] == 0],
+        list(_L93_PROBES_BP),
+    )
+    slack = n // _L93_CAP + _L93_PARTS
+    hv = np.array([r["x"] for r in rows if r["kind"] == 1], dtype=np.int64)
+    hc = np.array([r["w"] for r in rows if r["kind"] == 1], dtype=np.int64)
+    order = np.argsort(hv)
+    vals, cnts = hv[order], hc[order]
+    cum = np.cumsum(cnts)
+    if int(cum[-1]) != n:
+        raise RuntimeError("l93: summary lost or duplicated weight")
+    out = []
+    for q in _L93_PROBES_BP:
+        target = -(-q * n // 10000)  # ceil(q*n/10000), float-free
+        exact = int(vals[np.searchsorted(cum, target, side="left")])
+        i_leq = int(np.searchsorted(vals, est[q], side="right"))
+        i_lt = int(np.searchsorted(vals, est[q], side="left"))
+        leq = int(cum[i_leq - 1]) if i_leq else 0
+        lt = int(cum[i_lt - 1]) if i_lt else 0
+        ok = leq >= target and lt <= target - 1 + slack
+        out.append((q, n, exact, 1 if ok else 0))
+    return spark.createDataFrame(
+        sorted(out),
+        "q_bp int, n_docs long, exact_len long, within_budget int",
+    )
+
+
+_l(
+    "l93_quantile_sketch_audit",
+    "mergeable quantile-summary audit: bounded-state one-pass sketch "
+    "of document lengths answers 7 probe quantiles; gated on the "
+    "exact binned quantiles plus analytic rank-budget flags",
+    _l93,
+    """
+WITH lens AS (
+  SELECT CAST(length(text) AS BIGINT) AS len FROM documents
+),
+ranked AS (
+  SELECT len,
+         row_number() OVER (ORDER BY len) AS rn,
+         count(*) OVER () AS n
+  FROM lens
+),
+probes(q_bp) AS (VALUES (100), (500), (2500), (5000), (7500), (9500), (9900))
+SELECT CAST(p.q_bp AS INT) AS q_bp,
+       CAST(max(r.n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN r.rn * 10000 >= r.n * p.q_bp THEN r.len END)
+            AS BIGINT) AS exact_len,
+       CAST(1 AS INT) AS within_budget
+FROM ranked r, probes p
+GROUP BY p.q_bp
+ORDER BY q_bp
+""",
+    ref="SURVEY.md §2.4 sketch family (l14/l87/l90/l92); Munro & "
+    "Paterson 1980 selection summaries; Agarwal et al. 2012 "
+    "mergeable summaries — audit-the-approximation discipline",
+)

@@ -1342,3 +1342,83 @@ def test_kmeans_assigned_index_memo_and_contract(spark, sf_dir):
         for r in kmeans_quantized(emb, k=4, iters=1, scale=10_000).collect()
     }
     assert {r["pid"]: r["cid"] for r in rows} == ref
+
+
+# --------------------------------------------------------------------------
+# quantile summary (operators/sketch.py, l93)
+# --------------------------------------------------------------------------
+
+
+def test_quantile_summary_budget_property():
+    """The merged summary's rank bounds hold on adversarial inputs:
+    uniform, zipf-skewed, and all-ties partitions — count(<= est) >=
+    target exactly, count(< est) within the n/capacity + partitions
+    slack (tie-safe formulation)."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.sketch import quantile_sketch_estimates
+
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        P, B = int(rng.integers(1, 8)), int(rng.integers(4, 64))
+        parts = []
+        for _ in range(P):
+            m = int(rng.integers(1, 3000))
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                v = rng.integers(0, 100, m)
+            elif kind == 1:
+                v = rng.zipf(1.7, m).clip(0, 10**6)
+            else:
+                v = np.full(m, 42)
+            parts.append(np.sort(v.astype(np.int64)))
+        pts = []
+        for v in parts:
+            m = v.size
+            if m <= B:
+                pts += [(int(x), 1) for x in v]
+            else:
+                base, rem = divmod(m, B)
+                ws = np.full(B, base, dtype=np.int64)
+                ws[:rem] += 1
+                pts += list(zip(v[np.cumsum(ws) - 1].tolist(), ws.tolist()))
+        allv = np.sort(np.concatenate(parts))
+        n = allv.size
+        probes = [100, 500, 2500, 5000, 7500, 9500, 9900]
+        n2, est = quantile_sketch_estimates(pts, probes)
+        assert n2 == n
+        slack = n // B + P
+        for q, e in est.items():
+            target = -(-q * n // 10000)
+            leq = int(np.searchsorted(allv, e, side="right"))
+            lt = int(np.searchsorted(allv, e, side="left"))
+            assert leq >= target, (trial, q)
+            assert lt <= target - 1 + slack, (trial, q)
+
+
+def test_quantile_summary_spark_deterministic_and_bounded(spark):
+    """The distributed summary is bounded (<= capacity rows per
+    partition), preserves total weight exactly, and two builds over
+    the same input produce IDENTICAL estimates (hash repartitioning +
+    per-partition sort + value-ordered merge are all deterministic)."""
+    from pyspark.sql import functions as F
+
+    from graal_cdc_spark.operators.sketch import (
+        quantile_sketch_estimates,
+        quantile_summary,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 97 * F.col("id") % 1009).cast("long").alias("v")
+    )
+    probes = [100, 2500, 5000, 9900]
+    runs = []
+    for _ in range(2):
+        rows = quantile_summary(
+            df, "v", capacity=64, num_partitions=8
+        ).collect()
+        assert len(rows) <= 64 * 8
+        n, est = quantile_sketch_estimates(rows, probes)
+        assert n == 20000
+        runs.append(est)
+    assert runs[0] == runs[1]
