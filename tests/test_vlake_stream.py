@@ -289,3 +289,41 @@ def test_vacuumed_preimage_fails_cleanly(spark, tmp_path):
         ).collect()
     }
     assert got == {(9, "z", "insert", 2)}
+
+
+def test_stream_over_partitioned_table_matches_batch_feed(spark, tmp_path):
+    """A PARTITIONED table streams identically to its batch change
+    feed: partitioned adds keep the partition columns in the data
+    files, so the per-file Arrow partitions serve complete rows; the
+    upsert's survivor rewrite and persisted delta ride the same
+    layout."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i) for i in range(30)],
+        "k long, grp string, v long",
+    )
+    VL.commit_append(spark, df, t, partition_by=["grp"])
+    VL.commit_upsert_keys(
+        spark,
+        spark.createDataFrame(
+            [(1, "g1", 999), (100, "g0", 5)], "k long, grp string, v long"
+        ),
+        t,
+        ["k"],
+    )
+    VL.commit_delete_where(spark, t, "v = 999")
+    got = {
+        tuple(r)
+        for r in _drain(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ck")
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in VL.read_changes(spark, t, 0, VL.latest_version(t))
+        .select("k", "grp", "v", "_change_type", "_commit_version")
+        .collect()
+    }
+    assert got == want
+    # and the feed folds to the snapshot (30 + 1 new - 1 deleted)
+    assert VL.read_table(spark, t).count() == 30
