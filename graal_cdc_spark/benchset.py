@@ -142,6 +142,8 @@ BUILD_ONCE: dict[str, str] = {
     "l77_dedup_threshold_sweep": "k-means assigned-points index (k32_i1)",
     "r81_mad_outliers": "per-group median/MAD literal statistics",
     "l88_bpe_merge_training": "learned BPE merge table (trained tokenizer)",
+    "r99_bucketed_colocated_join": "bucketed orders+lineitem tables "
+    "(write-once co-location layout)",
 }
 
 

@@ -5354,3 +5354,100 @@ ORDER BY file_id
 """,
     ref="SURVEY.md §2.4 R66 complement; parquet min/max footer pruning",
 )
+
+
+# ---------------------------------------------------------------------------
+# R99 — bucketed CO-LOCATED join (r12): orders and lineitem written
+# ONCE as 8-bucket tables hashed on the order key (Spark native
+# bucketing: per-bucket files + sorted-within-bucket), then the fact
+# join runs with ZERO shuffle exchanges — both scans already satisfy
+# the join's required distribution, so the SortMergeJoin reads
+# co-located buckets directly (the unbucketed twin shuffles BOTH
+# sides). The only exchange left in the plan is the 5-row
+# order-priority census after the map-side partial aggregate. This is
+# THE layout lever for a repeatedly-joined 100 TB fact table: pay the
+# bucket shuffle once at write time, never again per query; plan
+# pinned by tests/test_plans.py::test_r99_bucketed_join_no_shuffle.
+#
+# Build-once discipline: the bucketed tables are session-memoized
+# (like the l80 IVF index) and declared in benchset.BUILD_ONCE so the
+# bench prices the build symmetrically.
+# ---------------------------------------------------------------------------
+
+_R99_MEMO: dict = {}
+
+
+def _r99_tables(spark: SparkSession, sf_dir: str):
+    """Write the two bucketed tables once per (session, sf_dir) into a
+    tempdir-backed database (never the working directory)."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key in _R99_MEMO:
+        return _R99_MEMO[key]
+    db = f"r99_{abs(hash(key)) % 10**8:08d}"
+    loc = tempfile.mkdtemp(prefix="r99-bucketed-")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.orders_b")
+    load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.floor(F.col("l_extendedprice") * 100)).cast("long").alias(
+            "price_cents"
+        ),
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.lineitem_b")
+    _R99_MEMO[key] = db
+    return db
+
+
+def r99_plan_frame(spark: SparkSession, sf_dir: str):
+    """The joined frame (shared by the query and the plan test)."""
+    db = _r99_tables(spark, sf_dir)
+    bo = spark.table(f"{db}.orders_b")
+    bl = spark.table(f"{db}.lineitem_b")
+    # MERGE hint: the point is the shuffle-free sort-merge path, not
+    # a broadcast that only exists because the test scale is small
+    return (
+        bo.hint("MERGE")
+        .join(bl, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+def _r99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ordered_result(r99_plan_frame(spark, sf_dir), "o_orderpriority")
+
+
+_r(
+    "r99_bucketed_colocated_join",
+    "bucketed co-located fact join: orders and lineitem bucketed on "
+    "the order key at write time, the join plans ZERO shuffle "
+    "exchanges (both scans satisfy the distribution) — per-priority "
+    "census",
+    _r99,
+    """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    ref="SURVEY.md §2.4 R03 family; Spark native bucketing "
+    "(bucketBy/sortBy saveAsTable) — the write-once co-location "
+    "lever for repeated fact joins",
+)

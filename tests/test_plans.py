@@ -746,3 +746,25 @@ def test_l87_bloom_bits_broadcast(spark):
     assert a.has("BroadcastNestedLoopJoin"), a.plan  # 1-row filter side
     assert a.broadcast_joins >= 1, a.plan  # exact-hash verifier
     assert a.python_evals == 0
+
+
+def test_r99_bucketed_join_no_shuffle(spark):
+    """The bucketed fact join must plan ZERO shuffle exchanges under
+    the SortMergeJoin — both scans satisfy the join distribution from
+    the write-time bucketing; the only exchange is the 5-row census
+    aggregate above the join. The unbucketed twin shuffles both
+    sides, which is what bucketing exists to avoid at 100 TB."""
+    import re
+
+    from graal_cdc_spark.queries.relational import r99_plan_frame
+
+    j = r99_plan_frame(spark, SF)
+    j.count()  # executed plan (post-AQE)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert exchanges == 1, f"expected only the census exchange, got {exchanges}"
+    # the join inputs themselves are exchange-free: no exchange may
+    # appear BELOW the SortMergeJoin in the plan tree
+    below = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below
