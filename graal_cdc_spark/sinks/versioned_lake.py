@@ -1256,6 +1256,7 @@ def commit_optimize(
     table: str,
     n_files: int = 1,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Bin-pack the table's live files into ``n_files`` (optionally
     range-sorted by ``sort_cols`` for scan locality) as ONE
@@ -1270,16 +1271,57 @@ def commit_optimize(
     skip it without reading a byte — a 100 TB compaction costs the
     CDC fan-out NOTHING.
 
+    ``zorder_cols`` (exactly two numeric columns, exclusive with
+    ``sort_cols``) clusters by the interleaved-bit Morton key instead
+    of a linear sort — per-file min/max stats then stay tight on BOTH
+    columns, so ``read_table(prune=...)`` skips files for range
+    predicates on EITHER dimension (Delta Z-ORDER analog; a linear
+    sort gives one column tight stats and leaves the other column's
+    ranges spanning the domain).
+
     Scale shape: one read of the live set, one write of ``n_files``
     range/round-robin partitions — no driver-side data movement; at
     cluster scale ``n_files`` is sized to ~128 MB/file like any
     compaction job."""
+    if sort_cols and zorder_cols:
+        raise ValueError(
+            "commit_optimize: sort_cols and zorder_cols are exclusive"
+        )
+    if zorder_cols is not None and len(zorder_cols) != 2:
+        raise ValueError(
+            "commit_optimize: zorder_cols takes exactly two columns "
+            f"(got {zorder_cols})"
+        )
     base = latest_version(table)
     snap = _fold_log(table, base if base >= 0 else None)
     files, fields = snap.files, snap.schema
     if not files:
         raise ValueError(f"versioned table {table!r} is empty")
     df = _read_data(spark, table, list(files), fields)
+    if zorder_cols:
+        from graal_cdc_spark.operators.layout import zorder_key2
+
+        zkey = zorder_key2(
+            F.col(zorder_cols[0]).cast("bigint"),
+            F.col(zorder_cols[1]).cast("bigint"),
+        )
+        df = (
+            df.withColumn("__zkey", zkey)
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        staged = _stage_data_files(
+            df, table, None, fields, snap.partition_cols or None,
+            pre_shaped=True,
+        )
+        actions = [{"remove": {"path": p}} for p in files]
+        actions += [
+            _add_action(p, r, st, part) for p, r, st, part in staged
+        ]
+        return _try_commit(
+            table, actions, "optimize", base, data_change=False
+        )
     pcols = snap.partition_cols
     if pcols:
         # partition-preserving compaction: hash each partition value

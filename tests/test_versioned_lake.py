@@ -950,3 +950,44 @@ def test_expire_then_vacuum_cleans_orphaned_cdf(spark, tmp_path):
     # the retained feed still serves
     head = VL.latest_version(t)
     assert VL.read_changes(spark, t, head, head).count() == 1
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-ORDER clustering keeps per-file min/max tight on BOTH
+    columns: after optimize(zorder_cols=[x, y]), a range predicate on
+    EITHER column prunes files from log metadata; a linear sort on x
+    leaves y's per-file ranges spanning the domain (nothing pruned)."""
+    t = str(tmp_path / "t")
+    zt = str(tmp_path / "zt")
+    rows = [(i, i % 64, i // 64) for i in range(4096)]  # full 64x64 grid
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for path in (t, zt):
+        VL.commit_append(spark, df, path, n_files=4)
+    VL.commit_optimize(spark, t, n_files=16, sort_cols=["x"])
+    VL.commit_optimize(spark, zt, n_files=16, zorder_cols=["x", "y"])
+    live_z = VL.live_files(zt)
+    # z-order: both dimensions prune
+    kept_x = VL.pruned_files(zt, {"x": (0, 7)})
+    kept_y = VL.pruned_files(zt, {"y": (0, 7)})
+    assert len(kept_x) < len(live_z)
+    assert len(kept_y) < len(live_z)
+    # linear sort: x prunes, y cannot
+    live_s = VL.live_files(t)
+    assert len(VL.pruned_files(t, {"x": (0, 7)})) < len(live_s)
+    assert len(VL.pruned_files(t, {"y": (0, 7)})) == len(live_s)
+    # pruning is advisory: results identical with and without it
+    got = (
+        VL.read_table(spark, zt, prune={"y": (0, 7)})
+        .filter("y BETWEEN 0 AND 7")
+        .count()
+    )
+    assert got == sum(1 for _, _, y in rows if 0 <= y <= 7)
+
+
+def test_optimize_zorder_arg_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    with pytest.raises(ValueError, match="exclusive"):
+        VL.commit_optimize(spark, t, sort_cols=["id"], zorder_cols=["id", "val"])
+    with pytest.raises(ValueError, match="exactly two"):
+        VL.commit_optimize(spark, t, zorder_cols=["id"])
