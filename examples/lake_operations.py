@@ -256,6 +256,41 @@ def run(spark, base: str):
     assert set(VL.live_files(vt)) == files_before_rename
     assert VL.read_table(spark, vt).columns == ["key", "version_seq"]
 
+    # --- job 8 (r12): governed, partitioned serving table ---
+    # partition columns as a log action (every write keeps the
+    # layout; pruned reads skip non-matching partitions from log
+    # metadata alone), a CHECK constraint enforced at commit time,
+    # and log retention bounding the _vlog directory.
+    pt = os.path.join(base, "partitioned_state")
+    src = state_now.withColumn(
+        "shard", F.pmod(F.crc32(F.col("key")), F.lit(4)).cast("int")
+    )
+    VL.commit_append(spark, src, pt, partition_by=["shard"])
+    VL.add_constraint(pt, "seq_nonneg", "seq >= 0", spark=spark)
+    try:
+        VL.commit_append(
+            spark, src.withColumn("seq", F.lit(-1).cast("long")), pt
+        )
+        raise AssertionError("constraint admitted violating rows")
+    except VL.ConstraintViolation:
+        pass  # rejected atomically: no version claimed, no row visible
+    one_shard = VL.read_table(spark, pt, prune={"shard": (2, 2)})
+    assert one_shard.filter("shard = 2").count() == src.filter(
+        "shard = 2"
+    ).count()
+    for i in range(4):
+        VL.commit_upsert_keys(
+            spark,
+            src.limit(1).withColumn("seq", F.lit(9000 + i).cast("long")),
+            pt,
+            ["key"],
+        )
+    VL.vacuum(pt, keep_versions=2, spark=spark)
+    expired = VL.expire_log(pt, keep_versions=2)
+    assert expired  # the log directory is bounded now
+    assert VL.table_partition_cols(pt) == ["shard"]
+    assert VL.table_constraints(pt) == {"seq_nonneg": "seq >= 0"}
+
     return {"log_rows": (before, after), "purge": stats,
             "compaction": rewritten,
             "parked_consumer": (drained, resumed),
