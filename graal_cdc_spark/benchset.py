@@ -103,6 +103,10 @@ BENCH_SKIP: dict[str, str] = {
         "versioned-lake lifecycle with an intentionally-rejected "
         "commit (filesystem-bound), same class as c31"
     ),
+    "c40_lake_merge_apply": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with a one-commit clause merge, same class as c31/c32"
+    ),
     "st20_lake_stream_update_feed": (
         "checkpointed availableNow streaming drain over the c36 "
         "commit lifecycle (filesystem-bound), same class as st19"

@@ -3035,3 +3035,118 @@ ORDER BY tbl
         "with commit-time enforcement (r12)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C40 — versioned-lake MERGE with clauses (r12; Delta MERGE INTO
+# analog): the ATOMIC CDC-apply. v0 appends the compacted early
+# state; v1 applies the mid-window change stream — INCLUDING its
+# op='d' rows — as ONE commit_merge(delete_when="op = 'd'"): matched
+# deletes drop the key, other matched rows replace, new keys insert,
+# and a delete for an unseen key is a no-op that must not insert.
+# Before commit_merge this apply needed commit_upsert_keys +
+# commit_delete_where — TWO versions with an inconsistent state
+# visible between them. The census pins the end state per table plus
+# n_versions == 2 (the atomicity detector: a two-commit apply or a
+# no-op delete that claimed a version reads 3).
+#
+# Scale shape: identical to the upsert — incoming keys probe each
+# live file with a semi-join, survivors rewrite once, the net delta
+# persists at write time; the delete clause adds NO extra pass (one
+# filter splits the source stream).
+# ---------------------------------------------------------------------------
+
+
+def _c40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c40-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    changes = latest_by_key(
+        parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+        ["tbl", "key"],
+        "seq",
+    ).select("tbl", "key", "op", "seq")  # op='d' rows KEPT: the clause input
+    VL.commit_merge(
+        spark,
+        changes.repartition(4, "key"),
+        table,
+        ["tbl", "key"],
+        delete_when="op = 'd'",
+    )                                                                # v1
+    n_versions = VL.latest_version(table) + 1
+    return ordered_result(
+        VL.read_table(spark, table)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("seq").alias("max_seq"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("int")),
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c40_lake_merge_apply",
+        category="cdc",
+        description="versioned-lake MERGE with clauses: the change "
+        "stream (deletes included) applied as ONE atomic commit — "
+        "matched deletes drop, matched rows replace, new keys "
+        "insert, unseen-key deletes no-op; census pins the end state "
+        "and the version count",
+        spark=_c40,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1
+),
+merged AS (
+  SELECT tbl, key, op, seq FROM upd WHERE op <> 'd'
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq,
+       CAST(2 AS INT) AS n_versions
+FROM merged
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="no reference analog; Delta Lake MERGE INTO "
+        "whenMatchedDelete/whenMatchedUpdate/whenNotMatchedInsert "
+        "clauses, re-expressed as one atomic log commit (r12)",
+    )
+)

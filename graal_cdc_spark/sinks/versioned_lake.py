@@ -1251,6 +1251,145 @@ def commit_upsert_keys(
     )
 
 
+def commit_merge(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    delete_when: str | None = None,
+    insert_new: bool = True,
+    write_cdf: bool = True,
+    evolve_schema: bool = False,
+) -> int:
+    """MERGE with clauses (Delta ``MERGE INTO`` analog) — the atomic
+    CDC-apply commit:
+
+    - a source row matching ``delete_when`` DELETES its target key if
+      present (and is a no-op if not — a delete for an unseen key
+      never inserts);
+    - every other source row UPDATEs its matched key (replace) or,
+      with ``insert_new`` (default), INSERTs as a new key; with
+      ``insert_new=False`` unmatched non-delete rows are dropped
+      (update-only merge).
+
+    One version: readers see the whole apply or none of it — the
+    operation ``commit_upsert_keys`` + ``commit_delete_where`` would
+    otherwise need two commits (and an inconsistent state between
+    them). ``delete_when`` is SQL over the SOURCE row's columns (the
+    CDC op-code pattern: ``"op = 'd'"``).
+
+    Source-only columns (like the ``op`` code the clauses read) do
+    NOT enter the table by default — the written rows are projected
+    to the target's columns, Delta's ``UPDATE SET * / INSERT *``
+    name-mapping; ``evolve_schema=True`` opts into the additive
+    evolution ``commit_append``/``commit_upsert_keys`` apply. A
+    target column absent from the source raises (a replace-merge
+    cannot synthesize values).
+
+    Scale shape: identical to the upsert — the incoming keys probe
+    each live file with a semi-join (file-targeted rewrite), survivors
+    rewrite once, and the persisted change delta costs one diff
+    shuffle over O(rows touched) paid by the writer."""
+    base = latest_version(table)
+    snap = _fold_log(table, base if base >= 0 else None)
+    files, existing_fields, retired = snap.files, snap.schema, snap.retired
+    if existing_fields is not None and not evolve_schema:
+        want = [f["name"] for f in existing_fields]
+        missing = [c for c in want if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"commit_merge: source is missing target column(s) "
+                f"{missing} (a replace-merge writes whole rows)"
+            )
+        df = df.select(*want, *[c for c in df.columns if c not in want])
+        data_df = df.select(*want)
+        merged = None
+    else:
+        data_df = df
+        merged = _merged_schema(
+            existing_fields, _schema_fields_of(df), "commit_merge", retired
+        )
+    eff = merged if merged is not None else (
+        existing_fields
+        if existing_fields is not None
+        else _schema_fields_of(data_df)
+    )
+    _check_constraints(
+        df.filter(f"NOT coalesce(({delete_when}), false)")
+        if delete_when
+        else df,
+        snap.constraints,
+        "commit_merge",
+    )
+    data_cols = [f["name"] for f in eff]
+    if delete_when:
+        upd_src = df.filter(f"NOT coalesce(({delete_when}), false)").select(
+            *data_cols
+        )
+    else:
+        upd_src = df.select(*data_cols)
+    keys = df.select(*key_cols).distinct()
+    touched: list[str] = []
+    for p in files:
+        hit = (
+            _read_data(spark, table, [p], existing_fields)
+            .join(keys, key_cols, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if hit:
+            touched.append(p)
+    actions: list[dict] = [{"remove": {"path": p}} for p in touched]
+    dropped = None
+    matched_keys = None
+    if touched:
+        touched_df = _read_data(spark, table, touched, existing_fields)
+        survivors = touched_df.join(keys, key_cols, "left_anti")
+        actions += [
+            _add_action(p, r, st, part)
+            for p, r, st, part in _stage_data_files(
+                survivors, table, None, eff, snap.partition_cols
+            )
+        ]
+        dropped = touched_df.join(keys, key_cols, "left_semi")
+        matched_keys = dropped.select(*key_cols).distinct()
+    if insert_new or matched_keys is None:
+        incoming_rows = upd_src
+        if matched_keys is None and not insert_new:
+            incoming_rows = upd_src.limit(0)
+    else:
+        # update-only: keep source rows whose key exists in the target
+        incoming_rows = upd_src.join(matched_keys, key_cols, "left_semi")
+    actions += [
+        _add_action(p, r, st, part)
+        for p, r, st, part in _stage_data_files(
+            incoming_rows, table, None, eff, snap.partition_cols
+        )
+    ]
+    cdf_entries: list[dict] | None = None
+    if write_cdf:
+        out_fields = eff
+        out_schema = T.StructType.fromDDL(
+            ", ".join(f"`{f['name']}` {f['type']}" for f in out_fields)
+        )
+        incoming = _align(incoming_rows, out_schema)
+        if dropped is None:
+            feed = incoming.withColumn("_change_type", F.lit("insert"))
+        else:
+            dropped_a = _align(dropped, out_schema)
+            inserts = incoming.exceptAll(dropped_a).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            deletes = dropped_a.exceptAll(incoming).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            feed = inserts.unionByName(deletes)
+        cdf_entries = _stage_cdf_files(feed, table, eff)
+    return _try_commit(
+        table, actions, "merge", base, cdf=cdf_entries, schema=merged
+    )
+
+
 def commit_optimize(
     spark: SparkSession,
     table: str,

@@ -991,3 +991,101 @@ def test_optimize_zorder_arg_validation(spark, tmp_path):
         VL.commit_optimize(spark, t, sort_cols=["id"], zorder_cols=["id", "val"])
     with pytest.raises(ValueError, match="exactly two"):
         VL.commit_optimize(spark, t, zorder_cols=["id"])
+
+
+# --------------------------------------------------------------------------
+# commit_merge — MERGE with clauses (r12: Delta MERGE INTO analog)
+# --------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, tmp_path, name="m"):
+    t = str(tmp_path / name)
+    VL.commit_append(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 2), (3, "c", 3)], "k long, v string, seq long"
+        ),
+        t,
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "A", 10, "u"),   # matched -> update (replace)
+            (2, None, 11, "d"),  # matched + delete_when -> delete
+            (4, "d4", 12, "c"),  # unmatched -> insert
+            (9, None, 13, "d"),  # delete for unseen key -> no-op
+        ],
+        "k long, v string, seq long, op string",
+    )
+    return t, changes
+
+
+def test_merge_applies_all_clauses_in_one_version(spark, tmp_path):
+    t, changes = _merge_fixture(spark, tmp_path)
+    v = VL.commit_merge(spark, changes, t, ["k"], delete_when="op = 'd'")
+    assert v == 1  # ONE commit for the whole apply
+    tab = VL.read_table(spark, t)
+    assert tab.columns == ["k", "v", "seq"]  # op never enters the table
+    got = sorted(tuple(r) for r in tab.collect())
+    assert got == [(1, "A", 10), (3, "c", 3), (4, "d4", 12)]
+    feed = sorted(
+        tuple(r)
+        for r in VL.read_changes(spark, t, v, v)
+        .select("k", "_change_type")
+        .collect()
+    )
+    assert feed == [
+        (1, "delete"), (1, "insert"), (2, "delete"), (4, "insert")
+    ]
+
+
+def test_merge_update_only_drops_unmatched(spark, tmp_path):
+    t, changes = _merge_fixture(spark, tmp_path)
+    VL.commit_merge(
+        spark, changes, t, ["k"], delete_when="op = 'd'", insert_new=False
+    )
+    assert sorted(r["k"] for r in VL.read_table(spark, t).collect()) == [1, 3]
+
+
+def test_merge_schema_contract(spark, tmp_path):
+    t, changes = _merge_fixture(spark, tmp_path)
+    # evolve_schema opt-in keeps the source-only column
+    VL.commit_merge(
+        spark, changes, t, ["k"], delete_when="op = 'd'", evolve_schema=True
+    )
+    assert VL.read_table(spark, t).columns == ["k", "v", "seq", "op"]
+    # a source missing a target column raises (replace-merge writes
+    # whole rows)
+    t2 = str(tmp_path / "m2")
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(1, "a", 1)], "k long, v string, seq long"),
+        t2,
+    )
+    with pytest.raises(ValueError, match="missing target column"):
+        VL.commit_merge(
+            spark,
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            t2,
+            ["k"],
+        )
+
+
+def test_merge_respects_constraints_and_partitioning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t, partition_by=["grp"])
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    bad = spark.createDataFrame(
+        [(1, "g1", -5, "u")], "id long, grp string, val long, op string"
+    )
+    with pytest.raises(VL.ConstraintViolation):
+        VL.commit_merge(spark, bad, t, ["id"], delete_when="op = 'd'")
+    # delete-marked rows are exempt (they write nothing)
+    dels = spark.createDataFrame(
+        [(1, "g1", -5, "d")], "id long, grp string, val long, op string"
+    )
+    v = VL.commit_merge(spark, dels, t, ["id"], delete_when="op = 'd'")
+    assert VL.read_table(spark, t).filter("id = 1").count() == 0
+    # every file the merge wrote keeps the partition layout
+    for a in VL.commit_body(t, v)["actions"]:
+        if "add" in a:
+            assert a["add"].get("partition")
