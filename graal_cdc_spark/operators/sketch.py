@@ -328,12 +328,19 @@ def quantile_summary(
     with_value_counts: bool = False,
 ) -> DataFrame:
     """One (value, weight) quantile summary per hash partition of
-    ``value_col`` (cast to long; NULLs excluded). At most
-    ``capacity`` rows per partition regardless of partition size —
-    the bounded-state one-pass sketch; total weight is preserved
-    exactly. Scale shape: map-only after one hash exchange; the
-    result is ≤ capacity × num_partitions rows (collectable metadata,
-    like the k-means centroid tables).
+    ``value_col`` (cast to long; NULLs excluded). The SUMMARY is
+    bounded: at most ``capacity`` rows per partition regardless of
+    partition size, total weight preserved exactly. Scale shape: one
+    hash exchange, then a per-partition sort in the Python worker —
+    construction memory is O(partition rows), the same contract as
+    any sort-within-partition pass, so ``num_partitions`` is the
+    scale lever (size partitions to worker memory, exactly like
+    Spark's own sort-based aggregation); the RESULT is ≤ capacity ×
+    num_partitions rows (collectable metadata, like the k-means
+    centroid tables). A streaming multi-level compaction would bound
+    construction memory at O(capacity) but compounds the rank-error
+    budget per merge level — the audit (l93) gates on the single-level
+    bound, so the one-shot compaction is the semantics here.
 
     ``with_value_counts`` adds a ``kind`` column and EXACT per-value
     counts (kind=1) alongside the summary points (kind=0) from the

@@ -5386,7 +5386,10 @@ def _r99_tables(spark: SparkSession, sf_dir: str):
     key = (app, sf_dir)
     if key in _R99_MEMO:
         return _R99_MEMO[key]
-    db = f"r99_{abs(hash(key)) % 10**8:08d}"
+    import hashlib
+
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:8]
+    db = f"r99_{digest}"
     loc = tempfile.mkdtemp(prefix="r99-bucketed-")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     load_table(spark, sf_dir, "orders").select(

@@ -318,7 +318,11 @@ def _keep_after_prune(
             rng = st.get(col)
             if rng is None:
                 continue  # no stats -> cannot prune on this column
-            if rng[1] < lo or rng[0] > hi:
+            try:
+                disjoint = rng[1] < lo or rng[0] > hi
+            except TypeError:
+                continue  # incomparable types -> conservatively keep
+            if disjoint:
                 keep = False
                 break
         if keep:
@@ -734,7 +738,16 @@ def _stage_partitioned(
             os.rename(os.path.join(root, n), os.path.join(table, name))
             st = _file_stats(md)
             for c, v in vals.items():
-                if v is not None and isinstance(v, (int, float, str, bool)):
+                # only types _parse_part_value restores faithfully may
+                # prune; date/timestamp/decimal values stay strings in
+                # the action metadata and never enter stats (absence =
+                # never prune — conservative, results unchanged)
+                t = typ.get(c, "string").lower()
+                if v is not None and (
+                    t in ("tinyint", "smallint", "int", "integer",
+                          "bigint", "long", "float", "double",
+                          "boolean", "string")
+                ):
                     st[c] = [v, v]  # exact: the file holds ONLY v
             out.append((name, md.num_rows, st, dict(vals)))
     shutil.rmtree(staging, ignore_errors=True)
@@ -840,6 +853,28 @@ def _merged_schema(
     return existing + new
 
 
+def _write_checkpoint(table: str, version: int) -> None:
+    """Fold the log at ``version`` and write its checkpoint — THE one
+    place that knows the checkpoint body shape, so a new _Snapshot
+    field cannot be persisted by one writer and lost by another."""
+    snap = _fold_log(table, version)
+    log = _log_path(table)
+    cp = os.path.join(log, f"{version:08d}.checkpoint.json")
+    cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    body = {"version": version, "live": snap.files, "stats": snap.stats}
+    if snap.schema is not None:
+        body["schema"] = snap.schema
+    if snap.retired:
+        body["schema_retired"] = snap.retired
+    if snap.partition_cols:
+        body["partition_cols"] = snap.partition_cols
+    if snap.constraints:
+        body["constraints"] = snap.constraints
+    with open(cp_tmp, "w", encoding="utf-8") as f:
+        json.dump(body, f)
+    os.replace(cp_tmp, cp)
+
+
 def _try_commit(
     table: str,
     actions: list[dict],
@@ -894,38 +929,31 @@ def _try_commit(
         os.close(fd)
     os.unlink(tmp)
     if checkpoint_every and version % checkpoint_every == 0:
-        snap = _fold_log(table, version)
-        cp = os.path.join(log, f"{version:08d}.checkpoint.json")
-        cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
-        cp_body = {
-            "version": version,
-            "live": snap.files,
-            "stats": snap.stats,
-        }
-        if snap.schema is not None:
-            cp_body["schema"] = snap.schema
-        if snap.retired:
-            cp_body["schema_retired"] = snap.retired
-        if snap.partition_cols:
-            cp_body["partition_cols"] = snap.partition_cols
-        if snap.constraints:
-            cp_body["constraints"] = snap.constraints
-        with open(cp_tmp, "w", encoding="utf-8") as f:
-            json.dump(cp_body, f)
-        os.replace(cp_tmp, cp)
+        _write_checkpoint(table, version)
     return version
 
 
 def _check_constraints(
-    df: DataFrame, constraints: dict[str, str], context: str
+    df: DataFrame,
+    constraints: dict[str, str],
+    context: str,
+    fields: list[dict] | None = None,
 ) -> None:
     """Reject the commit if any incoming row makes a constraint
     expression FALSE (ANSI CHECK semantics: NULL passes — spell NOT
-    NULL as ``col IS NOT NULL``). One combined pass over the incoming
-    data on the happy path; the per-constraint pass runs only to name
-    the violated constraint in the error."""
+    NULL as ``col IS NOT NULL``). With ``fields`` the incoming rows
+    are first aligned to the table schema (absent columns evaluate as
+    the typed NULL the lake will serve for them — a legal
+    subset-append must pass exactly when its STORED rows do). One
+    combined pass on the happy path; the per-constraint pass runs
+    only to name the violated constraint in the error."""
     if not constraints:
         return
+    if fields is not None:
+        schema = T.StructType.fromDDL(
+            ", ".join(f"`{f['name']}` {f['type']}" for f in fields)
+        )
+        df = _align(df, schema)
     viol = None
     for expr in constraints.values():
         v = F.expr(f"NOT coalesce(({expr}), true)")
@@ -1022,7 +1050,7 @@ def commit_append(
     existing, retired = snap.schema, snap.retired
     merged = _merged_schema(existing, incoming, "commit_append", retired)
     effective = merged if merged is not None else existing
-    _check_constraints(df, snap.constraints, "commit_append")
+    _check_constraints(df, snap.constraints, "commit_append", effective)
     pcols, introduces = _resolve_partition_cols(
         snap, effective, partition_by, "commit_append"
     )
@@ -1064,7 +1092,9 @@ def commit_append(
             if snap.constraints != checked:
                 # a constraint landed while this append raced: the
                 # staged rows were never checked against it
-                _check_constraints(df, snap.constraints, "commit_append")
+                _check_constraints(
+                    df, snap.constraints, "commit_append", effective
+                )
                 checked = snap.constraints
             if introduces:
                 # partitioning may only be introduced by the FIRST
@@ -1175,7 +1205,7 @@ def commit_upsert_keys(
         retired,
     )
     eff = merged if merged is not None else existing_fields
-    _check_constraints(df, snap.constraints, "commit_upsert_keys")
+    _check_constraints(df, snap.constraints, "commit_upsert_keys", eff)
     keys = df.select(*key_cols).distinct()
     touched: list[str] = []
     for p in files:
@@ -1301,6 +1331,17 @@ def commit_merge(
                 f"commit_merge: source is missing target column(s) "
                 f"{missing} (a replace-merge writes whole rows)"
             )
+        # same type contract as append/upsert: a type-mismatched
+        # source would stage files every later read chokes on
+        want_types = {f["name"]: f["type"] for f in existing_fields}
+        src_types = {f["name"]: f["type"] for f in _schema_fields_of(df)}
+        for c in want:
+            if src_types[c] != want_types[c]:
+                raise ValueError(
+                    f"commit_merge: column {c!r} is {want_types[c]} in "
+                    f"the table but {src_types[c]} in the source — "
+                    "changing a column's type is not supported"
+                )
         df = df.select(*want, *[c for c in df.columns if c not in want])
         data_df = df.select(*want)
         merged = None
@@ -1313,13 +1354,6 @@ def commit_merge(
         existing_fields
         if existing_fields is not None
         else _schema_fields_of(data_df)
-    )
-    _check_constraints(
-        df.filter(f"NOT coalesce(({delete_when}), false)")
-        if delete_when
-        else df,
-        snap.constraints,
-        "commit_merge",
     )
     data_cols = [f["name"] for f in eff]
     if delete_when:
@@ -1360,6 +1394,11 @@ def commit_merge(
     else:
         # update-only: keep source rows whose key exists in the target
         incoming_rows = upd_src.join(matched_keys, key_cols, "left_semi")
+    # constraints are checked on exactly the rows this merge WRITES
+    # (survivors already passed; rows an update-only merge drops or a
+    # delete clause removes never enter the table, so they cannot
+    # reject the commit)
+    _check_constraints(incoming_rows, snap.constraints, "commit_merge", eff)
     actions += [
         _add_action(p, r, st, part)
         for p, r, st, part in _stage_data_files(
@@ -1438,17 +1477,38 @@ def commit_optimize(
         raise ValueError(f"versioned table {table!r} is empty")
     df = _read_data(spark, table, list(files), fields)
     if zorder_cols:
-        from graal_cdc_spark.operators.layout import zorder_key2
-
-        zkey = zorder_key2(
-            F.col(zorder_cols[0]).cast("bigint"),
-            F.col(zorder_cols[1]).cast("bigint"),
+        from graal_cdc_spark.operators.layout import (
+            cluster_by_zorder,
+            normalize_expr,
         )
+
+        # the interleave needs non-negative ints in [0, 2^ZBITS): one
+        # bounded min/max pass supplies the literal normalization
+        # bounds (the cluster_by_zorder contract) — negatives or wide
+        # domains would otherwise interleave meaningless low bits and
+        # the layout would prune nothing
+        c1, c2 = zorder_cols
+        b = df.agg(
+            F.min(F.col(c1).cast("bigint")).alias("lo1"),
+            F.max(F.col(c1).cast("bigint")).alias("hi1"),
+            F.min(F.col(c2).cast("bigint")).alias("lo2"),
+            F.max(F.col(c2).cast("bigint")).alias("hi2"),
+        ).collect()[0]
+        if b["lo1"] is None or b["lo2"] is None:
+            raise ValueError(
+                "commit_optimize: zorder_cols must be numeric columns "
+                f"with at least one non-null value (got {zorder_cols})"
+            )
         df = (
-            df.withColumn("__zkey", zkey)
-            .repartitionByRange(n_files, "__zkey")
-            .sortWithinPartitions("__zkey")
-            .drop("__zkey")
+            df.withColumn(
+                "__zx", normalize_expr(f"`{c1}`", b["lo1"], b["hi1"])
+            )
+            .withColumn(
+                "__zy", normalize_expr(f"`{c2}`", b["lo2"], b["hi2"])
+            )
+        )
+        df = cluster_by_zorder(df, "__zx", "__zy", n_files).drop(
+            "__zx", "__zy"
         )
         staged = _stage_data_files(
             df, table, None, fields, snap.partition_cols or None,
@@ -1630,7 +1690,7 @@ def add_constraint(
             f"add_constraint: constraint {name!r} already exists "
             f"({snap.constraints[name]})"
         )
-    if spark is not None:
+    if spark is not None and snap.files:  # zero live rows: trivially valid
         bad = (
             read_table(spark, table, version=base)
             .filter(F.expr(f"NOT coalesce(({expr}), true)"))
@@ -1832,24 +1892,7 @@ def expire_log(table: str, keep_versions: int = 10) -> list[str]:
     log = _log_path(table)
     cp = os.path.join(log, f"{anchor:08d}.checkpoint.json")
     if not os.path.isfile(cp):
-        snap = _fold_log(table, anchor)
-        cp_body = {
-            "version": anchor,
-            "live": snap.files,
-            "stats": snap.stats,
-        }
-        if snap.schema is not None:
-            cp_body["schema"] = snap.schema
-        if snap.retired:
-            cp_body["schema_retired"] = snap.retired
-        if snap.partition_cols:
-            cp_body["partition_cols"] = snap.partition_cols
-        if snap.constraints:
-            cp_body["constraints"] = snap.constraints
-        cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
-        with open(cp_tmp, "w", encoding="utf-8") as f:
-            json.dump(cp_body, f)
-        os.replace(cp_tmp, cp)
+        _write_checkpoint(table, anchor)
     deleted = []
     for v in expired:
         n = f"{v:08d}.json"

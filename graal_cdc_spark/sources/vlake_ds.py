@@ -181,7 +181,15 @@ class VLakeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         out = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            body = VL.commit_body(self.table, v)
+            try:
+                body = VL.commit_body(self.table, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"graal_vlake: commit {v} was expired from the log "
+                    "(expire_log) — this consumer is parked before the "
+                    "retention boundary; restart it with a "
+                    "startingversion inside the retained log"
+                ) from None
             if body.get("dataChange", True) is False:
                 continue  # OPTIMIZE et al: nothing to feed, zero I/O
             added = [

@@ -1089,3 +1089,135 @@ def test_merge_respects_constraints_and_partitioning(spark, tmp_path):
     for a in VL.commit_body(t, v)["actions"]:
         if "add" in a:
             assert a["add"].get("partition")
+
+
+# --------------------------------------------------------------------------
+# round-12 second-session review fixes (regression pins)
+# --------------------------------------------------------------------------
+
+
+def test_merge_type_mismatch_rejected(spark, tmp_path):
+    """A name-matched but type-mismatched merge source must be
+    rejected like append/upsert reject it — committing int32 files
+    under a bigint logged schema makes every later read throw."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    bad = spark.createDataFrame([(2, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="type is not supported|not supported"):
+        VL.commit_merge(spark, bad, t, ["k"])
+
+
+def test_constraint_passes_legal_subset_append(spark, tmp_path):
+    """A subset-append omitting a constrained column stores NULL for
+    it; NULL passes (ANSI), so the commit must succeed — constraints
+    evaluate over the EFFECTIVE stored row, not the raw source frame."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(900, "g0")], "id long, grp string"),
+        t,
+    )
+    got = VL.read_table(spark, t).filter("id = 900").collect()
+    assert len(got) == 1 and got[0]["val"] is None
+
+
+def test_merge_checks_only_written_rows(spark, tmp_path):
+    """An update-only merge drops unmatched rows before writing; a
+    violating row among the DROPPED ones must not reject the commit."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _pdf(spark), t)
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    src = spark.createDataFrame(
+        [(1, "g1", 7, "u"), (99999, "g0", -1, "u")],  # -1 is unmatched
+        "id long, grp string, val long, op string",
+    )
+    VL.commit_merge(
+        spark, src, t, ["id"], delete_when="op = 'd'", insert_new=False
+    )
+    assert VL.read_table(spark, t).filter("val < 0").count() == 0
+    assert VL.read_table(spark, t).filter("id = 1").collect()[0]["val"] == 7
+
+
+def test_expired_stream_raises_clean_error(spark, tmp_path):
+    """A parked graal_vlake consumer whose checkpoint predates the
+    expire_log boundary gets the documented retention error, not a
+    raw FileNotFoundError from inside the source."""
+    from graal_cdc_spark.sources.vlake_ds import VLakeStreamReader
+
+    t = str(tmp_path / "t")
+    for i in range(6):
+        VL.commit_append(spark, _df(spark, [(i, f"v{i}")]), t)
+    VL.expire_log(t, keep_versions=2)
+    reader = VLakeStreamReader.__new__(VLakeStreamReader)
+    reader.table = t
+    reader.skip_change = False
+    with pytest.raises(ValueError, match="expired from the log"):
+        reader.partitions({"version": -1}, {"version": 5})
+
+
+def test_date_partition_prune_is_conservative(spark, tmp_path):
+    """A date partition column records its value in the action
+    metadata but NEVER enters pruning stats (directory names lose the
+    type); pruning with typed date ranges keeps every file instead of
+    crashing on a str/date comparison."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 2, 1))],
+        "id long, d date",
+    )
+    VL.commit_append(spark, df, t, partition_by=["d"])
+    body = VL.commit_body(t, 0)
+    parts = [a["add"]["partition"]["d"] for a in body["actions"] if "add" in a]
+    assert sorted(parts) == ["2024-01-01", "2024-02-01"]
+    live = VL.live_files(t)
+    kept = VL.pruned_files(
+        t, {"d": (datetime.date(2024, 1, 1), datetime.date(2024, 1, 31))}
+    )
+    assert set(kept) == set(live)  # conservative: no typed stats, no crash
+    got = VL.read_table(spark, t).filter("d = DATE'2024-01-01'").count()
+    assert got == 1
+
+
+def test_add_constraint_on_empty_live_set(spark, tmp_path):
+    """Validation on a table whose rows were all deleted is trivially
+    satisfied — add_constraint must succeed, not crash on the empty
+    read."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a")]), t)
+    VL.commit_delete_where(spark, t, "k = 1")
+    assert not VL.live_files(t)
+    VL.add_constraint(t, "pos", "k > 0", spark=spark)
+    assert VL.table_constraints(t) == {"pos": "k > 0"}
+
+
+def test_optimize_zorder_normalizes_negative_domains(spark, tmp_path):
+    """Z-ORDER must prune on both dimensions even when the raw values
+    are negative or wide — the normalization pass maps them into the
+    interleave's bit range first."""
+    t = str(tmp_path / "t")
+    rows = [
+        (i, (i % 64) * 1000 - 32000, (i // 64) * 1000 - 32000)
+        for i in range(4096)
+    ]
+    VL.commit_append(
+        spark, spark.createDataFrame(rows, "id long, x long, y long"), t,
+        n_files=4,
+    )
+    VL.commit_optimize(spark, t, n_files=16, zorder_cols=["x", "y"])
+    live = VL.live_files(t)
+    kept_x = VL.pruned_files(t, {"x": (-32000, -25001)})
+    kept_y = VL.pruned_files(t, {"y": (-32000, -25001)})
+    assert len(kept_x) < len(live)
+    assert len(kept_y) < len(live)
+    got = (
+        VL.read_table(spark, t, prune={"y": (-32000, -25001)})
+        .filter("y BETWEEN -32000 AND -25001")
+        .count()
+    )
+    assert got == sum(1 for _, _, y in rows if -32000 <= y <= -25001)
