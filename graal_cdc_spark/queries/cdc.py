@@ -3099,17 +3099,13 @@ def _c40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    QuerySpec(
-        name="c40_lake_merge_apply",
-        category="cdc",
-        description="versioned-lake MERGE with clauses: the change "
-        "stream (deletes included) applied as ONE atomic commit — "
-        "matched deletes drop, matched rows replace, new keys "
-        "insert, unseen-key deletes no-op; census pins the end state "
-        "and the version count",
-        spark=_c40,
-        oracle=cdc_parsed_cte()
+# shared by c40 (one-commit batch apply) and st21 (per-micro-batch
+# streaming apply): the END STATE is identical by construction —
+# latest_by_key gives one row per key, so any disjoint batching of the
+# change stream merges to the same table; only n_versions differs.
+def C40_ORACLE(n_versions: int) -> str:
+    return (
+        cdc_parsed_cte()
         + """
 , mx AS (SELECT max(seq) AS m FROM cdc_parsed),
 base AS (
@@ -3140,11 +3136,25 @@ SELECT tbl,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
        CAST(max(seq) AS BIGINT) AS max_seq,
-       CAST(2 AS INT) AS n_versions
+       CAST(""" + str(int(n_versions)) + """ AS INT) AS n_versions
 FROM merged
 GROUP BY tbl
 ORDER BY tbl
-""",
+"""
+    )
+
+
+register(
+    QuerySpec(
+        name="c40_lake_merge_apply",
+        category="cdc",
+        description="versioned-lake MERGE with clauses: the change "
+        "stream (deletes included) applied as ONE atomic commit — "
+        "matched deletes drop, matched rows replace, new keys "
+        "insert, unseen-key deletes no-op; census pins the end state "
+        "and the version count",
+        spark=_c40,
+        oracle=C40_ORACLE(2),
         reference="no reference analog; Delta Lake MERGE INTO "
         "whenMatchedDelete/whenMatchedUpdate/whenNotMatchedInsert "
         "clauses, re-expressed as one atomic log commit (r12)",

@@ -991,3 +991,107 @@ register(
         "classification through the streaming source (r12)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST21 — STREAMING merge-apply INTO the versioned lake (the write-side
+# twin of st19/st20's read-side streams; with them, every lake write
+# mode now has a streaming pin): the c40 change stream — op='d' rows
+# included — split into TWO disjoint micro-batches (one file per
+# trigger; latest_by_key gives one row per key, so any disjoint
+# batching merges to the same end state) and applied per batch with
+# commit_merge(delete_when="op = 'd'") inside foreachBatch. The census
+# is c40's with n_versions == 3 (v0 append + one merge commit per
+# micro-batch — the batching is part of the gated contract).
+#
+# Scale shape: this is the production CDC-apply loop — each
+# micro-batch pays one file-targeted merge over O(rows touched), the
+# lake serves snapshot-isolated reads throughout, and the change feed
+# of each commit persists at write time for downstream consumers.
+# ---------------------------------------------------------------------------
+
+
+def _st21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.queries.cdc import _parsed
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    from graal_cdc_spark.cdc.compaction import latest_by_key
+
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="st21-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    changes = latest_by_key(
+        parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+        ["tbl", "key"],
+        "seq",
+    ).select("tbl", "key", "op", "seq")
+    # two disjoint chunks by key hash, one parquet file each — with
+    # maxFilesPerTrigger=1 the file source replays them as exactly two
+    # micro-batches
+    src = tempfile.mkdtemp(prefix="st21-src-")
+    for i in (0, 1):
+        changes.filter(F.pmod(F.crc32("key"), F.lit(2)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        VL.commit_merge(
+            batch.sparkSession, batch, table, ["tbl", "key"],
+            delete_when="op = 'd'",
+        )
+
+    root = tempfile.mkdtemp(prefix="st21-ckpt-")
+    q = (
+        spark.readStream.schema("tbl string, key string, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_versions = VL.latest_version(table) + 1
+    return ordered_result(
+        VL.read_table(spark, table)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("seq").alias("max_seq"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("int")),
+        "tbl",
+    )
+
+
+from graal_cdc_spark.queries.cdc import C40_ORACLE as _C40_ORACLE  # noqa: E402
+
+register(
+    QuerySpec(
+        name="st21_lake_stream_merge_apply",
+        category="streaming",
+        description="streaming CDC-apply INTO the versioned lake: the "
+        "change stream (deletes included) replayed as two disjoint "
+        "micro-batches, each applied atomically with commit_merge in "
+        "foreachBatch — end-state census identical to the one-commit "
+        "batch apply (c40's oracle with n_versions=3)",
+        spark=_st21,
+        oracle=_C40_ORACLE(3),
+        reference="no reference analog; Delta Lake streaming MERGE "
+        "foreachBatch pattern, re-expressed on the versioned table "
+        "format (r12)",
+    )
+)
