@@ -52,6 +52,10 @@ PROBES = [
     # round 10 (color JPEG census; star-capped LSH component edges)
     "mm14_jpeg_color_roundtrip_census",
     "l23_lsh_components",
+    # round 12 second session (quantile sketch; bucketed join reuses
+    # its build via the session memo, so the probe times the JOIN)
+    "l93_quantile_sketch_audit",
+    "r99_bucketed_colocated_join",
     # round 3
     "r35_stat_aggregates",
     "r46_binned_interval_join",
