@@ -1904,3 +1904,62 @@ def expire_log(table: str, keep_versions: int = 10) -> list[str]:
             os.unlink(os.path.join(log, n))
             deleted.append(n)
     return deleted
+
+
+def commit_merge_quarantine(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    quarantine: str,
+    delete_when: str | None = None,
+    insert_new: bool = True,
+) -> tuple[int, int]:
+    """The streaming-ingest form of :func:`commit_merge`: rows that
+    would violate a table constraint are routed to the ``quarantine``
+    versioned table (with a ``_violated`` column naming the failed
+    constraint) instead of failing the whole batch — the dead-letter
+    pattern (c30) applied to lake ingest, so one poison record cannot
+    wedge a production CDC-apply stream. Delete-marked rows are never
+    quarantined (they write nothing). Returns
+    ``(merge version, quarantined row count)``; the merge commits
+    even when everything was quarantined (an empty merge is a real
+    version — consumers see consistent progress).
+
+    Scale shape: one extra combined filter over the batch (the same
+    predicate enforcement evaluates anyway) and one append of the
+    violator slice; the happy path costs nothing extra."""
+    base = latest_version(table)
+    snap = _fold_log(table, base if base >= 0 else None)
+    quarantined = 0
+    clean = df
+    if snap.constraints:
+        # a replace-merge source carries every target column (the
+        # commit_merge contract), so constraint expressions resolve
+        # directly against the source frame
+        viol = None
+        cases = []
+        for name, expr in snap.constraints.items():
+            v = F.expr(f"NOT coalesce(({expr}), true)")
+            viol = v if viol is None else (viol | v)
+            cases.append(F.when(v, F.lit(name)))
+        if delete_when:
+            # delete-marked rows write nothing: never quarantine them
+            viol = viol & F.expr(f"NOT coalesce(({delete_when}), false)")
+        tagged = df.withColumn(
+            "_violated", F.coalesce(*cases) if len(cases) > 1 else cases[0]
+        ).withColumn("_viol", viol)
+        # evaluate constraints over the ALIGNED row but keep the raw
+        # source columns for the quarantine record
+        bad = tagged.filter("_viol").drop("_viol")
+        good = tagged.filter(F.expr("NOT _viol")).drop("_viol", "_violated")
+        n_bad = bad.count()
+        if n_bad:
+            commit_append(spark, bad, quarantine)
+            quarantined = n_bad
+            clean = good
+    version = commit_merge(
+        spark, clean, table, key_cols,
+        delete_when=delete_when, insert_new=insert_new,
+    )
+    return version, quarantined

@@ -1221,3 +1221,69 @@ def test_optimize_zorder_normalizes_negative_domains(spark, tmp_path):
         .count()
     )
     assert got == sum(1 for _, _, y in rows if -32000 <= y <= -25001)
+
+
+def test_merge_quarantine_routes_violators(spark, tmp_path):
+    """commit_merge_quarantine: violating non-delete rows land in the
+    quarantine table tagged with the failed constraint, clean rows
+    (including deletes) apply, and the stream-shaped caller gets both
+    the version and the quarantine count."""
+    t = str(tmp_path / "t")
+    q = str(tmp_path / "q")
+    VL.commit_append(spark, _pdf(spark), t)
+    VL.add_constraint(t, "val_nonneg", "val >= 0")
+    src = spark.createDataFrame(
+        [
+            (1, "g1", 7, "u"),      # clean update
+            (2, "g2", -1, "u"),     # violator -> quarantine
+            (3, "g0", -9, "d"),     # delete: negative val is fine
+            (900, "g0", 5, "c"),    # clean insert
+        ],
+        "id long, grp string, val long, op string",
+    )
+    version, n_bad = VL.commit_merge_quarantine(
+        spark, src, t, ["id"], q, delete_when="op = 'd'"
+    )
+    assert n_bad == 1
+    tab = VL.read_table(spark, t)
+    assert tab.filter("id = 1").collect()[0]["val"] == 7
+    assert tab.filter("id = 2").collect()[0]["val"] == 20  # untouched
+    assert tab.filter("id = 3").count() == 0               # deleted
+    assert tab.filter("id = 900").count() == 1
+    quar = VL.read_table(spark, q)
+    rows = quar.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2
+    assert rows[0]["_violated"] == "val_nonneg"
+    # a fully-clean batch quarantines nothing and commits normally
+    v2, n2 = VL.commit_merge_quarantine(
+        spark,
+        spark.createDataFrame(
+            [(4, "g1", 1, "u")], "id long, grp string, val long, op string"
+        ),
+        t,
+        ["id"],
+        q,
+        delete_when="op = 'd'",
+    )
+    assert n2 == 0 and v2 == version + 1
+
+
+def test_merge_stale_snapshot_conflicts_cleanly(spark, tmp_path):
+    """A merge computed against a stale snapshot must surface
+    CommitConflict (no blind retry — the rewrite decisions are stale),
+    like delete and optimize."""
+    t = str(tmp_path / "t")
+    VL.commit_append(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    base = VL.latest_version(t)
+    # another writer lands version base+1 first
+    VL.commit_append(spark, _df(spark, [(3, "c")]), t)
+    src = spark.createDataFrame([(1, "A")], "k long, v string")
+    import graal_cdc_spark.sinks.versioned_lake as VLmod
+
+    orig = VLmod.latest_version
+    try:
+        VLmod.latest_version = lambda tbl: base  # freeze the stale view
+        with pytest.raises(VL.CommitConflict):
+            VL.commit_merge(spark, src, t, ["k"])
+    finally:
+        VLmod.latest_version = orig
