@@ -164,6 +164,63 @@ def jaccard_pairs_from_shingles(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_cont_bp: int = 5000,
+) -> DataFrame:
+    """Exact pairwise n-gram CONTAINMENT (Broder's asymmetric
+    resemblance companion): C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|. The
+    metric that catches QUOTES and SUPERSETS — a small document fully
+    embedded in a big one has containment ≈ 1 but Jaccard ≈ |a|/|b|,
+    so resemblance dedup (and MinHash-LSH, which buckets by
+    resemblance) never pairs it. Returns unordered pairs with
+    max-direction containment ≥ ``min_cont_bp``: (doc_a, doc_b,
+    cont_ab_bp, cont_ba_bp, jaccard_bp) in integer basis points (DIV —
+    engine-exact).
+
+    Scale shape: same as the exact-Jaccard twin — one shingle-keyed
+    exchange, pair cost O(shingle collisions); deliberately the
+    EXACT audit form (callers slice; the scale path for containment
+    is a shingle-sample probe, not all-pairs)."""
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
+    n_par = sh.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        sh.repartition(n_par, "shingle")
+        .dropDuplicates([id_col, "shingle"])
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("inter * 10000 DIV na").cast("long").alias("cont_ab_bp"),
+            F.expr("inter * 10000 DIV nb").cast("long").alias("cont_ba_bp"),
+            F.expr("inter * 10000 DIV (na + nb - inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .filter(
+            F.greatest("cont_ab_bp", "cont_ba_bp") >= F.lit(min_cont_bp)
+        )
+    )
+
+
 def token_ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -6912,3 +6912,100 @@ ORDER BY q_bp
     "Paterson 1980 selection summaries; Agarwal et al. 2012 "
     "mergeable summaries — audit-the-approximation discipline",
 )
+
+
+# ---------------------------------------------------------------------------
+# L94 — containment census (r12; Broder's asymmetric companion to
+# resemblance): exact pairwise 5-gram containment over an
+# eighth-corpus gate slice, banded by max-direction containment, with
+# a per-band count of QUOTE pairs — containment >= 0.8 while Jaccard
+# < 0.5, the superset/quote class that resemblance dedup (l02 exact,
+# l06 MinHash-LSH) structurally misses because MinHash buckets by
+# resemblance. This is the audit that tells a dedup pipeline how much
+# duplication its resemblance threshold leaves behind.
+#
+# Scale shape: the exact all-pairs leg is the AUDIT (sliced on both
+# engines, like l02); the production path for containment is a
+# shingle-sample probe against an index, not all-pairs. Integer basis
+# points (DIV) keep both engines bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _l94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.dedup import shingle_containment_pairs
+
+    docs = _par_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 8 == 0
+    )
+    pairs = shingle_containment_pairs(
+        docs, "doc_id", "text", n=5, min_cont_bp=5000
+    )
+    banded = pairs.select(
+        (
+            F.greatest("cont_ab_bp", "cont_ba_bp")
+            .cast("long") / F.lit(1000)
+        )
+        .cast("long")
+        .alias("band"),
+        F.when(
+            (F.greatest("cont_ab_bp", "cont_ba_bp") >= 8000)
+            & (F.col("jaccard_bp") < 5000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_quote"),
+    )
+    return ordered_result(
+        banded.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_quote").cast("long").alias("n_quote_pairs"),
+        ),
+        "band",
+    )
+
+
+_l(
+    "l94_containment_census",
+    "containment census (quote/superset detection): exact 5-gram "
+    "containment bands over an eighth-corpus slice, counting pairs "
+    "with containment >= 0.8 but Jaccard < 0.5 — the class "
+    "resemblance dedup misses",
+    _l94,
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(u AS INT), 5) AS shingle
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS u
+    FROM documents WHERE length(text) >= 5 AND doc_id % 8 = 0
+  ) t
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(icnt * 10000 // sa.n_sh AS BIGINT) AS cont_ab_bp,
+         CAST(icnt * 10000 // sb.n_sh AS BIGINT) AS cont_ba_bp,
+         CAST(icnt * 10000 // (sa.n_sh + sb.n_sh - icnt) AS BIGINT)
+           AS jaccard_bp
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE GREATEST(icnt * 10000 // sa.n_sh,
+                 icnt * 10000 // sb.n_sh) >= 5000
+)
+SELECT CAST(GREATEST(cont_ab_bp, cont_ba_bp) // 1000 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN GREATEST(cont_ab_bp, cont_ba_bp) >= 8000
+                      AND jaccard_bp < 5000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quote_pairs
+FROM pairs
+GROUP BY 1
+ORDER BY band
+""",
+    ref="SURVEY.md §2.4 L02 family; Broder 1997 containment vs "
+    "resemblance — the quote/superset audit a resemblance-only "
+    "dedup pipeline needs",
+)

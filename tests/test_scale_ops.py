@@ -1422,3 +1422,48 @@ def test_quantile_summary_spark_deterministic_and_bounded(spark):
         assert n == 20000
         runs.append(est)
     assert runs[0] == runs[1]
+
+
+def test_shingle_containment_vs_bruteforce(spark):
+    """shingle_containment_pairs equals a naive python recomputation
+    on a planted corpus: a small doc quoted verbatim inside a big one
+    must show containment 10000 bp with low Jaccard (the class
+    resemblance misses), and symmetric near-dups show high both."""
+    from graal_cdc_spark.operators.dedup import shingle_containment_pairs
+
+    small = "abcdefghij"                       # 6 distinct 5-shingles
+    big = "zzzz" + small + "qqqrrrsssttt"      # quotes `small` whole
+    twin_a = "mnopqrstuvwx"
+    twin_b = "mnopqrstuvwy"                    # near-dup of twin_a
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, twin_a), (4, twin_b)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["cont_ab_bp"], r["cont_ba_bp"], r["jaccard_bp"]
+        )
+        for r in shingle_containment_pairs(
+            docs, "doc_id", "text", n=5, min_cont_bp=5000
+        ).collect()
+    }
+
+    def shingles(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    import itertools
+
+    want = {}
+    texts = {1: small, 2: big, 3: twin_a, 4: twin_b}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        i = len(sa & sb)
+        if not i:
+            continue
+        cab, cba = i * 10000 // len(sa), i * 10000 // len(sb)
+        if max(cab, cba) >= 5000:
+            want[(a, b)] = (cab, cba, i * 10000 // len(sa | sb))
+    assert got == want
+    # the quote pair: full containment of doc 1 in doc 2, low jaccard
+    cab, _, jac = got[(1, 2)]
+    assert cab == 10000 and jac < 5000
