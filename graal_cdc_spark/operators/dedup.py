@@ -221,6 +221,104 @@ def shingle_containment_pairs(
     )
 
 
+def containment_probe_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 16,
+    max_df_frac: float = 0.02,
+    min_est_bp: int = 2500,
+    min_sample: int = 1,
+    token_grams: bool = False,
+) -> DataFrame:
+    """The SCALE PATH for containment (the exact all-pairs form is
+    :func:`shingle_containment_pairs`, sliced as the l94 audit):
+    estimate C(a→b) by probing a BOTTOM-k sample of a's shingles
+    (the k smallest md5 values — a deterministic, portable sample)
+    against the full inverted shingle index; est = matches / |sample|.
+    A quoted document's sample lands almost entirely inside its
+    quoting superset, so the probe finds the quote pairs resemblance
+    LSH misses at O(k · posting lengths) instead of O(all pairs).
+
+    ``max_df_frac`` drops shingles present in more than that fraction
+    of documents BEFORE sampling and indexing (boilerplate shingles
+    carry no containment signal and their posting lists are the whole
+    cost); the estimate is then containment over the df-capped shingle
+    space on both sides — consistent, and what a production probe
+    does. Returns (doc_a, doc_b, matches, k_a, est_bp) for ordered
+    pairs (a's sample probed against b) with est ≥ ``min_est_bp``;
+    ``min_sample`` drops probes whose df-capped sample is smaller
+    than that (a 2-shingle sample estimates nothing — standard
+    minimum-support guard).
+
+    ``token_grams`` switches the shingle unit from character n-grams
+    to word n-grams (the right unit for small-alphabet / word-stream
+    corpora, where char shingles are all boilerplate).
+
+    Scale shape: one shingle-keyed exchange for the index + df cap,
+    one per-doc aggregation for the bottom-k (the sample size rides
+    the same row — no size join), one index join whose output is
+    bounded by k × capped posting lengths — no quadratic leg
+    anywhere."""
+
+    if token_grams:
+        toks = F.split(F.col(text_col), " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        sh = (
+            df.filter(F.size(toks) >= n)
+            .select(F.col(id_col), F.explode(grams).alias("shingle"))
+            .dropDuplicates([id_col, "shingle"])
+        )
+    else:
+        sh = (
+            char_shingles(df, id_col, text_col, n, distinct=False)
+            .dropDuplicates([id_col, "shingle"])
+        )
+    n_docs = df.count()
+    cap = max(2, int(n_docs * max_df_frac))
+    # sh feeds the df-count AND the capped join; kept feeds the
+    # sampler AND the index side — truncate lineage once each (the
+    # l75 rule: both frames are O(distinct grams), tiny next to the
+    # explode that builds them)
+    n_par = sh.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(n_par, "shingle").localCheckpoint(eager=False)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (
+        sh.join(freq.filter(F.col("__df") <= cap), "shingle")
+        .drop("__df")
+        .withColumn("h", F.md5("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    by_doc = (
+        kept.groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__hs")
+        )
+        .withColumn("k_a", F.size("__hs"))
+        .filter(F.col("k_a") >= min_sample)
+    )
+    a = by_doc.select(
+        F.col(id_col).alias("doc_a"), "k_a", F.explode("__hs").alias("h")
+    )
+    b = kept.select(F.col(id_col).alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "k_a")
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .withColumn(
+            "est_bp",
+            F.expr("matches * 10000 DIV k_a").cast("long"),
+        )
+        .filter(F.col("est_bp") >= F.lit(min_est_bp))
+        .select("doc_a", "doc_b", "matches", "k_a", "est_bp")
+    )
+
+
 def token_ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -7009,3 +7009,103 @@ ORDER BY band
     "resemblance — the quote/superset audit a resemblance-only "
     "dedup pipeline needs",
 )
+
+
+# ---------------------------------------------------------------------------
+# L95 — containment PROBE census (r12; the scale path whose exact
+# audit twin is l94): bottom-16 md5-sampled shingles per document
+# probed against the df-capped inverted shingle index; per-(a,b) the
+# match count over a's sample estimates C(a→b). Full corpus, no
+# all-pairs leg — the probe cost is k x capped posting lengths. The
+# oracle restates the IDENTICAL derivation (md5 bottom-k is a
+# portable deterministic sample, the l81/l82 twin discipline), so
+# the gate is exact, not rows-only. Census: estimate bands (quarter
+# steps) with pair counts and the high-containment count (est >= 3/4).
+#
+# Scale shape: one shingle exchange (index + df cap), one per-doc
+# window over O(doc shingles) for the bottom-k, one index join
+# bounded by k x posting caps; boilerplate shingles (df > 2% of
+# docs) are dropped before sampling on BOTH engines.
+# ---------------------------------------------------------------------------
+
+
+def _l95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.dedup import containment_probe_pairs
+
+    docs = _par_table(spark, sf_dir, "documents")
+    pairs = containment_probe_pairs(
+        docs, "doc_id", "text", n=3, k=16, max_df_frac=0.02,
+        min_est_bp=5000, min_sample=8, token_grams=True,
+    )
+    return ordered_result(
+        pairs.select(
+            F.expr("est_bp DIV 2500").cast("long").alias("band"),
+            F.when(F.col("est_bp") >= 7500, 1).otherwise(0).alias("hi"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hi").cast("long").alias("n_high"),
+        ),
+        "band",
+    )
+
+
+_l(
+    "l95_containment_probe",
+    "containment probe census (the l94 scale path): bottom-16 md5 "
+    "word-trigram samples probed against the df-capped inverted "
+    "index, estimate bands over the full corpus — no all-pairs leg",
+    _l95,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM idx
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle, md5(s.shingle) AS h
+  FROM sh s JOIN freq f ON f.shingle = s.shingle, nd
+  WHERE f.df <= GREATEST(2, CAST(nd.n_docs * 2 // 100 AS BIGINT))
+),
+sampled AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM kept
+  ) t WHERE rn <= 16
+),
+ks AS (
+  SELECT doc_id, count(*) AS k_a FROM sampled GROUP BY doc_id
+  HAVING count(*) >= 8
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+  FROM sampled a JOIN kept b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(m.matches * 10000 // ks.k_a AS BIGINT) AS est_bp
+  FROM m JOIN ks ON ks.doc_id = m.doc_a
+  WHERE m.matches * 10000 // ks.k_a >= 5000
+)
+SELECT CAST(est_bp // 2500 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN est_bp >= 7500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM pairs
+GROUP BY 1
+ORDER BY band
+""",
+    ref="SURVEY.md §2.4 L94/L02 family; Broder bottom-k sketches — "
+    "the sampled containment probe, portable-md5 exact twin "
+    "(l81/l82 discipline)",
+)

@@ -1467,3 +1467,38 @@ def test_shingle_containment_vs_bruteforce(spark):
     # the quote pair: full containment of doc 1 in doc 2, low jaccard
     cab, _, jac = got[(1, 2)]
     assert cab == 10000 and jac < 5000
+
+
+def test_containment_probe_finds_planted_quote(spark):
+    """The bottom-k probe detects a document quoted verbatim inside a
+    larger one (high estimated containment of the small doc) without
+    any all-pairs leg; estimates are deterministic (portable md5
+    sample) and bounded by the sample size."""
+    from graal_cdc_spark.operators.dedup import containment_probe_pairs
+
+    quote = " ".join(f"w{i}" for i in range(30))
+    host = "intro words here " + quote + " trailing content words"
+    noise = [
+        (10 + j, " ".join(f"n{j}x{i}" for i in range(40))) for j in range(6)
+    ]
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host)] + noise, "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_bp"]
+        for r in containment_probe_pairs(
+            docs, "doc_id", "text", n=3, k=8, max_df_frac=0.9,
+            min_est_bp=5000, min_sample=4, token_grams=True,
+        ).collect()
+    }
+    # the quote's sampled trigrams all appear in the host
+    assert pairs.get((1, 2)) == 10000
+    # determinism: a second build returns identical estimates
+    pairs2 = {
+        (r["doc_a"], r["doc_b"]): r["est_bp"]
+        for r in containment_probe_pairs(
+            docs, "doc_id", "text", n=3, k=8, max_df_frac=0.9,
+            min_est_bp=5000, min_sample=4, token_grams=True,
+        ).collect()
+    }
+    assert pairs == pairs2
