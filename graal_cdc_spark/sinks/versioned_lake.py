@@ -75,7 +75,7 @@ import re
 import shutil
 import uuid
 from typing import NamedTuple
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1113,6 +1113,290 @@ def commit_append(
     raise CommitConflict(f"append lost {max_retries} version races")
 
 
+_CMP_LIT = r"-?\d+(?:\.\d+)?|'(?:[^']|'')*'"
+_CMP_RE = re.compile(
+    r"^\s*(?:`(?P<qcol>[^`]+)`|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s*"
+    r"(?P<op><=|>=|==|=|<|>)\s*(?P<lit>" + _CMP_LIT + r")\s*$"
+)
+_CMP_REV_RE = re.compile(
+    r"^\s*(?P<lit>" + _CMP_LIT + r")\s*(?P<op><=|>=|==|=|<|>)\s*"
+    r"(?:`(?P<qcol>[^`]+)`|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s*$"
+)
+_IN_RE = re.compile(
+    r"^\s*(?:`(?P<qcol>[^`]+)`|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s+"
+    r"(?i:in)\s*\((?P<body>[^()]*)\)\s*$"
+)
+# SQL keywords that the bare-identifier comparison pattern must never
+# treat as a column name (``NOT x = 5`` splits off ``NOT`` cleanly, but
+# defense in depth costs nothing)
+_CMP_KEYWORDS = frozenset({"not", "and", "or", "in", "is", "null",
+                           "true", "false", "between", "like", "exists"})
+
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _parse_sql_literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _split_top_and(expr: str) -> list[str] | None:
+    """Split ``expr`` on top-level AND (paren-depth 0, outside quoted
+    strings). Returns ``None`` when a top-level OR is present: AND
+    binds tighter than OR, so any depth-0 OR token means the root of
+    the expression tree is a disjunction and NO conjunct is
+    individually a necessary condition — deriving ranges from one
+    would be unsound."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i, n = 0, len(expr)
+    saw_or = False
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            # consume the quoted literal ('' is an escaped quote)
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(expr[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c.isalpha():
+            j = i
+            while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                j += 1
+            word = expr[i:j].lower()
+            boundary_l = i == 0 or not (
+                expr[i - 1].isalnum() or expr[i - 1] in "_`"
+            )
+            if boundary_l and word == "or":
+                saw_or = True
+            if boundary_l and word == "and":
+                parts.append("".join(buf))
+                buf = []
+                i = j
+                continue
+            buf.append(expr[i:j])
+            i = j
+            continue
+        buf.append(c)
+        i += 1
+    if saw_or:
+        return None
+    parts.append("".join(buf))
+    return parts
+
+
+def _predicate_ranges(predicate: str) -> dict[str, tuple]:
+    """Conservative, provably-sound range extraction from a SQL
+    predicate string: only top-level AND conjuncts of the shape
+    ``col <cmp> literal`` (either orientation) or ``col IN
+    (literals)`` contribute; everything else — OR anywhere at the top
+    level, NOT, BETWEEN (its AND token splits it into unparseable
+    halves), function calls, column-to-column compares — contributes
+    NOTHING, never a wrong range. Soundness argument: under a
+    top-level AND every conjunct is a necessary condition, so a file
+    whose stats are disjoint from one recognized conjunct's range
+    cannot contain a matching row. Strict compares use their literal
+    as an inclusive bound (loses a sliver of pruning, never a row).
+    Returns ``{column: (lo | None, hi | None)}`` (None = unbounded)."""
+    conjuncts = _split_top_and(predicate)
+    if conjuncts is None:
+        return {}
+    los: dict[str, object] = {}
+    his: dict[str, object] = {}
+
+    def _narrow(col: str, lo, hi) -> None:
+        if lo is not None and (col not in los or lo > los[col]):
+            los[col] = lo
+        if hi is not None and (col not in his or hi < his[col]):
+            his[col] = hi
+
+    for cj in conjuncts:
+        m = _CMP_RE.match(cj)
+        op = None
+        if m:
+            op = m.group("op")
+        else:
+            m = _CMP_REV_RE.match(cj)
+            if m:
+                op = _FLIP[m.group("op")]  # normalize to col-on-left
+        if m and op:
+            col = m.group("qcol") or m.group("col")
+            if col.lower() in _CMP_KEYWORDS:
+                continue
+            v = _parse_sql_literal(m.group("lit"))
+            if op in ("=", "=="):
+                _narrow(col, v, v)
+            elif op in ("<", "<="):
+                _narrow(col, None, v)
+            else:
+                _narrow(col, v, None)
+            continue
+        m = _IN_RE.match(cj)
+        if m:
+            col = m.group("qcol") or m.group("col")
+            if col.lower() in _CMP_KEYWORDS:
+                continue
+            toks = [t.strip() for t in m.group("body").split(",")]
+            if not toks or any(
+                not re.fullmatch(_CMP_LIT, t) for t in toks
+            ):
+                continue
+            vals = [_parse_sql_literal(t) for t in toks]
+            try:
+                _narrow(col, min(vals), max(vals))
+            except TypeError:
+                continue  # mixed-type IN list: derive nothing
+    cols = set(los) | set(his)
+    return {c: (los.get(c), his.get(c)) for c in cols}
+
+
+def _prune_candidates(
+    files: dict[str, int],
+    stats: dict[str, dict],
+    ranges: dict[str, tuple],
+) -> list[str]:
+    """Open-interval flavor of :func:`_keep_after_prune` for the
+    write-side locate: ``ranges`` values are ``(lo | None, hi | None)``
+    necessary-condition bounds. Missing stats, unknown columns, and
+    incomparable types all conservatively keep the file."""
+    kept: list[str] = []
+    for p in files:
+        st = stats.get(p, {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            rng = st.get(col)
+            if rng is None:
+                continue
+            try:
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    keep = False
+                    break
+            except TypeError:
+                continue
+        if keep:
+            kept.append(p)
+    return kept
+
+
+_ATOMIC_KEY_TYPES = (
+    T.NumericType, T.StringType, T.BooleanType, T.DateType,
+    T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _locate_touched(
+    spark: SparkSession,
+    table: str,
+    snap: _Snapshot,
+    keys: DataFrame | None = None,
+    key_cols: list[str] | None = None,
+    predicate: str | None = None,
+) -> list[str]:
+    """The live files holding at least one row matched by ``keys``
+    (equi-join on ``key_cols``) or ``predicate`` — the write-side
+    locate every copy-on-write commit needs.
+
+    Scale shape (the read side's file-skipping discipline applied to
+    writes — VERDICT r12 #1):
+
+    1. **Stats-prune candidates from the log alone.** Key locates pay
+       one small aggregate over the key frame for per-column min/max
+       (zero TABLE I/O); predicate locates derive sound necessary
+       ranges from the SQL's top-level AND conjuncts
+       (:func:`_predicate_ranges`). Files whose committed min/max
+       disprove intersection are never read — on a table clustered by
+       ``commit_optimize(sort_cols=...)`` a point merge probes a
+       handful of files, not the table.
+    2. **ONE distributed probe job over the survivors.** All candidate
+       files are read as one relation tagged with
+       ``input_file_name()``; the semi-join / filter + distinct-file
+       collect is bounded by the candidate count. Never one
+       driver-dispatched Spark job per live file — at 10^4–10^5 files
+       that serial loop is hours of job-submission latency before a
+       single row is rewritten (the ``sinks/lake.py purge_keys``
+       locate pattern, applied to the versioned log).
+
+    Returns relative paths in live-set (commit) order.
+    """
+    files, stats, fields = snap.files, snap.stats, snap.schema
+    if not files:
+        return []
+    ranges: dict[str, tuple] = {}
+    if predicate is not None:
+        ranges = _predicate_ranges(predicate)
+    if keys is not None and key_cols:
+        by_name = {f.name: f.dataType for f in keys.schema.fields}
+        rangeable = [
+            c for c in key_cols
+            if isinstance(by_name.get(c), _ATOMIC_KEY_TYPES)
+        ]
+        aggs: list = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(rangeable):
+            aggs.append(F.min(F.col(f"`{c}`")).alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(f"`{c}`")).alias(f"__hi_{i}"))
+        row = keys.agg(*aggs).collect()[0]
+        if row["__n"] == 0:
+            return []  # empty key set touches nothing
+        for i, c in enumerate(rangeable):
+            lo, hi = row[f"__lo_{i}"], row[f"__hi_{i}"]
+            if lo is not None and hi is not None:
+                # min/max skip NULL keys — sound, because an equi-join
+                # on NULL never matches, so NULL keys touch no file
+                ranges[c] = (lo, hi)
+    cand = (
+        _prune_candidates(files, stats, _phys_preds(fields, ranges))
+        if ranges
+        else list(files)
+    )
+    if not cand:
+        return []
+    probe = _read_data(spark, table, cand, fields).withColumn(
+        "__vl_file", F.input_file_name()
+    )
+    if keys is not None and key_cols:
+        probe = probe.join(keys, key_cols, "left_semi")
+    if predicate is not None:
+        probe = probe.filter(predicate)
+    uris = [r[0] for r in probe.select("__vl_file").distinct().collect()]
+    base = os.path.abspath(table)
+    hit: set[str] = set()
+    for u in uris:
+        parsed = urlparse(u)
+        if parsed.scheme in ("", "file"):
+            p = unquote(parsed.path) if parsed.scheme else unquote(u)
+        else:
+            raise ValueError(
+                f"_locate_touched: unsupported filesystem scheme "
+                f"{parsed.scheme!r} in {u!r} (local lake paths only)"
+            )
+        rel = os.path.relpath(p, base)
+        if rel not in files:
+            raise RuntimeError(
+                f"_locate_touched: probe reported {rel!r} (from {u!r}), "
+                "which is not in the snapshot's live set — "
+                "input_file_name mapping mismatch; aborting before any "
+                "rewrite (originals untouched)"
+            )
+        hit.add(rel)
+    return [p for p in files if p in hit]
+
+
 def commit_delete_where(
     spark: SparkSession,
     table: str,
@@ -1128,20 +1412,16 @@ def commit_delete_where(
     With ``write_cdf`` (default) the deleted rows — the commit's
     exact net delta, already materialized by the rewrite — are
     persisted once under ``_changes/`` so change-feed consumers read
-    them as a plain scan instead of re-diffing the touched files."""
+    them as a plain scan instead of re-diffing the touched files.
+
+    Locate shape: sound ranges derived from the predicate's top-level
+    AND conjuncts stats-prune candidates from the log alone, then ONE
+    distributed probe job finds the touched files — never a Spark job
+    per live file (see :func:`_locate_touched`)."""
     base = latest_version(table)
     snap = _fold_log(table, base if base >= 0 else None)
-    files, fields = snap.files, snap.schema
-    touched: list[str] = []
-    for p in files:
-        hit = (
-            _read_data(spark, table, [p], fields)
-            .filter(predicate)
-            .limit(1)
-            .count()
-        )
-        if hit:
-            touched.append(p)
+    fields = snap.schema
+    touched = _locate_touched(spark, table, snap, predicate=predicate)
     actions: list[dict] = [{"remove": {"path": p}} for p in touched]
     cdf_entries: list[dict] | None = None
     if touched:
@@ -1196,10 +1476,17 @@ def commit_upsert_keys(
     key-semi-joins, no exceptAll) and the classification downstream
     MERGE consumers want; the default stays the net insert/delete
     feed so the batch reconstruction and the write-time delta agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    Locate shape: the incoming keys' per-column min/max stats-prune
+    candidate files from the log alone (a key-range-clustered table —
+    ``commit_optimize(sort_cols=...)`` — narrows a point merge to a
+    handful of files), then ONE distributed probe job finds the
+    touched files — never a Spark job per live file (see
+    :func:`_locate_touched`)."""
     base = latest_version(table)
     snap = _fold_log(table, base if base >= 0 else None)
-    files, existing_fields, retired = snap.files, snap.schema, snap.retired
+    existing_fields, retired = snap.schema, snap.retired
     merged = _merged_schema(
         existing_fields, _schema_fields_of(df), "commit_upsert_keys",
         retired,
@@ -1207,16 +1494,9 @@ def commit_upsert_keys(
     eff = merged if merged is not None else existing_fields
     _check_constraints(df, snap.constraints, "commit_upsert_keys", eff)
     keys = df.select(*key_cols).distinct()
-    touched: list[str] = []
-    for p in files:
-        hit = (
-            _read_data(spark, table, [p], existing_fields)
-            .join(keys, key_cols, "left_semi")
-            .limit(1)
-            .count()
-        )
-        if hit:
-            touched.append(p)
+    touched = _locate_touched(
+        spark, table, snap, keys=keys, key_cols=key_cols
+    )
     actions: list[dict] = [{"remove": {"path": p}} for p in touched]
     dropped = None
     if touched:
@@ -1316,13 +1596,15 @@ def commit_merge(
     target column absent from the source raises (a replace-merge
     cannot synthesize values).
 
-    Scale shape: identical to the upsert — the incoming keys probe
-    each live file with a semi-join (file-targeted rewrite), survivors
-    rewrite once, and the persisted change delta costs one diff
-    shuffle over O(rows touched) paid by the writer."""
+    Scale shape: identical to the upsert — key min/max stats-prune
+    candidate files from the log, ONE distributed probe job locates
+    the touched files (never a job per file — see
+    :func:`_locate_touched`), survivors rewrite once, and the
+    persisted change delta costs one diff shuffle over O(rows
+    touched) paid by the writer."""
     base = latest_version(table)
     snap = _fold_log(table, base if base >= 0 else None)
-    files, existing_fields, retired = snap.files, snap.schema, snap.retired
+    existing_fields, retired = snap.schema, snap.retired
     if existing_fields is not None and not evolve_schema:
         want = [f["name"] for f in existing_fields]
         missing = [c for c in want if c not in df.columns]
@@ -1363,16 +1645,9 @@ def commit_merge(
     else:
         upd_src = df.select(*data_cols)
     keys = df.select(*key_cols).distinct()
-    touched: list[str] = []
-    for p in files:
-        hit = (
-            _read_data(spark, table, [p], existing_fields)
-            .join(keys, key_cols, "left_semi")
-            .limit(1)
-            .count()
-        )
-        if hit:
-            touched.append(p)
+    touched = _locate_touched(
+        spark, table, snap, keys=keys, key_cols=key_cols
+    )
     actions: list[dict] = [{"remove": {"path": p}} for p in touched]
     dropped = None
     matched_keys = None

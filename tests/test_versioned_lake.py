@@ -1287,3 +1287,135 @@ def test_merge_stale_snapshot_conflicts_cleanly(spark, tmp_path):
             VL.commit_merge(spark, src, t, ["k"])
     finally:
         VLmod.latest_version = orig
+
+
+# ------------------------------------------------- write-side locate scale shape
+
+
+def test_predicate_ranges_sound_extraction():
+    """_predicate_ranges must only ever derive NECESSARY ranges:
+    top-level AND conjuncts of col-vs-literal shape contribute,
+    everything else contributes nothing (never a wrong bound)."""
+    pr = VL._predicate_ranges
+    assert pr("k = 5") == {"k": (5, 5)}
+    assert pr("k > 3 AND k <= 10") == {"k": (3, 10)}
+    assert pr("`k` >= 2 AND v = 'x''y'") == {
+        "k": (2, None), "v": ("x'y", "x'y")
+    }
+    assert pr("5 < k") == {"k": (5, None)}  # literal-on-left flips
+    assert pr("k IN (7, 3, 9)") == {"k": (3, 9)}
+    # top-level disjunction: NO conjunct is necessary -> nothing
+    assert pr("k = 5 OR v = 'x'") == {}
+    # inner (parenthesized) OR doesn't poison the outer conjunct
+    assert pr("k = 5 AND (v = 'x' OR k = 9)") == {"k": (5, 5)}
+    # unrecognized shapes contribute nothing, never a wrong range
+    assert pr("NOT k = 5") == {}
+    assert pr("k BETWEEN 2 AND 5") == {}
+    assert pr("length(v) = 3 AND k < 4") == {"k": (None, 4)}
+    assert pr("k = other_col") == {}
+    # a quoted literal containing AND/OR must not split the conjunct
+    assert pr("v = 'a AND b' AND k = 1") == {
+        "v": ("a AND b", "a AND b"), "k": (1, 1)
+    }
+
+
+def _ranged_table(spark, path, n_files, rows_per_file=20):
+    """A table whose n_files live files hold DISJOINT k ranges with
+    exact per-file min/max stats (repartitionByRange + n_files=None
+    preserves the range partitioning through staging)."""
+    df = (
+        spark.range(0, n_files * rows_per_file)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartitionByRange(n_files, "k")
+    )
+    VL.commit_append(spark, df, path)
+    return len(VL.live_files(path))
+
+
+def test_merge_locate_jobs_constant_in_file_count(spark, tmp_path):
+    """VERDICT r12 #1 'done' contract: a point merge over a 50-file
+    table launches the SAME number of Spark jobs as over a 4-file
+    table — one distributed locate over stats-pruned candidates,
+    never one driver-dispatched job per live file."""
+    import uuid as _uuid
+
+    def jobs(fn):
+        sc = spark.sparkContext
+        group = f"vl-jobcount-{_uuid.uuid4().hex}"
+        sc.setJobGroup(group, "count jobs")
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    assert _ranged_table(spark, small, 4) == 4
+    assert _ranged_table(spark, big, 50) == 50
+    src = spark.createDataFrame([(5, "UPD")], "k long, v string")
+    j_small = jobs(lambda: VL.commit_merge(spark, src, small, ["k"]))
+    j_big = jobs(lambda: VL.commit_merge(spark, src, big, ["k"]))
+    assert j_big == j_small, (
+        f"locate jobs scale with file count: {j_small} jobs at 4 files "
+        f"vs {j_big} at 50 — the per-file probe loop is back"
+    )
+    # and both merges actually landed
+    assert VL.read_table(spark, big).filter("k = 5").collect()[0].v == "UPD"
+
+
+def test_merge_locate_never_reads_stats_disjoint_files(
+    spark, tmp_path, monkeypatch
+):
+    """Stats-disjoint files must never be READ by the write-side
+    locate: a point merge on a 50-file range-clustered table probes
+    at most a couple of candidate files."""
+    t = str(tmp_path / "t")
+    assert _ranged_table(spark, t, 50) == 50
+    read_sizes = []
+    orig = VL._read_data
+
+    def spy(spark_, table_, paths, fields):
+        read_sizes.append(len(paths))
+        return orig(spark_, table_, paths, fields)
+
+    monkeypatch.setattr(VL, "_read_data", spy)
+    src = spark.createDataFrame([(5, "UPD")], "k long, v string")
+    VL.commit_merge(spark, src, t, ["k"])
+    assert read_sizes, "probe never read anything?"
+    assert max(read_sizes) <= 3, (
+        f"locate read {max(read_sizes)} of 50 files for a point key — "
+        "per-file stats were not consulted"
+    )
+
+
+def test_delete_where_locate_prunes_by_predicate_ranges(
+    spark, tmp_path, monkeypatch
+):
+    """commit_delete_where derives sound ranges from the predicate's
+    top-level AND conjuncts and never reads disjoint files; an
+    OR-rooted predicate falls back to probing every file but still in
+    ONE distributed job (correctness unchanged)."""
+    t = str(tmp_path / "t")
+    assert _ranged_table(spark, t, 20) == 20
+    read_sizes = []
+    orig = VL._read_data
+
+    def spy(spark_, table_, paths, fields):
+        read_sizes.append(len(paths))
+        return orig(spark_, table_, paths, fields)
+
+    monkeypatch.setattr(VL, "_read_data", spy)
+    VL.commit_delete_where(spark, t, "k >= 3 AND k < 7")
+    assert max(read_sizes) <= 3
+    assert VL.read_table(spark, t).filter(
+        "k >= 3 AND k < 7"
+    ).count() == 0
+    # OR-rooted: no sound range -> all survivors probed, one relation
+    read_sizes.clear()
+    VL.commit_delete_where(spark, t, "k = 100 OR k = 250")
+    assert VL.read_table(spark, t).filter("k in (100, 250)").count() == 0
+    assert VL.read_table(spark, t).filter("k = 101").count() == 1
