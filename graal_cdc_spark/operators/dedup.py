@@ -227,7 +227,7 @@ def containment_probe_pairs(
     text_col: str,
     n: int = 5,
     k: int = 16,
-    max_df_frac: float = 0.02,
+    max_df_bp: int = 200,
     min_est_bp: int = 2500,
     min_sample: int = 1,
     token_grams: bool = False,
@@ -241,7 +241,11 @@ def containment_probe_pairs(
     quoting superset, so the probe finds the quote pairs resemblance
     LSH misses at O(k · posting lengths) instead of O(all pairs).
 
-    ``max_df_frac`` drops shingles present in more than that fraction
+    ``max_df_bp`` (integer basis points — exact integer arithmetic,
+    so a SQL oracle's ``n_docs * bp // 10000`` computes the IDENTICAL
+    cap; a float fraction could round one below the integer quotient
+    and desync the exact-twin gate, ADVICE r12) drops shingles present
+    in more than that fraction
     of documents BEFORE sampling and indexing (boilerplate shingles
     carry no containment signal and their posting lists are the whole
     cost); the estimate is then containment over the df-capped shingle
@@ -279,7 +283,7 @@ def containment_probe_pairs(
             .dropDuplicates([id_col, "shingle"])
         )
     n_docs = df.count()
-    cap = max(2, int(n_docs * max_df_frac))
+    cap = max(2, n_docs * max_df_bp // 10000)
     # sh feeds the df-count AND the capped join; kept feeds the
     # sampler AND the index side — truncate lineage once each (the
     # l75 rule: both frames are O(distinct grams), tiny next to the

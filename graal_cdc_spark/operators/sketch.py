@@ -326,6 +326,7 @@ def quantile_summary(
     capacity: int = 256,
     num_partitions: int = 32,
     with_value_counts: bool = False,
+    max_value_domain: int = 1_000_000,
 ) -> DataFrame:
     """One (value, weight) quantile summary per hash partition of
     ``value_col`` (cast to long; NULLs excluded). The SUMMARY is
@@ -348,7 +349,15 @@ def quantile_summary(
     copy of a value lands in one partition and the per-partition
     ``np.unique`` counts are globally exact with NO merge — the
     audit's exact leg rides the sketch job for free, bounded by the
-    value DOMAIN (never the row count)."""
+    value DOMAIN (never the row count). Because that bound is the
+    domain, a high-cardinality column (timestamps, ids) would make
+    the "audit" leg as big as the data: ``with_value_counts=True``
+    therefore pre-checks the domain with one JVM-side
+    ``approx_count_distinct`` aggregate and fails fast past
+    ``max_value_domain`` instead of silently emitting an unbounded
+    result (VERDICT r12 — the audit mode is for small-domain columns
+    like lengths and counts; the summary itself stays bounded and
+    needs no guard)."""
     import pyarrow as pa
 
     cap = int(capacity)
@@ -359,6 +368,20 @@ def quantile_summary(
         .filter(F.col("x").isNotNull())
         .repartition(num_partitions, F.col("x"))
     )
+    if with_value_counts:
+        approx = part.agg(
+            F.approx_count_distinct("x").alias("d")
+        ).collect()[0]["d"]
+        if approx > max_value_domain:
+            raise ValueError(
+                "quantile_summary: with_value_counts=True emits one "
+                f"row per distinct value, but {value_col!r} holds "
+                f"~{approx} distinct values (> max_value_domain="
+                f"{max_value_domain}) — the exact audit leg is for "
+                "small-domain columns (lengths, counts); raise "
+                "max_value_domain only if the caller can hold that "
+                "many rows"
+            )
 
     def summarize(batches: Iterator) -> Iterator:
         import numpy as np

@@ -7034,7 +7034,7 @@ def _l95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _par_table(spark, sf_dir, "documents")
     pairs = containment_probe_pairs(
-        docs, "doc_id", "text", n=3, k=16, max_df_frac=0.02,
+        docs, "doc_id", "text", n=3, k=16, max_df_bp=200,
         min_est_bp=5000, min_sample=8, token_grams=True,
     )
     return ordered_result(

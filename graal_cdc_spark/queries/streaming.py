@@ -1040,9 +1040,18 @@ def _st21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batches
     src = tempfile.mkdtemp(prefix="st21-src-")
     for i in (0, 1):
-        changes.filter(F.pmod(F.crc32("key"), F.lit(2)) == i).coalesce(
-            1
-        ).write.mode("append").parquet(src)
+        chunk = changes.filter(F.pmod(F.crc32("key"), F.lit(2)) == i)
+        # the gated oracle pins n_versions == 3 (v0 + one merge per
+        # micro-batch); an empty half would write a 0-row file whose
+        # batch the isEmpty guard skips, silently committing only one
+        # merge — fail fast with the real cause instead (ADVICE r12)
+        if chunk.isEmpty():
+            raise AssertionError(
+                f"st21: crc32-half {i} of the change window is empty "
+                "at this SF — the two-micro-batch contract (n_versions"
+                "=3) cannot hold; regenerate or re-slice the window"
+            )
+        chunk.coalesce(1).write.mode("append").parquet(src)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

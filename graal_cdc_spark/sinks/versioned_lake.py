@@ -152,6 +152,23 @@ def commit_body(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _commit_body_retained(table: str, version: int) -> dict:
+    """:func:`commit_body`, but a commit deleted by ``expire_log``
+    (including one expired by a RACING expiry after the caller listed
+    the log) surfaces as an actionable ValueError naming the retention
+    mechanism and the retained range, not a raw ENOENT (ADVICE r12)."""
+    try:
+        return commit_body(table, version)
+    except FileNotFoundError:
+        vs = _versions(table)
+        rng = f"[{vs[0]}, {vs[-1]}]" if vs else "(empty log)"
+        raise ValueError(
+            f"commit {version} was expired from the log (expire_log); "
+            f"retained versions are {rng} — restart this consumer "
+            "from a retained version"
+        ) from None
+
+
 def _fold_log(table: str, version: int | None = None) -> _Snapshot:
     """ONE checkpoint+tail replay producing everything a snapshot
     reader needs (see :class:`_Snapshot`). All public snapshot
@@ -469,8 +486,15 @@ def read_changes(
     end = head if end_version is None else end_version
     vs = _versions(table)
     if start_version not in vs or end not in vs or start_version > end:
+        hint = (
+            " — versions below were expired from the log (expire_log);"
+            " restart this consumer from a retained version"
+            if vs and start_version < vs[0]
+            else ""
+        )
         raise ValueError(
             f"change range [{start_version}, {end}] outside log {vs}"
+            f"{hint}"
         )
     end_fields = schema_fields(table, end)
     feed_schema = _feed_schema(table, end)
@@ -484,7 +508,7 @@ def read_changes(
     for v in range(start_version, end + 1):
         if v not in vs:
             continue
-        body = commit_body(table, v)
+        body = _commit_body_retained(table, v)
         if body.get("dataChange", True) is False:
             continue  # data-identical commit: nothing to feed
         added = [a["add"]["path"] for a in body["actions"] if "add" in a]
@@ -588,7 +612,7 @@ def table_history(table: str) -> list[dict]:
     the audit surface."""
     out = []
     for v in _versions(table):
-        c = commit_body(table, v)
+        c = _commit_body_retained(table, v)
         out.append(
             {
                 "version": v,
@@ -741,11 +765,18 @@ def _stage_partitioned(
                 # only types _parse_part_value restores faithfully may
                 # prune; date/timestamp/decimal values stay strings in
                 # the action metadata and never enter stats (absence =
-                # never prune — conservative, results unchanged)
+                # never prune — conservative, results unchanged).
+                # 'float' (32-bit) is excluded too: Spark's shortest
+                # directory repr round-trips to the FLOAT, not to its
+                # widened double, so double(str(v)) can differ from
+                # the double(v32) reads compare against by ~1e-8 rel —
+                # a prune bound landing between the two would silently
+                # drop a matching file. The parquet footer stats for
+                # the column are already exact; keep those (ADVICE r12)
                 t = typ.get(c, "string").lower()
                 if v is not None and (
                     t in ("tinyint", "smallint", "int", "integer",
-                          "bigint", "long", "float", "double",
+                          "bigint", "long", "double",
                           "boolean", "string")
                 ):
                     st[c] = [v, v]  # exact: the file holds ONLY v
@@ -770,6 +801,17 @@ def _stage_data_files(
     not one per (input task × value)."""
     pdf = _to_physical(df, fields)
     if pcols:
+        # a subset-write omitting a partition column would otherwise
+        # die inside the hive split with a raw AnalysisException on an
+        # internal __hp_N alias — name the real problem up front
+        # (ADVICE r12)
+        absent = [c for c in pcols if c not in pdf.columns]
+        if absent:
+            raise ValueError(
+                "write to partitioned table omits partition column(s) "
+                f"{_logical_names(fields, absent)} — every commit to a "
+                "partitioned table must supply its partition columns"
+            )
         if not pre_shaped:
             cols = [F.col(f"`{c}`") for c in pcols]
             pdf = (

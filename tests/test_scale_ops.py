@@ -1487,7 +1487,7 @@ def test_containment_probe_finds_planted_quote(spark):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["est_bp"]
         for r in containment_probe_pairs(
-            docs, "doc_id", "text", n=3, k=8, max_df_frac=0.9,
+            docs, "doc_id", "text", n=3, k=8, max_df_bp=9000,
             min_est_bp=5000, min_sample=4, token_grams=True,
         ).collect()
     }
@@ -1497,8 +1497,42 @@ def test_containment_probe_finds_planted_quote(spark):
     pairs2 = {
         (r["doc_a"], r["doc_b"]): r["est_bp"]
         for r in containment_probe_pairs(
-            docs, "doc_id", "text", n=3, k=8, max_df_frac=0.9,
+            docs, "doc_id", "text", n=3, k=8, max_df_bp=9000,
             min_est_bp=5000, min_sample=4, token_grams=True,
         ).collect()
     }
     assert pairs == pairs2
+
+
+def test_quantile_summary_guards_wide_value_domain(spark):
+    """VERDICT r12: with_value_counts=True emits one row per DISTINCT
+    value — on a high-cardinality column (ids, timestamps) that is
+    the whole column, not an audit. The operator must fail fast past
+    max_value_domain instead of silently emitting an unbounded
+    result; the summary itself (no value counts) stays bounded and
+    keeps working on the same column."""
+    import pytest as _pytest
+
+    from graal_cdc_spark.operators.sketch import quantile_summary
+
+    wide = spark.range(0, 5000).selectExpr("id * 1000003 as v")
+    with _pytest.raises(ValueError, match="max_value_domain"):
+        quantile_summary(
+            wide, "v", capacity=16, num_partitions=4,
+            with_value_counts=True, max_value_domain=100,
+        )
+    # the bounded summary needs no guard on the same wide column
+    n_rows = quantile_summary(
+        wide, "v", capacity=16, num_partitions=4
+    ).count()
+    assert n_rows <= 16 * 4
+    # and a small-domain column passes the guard unchanged
+    narrow = spark.range(0, 5000).selectExpr("id % 7 as v")
+    kinds = {
+        r["kind"]
+        for r in quantile_summary(
+            narrow, "v", capacity=16, num_partitions=4,
+            with_value_counts=True, max_value_domain=100,
+        ).collect()
+    }
+    assert kinds == {0, 1}

@@ -1419,3 +1419,77 @@ def test_delete_where_locate_prunes_by_predicate_ranges(
     VL.commit_delete_where(spark, t, "k = 100 OR k = 250")
     assert VL.read_table(spark, t).filter("k in (100, 250)").count() == 0
     assert VL.read_table(spark, t).filter("k = 101").count() == 1
+
+
+def test_float_partition_stats_stay_footer_exact(spark, tmp_path):
+    """ADVICE r12: a float (32-bit) partition value's shortest
+    directory repr round-trips to the FLOAT, not its widened double —
+    recording double(str(v)) as an exact [v, v] stat can prune a file
+    whose rows DO match the double(v32) a read compares against. The
+    directory-parsed value must never overwrite the (already exact)
+    footer stats for float partition columns."""
+    import struct
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.7)], "k long, f float"
+    )
+    VL.commit_append(spark, df, t, partition_by=["f"])
+    # the double Spark actually compares at read time
+    v32 = struct.unpack("f", struct.pack("f", 0.1))[0]
+    assert v32 != 0.1  # the gap this test exists for
+    kept = VL.pruned_files(t, {"f": (v32, v32)})
+    got = VL.read_table(spark, t, prune={"f": (v32, v32)}).filter(
+        F.col("f") == F.lit(v32).cast("float")
+    )
+    assert got.count() == 1, (
+        f"file holding f=0.1f was pruned away (kept={kept}) — "
+        "directory-string stats replaced the exact footer stats"
+    )
+    # int partition values still carry exact [v, v] stats (pruning
+    # on a faithfully-restored type keeps working)
+    t2 = str(tmp_path / "t2")
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, p long"),
+        t2,
+        partition_by=["p"],
+    )
+    assert len(VL.pruned_files(t2, {"p": (10, 10)})) == 1
+
+
+def test_partitioned_append_missing_partition_column_named_error(
+    spark, tmp_path
+):
+    """ADVICE r12: a later append omitting the partition column must
+    raise a named error, not an AnalysisException on an internal
+    __hp_N alias."""
+    t = str(tmp_path / "t")
+    VL.commit_append(
+        spark,
+        spark.createDataFrame([(1, "a", "p1")], "k long, v string, p string"),
+        t,
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="omits partition column"):
+        VL.commit_append(
+            spark,
+            spark.createDataFrame([(2, "b")], "k long, v string"),
+            t,
+        )
+
+
+def test_expired_batch_reads_name_expire_log(spark, tmp_path):
+    """ADVICE r12: batch read_changes parked before the retention
+    boundary gets an actionable expire_log message, not an opaque
+    range error (and never a raw FileNotFoundError)."""
+    t = str(tmp_path / "t")
+    for i in range(6):
+        VL.commit_append(spark, _df(spark, [(i, "x")]), t)
+    VL.expire_log(t, keep_versions=2)
+    with pytest.raises(ValueError, match="expire_log"):
+        VL.read_changes(spark, t, 0, 5)
+    # a racing expiry between the log listing and the body read also
+    # surfaces as the named error
+    with pytest.raises(ValueError, match="expire_log"):
+        VL._commit_body_retained(t, 1)
