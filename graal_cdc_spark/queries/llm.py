@@ -2055,18 +2055,8 @@ GROUP BY doc_id ORDER BY doc_id
 def _l43(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar, driver-side; one tiny job
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(TX.tokens(F.col("text"))) - 4),
-                    lambda i: F.array_join(
-                        F.slice(TX.tokens(F.col("text")), i, 5), " "
-                    ),
-                )
-            )
-        ).alias("sh"),
+    shingles = TX.word_ngrams_exploded(
+        docs, "doc_id", "text", 5, out_col="sh", per_doc_distinct=True
     )
     return (
         ordered_result(shingles.groupBy("sh")
@@ -2247,18 +2237,8 @@ GROUP BY doc_id ORDER BY doc_id
 
 def _l47(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
-    tris = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(TX.tokens(F.col("text"))) - 2),
-                    lambda i: F.array_join(
-                        F.slice(TX.tokens(F.col("text")), i, 3), " "
-                    ),
-                )
-            )
-        ).alias("tri"),
+    tris = TX.word_ngrams_exploded(
+        docs, "doc_id", "text", 3, out_col="tri", per_doc_distinct=True
     )
     old = (
         tris.filter(F.col("doc_id") % 10 < 8)
@@ -2498,16 +2478,14 @@ def _l52(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
 
     def grams(df):
-        toks = F.split(F.col("text"), " ")
-        g = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-        return (
-            df.filter(F.size(toks) >= n)
-            .select("doc_id", F.explode(g).alias("gram"))
-            .distinct()
-        )
+        from graal_cdc_spark.operators.text import word_ngrams_exploded
+
+        # once-projected tokens + shifted-slice build: a split()
+        # referenced inside the transform lambda re-tokenizes the doc
+        # per gram (see word_gram_array)
+        return word_ngrams_exploded(
+            df, "doc_id", "text", n, out_col="gram"
+        ).distinct()
 
     eval_g = grams(docs.filter(F.col("doc_id") % 7 == 0))
     corpus_g = grams(docs.filter(F.col("doc_id") % 7 != 0)).select("gram")
@@ -2574,19 +2552,27 @@ GROUP BY doc_id ORDER BY doc_id
 
 def _l53(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    pairs = docs.filter(F.size(toks) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    # project the token array ONCE: element_at(split(text), i) inside
+    # the lambda re-splits the document per bigram (word_gram_array
+    # rule)
+    tk = F.col("__t")
+    pairs = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
     # pairs feeds TWO consumers (the bigram LM and the scoring join) —
     # truncate lineage so the interpreted bigram explode runs once per
     # execution, not per consumer (the l75 rule). Materialize it
@@ -3348,20 +3334,27 @@ GROUP BY 1 ORDER BY split
 
 def _l65(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _par_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    pairs = docs.filter(F.size(toks) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # once-projected tokens (the word_gram_array rule): the bigram
+    # lambda otherwise re-splits the document per pair
+    tk = F.col("__t")
+    toked = docs.select(F.split(F.col("text"), " ").alias("__t"))
+    pairs = (
+        toked.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     uni = (
-        docs.select(F.explode(toks).alias("w"))
+        toked.select(F.explode("__t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -3436,15 +3429,16 @@ LIMIT 50
 def _l66(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
     docs = _par_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = docs.filter(F.size(toks) >= k).select(
+    from graal_cdc_spark.operators.text import word_gram_array
+
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    ).filter(F.size("__t") >= k)
+    grams = toked.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - k + 1),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(toks, i, k))
-                ),
+                word_gram_array(F.col("__t"), k), lambda s: F.md5(s)
             )
         ).alias("g"),
     )
@@ -3607,13 +3601,16 @@ def _l68(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k, w = 5, 4
     docs = _par_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = docs.filter(F.size(toks) >= k + w - 1).select(
+    from graal_cdc_spark.operators.text import word_gram_array
+
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    ).filter(F.size("__t") >= k + w - 1)
+    grams = toked.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - k + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+                word_gram_array(F.col("__t"), k), lambda s: F.md5(s)
             )
         ).alias("pos", "g"),
     )
