@@ -107,6 +107,10 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with a one-commit clause merge, same class as c31/c32"
     ),
+    "c41_lake_repartition_census": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with a layout-evolution rewrite, same class as c31/c33"
+    ),
     "st21_lake_stream_merge_apply": (
         "checkpointed availableNow streaming merge-apply over the "
         "commit lifecycle (filesystem-bound), same class as st19"
