@@ -5454,3 +5454,93 @@ ORDER BY o.o_orderpriority
     "(bucketBy/sortBy saveAsTable) — the write-once co-location "
     "lever for repeated fact joins",
 )
+
+
+# ---------------------------------------------------------------------------
+# R100 — N-way Morton z-order key (VERDICT r12 #9: the generalized
+# form of r66's two-column interleave, the layout key commit_optimize
+# now accepts for any N >= 2). Three dimensions (user, value bucket,
+# event-day) interleave round-robin — bit i of dim d at bit i*3+d —
+# and the census pins per-z-file min/max of ALL THREE dims: every
+# dimension's per-file range must stay tight for the layout to prune
+# on it, which is the whole point of the curve. bits=8/dim (24-bit
+# key) exercises the real bit placement; the identical expression
+# runs in DuckDB via zorder_key_sql (integer-only, engine-portable).
+#
+# Scale shape: the key is pure shift/mask/or inside whole-stage
+# codegen; ntile models the range-partition + sort file assignment
+# of the actual layout pass (one shuffle, paid once per rewrite).
+# ---------------------------------------------------------------------------
+
+
+def _r100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("x"),
+        F.floor(F.col("value")).cast("bigint").alias("y"),
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).withColumn(
+        "zkey",
+        zorder_key([F.col("x"), F.col("y"), F.col("d")], bits=8),
+    )
+    w = Window.orderBy("zkey", "event_id")
+    return ordered_result(
+        keyed.withColumn("file_id", F.ntile(8).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("zkey").alias("z_lo"),
+            F.max("zkey").alias("z_hi"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+            F.min("d").alias("d_lo"),
+            F.max("d").alias("d_hi"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "file_id",
+    )
+
+
+from graal_cdc_spark.operators.layout import zorder_key_sql as _zsqln  # noqa: E402
+
+_r(
+    "r100_zorder_nd_layout",
+    "N-way Morton z-order key (3 dims, round-robin bit interleave) + "
+    "per-file min/max coverage of every dimension",
+    _r100,
+    f"""
+WITH keyed AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) AS x,
+         CAST(floor(value) AS BIGINT) AS y,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events
+), z AS (
+  SELECT event_id, x, y, d,
+         {_zsqln(["x", "y", "d"], bits=8)} AS zkey
+  FROM keyed
+)
+SELECT file_id,
+       CAST(min(zkey) AS BIGINT) AS z_lo,
+       CAST(max(zkey) AS BIGINT) AS z_hi,
+       CAST(min(x) AS BIGINT) AS x_lo,
+       CAST(max(x) AS BIGINT) AS x_hi,
+       CAST(min(y) AS BIGINT) AS y_lo,
+       CAST(max(y) AS BIGINT) AS y_hi,
+       CAST(min(d) AS BIGINT) AS d_lo,
+       CAST(max(d) AS BIGINT) AS d_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT x, y, d, zkey,
+         ntile(8) OVER (ORDER BY zkey, event_id) AS file_id
+  FROM z
+)
+GROUP BY file_id ORDER BY file_id
+""",
+    ref="SURVEY.md §2.4 R66 family; Delta/Iceberg OPTIMIZE ZORDER BY "
+    "over N columns, the interleave as a plain integer expression",
+)

@@ -1767,13 +1767,17 @@ def commit_optimize(
     skip it without reading a byte — a 100 TB compaction costs the
     CDC fan-out NOTHING.
 
-    ``zorder_cols`` (exactly two numeric columns, exclusive with
+    ``zorder_cols`` (two or more numeric columns, exclusive with
     ``sort_cols``) clusters by the interleaved-bit Morton key instead
-    of a linear sort — per-file min/max stats then stay tight on BOTH
-    columns, so ``read_table(prune=...)`` skips files for range
-    predicates on EITHER dimension (Delta Z-ORDER analog; a linear
-    sort gives one column tight stats and leaves the other column's
-    ranges spanning the domain).
+    of a linear sort — per-file min/max stats then stay tight on ALL
+    the interleaved columns (bit share 1/N each), so
+    ``read_table(prune=...)`` skips files for range predicates on ANY
+    of them (Delta Z-ORDER analog; a linear sort gives one column
+    tight stats and leaves every other column's ranges spanning the
+    domain). Per-dimension bit width shrinks as N grows
+    (``default_zbits`` keeps the key a non-negative BIGINT), so
+    pruning selectivity per column degrades gracefully with N — the
+    standard Z-ORDER trade.
 
     Scale shape: one read of the live set, one write of ``n_files``
     range/round-robin partitions — no driver-side data movement; at
@@ -1783,9 +1787,9 @@ def commit_optimize(
         raise ValueError(
             "commit_optimize: sort_cols and zorder_cols are exclusive"
         )
-    if zorder_cols is not None and len(zorder_cols) != 2:
+    if zorder_cols is not None and len(zorder_cols) < 2:
         raise ValueError(
-            "commit_optimize: zorder_cols takes exactly two columns "
+            "commit_optimize: zorder_cols takes two or more columns "
             f"(got {zorder_cols})"
         )
     base = latest_version(table)
@@ -1796,38 +1800,37 @@ def commit_optimize(
     df = _read_data(spark, table, list(files), fields)
     if zorder_cols:
         from graal_cdc_spark.operators.layout import (
-            cluster_by_zorder,
+            cluster_by_zorder_n,
+            default_zbits,
             normalize_expr,
         )
 
-        # the interleave needs non-negative ints in [0, 2^ZBITS): one
+        # the interleave needs non-negative ints in [0, 2^bits): one
         # bounded min/max pass supplies the literal normalization
-        # bounds (the cluster_by_zorder contract) — negatives or wide
-        # domains would otherwise interleave meaningless low bits and
-        # the layout would prune nothing
-        c1, c2 = zorder_cols
-        b = df.agg(
-            F.min(F.col(c1).cast("bigint")).alias("lo1"),
-            F.max(F.col(c1).cast("bigint")).alias("hi1"),
-            F.min(F.col(c2).cast("bigint")).alias("lo2"),
-            F.max(F.col(c2).cast("bigint")).alias("hi2"),
-        ).collect()[0]
-        if b["lo1"] is None or b["lo2"] is None:
+        # bounds (the cluster contract) — negatives or wide domains
+        # would otherwise interleave meaningless low bits and the
+        # layout would prune nothing
+        aggs = []
+        for i, c in enumerate(zorder_cols):
+            aggs.append(F.min(F.col(c).cast("bigint")).alias(f"lo{i}"))
+            aggs.append(F.max(F.col(c).cast("bigint")).alias(f"hi{i}"))
+        b = df.agg(*aggs).collect()[0]
+        if any(b[f"lo{i}"] is None for i in range(len(zorder_cols))):
             raise ValueError(
                 "commit_optimize: zorder_cols must be numeric columns "
                 f"with at least one non-null value (got {zorder_cols})"
             )
-        df = (
-            df.withColumn(
-                "__zx", normalize_expr(f"`{c1}`", b["lo1"], b["hi1"])
+        zbits = default_zbits(len(zorder_cols))
+        zc = []
+        for i, c in enumerate(zorder_cols):
+            zc.append(f"__z{i}")
+            df = df.withColumn(
+                f"__z{i}",
+                normalize_expr(
+                    f"`{c}`", b[f"lo{i}"], b[f"hi{i}"], bits=zbits
+                ),
             )
-            .withColumn(
-                "__zy", normalize_expr(f"`{c2}`", b["lo2"], b["hi2"])
-            )
-        )
-        df = cluster_by_zorder(df, "__zx", "__zy", n_files).drop(
-            "__zx", "__zy"
-        )
+        df = cluster_by_zorder_n(df, zc, n_files, bits=zbits).drop(*zc)
         staged = _stage_data_files(
             df, table, None, fields, snap.partition_cols or None,
             pre_shaped=True,
