@@ -111,6 +111,11 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with a layout-evolution rewrite, same class as c31/c33"
     ),
+    "st22_lake_stream_repartition_skip": (
+        "checkpointed availableNow streaming drain across the "
+        "repartition commit lifecycle (filesystem-bound), same class "
+        "as st19"
+    ),
     "st21_lake_stream_merge_apply": (
         "checkpointed availableNow streaming merge-apply over the "
         "commit lifecycle (filesystem-bound), same class as st19"

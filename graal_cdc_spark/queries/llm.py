@@ -7106,3 +7106,115 @@ ORDER BY band
     "the sampled containment probe, portable-md5 exact twin "
     "(l81/l82 discipline)",
 )
+
+
+# ---------------------------------------------------------------------------
+# L96 — KMV (k-minimum-values / bottom-k) distinct sketch with its
+# accuracy audited against the exact count (r13; Bar-Yossef et al.'s
+# classic estimator, the missing member of the sketch ladder next to
+# HLL l14, Count-Min l92, quantile summaries l93). Distinct user_ids
+# hash through portable md5; the k-th smallest hash per event_type
+# gives D-hat = (k-1) * 2^40 / hk over the 40-bit hash prefix — pure
+# integer arithmetic on BOTH engines (Spark conv(hex,16,10) /
+# DuckDB CAST('0x'||hex AS BIGINT); 63 * 2^40 < 2^47, no HUGEINT
+# leak), so the gate is exact, not rows-only. Groups with fewer than
+# k distinct values report the exact count (the sketch IS exact below
+# its capacity — standard KMV semantics). err_bp pins the estimator's
+# accuracy in integer basis points: the audit-the-approximation
+# discipline (l57/l86/l89/l92/l93) applied to distinct counting.
+#
+# Scale shape: the sketch state is k hashes per group (mergeable:
+# bottom-k of a union = bottom-k of bottom-ks); the AUDIT pays one
+# distinct exchange because its exact leg needs the true count anyway
+# — a production KMV rides a partial-aggregate bottom-k with no
+# distinct materialization.
+# ---------------------------------------------------------------------------
+
+
+def _l96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = 64
+    scale = 1 << 40  # 40-bit hash prefix: (k-1)*2^40 fits BIGINT
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(wc)
+    )
+    kth = ranked.filter(F.col("rn") == k).select(
+        "event_type",
+        F.greatest(
+            F.conv(F.substring("h", 1, 10), 16, 10).cast("long"),
+            F.lit(1),
+        ).alias("hk"),
+    )
+    groups = ranked.select("event_type", "n_exact").distinct()
+    out = (
+        groups.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("hk").isNull(), F.col("n_exact"))
+            .otherwise(F.expr(f"{(k - 1) * scale} DIV hk"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "CAST(abs(est_distinct - n_exact) * 10000 "
+                "DIV n_exact AS BIGINT)"
+            ),
+        )
+    )
+    return ordered_result(
+        out.select("event_type", "n_exact", "est_distinct", "err_bp"),
+        "event_type",
+    )
+
+
+_l(
+    "l96_kmv_distinct_audit",
+    "KMV bottom-k distinct sketch (k=64, portable md5, 40-bit "
+    "prefix) vs the exact distinct count per event_type — estimate "
+    "and error in integer basis points, exact-gated on both engines",
+    _l96,
+    """
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+),
+kth AS (
+  SELECT event_type,
+         GREATEST(CAST('0x' || substr(h, 1, 10) AS BIGINT), 1) AS hk
+  FROM ranked WHERE rn = 64
+),
+grp AS (SELECT DISTINCT event_type, n_exact FROM ranked),
+est AS (
+  SELECT g.event_type,
+         CAST(g.n_exact AS BIGINT) AS n_exact,
+         CAST(CASE WHEN k.hk IS NULL THEN g.n_exact
+                   ELSE 69269232549888 // k.hk END AS BIGINT)
+           AS est_distinct
+  FROM grp g LEFT JOIN kth k USING (event_type)
+)
+SELECT event_type, n_exact, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 10000 // n_exact AS BIGINT)
+         AS err_bp
+FROM est
+ORDER BY event_type
+""",
+    "sketch ladder member (Bar-Yossef et al. 2002 KMV); audits the "
+    "estimator like l57/l86/l89/l92/l93",
+)

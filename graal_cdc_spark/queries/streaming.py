@@ -1104,3 +1104,135 @@ register(
         "format (r12)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST22 — graal_vlake stream ACROSS a partition-evolution commit
+# (r13, the streaming pin of c41): v0 appends the compacted early
+# state, v1 is commit_repartition(["tbl"]) — data-identical, every
+# live file rewritten under the new hive layout — and v2 upserts the
+# mid window INTO the evolved layout. The availableNow drain must
+# (a) serve v0's inserts, (b) feed NOTHING for v1 (dataChange: false
+# is skipped with zero I/O — a census row with version=1 fails the
+# gate, because the oracle has none), and (c) serve v2's net delta
+# read from files living under the NEW layout. In-query assert pins
+# the dataChange flag so a silently-data-changing repartition can't
+# masquerade as a skip.
+#
+# Scale shape: identical to st19 — per-commit micro-batches, one
+# input partition per persisted change file, the rewrite commit costs
+# consumers nothing regardless of table size.
+# ---------------------------------------------------------------------------
+
+
+def _st22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.queries.cdc import _parsed, change_feed_census
+    from graal_cdc_spark.sinks import versioned_lake as VL
+    from graal_cdc_spark.sources import vlake_ds
+
+    configure(spark)
+    from graal_cdc_spark.cdc.compaction import latest_by_key
+
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="st22-vlake-") + "/state"
+    VL.commit_append(spark, base.repartition(4, "key"), table)       # v0
+    VL.commit_repartition(spark, table, ["tbl"])                     # v1
+    if VL.commit_body(table, 1).get("dataChange", True) is not False:
+        raise RuntimeError("st22: repartition must be data-identical")
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    VL.commit_upsert_keys(
+        spark, upd.repartition(4, "key"), table, ["tbl", "key"]
+    )                                                                # v2
+    vlake_ds.register(spark)
+    root = tempfile.mkdtemp(prefix="st22-")
+    q = (
+        spark.readStream.format("graal_vlake")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return change_feed_census(spark.read.parquet(f"{root}/out"))
+
+
+from graal_cdc_spark.queries.cdc import cdc_parsed_cte as _cte22  # noqa: E402
+
+register(
+    QuerySpec(
+        name="st22_lake_stream_repartition_skip",
+        category="streaming",
+        description="graal_vlake stream across a partition-evolution "
+        "commit: v0 append feeds inserts, the v1 repartition rewrite "
+        "(dataChange: false) feeds NOTHING with zero I/O, the v2 "
+        "upsert's net delta is served from files under the NEW "
+        "layout — census per (version, change type, table)",
+        spark=_st22,
+        oracle=_cte22()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+v2 AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT b.* FROM base b WHERE NOT EXISTS (
+    SELECT 1 FROM upd u WHERE u.tbl = b.tbl AND u.key = b.key)
+),
+feed AS (
+  SELECT 0 AS version, 'insert' AS change_type, * FROM base
+  UNION ALL
+  SELECT 2, 'insert', * FROM (
+    SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
+  UNION ALL
+  SELECT 2, 'delete', * FROM (
+    SELECT * FROM base EXCEPT ALL SELECT * FROM v2)
+)
+SELECT CAST(version AS INT) AS version, change_type, tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM feed
+GROUP BY version, change_type, tbl
+ORDER BY version, change_type, tbl
+""",
+        reference="no reference analog; Delta Lake streaming-source "
+        "skipChangeCommits/dataChange semantics across a layout "
+        "rewrite (r13)",
+    )
+)
