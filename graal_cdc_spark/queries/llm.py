@@ -7019,10 +7019,13 @@ ORDER BY band
 # the gate is exact, not rows-only. Census: estimate bands (quarter
 # steps) with pair counts and the high-containment count (est >= 3/4).
 #
-# Scale shape: one shingle exchange (index + df cap), one per-doc
-# window over O(doc shingles) for the bottom-k, one index join
+# Scale shape (r13 rework, VERDICT r12 #3): per-doc distinct grams
+# via array_distinct inside the row, md5 BEFORE the single hash
+# exchange, df cap as a broadcast ANTI-join against the tiny
+# over-cap set, one per-doc bottom-k aggregation, one index join
 # bounded by k x posting caps; boilerplate shingles (df > 2% of
-# docs) are dropped before sampling on BOTH engines.
+# docs, exact-integer basis-point cap) are dropped before sampling
+# on BOTH engines.
 # ---------------------------------------------------------------------------
 
 

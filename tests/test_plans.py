@@ -768,3 +768,23 @@ def test_r99_bucketed_join_no_shuffle(spark):
     # appear BELOW the SortMergeJoin in the plan tree
     below = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in below
+
+
+def test_l95_probe_df_cap_is_broadcast_anti_join(spark):
+    """The containment probe's df cap must plan as a broadcast
+    ANTI-join against the tiny over-cap set — never a sort-merge join
+    re-shuffling the corpus-sized shingle frame (the r13 rework of
+    VERDICT r12 #3); the only sort-merge join allowed is the final
+    sample-vs-index probe join on the hash."""
+    from graal_cdc_spark.operators.dedup import containment_probe_pairs
+    from graal_cdc_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pairs = containment_probe_pairs(
+        docs, "doc_id", "text", n=3, k=8, max_df_bp=200,
+        min_est_bp=5000, min_sample=4, token_grams=True,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "df cap is not a broadcast anti-join"
+    )
