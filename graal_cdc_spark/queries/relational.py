@@ -5544,3 +5544,90 @@ GROUP BY file_id ORDER BY file_id
     ref="SURVEY.md §2.4 R66 family; Delta/Iceberg OPTIMIZE ZORDER BY "
     "over N columns, the interleave as a plain integer expression",
 )
+
+
+# ---------------------------------------------------------------------------
+# R101 — HILBERT-curve clustering key (r13; the locality-better
+# alternative to r66/r100's Morton key — consecutive Hilbert cells
+# are always Manhattan-distance-1 neighbors, no quadrant jumps, so
+# equal-size file ranges cover tighter (x, y) rectangles and per-file
+# min/max stats prune harder). The walk's per-bit rotation state has
+# no closed form: it unrolls as 8 chained integer projections
+# (hilbert_key2_frame), restated verbatim as chained CTEs in DuckDB
+# (hilbert_key2_sql_ctes — xor() there, ^ here, the one dialect
+# difference). Census pins per-Hilbert-file min/max of the key and
+# BOTH dimensions. The curve itself is property-tested (bijective,
+# unit-step adjacent) in tests/test_scale_ops.py.
+#
+# Scale shape: 8 narrow whole-stage-codegen projections; ntile
+# models the range-partition + sort file assignment of the layout
+# pass (one shuffle, paid once per rewrite).
+# ---------------------------------------------------------------------------
+
+
+def _r101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.layout import hilbert_key2_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        (F.abs(F.col("user_id")) % 256).alias("x"),
+        (F.abs(F.floor(F.col("value")).cast("bigint")) % 256).alias("y"),
+    )
+    hk = hilbert_key2_frame(keyed, "x", "y", bits=8)
+    w = Window.orderBy("hkey", "event_id")
+    return ordered_result(
+        hk.withColumn("file_id", F.ntile(8).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.min("hkey").alias("h_lo"),
+            F.max("hkey").alias("h_hi"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "file_id",
+    )
+
+
+from graal_cdc_spark.operators.layout import (  # noqa: E402
+    hilbert_key2_sql_ctes as _hsql,
+)
+
+_H_CTES, _H_LAST = _hsql(
+    "keyed", "x", "y", ["event_id", "x", "y"], bits=8
+)
+
+_r(
+    "r101_hilbert_layout",
+    "Hilbert-curve clustering key (8-bit, chained rotation steps) + "
+    "per-file min/max coverage of both dimensions",
+    _r101,
+    f"""
+WITH keyed AS (
+  SELECT event_id,
+         abs(user_id) % 256 AS x,
+         abs(CAST(floor(value) AS BIGINT)) % 256 AS y
+  FROM events
+),
+{_H_CTES}
+SELECT file_id,
+       CAST(min(hkey) AS BIGINT) AS h_lo,
+       CAST(max(hkey) AS BIGINT) AS h_hi,
+       CAST(min(x) AS BIGINT) AS x_lo,
+       CAST(max(x) AS BIGINT) AS x_hi,
+       CAST(min(y) AS BIGINT) AS y_lo,
+       CAST(max(y) AS BIGINT) AS y_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT x, y, hkey,
+         ntile(8) OVER (ORDER BY hkey, event_id) AS file_id
+  FROM {_H_LAST}
+)
+GROUP BY file_id ORDER BY file_id
+""",
+    ref="SURVEY.md §2.4 R66/R100 family; Hilbert 1891 space-filling "
+    "curve, the standard locality upgrade over Morton",
+)

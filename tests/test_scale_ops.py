@@ -1536,3 +1536,24 @@ def test_quantile_summary_guards_wide_value_domain(spark):
         ).collect()
     }
     assert kinds == {0, 1}
+
+
+def test_hilbert_curve_bijective_and_adjacent(spark):
+    """hilbert_key2_frame must be a TRUE Hilbert curve: a bijection
+    on the 2^bits grid whose consecutive indices are always
+    Manhattan-distance-1 neighbors (the locality property that makes
+    it prune better than Morton, whose quadrant jumps it avoids)."""
+    from graal_cdc_spark.operators.layout import hilbert_key2_frame
+
+    bits, n = 4, 16
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        r.hkey: (r.x, r.y)
+        for r in hilbert_key2_frame(df, "x", "y", bits).collect()
+    }
+    assert len(got) == n * n and set(got) == set(range(n * n))
+    assert all(
+        abs(got[d][0] - got[d + 1][0]) + abs(got[d][1] - got[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
