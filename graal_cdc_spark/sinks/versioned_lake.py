@@ -1753,6 +1753,7 @@ def commit_optimize(
     n_files: int = 1,
     sort_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
+    curve: str = "morton",
 ) -> int:
     """Bin-pack the table's live files into ``n_files`` (optionally
     range-sorted by ``sort_cols`` for scan locality) as ONE
@@ -1777,7 +1778,11 @@ def commit_optimize(
     domain). Per-dimension bit width shrinks as N grows
     (``default_zbits`` keeps the key a non-negative BIGINT), so
     pruning selectivity per column degrades gracefully with N — the
-    standard Z-ORDER trade.
+    standard Z-ORDER trade. ``curve="hilbert"`` (exactly two columns)
+    clusters by the Hilbert index instead: consecutive cells are
+    always unit-step neighbors (no Morton quadrant jumps), so
+    equal-size files cover tighter rectangles and prune harder at the
+    same file count.
 
     Scale shape: one read of the live set, one write of ``n_files``
     range/round-robin partitions — no driver-side data movement; at
@@ -1791,6 +1796,19 @@ def commit_optimize(
         raise ValueError(
             "commit_optimize: zorder_cols takes two or more columns "
             f"(got {zorder_cols})"
+        )
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(
+            f"commit_optimize: curve must be 'morton' or 'hilbert', "
+            f"got {curve!r}"
+        )
+    if curve == "hilbert" and (
+        zorder_cols is None or len(zorder_cols) != 2
+    ):
+        raise ValueError(
+            "commit_optimize: curve='hilbert' takes exactly two "
+            f"zorder_cols (got {zorder_cols}) — the N-dim form is "
+            "curve='morton'"
         )
     base = latest_version(table)
     snap = _fold_log(table, base if base >= 0 else None)
@@ -1820,7 +1838,11 @@ def commit_optimize(
                 "commit_optimize: zorder_cols must be numeric columns "
                 f"with at least one non-null value (got {zorder_cols})"
             )
-        zbits = default_zbits(len(zorder_cols))
+        # hilbert: 8 bits/dim — the chain unrolls one projection per
+        # bit and file-level min/max stats need no finer grid
+        zbits = 8 if curve == "hilbert" else default_zbits(
+            len(zorder_cols)
+        )
         zc = []
         for i, c in enumerate(zorder_cols):
             zc.append(f"__z{i}")
@@ -1830,7 +1852,21 @@ def commit_optimize(
                     f"`{c}`", b[f"lo{i}"], b[f"hi{i}"], bits=zbits
                 ),
             )
-        df = cluster_by_zorder_n(df, zc, n_files, bits=zbits).drop(*zc)
+        if curve == "hilbert":
+            from graal_cdc_spark.operators.layout import (
+                hilbert_key2_frame,
+            )
+
+            df = (
+                hilbert_key2_frame(df, zc[0], zc[1], zbits, out="__hk")
+                .repartitionByRange(n_files, "__hk")
+                .sortWithinPartitions("__hk")
+                .drop("__hk", *zc)
+            )
+        else:
+            df = cluster_by_zorder_n(df, zc, n_files, bits=zbits).drop(
+                *zc
+            )
         staged = _stage_data_files(
             df, table, None, fields, snap.partition_cols or None,
             pre_shaped=True,

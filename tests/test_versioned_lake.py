@@ -1625,3 +1625,33 @@ def test_optimize_zorder_three_columns_prune_all_dims(spark, tmp_path):
         .count()
     )
     assert got == sum(1 for r in rows if 0 <= r[3] <= 1)
+
+
+def test_optimize_hilbert_prunes_both_dimensions(spark, tmp_path):
+    """curve='hilbert': the Hilbert layout prunes BOTH dimensions
+    from log metadata like the Morton layout, results unchanged."""
+    t = str(tmp_path / "t")
+    rows = [(i, i % 64, i // 64) for i in range(4096)]
+    VL.commit_append(
+        spark, spark.createDataFrame(rows, "id long, x long, y long"), t,
+        n_files=4,
+    )
+    VL.commit_optimize(
+        spark, t, n_files=16, zorder_cols=["x", "y"], curve="hilbert"
+    )
+    live = VL.live_files(t)
+    assert len(VL.pruned_files(t, {"x": (0, 7)})) < len(live)
+    assert len(VL.pruned_files(t, {"y": (0, 7)})) < len(live)
+    got = (
+        VL.read_table(spark, t, prune={"y": (0, 7)})
+        .filter("y BETWEEN 0 AND 7")
+        .count()
+    )
+    assert got == sum(1 for _, _, y in rows if 0 <= y <= 7)
+    # validation: hilbert is 2-D only; bad curve name rejected
+    with pytest.raises(ValueError, match="exactly two"):
+        VL.commit_optimize(
+            spark, t, zorder_cols=["x", "y", "id"], curve="hilbert"
+        )
+    with pytest.raises(ValueError, match="morton.*hilbert"):
+        VL.commit_optimize(spark, t, zorder_cols=["x", "y"], curve="peano")
