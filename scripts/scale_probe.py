@@ -173,6 +173,13 @@ PROBES = [
     "l90_heavy_hitters_sketch",
     "st18_streaming_heavy_hitters",
     "c30_dead_letter_census",
+    # round 13 (reworked containment probe; KMV sketch windows;
+    # N-way Morton + Hilbert chain censuses)
+    "l94_containment_census",
+    "l95_containment_probe",
+    "l96_kmv_distinct_audit",
+    "r100_zorder_nd_layout",
+    "r101_hilbert_layout",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
