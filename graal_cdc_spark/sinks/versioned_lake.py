@@ -1754,6 +1754,7 @@ def commit_optimize(
     sort_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
     curve: str = "morton",
+    small_file_rows: int | None = None,
 ) -> int:
     """Bin-pack the table's live files into ``n_files`` (optionally
     range-sorted by ``sort_cols`` for scan locality) as ONE
@@ -1784,7 +1785,22 @@ def commit_optimize(
     equal-size files cover tighter rectangles and prune harder at the
     same file count.
 
-    Scale shape: one read of the live set, one write of ``n_files``
+    ``small_file_rows`` makes the compaction INCREMENTAL (Delta's
+    minFileSize behavior, the only form that works at 100 TB where a
+    full rewrite is off the table): only live files holding fewer
+    than that many rows — the small-file tail a CDC feed accumulates
+    — are read and rewritten; every larger file keeps its exact path
+    (zero I/O). The selection costs nothing: per-file row counts are
+    already in the log, so no file is opened to decide. Fewer than
+    two small files means there is nothing to bin-pack — the call
+    returns the current version WITHOUT writing a commit (idempotent:
+    run it on a cron, it only pays when there is tail to fold).
+    Clustering options apply to the REWRITTEN subset only — the
+    incremental form trades global clustering for O(tail) work,
+    exactly the Delta OPTIMIZE trade.
+
+    Scale shape: one read of the live set (or of the small tail),
+    one write of ``n_files``
     range/round-robin partitions — no driver-side data movement; at
     cluster scale ``n_files`` is sized to ~128 MB/file like any
     compaction job."""
@@ -1815,6 +1831,15 @@ def commit_optimize(
     files, fields = snap.files, snap.schema
     if not files:
         raise ValueError(f"versioned table {table!r} is empty")
+    if small_file_rows is not None:
+        # incremental: select the small-file tail from the LOG's
+        # per-file row counts — zero I/O to decide, zero I/O for
+        # every file left in place
+        files = {
+            p: r for p, r in files.items() if r < small_file_rows
+        }
+        if len(files) < 2:
+            return base  # nothing to bin-pack; no commit written
     df = _read_data(spark, table, list(files), fields)
     if zorder_cols:
         from graal_cdc_spark.operators.layout import (

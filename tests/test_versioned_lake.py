@@ -1655,3 +1655,33 @@ def test_optimize_hilbert_prunes_both_dimensions(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="morton.*hilbert"):
         VL.commit_optimize(spark, t, zorder_cols=["x", "y"], curve="peano")
+
+
+def test_optimize_incremental_small_file_tail(spark, tmp_path):
+    """small_file_rows makes OPTIMIZE incremental: only the small-file
+    tail is read and rewritten (selected from the LOG's per-file row
+    counts — zero I/O to decide); large files keep their exact paths;
+    fewer than two small files is a no-op that writes NO commit."""
+    t = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k long, v string"
+    )
+    VL.commit_append(spark, big, t, n_files=1)           # v0: one big file
+    for i in range(4):                                   # v1..v4: small tail
+        VL.commit_append(
+            spark, _df(spark, [(1000 + i, f"s{i}")]), t, n_files=1
+        )
+    before = VL.live_files(t)
+    big_files = {p for p, r in before.items() if r >= 100}
+    assert len(big_files) == 1 and len(before) == 5
+    v = VL.commit_optimize(spark, t, n_files=1, small_file_rows=100)
+    after = VL.live_files(t)
+    # the big file survived verbatim; the 4 small files folded to 1
+    assert big_files <= set(after)
+    assert len(after) == 2
+    assert VL.commit_body(t, v)["dataChange"] is False
+    assert VL.read_table(spark, t).count() == 504
+    # idempotent: a second incremental run has nothing to fold and
+    # writes NO commit
+    assert VL.commit_optimize(spark, t, n_files=1, small_file_rows=100) == v
+    assert VL.latest_version(t) == v
