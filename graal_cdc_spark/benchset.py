@@ -111,6 +111,10 @@ BENCH_SKIP: dict[str, str] = {
         "rides the versioned-lake commit lifecycle (filesystem-bound) "
         "with a layout-evolution rewrite, same class as c31/c33"
     ),
+    "c42_lake_incremental_optimize_census": (
+        "rides the versioned-lake commit lifecycle (filesystem-bound) "
+        "with an incremental tail compaction, same class as c31/c33"
+    ),
     "st22_lake_stream_repartition_skip": (
         "checkpointed availableNow streaming drain across the "
         "repartition commit lifecycle (filesystem-bound), same class "

@@ -3338,3 +3338,148 @@ ORDER BY leg, tbl
         "(r13)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# C42 — versioned-lake INCREMENTAL OPTIMIZE (r13; Delta minFileSize
+# analog, the only compaction form that works at 100 TB): v0 appends
+# the compacted early state as ONE well-sized file; the mid window's
+# changes then land as FOUR small appends (the tail a CDC feed
+# accumulates); `commit_optimize(small_file_rows=...)` folds ONLY
+# the tail — the in-query asserts pin that the big v0 file keeps its
+# exact path (zero I/O for it), the live set shrinks to 2 files, the
+# commit is dataChange: false, and a second run is a commit-free
+# no-op (idempotence). The census is the end state per table +
+# n_versions == 6 (v0..v4 + one optimize; a 7 means the no-op wrote
+# a commit).
+#
+# Scale shape: tail selection comes from the LOG's per-file row
+# counts (zero I/O to decide); the rewrite reads O(tail), never the
+# table.
+# ---------------------------------------------------------------------------
+
+
+def _c42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from graal_cdc_spark.sinks import versioned_lake as VL
+
+    configure(spark)
+    parsed = _parsed(spark, sf_dir)
+    mx = parsed.agg(F.max("seq").alias("m")).collect()[0]["m"]
+    s0, s1 = mx // 3, (2 * mx) // 3
+    base = (
+        latest_by_key(parsed.filter(F.col("seq") <= s0), ["tbl", "key"], "seq")
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    table = tempfile.mkdtemp(prefix="c42-vlake-") + "/state"
+    VL.commit_append(spark, base, table, n_files=1)                  # v0
+    upd = (
+        latest_by_key(
+            parsed.filter((F.col("seq") > s0) & (F.col("seq") <= s1)),
+            ["tbl", "key"],
+            "seq",
+        )
+        .filter(F.col("op") != "d")
+        .select("tbl", "key", "op", "seq")
+    )
+    # four small appends: the mid-window rows quartered by a
+    # DETERMINISTIC row_number over the total (tbl, key) order (a
+    # hash split can leave a quarter empty at small SF — the st21
+    # lesson); appends keep duplicate keys, so the oracle is simply
+    # base UNION ALL upd
+    from pyspark.sql import Window as _W
+
+    sliced = upd.withColumn(
+        "__rn",
+        F.row_number().over(_W.orderBy("tbl", "key")) - 1,
+    )
+    for i in range(4):                                               # v1..v4
+        VL.commit_append(
+            spark,
+            sliced.filter(F.col("__rn") % 4 == i).drop("__rn"),
+            table,
+            n_files=1,
+        )
+    before = VL.live_files(table)
+    # the data-derived threshold: the v0 base file is the one big
+    # file at every SF; everything under its row count is tail
+    thr = max(before.values())
+    big = {p for p, r in before.items() if r >= thr}
+    if len(before) != 5 or len(big) != 1:
+        raise RuntimeError(f"c42: unexpected layout {sorted(before.values())}")
+    v = VL.commit_optimize(spark, table, n_files=1, small_file_rows=thr)  # v5
+    after = VL.live_files(table)
+    if not big <= set(after):
+        raise RuntimeError("c42: incremental optimize rewrote the big file")
+    if len(after) != 2:
+        raise RuntimeError(f"c42: tail not folded ({len(after)} files)")
+    if VL.commit_body(table, v).get("dataChange", True) is not False:
+        raise RuntimeError("c42: optimize must be data-identical")
+    if VL.commit_optimize(spark, table, n_files=1, small_file_rows=thr) != v:
+        raise RuntimeError("c42: no-op rerun wrote a commit")
+    n_versions = VL.latest_version(table) + 1
+    return ordered_result(
+        VL.read_table(spark, table)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("seq").alias("max_seq"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("int")),
+        "tbl",
+    )
+
+
+register(
+    QuerySpec(
+        name="c42_lake_incremental_optimize_census",
+        category="cdc",
+        description="versioned-lake incremental OPTIMIZE (Delta "
+        "minFileSize analog): only the small-file tail is rewritten "
+        "(selected from log row counts, zero I/O to decide), the big "
+        "file keeps its exact path, the rerun is a commit-free no-op "
+        "— end-state census with n_versions==6 as the idempotence pin",
+        spark=_c42,
+        oracle=cdc_parsed_cte()
+        + """
+, mx AS (SELECT max(seq) AS m FROM cdc_parsed),
+base AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx WHERE seq <= CAST(m // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+upd AS (
+  SELECT tbl, key, op, seq FROM (
+    SELECT tbl, key, op, seq,
+           row_number() OVER (PARTITION BY tbl, key
+                              ORDER BY seq DESC) AS rn
+    FROM cdc_parsed, mx
+    WHERE seq > CAST(m // 3 AS BIGINT)
+      AND seq <= CAST((2 * m) // 3 AS BIGINT)
+  ) t WHERE rn = 1 AND op <> 'd'
+),
+merged AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq,
+       CAST(6 AS INT) AS n_versions
+FROM merged
+GROUP BY tbl
+ORDER BY tbl
+""",
+        reference="no reference analog; Delta Lake OPTIMIZE "
+        "minFileSize incremental compaction, re-expressed over the "
+        "log's per-file row counts (r13)",
+    )
+)
