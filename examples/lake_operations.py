@@ -25,6 +25,12 @@ healthy at 100 TB, composed from the engine's gated operators.
    persists per-commit deltas before reclaiming pre-image files, so
    the feed keeps serving PAST the retention horizon; column renames
    are metadata-only commits over pinned physical names.
+7. **Layout lifecycle on a LIVE table** (r13, gated as c41/c42/st22):
+   incremental OPTIMIZE folds only the small-file tail (log row
+   counts decide, zero I/O; reruns are commit-free no-ops) and
+   ``commit_repartition`` evolves the hive layout as one
+   data-identical commit — old versions time-travel under their own
+   layout, the change feed serves zero rows for the rewrite.
 
 Each is idempotent and crash-repairable, so the runbook is "run them
 on a schedule; rerun freely after failures".
@@ -290,6 +296,45 @@ def run(spark, base: str):
     assert expired  # the log directory is bounded now
     assert VL.table_partition_cols(pt) == ["shard"]
     assert VL.table_constraints(pt) == {"seq_nonneg": "seq >= 0"}
+
+    # --- job 9 (r13): layout lifecycle on a LIVE table ---
+    # (a) incremental OPTIMIZE: a CDC-fed table accumulates a
+    # small-file tail; only that tail is rewritten (selected from
+    # log row counts, zero I/O to decide) — the well-sized file
+    # keeps its exact path; a rerun with nothing to fold writes NO
+    # commit (cron-safe). On a fresh unpartitioned table so the
+    # tail/bulk split is visible (a hive-partitioned fold re-splits
+    # per value and would blur the demo).
+    it = os.path.join(base, "incremental_state")
+    VL.commit_append(spark, state_now, it, n_files=1)
+    for i in range(3):
+        VL.commit_append(
+            spark,
+            state_now.limit(1).withColumn(
+                "key", F.concat(F.col("key"), F.lit(f"#t{i}"))
+            ),
+            it,
+            n_files=1,
+        )
+    before_files = VL.live_files(it)
+    thr = max(before_files.values())
+    v_inc = VL.commit_optimize(spark, it, n_files=1, small_file_rows=thr)
+    assert {p for p, r in before_files.items() if r >= thr} <= set(
+        VL.live_files(it)
+    )
+    assert len(VL.live_files(it)) == 2  # bulk file + folded tail
+    assert VL.commit_optimize(
+        spark, it, n_files=1, small_file_rows=thr
+    ) == v_inc  # no-op rerun: no commit
+    # (b) partition EVOLUTION: re-layout the live table as one
+    # data-identical commit — old versions keep time-traveling under
+    # the old layout, the change feed serves zero rows for it.
+    n_now = VL.read_table(spark, pt).count()
+    v_rep = VL.commit_repartition(spark, pt, [])  # de-partition
+    assert VL.read_table(spark, pt).count() == n_now
+    assert VL.table_partition_cols(pt) == []
+    assert VL.table_partition_cols(pt, version=v_rep - 1) == ["shard"]
+    assert VL.read_changes(spark, pt, v_rep, v_rep).count() == 0
 
     return {"log_rows": (before, after), "purge": stats,
             "compaction": rewritten,
