@@ -352,12 +352,17 @@ def quantile_summary(
     value DOMAIN (never the row count). Because that bound is the
     domain, a high-cardinality column (timestamps, ids) would make
     the "audit" leg as big as the data: ``with_value_counts=True``
-    therefore pre-checks the domain with one JVM-side
-    ``approx_count_distinct`` aggregate and fails fast past
-    ``max_value_domain`` instead of silently emitting an unbounded
-    result (VERDICT r12 — the audit mode is for small-domain columns
-    like lengths and counts; the summary itself stays bounded and
-    needs no guard)."""
+    therefore guards INSIDE the sketch job — the exchange hashes on
+    the value, so partitions hold disjoint value sets, and any single
+    partition whose distinct count exceeds ``max_value_domain``
+    already proves the global domain does; that partition fails the
+    job with a clear error before emitting an unbounded result
+    (VERDICT r12 — the audit mode is for small-domain columns like
+    lengths and counts). Zero extra scans (a driver-side
+    approx_count_distinct pre-check cost one full extra pass —
+    measured +60% on l93's warm path); the trade is a weaker
+    worst-case bound of num_partitions x max_value_domain emitted
+    rows when every partition sits just under the cap."""
     import pyarrow as pa
 
     cap = int(capacity)
@@ -368,20 +373,7 @@ def quantile_summary(
         .filter(F.col("x").isNotNull())
         .repartition(num_partitions, F.col("x"))
     )
-    if with_value_counts:
-        approx = part.agg(
-            F.approx_count_distinct("x").alias("d")
-        ).collect()[0]["d"]
-        if approx > max_value_domain:
-            raise ValueError(
-                "quantile_summary: with_value_counts=True emits one "
-                f"row per distinct value, but {value_col!r} holds "
-                f"~{approx} distinct values (> max_value_domain="
-                f"{max_value_domain}) — the exact audit leg is for "
-                "small-domain columns (lengths, counts); raise "
-                "max_value_domain only if the caller can hold that "
-                "many rows"
-            )
+    col_name, max_dom = str(value_col), int(max_value_domain)
 
     def summarize(batches: Iterator) -> Iterator:
         import numpy as np
@@ -405,6 +397,19 @@ def quantile_summary(
         arrays = [pa.array(vals, pa.int64()), pa.array(ws, pa.int64())]
         if with_value_counts:
             uv, uc = np.unique(v, return_counts=True)
+            if uv.size > max_dom:
+                # disjoint value sets per partition (the exchange
+                # hashes on the value): one partition over the cap
+                # proves the global domain is over it
+                raise ValueError(
+                    "quantile_summary: with_value_counts=True emits "
+                    "one row per distinct value, but one partition "
+                    f"of {col_name!r} alone holds {uv.size} distinct "
+                    f"values (> max_value_domain={max_dom}) — the "
+                    "exact audit leg is for small-domain columns "
+                    "(lengths, counts); raise max_value_domain only "
+                    "if the caller can hold that many rows"
+                )
             arrays = [
                 pa.array(
                     np.concatenate([vals, uv]).astype(np.int64), pa.int64()

@@ -1516,11 +1516,13 @@ def test_quantile_summary_guards_wide_value_domain(spark):
     from graal_cdc_spark.operators.sketch import quantile_summary
 
     wide = spark.range(0, 5000).selectExpr("id * 1000003 as v")
-    with _pytest.raises(ValueError, match="max_value_domain"):
+    # the guard raises INSIDE the sketch job (zero extra scans), so
+    # it surfaces wrapped in Spark's Python-worker exception
+    with _pytest.raises(Exception, match="max_value_domain"):
         quantile_summary(
             wide, "v", capacity=16, num_partitions=4,
             with_value_counts=True, max_value_domain=100,
-        )
+        ).collect()
     # the bounded summary needs no guard on the same wide column
     n_rows = quantile_summary(
         wide, "v", capacity=16, num_partitions=4
