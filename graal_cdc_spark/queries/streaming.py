@@ -1236,3 +1236,100 @@ ORDER BY version, change_type, tbl
         "rewrite (r13)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ST23 — streaming KMV distinct estimator, batch twin (r13; the
+# st9/st18 pairing discipline applied to l96's sketch): the
+# running_kmv_distinct stateful operator keeps the k smallest
+# portable-md5 hashes per group across micro-batches (bottom-k is
+# mergeable — union then re-take bottom-k), so its end-of-stream
+# output equals this batch derivation EXACTLY: n_state =
+# least(k, distinct values), est = exact below capacity, else
+# (k-1) * 2^40 / hk over the 40-bit prefix (pure integer arithmetic
+# on both engines). The operator itself (two-micro-batch replay,
+# bounded state, determinism, convergence to THIS query's rows) is
+# golden-tested in tests/test_streaming.py.
+#
+# Scale shape: hashes are computed JVM-side (F.md5) before the
+# stateful op; state is O(k) strings per group regardless of stream
+# length — the streaming-native shape of approximate distinct
+# counting.
+# ---------------------------------------------------------------------------
+
+_ST23_K = 32
+
+
+def _st23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _ST23_K
+    ev = _events(spark, sf_dir)
+    h = ev.select(
+        F.col("event_type").alias("grp"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    wc = Window.partitionBy("grp")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_distinct", F.count(F.lit(1)).over(wc)
+    )
+    kth = ranked.filter(F.col("rn") == k).select(
+        "grp",
+        F.greatest(
+            F.conv(F.substring("h", 1, 10), 16, 10).cast("long"),
+            F.lit(1),
+        ).alias("hk"),
+    )
+    groups = ranked.select("grp", "n_distinct").distinct()
+    out = groups.join(kth, "grp", "left").select(
+        "grp",
+        F.least(F.col("n_distinct"), F.lit(k)).cast("int").alias("n_state"),
+        F.when(F.col("hk").isNull(), F.col("n_distinct"))
+        .otherwise(F.expr(f"{(k - 1) * (1 << 40)} DIV hk"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    return ordered_result(out, "grp")
+
+
+register(
+    QuerySpec(
+        name="st23_streaming_kmv_distinct",
+        category="streaming",
+        description="per-group KMV bottom-k distinct estimate — batch "
+        "twin of the running_kmv_distinct applyInPandasWithState "
+        "operator (k smallest md5 hashes per group, exact below "
+        "capacity, integer 40-bit-prefix estimate at capacity)",
+        spark=_st23,
+        oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+ranked AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_distinct
+  FROM h
+),
+kth AS (
+  SELECT grp,
+         GREATEST(CAST('0x' || substr(h, 1, 10) AS BIGINT), 1) AS hk
+  FROM ranked WHERE rn = {_ST23_K}
+),
+grp_t AS (SELECT DISTINCT grp, n_distinct FROM ranked)
+SELECT g.grp,
+       CAST(LEAST(g.n_distinct, {_ST23_K}) AS INT) AS n_state,
+       CAST(CASE WHEN k.hk IS NULL THEN g.n_distinct
+                 ELSE {(_ST23_K - 1) * (1 << 40)} // k.hk END AS BIGINT)
+         AS est_distinct
+FROM grp_t g LEFT JOIN kth k USING (grp)
+ORDER BY g.grp
+""",
+        reference="sketch ladder streaming leg (Bar-Yossef et al. "
+        "KMV); the l90<->st18 batch/streaming pairing applied to "
+        "distinct counting (r13)",
+    )
+)

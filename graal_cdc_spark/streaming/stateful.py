@@ -508,3 +508,81 @@ def running_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_KMV_OUTPUT_SCHEMA = (
+    "grp STRING, n_state INT, est_distinct BIGINT, emit INT"
+)
+_KMV_STATE_SCHEMA = "hashes ARRAY<STRING>, emit INT"
+
+
+def _kmv_update(k: int):
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hashes, emit = state.get
+            cur = set(hashes)
+        else:
+            cur, emit = set(), 0
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            changed = True
+            # bottom-k is mergeable: union then re-take the k
+            # smallest — so folding each batch's hashes into the
+            # capped set IS the whole-stream bottom-k
+            cur.update(pdf["h"].astype(str))
+            if len(cur) > 4 * k:
+                cur = set(sorted(cur)[:k])  # opportunistic re-cap
+        if not changed:
+            return
+        smallest = sorted(cur)[:k]
+        emit += 1
+        state.update((smallest, emit))
+        n = len(smallest)
+        if n < k:
+            est = n  # under capacity the sketch IS exact
+        else:
+            hk = max(int(smallest[-1][:10], 16), 1)
+            est = (k - 1) * (1 << 40) // hk
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "n_state": [n],
+                "est_distinct": [est],
+                "emit": [emit],
+            }
+        )
+
+    return update
+
+
+def running_kmv_distinct(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct estimator — the streaming
+    leg of the l96 batch audit, the same pairing as
+    ``running_heavy_hitters`` ↔ l90/st18. Input is ``(grp, h)`` where
+    ``h`` is the value's md5 hex computed UPSTREAM with ``F.md5``
+    (JVM-side, whole-stage codegen) — the Python state op only merges
+    bounded string sets, never hashes rows. Each group keeps the k
+    smallest hashes across micro-batches (bottom-k is mergeable:
+    union → re-take bottom-k), re-emitting its current estimate per
+    trigger stamped with ``emit`` (consumers keep the max-emit row
+    per group; replays re-emit but never regress). Under capacity the
+    estimate is EXACT (the state holds every distinct hash seen);
+    at capacity D-hat = (k-1) * 2^40 / hk over the 40-bit prefix —
+    the identical integer arithmetic the gated l96/st23 twins pin.
+
+    Scale: state is O(k) hashes per group no matter the stream
+    length or value cardinality — the alternative (streaming
+    count-distinct per group) keeps data-sized state."""
+    return (
+        hashed.select(F.col("grp"), F.col("h"))
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _kmv_update(k),
+            outputStructType=_KMV_OUTPUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1676,3 +1676,59 @@ def test_running_heavy_hitters_stream_superset_and_bounded(
     assert sorted((r.bucket, r.token, r.weight) for r in final) == sorted(
         (r.bucket, r.token, r.weight) for r in again
     )
+
+
+def test_running_kmv_distinct_converges_and_bounded(spark, sf_dir, tmp_path):
+    """ST23: the streaming KMV operator, replayed in TWO micro-batches
+    (cross-batch bottom-k merge in applyInPandasWithState state),
+    converges to EXACTLY the batch twin's rows — bottom-k is
+    mergeable, so any disjoint batching reaches the same end state —
+    with at most k hashes of state per group, deterministically
+    across replays."""
+    from pyspark.sql import Window
+
+    from graal_cdc_spark.queries import all_specs
+    from graal_cdc_spark.streaming.stateful import running_kmv_distinct
+
+    K = 32
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(
+        F.col("event_id"),
+        F.col("event_type").alias("grp"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    replay = str(tmp_path / "replay")
+    append_chunk(hashed.filter(F.col("event_id") % 2 == 0).coalesce(1), replay)
+    append_chunk(hashed.filter(F.col("event_id") % 2 == 1).coalesce(1), replay)
+
+    def run(ck):
+        stream = read_file_stream(
+            spark, replay, "event_id BIGINT, grp STRING, h STRING",
+            max_files_per_trigger=1,
+        )
+        got = run_to_memory(
+            running_kmv_distinct(stream.select("grp", "h"), k=K),
+            output_mode="update",
+            checkpoint_dir=str(tmp_path / ck),
+        )
+        wmax = Window.partitionBy("grp")
+        return (
+            got.withColumn("max_emit", F.max("emit").over(wmax))
+            .filter(F.col("emit") == F.col("max_emit"))
+            .select("grp", "n_state", "est_distinct")
+        )
+
+    final = {(r.grp, r.n_state, r.est_distinct) for r in run("ck1").collect()}
+    assert all(n <= K for _, n, _ in final)
+    # end state == the gated batch twin's rows (st23 at _ST23_K == 32)
+    from graal_cdc_spark.queries.streaming import _ST23_K, _st23
+
+    assert _ST23_K == K
+    want = {
+        (r.grp, r.n_state, r.est_distinct)
+        for r in _st23(spark, sf_dir).collect()
+    }
+    assert final == want
+    # deterministic across a fresh-checkpoint replay
+    again = {(r.grp, r.n_state, r.est_distinct) for r in run("ck2").collect()}
+    assert again == final
