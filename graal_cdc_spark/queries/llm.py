@@ -7221,3 +7221,86 @@ ORDER BY event_type
     "sketch ladder member (Bar-Yossef et al. 2002 KMV); audits the "
     "estimator like l57/l86/l89/l92/l93",
 )
+
+
+# ---------------------------------------------------------------------------
+# L97 — SEMANTIC decontamination (r13; the embedding member of the
+# decontamination family — l25/l52 catch verbatim n-gram overlap,
+# l47 lexical novelty, but a PARAPHRASED eval item shares no 8-gram
+# with its training twin; the standard production guard is max
+# cosine of each eval item against the corpus). Eval slice =
+# vec_id % 19 == 0 (held out), corpus = the rest; exact top-1 cosine
+# per eval vector via the broadcast-queries x one-corpus-scan plan
+# (the l04 machinery with the corpus side EXCLUDING eval ids);
+# census: eval items per max-similarity decile band + the
+# contaminated count (round(sim,4) >= 0.9) per band.
+#
+# Scale shape: the eval side is always the small side (a few MB of
+# eval vectors broadcast); the corpus scans ONCE with per-vector
+# norms hoisted. At 100 TB the same query rides the IVF-PQ index
+# (l80/l89) — this is the exact audit the index's recall is measured
+# against.
+# ---------------------------------------------------------------------------
+
+
+def _l97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 19 == 0
+    top1 = S.cosine_topk_exact(
+        emb.filter(~is_eval), emb.filter(is_eval), k=1,
+        exclude_self=False,
+    )
+    per_eval = top1.select(
+        "qid",
+        F.floor(F.col("sim") * 10).cast("int").alias("band"),
+        F.when(F.col("sim") >= 0.9, 1).otherwise(0).alias("contam"),
+    )
+    return ordered_result(
+        per_eval.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum("contam").cast("long").alias("n_contaminated"),
+        ),
+        "band",
+    )
+
+
+_l(
+    "l97_semantic_decontamination",
+    "embedding-based decontamination: exact top-1 cosine of each "
+    "held-out eval vector against the training corpus (broadcast "
+    "eval x one corpus scan), deciles census + contaminated count",
+    _l97,
+    """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 19 = 0
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id % 19 <> 0
+),
+sims AS (
+  SELECT qid,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS sim_raw
+  FROM q, c
+),
+m AS (
+  SELECT qid, round(max(sim_raw), 4) + 0 AS sim FROM sims GROUP BY qid
+),
+b AS (
+  SELECT qid, CAST(floor(sim * 10) AS INT) AS band,
+         CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END AS contam
+  FROM m
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(contam) AS BIGINT) AS n_contaminated
+FROM b
+GROUP BY band
+ORDER BY band
+""",
+    "decontamination family member (semantic; SemDeDup/D4 lineage) — "
+    "the paraphrase-robust guard n-gram overlap (l25/l52) misses",
+)
