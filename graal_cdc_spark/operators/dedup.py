@@ -296,9 +296,13 @@ def containment_probe_pairs(
     # rule) — not core count: the shingle frame is a few rows per
     # doc, and 4× the tasks of the data's natural width measured
     # ~35% of the operator's wall on the downstream stages
-    n_par = int(
-        sh.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_par = int(
+            sh.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except ValueError:
+        # 'auto' on AQE-managed platforms — fall back to core count
+        n_par = sh.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(n_par, "h").localCheckpoint(eager=False)
     overcap = (
         sh.groupBy("h")

@@ -1254,18 +1254,47 @@ def _predicate_ranges(predicate: str) -> dict[str, tuple]:
     whose stats are disjoint from one recognized conjunct's range
     cannot contain a matching row. Strict compares use their literal
     as an inclusive bound (loses a sliver of pruning, never a row).
-    Returns ``{column: (lo | None, hi | None)}`` (None = unbounded)."""
+    Returns ``{column: (lo | None, hi | None)}`` (None = unbounded).
+
+    Two hard bail-outs keep the soundness contract airtight (review
+    r13): a predicate containing a double quote or a backslash
+    derives NOTHING — Spark lexes ``"..."`` as a string literal and
+    ``\\'`` as an escaped quote, neither of which this lexer models,
+    and text inside such a literal must never be mistaken for an AND
+    conjunct; and a column whose conjuncts carry MIXED-TYPE bounds
+    (``k >= '100' AND k >= 50`` — legal in Spark via implicit casts)
+    is dropped from derivation entirely, since Python comparisons on
+    the mixed values are ill-defined."""
+    if '"' in predicate or "\\" in predicate:
+        return {}
     conjuncts = _split_top_and(predicate)
     if conjuncts is None:
         return {}
     los: dict[str, object] = {}
     his: dict[str, object] = {}
+    dropped: set[str] = set()
 
     def _narrow(col: str, lo, hi) -> None:
-        if lo is not None and (col not in los or lo > los[col]):
-            los[col] = lo
-        if hi is not None and (col not in his or hi < his[col]):
-            his[col] = hi
+        if col in dropped:
+            return
+        try:
+            cur_lo, cur_hi = los.get(col), his.get(col)
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+        except TypeError:
+            # mixed-type bounds for this column: comparisons are
+            # ill-defined — stop deriving ranges for it (sound:
+            # fewer bounds only)
+            dropped.add(col)
+            los.pop(col, None)
+            his.pop(col, None)
+            return
+        if cur_lo is not None:
+            los[col] = cur_lo
+        if cur_hi is not None:
+            his[col] = cur_hi
 
     for cj in conjuncts:
         m = _CMP_RE.match(cj)
@@ -1469,7 +1498,15 @@ def commit_delete_where(
     cdf_entries: list[dict] | None = None
     if touched:
         touched_df = _read_data(spark, table, touched, fields)
-        survivors = touched_df.filter(f"NOT ({predicate})")
+        # SQL DELETE semantics: only rows where the predicate is TRUE
+        # are deleted — a NULL predicate keeps the row. A bare
+        # NOT(pred) filter would evaluate NULL for those rows and
+        # silently drop them from the rewrite while the delete leg
+        # (filter(pred)) also excludes them: the row would vanish
+        # without ever entering the change feed (review r13).
+        survivors = touched_df.filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
         actions += [
             _add_action(p, r, st, part)
             for p, r, st, part in _stage_data_files(

@@ -329,12 +329,21 @@ def _rand_predicate_and_row(draw):
 
     cols = ("a", "b", "c")
     lit = st.integers(min_value=-20, max_value=20)
+    # string values whose CONTENT tries to confuse the lexer: AND/OR
+    # words, parens, an escaped quote — the quoted-literal handling
+    # must keep them inert
+    svals = ("a AND b", "x OR y", "it's", "NOT (z)", "plain", "5")
 
     def leaf():
         col = draw(st.sampled_from(cols))
         kind = draw(st.sampled_from(
-            ["cmp", "cmp_rev", "in", "between", "func", "isnull"]
+            ["cmp", "cmp_rev", "in", "between", "func", "isnull",
+             "scmp"]
         ))
+        if kind == "scmp":
+            v = draw(st.sampled_from(svals)).replace("'", "''")
+            op = draw(st.sampled_from(["=", "<", ">="]))
+            return f"s {op} '{v}'" 
         if kind == "cmp":
             op = draw(st.sampled_from(["<", "<=", "=", ">=", ">"]))
             return f"{col} {op} {draw(lit)}"
@@ -366,6 +375,7 @@ def _rand_predicate_and_row(draw):
 
     pred = expr(draw(st.integers(0, 3)))
     row = {c: draw(lit) for c in cols}
+    row["s"] = draw(st.sampled_from(svals))
     return pred, row
 
 
@@ -383,14 +393,21 @@ def test_predicate_ranges_never_exclude_a_matching_row(data):
 
     pred, row = _rand_predicate_and_row(data.draw)
     con = duckdb.connect()
+    sval = row["s"].replace("'", "''")
     matches = con.execute(
         f"SELECT count(*) FROM (SELECT {row['a']} AS a, {row['b']} AS b, "
-        f"{row['c']} AS c) t WHERE {pred}"
+        f"{row['c']} AS c, '{sval}' AS s) t WHERE {pred}"
     ).fetchone()[0]
     con.close()
     if not matches:
         return  # only satisfying rows constrain soundness
     for col, (lo, hi) in _predicate_ranges(pred).items():
         v = row[col]
-        assert lo is None or v >= lo, (pred, col, row)
-        assert hi is None or v <= hi, (pred, col, row)
+        try:
+            assert lo is None or v >= lo, (pred, col, row)
+            assert hi is None or v <= hi, (pred, col, row)
+        except TypeError:
+            # a string bound on s compared via SQL collation vs
+            # Python ordering: both ascii-ordered here, compare as str
+            assert lo is None or str(v) >= str(lo), (pred, col, row)
+            assert hi is None or str(v) <= str(hi), (pred, col, row)

@@ -1685,3 +1685,38 @@ def test_optimize_incremental_small_file_tail(spark, tmp_path):
     # writes NO commit
     assert VL.commit_optimize(spark, t, n_files=1, small_file_rows=100) == v
     assert VL.latest_version(t) == v
+
+
+def test_predicate_ranges_bail_on_double_quotes_and_mixed_types():
+    """Review r13: Spark lexes double quotes as string literals and
+    backslashes as escapes — neither is modeled here, so any
+    predicate containing them derives NOTHING (text inside a literal
+    must never be mistaken for a conjunct); mixed-type bounds for one
+    column drop that column instead of raising."""
+    pr = VL._predicate_ranges
+    # an AND inside a double-quoted literal must not contribute
+    assert pr('v = "a AND k = 9 AND b"') == {}
+    assert pr("v = 'it\\'s' AND k = 9") == {}
+    # mixed-type bounds: the column is dropped, others survive
+    assert pr("k >= '100' AND k >= 50 AND j = 3") == {"j": (3, 3)}
+    assert pr("k IN ('a','b') AND k = 5 AND j < 9") == {
+        "j": (None, 9)
+    }
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: a row for which the predicate evaluates
+    NULL is KEPT — it must survive the rewrite of its file and stay
+    out of the change feed (review r13: a bare NOT(pred) filter
+    silently destroyed it)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9)], "id long, k long"
+    )
+    VL.commit_append(spark, df, t, n_files=1)
+    VL.commit_delete_where(spark, t, "k >= 3 AND k < 7")
+    got = {(r.id, r.k) for r in VL.read_table(spark, t).collect()}
+    assert got == {(2, None), (3, 9)}, got
+    # and the change feed holds exactly the one deleted row
+    feed = VL.read_changes(spark, t, 1, 1).collect()
+    assert {(r.id, r._change_type) for r in feed} == {(1, "delete")}
