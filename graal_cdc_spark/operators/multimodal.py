@@ -528,6 +528,57 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema)
 
 
+def wav_feature_stats(media: DataFrame, frame: int = 8) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real decoded WAV samples — the
+    windowed-analysis leg of the audio family (mm08 proves the codec
+    inversion; this computes the features a training pipeline
+    actually derives from the decoded signal). Per clip, integer
+    EXACT so a SQL oracle restates it bit-for-bit:
+
+    - ``n_frames``: full ``frame``-sample analysis windows (the
+      ragged tail is dropped — standard framing);
+    - ``energy``: sum of squared samples over the FULL frames (frame
+      energy summed — int64, no floats);
+    - ``zero_crossings``: strict sign changes between adjacent
+      samples across the WHOLE clip (s_j * s_{j+1} < 0);
+    - ``peak``: max absolute sample.
+
+    Scale shape: Arrow-batched mapInPandas, numpy-vectorized per
+    clip; one map stage, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "energy": [],
+                    "zero_crossings": [], "peak": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                nf = s.size // frame
+                head = s[: nf * frame]
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(int(nf))
+                rows["energy"].append(int((head * head).sum()))
+                rows["zero_crossings"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum())
+                )
+                rows["peak"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------------------------
 # REAL video leg: a BMP "reel" — length-prefixed concatenated BMP
 # frames (each frame self-describes its byte length in its own

@@ -7304,3 +7304,78 @@ ORDER BY band
     "decontamination family member (semantic; SemDeDup/D4 lineage) — "
     "the paraphrase-robust guard n-gram overlap (l25/l52) misses",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM17 — audio FEATURE EXTRACTION census over real decoded WAV
+# (r13): mm08 proves the RIFF/PCM codec inversion; this is the
+# windowed-analysis leg a training pipeline actually runs on the
+# decoded signal — per-clip frame count (8-sample windows, ragged
+# tail dropped), total frame ENERGY (sum of squared samples, int64
+# exact), strict-sign zero crossings across the clip, and peak
+# amplitude. The oracle restates every feature from the same
+# (codepoint mod 256)*64 - 8192 sample arithmetic the encoder uses,
+# so a framing error, an off-by-one in the crossing pairs, or a
+# decode drift changes a cell. Upgrades the mm02 "feature extract"
+# capability from stub to REAL for the audio modality.
+#
+# Scale shape: one Arrow-batched mapInPandas stage, numpy-vectorized
+# per clip, no shuffle before the tiny census aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _mm17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.multimodal import (
+        documents_as_wav,
+        wav_feature_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 2)
+    )
+    return ordered_result(
+        wav_feature_stats(documents_as_wav(docs)), "media_id"
+    )
+
+
+_l(
+    "mm17_wav_feature_census",
+    "audio feature extraction over REAL decoded WAV: per-clip frame "
+    "count, integer frame energy, strict-sign zero crossings, peak "
+    "amplitude — the mm02 feature-extract capability made real for "
+    "audio",
+    _mm17,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(16 + doc_id % 16 AS INT) AS n,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 2
+), s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1),
+           j -> ascii(substr(text, CAST(j % len AS INT) + 1, 1)) % 256
+                * 64 - 8192) AS samples
+  FROM d
+), f AS (
+  SELECT doc_id, n, samples,
+         CAST(n // 8 AS INT) AS n_frames
+  FROM s
+)
+SELECT doc_id AS media_id,
+       n_frames,
+       CAST(list_sum(list_transform(samples[1:n_frames * 8],
+                                    x -> x * x)) AS BIGINT) AS energy,
+       CAST(len(list_filter(generate_series(1, n - 1),
+            j -> samples[CAST(j AS INT)] * samples[CAST(j AS INT) + 1] < 0))
+         AS BIGINT) AS zero_crossings,
+       CAST(GREATEST(list_max(samples), -list_min(samples)) AS BIGINT)
+         AS peak
+FROM f
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family; classic frame-energy / "
+    "zero-crossing-rate analysis over the RIFF/PCM decode (mm08 "
+    "codec)",
+)
