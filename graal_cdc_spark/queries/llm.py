@@ -7379,3 +7379,68 @@ ORDER BY media_id
     "zero-crossing-rate analysis over the RIFF/PCM decode (mm08 "
     "codec)",
 )
+
+
+# ---------------------------------------------------------------------------
+# MM18 — GIF/LZW round-trip census (r13): the codec ladder's
+# DICTIONARY-coding member (PNG covers DEFLATE, JPEG covers
+# DCT/Huffman; LZW is the classic third family). Each document
+# becomes a grayscale-palette GIF87a (variable-width LZW, 9->12-bit
+# dictionary growth, CLEAR-and-reset at 4096, 255-byte sub-blocks),
+# is decoded back through the strict parser, and the decoded palette
+# indices census against the oracle's restatement of the generative
+# codepoint arithmetic — a wrong width-change boundary, a broken
+# KwKwK case, or a sub-block walk error changes a cell.
+#
+# Scale shape: one Arrow-batched mapInPandas encode stage, one
+# decode stage, no shuffle before the tiny census aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _mm18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graal_cdc_spark.operators.gif import (
+        documents_as_gif,
+        gif_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") % 3 == 0)
+    )
+    return ordered_result(
+        gif_decode_stats(documents_as_gif(docs)), "media_id"
+    )
+
+
+_l(
+    "mm18_gif_roundtrip_census",
+    "real GIF87a (variable-width LZW) encode->decode round-trip "
+    "census: decoded palette-index count/sum/min/max vs the oracle's "
+    "pixel arithmetic from the raw text",
+    _mm18,
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(4 + doc_id % 5 AS INT) AS h,
+         CAST(4 + doc_id % 4 AS INT) AS w,
+         length(text) AS len
+  FROM documents
+  WHERE length(text) > 0 AND doc_id % 3 = 0
+), s AS (
+  SELECT doc_id, h, w,
+         list_transform(generate_series(0, h * w - 1),
+           j -> ascii(substr(text, CAST(j % len AS INT) + 1, 1)) % 256
+         ) AS px
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(h * w AS INT) AS n_pixels,
+       CAST(list_sum(px) AS BIGINT) AS sum_px,
+       CAST(list_min(px) AS BIGINT) AS min_px,
+       CAST(list_max(px) AS BIGINT) AS max_px
+FROM s
+ORDER BY media_id
+""",
+    ref="SURVEY.md §2.4 MM family; CompuServe GIF87a LZW "
+    "(variable-width, early-change pairing, documented referee "
+    "limits in operators/gif.py)",
+)

@@ -912,3 +912,76 @@ def test_jpeg_progressive_restart_strictness():
         raise AssertionError("no RST0 marker found")
     with _pytest.raises(ValueError):
         decode_jpeg_gray_progressive(bytes(enc))
+
+
+# ----------------------------------------------------------------- GIF / LZW
+
+
+def test_lzw_round_trip_growth_and_reset():
+    """The variable-width LZW pair must invert across every boundary:
+    code-width growth 9->12, the 4096-entry CLEAR-and-reset (random
+    streams long enough to reset multiple times), the KwKwK case
+    (repetitive input), and degenerate inputs."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.gif import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, 60000, dtype=np.uint8).tobytes(),
+        b"abab" * 5000,          # KwKwK-heavy
+        b"\x00" * 9000,          # maximal run
+        bytes(range(256)) * 40,
+        b"a",
+        b"",
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data, len(data)
+
+
+def test_gif_round_trip_and_strictness():
+    """encode_gif/decode_gif invert exactly; corrupt payloads (bad
+    magic, truncation anywhere, missing trailer) raise instead of
+    returning wrong pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graal_cdc_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (4, 4), (7, 5), (60, 60), (120, 90)]:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(px)), px)
+    payload = encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    for bad in [
+        b"NOTGIF" + payload[6:],
+        payload[:20],
+        payload[:-1],
+        payload[:-2] + b"\x3b",
+    ]:
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_gif_fixture_pixels_match_generative_arithmetic(spark):
+    """The mm18 fixture discipline: decoding the staged GIF gives
+    exactly the codepoint-mod-256 pixels the oracle restates."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.gif import (
+        decode_gif,
+        documents_as_gif,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "hello gif world"), (11, "abc")], "doc_id long, text string"
+    )
+    rows = {r.media_id: r for r in documents_as_gif(docs).collect()}
+    for mid, text in [(5, "hello gif world"), (11, "abc")]:
+        r = rows[mid]
+        px = decode_gif(bytes(r.payload))
+        h, w = 4 + mid % 5, 4 + mid % 4
+        assert px.shape == (h, w)
+        codes = np.array([ord(c) % 256 for c in text], dtype=np.uint8)
+        want = codes[np.arange(h * w) % len(codes)].reshape(h, w)
+        assert np.array_equal(px, want)
