@@ -180,6 +180,10 @@ PROBES = [
     "l96_kmv_distinct_audit",
     "r100_zorder_nd_layout",
     "r101_hilbert_layout",
+    "l97_semantic_decontamination",
+    "mm17_wav_feature_census",
+    "mm18_gif_roundtrip_census",
+    "st23_streaming_kmv_distinct",
 ]
 # NOT probed via the registry: l75_semdedup_census pins k for its
 # oracle, and SemDeDup's pair join is quadratic in CLUSTER SIZE by
