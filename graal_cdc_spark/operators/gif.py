@@ -77,6 +77,18 @@ def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w])
+        # the decoder APPENDS an entry for this final code too (it
+        # cannot know no more data follows), so its width may grow
+        # before it reads EOI — mirror that phantom growth here or an
+        # EOI landing flush on a byte boundary is read at the wrong
+        # width and a valid stream "truncates" (review r13; decoder
+        # fires at len(table) == 2^cs - 1, and its len after the
+        # final append equals this next_code)
+        if (
+            next_code == (1 << code_size) - 1
+            and code_size < _MAX_CODE_SIZE
+        ):
+            code_size += 1
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
@@ -190,6 +202,10 @@ def decode_gif(payload: bytes):
         pos += 3 * (1 << ((packed & 0x07) + 1))
     if pos >= len(payload) or payload[pos] != 0x2C:
         raise ValueError("gif: expected image descriptor")
+    if pos + 10 > len(payload):
+        # a bare unpack_from here would leak struct.error through the
+        # module's ValueError contract (review r13 #4)
+        raise ValueError("gif: truncated image descriptor")
     ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
     local = payload[pos + 9]
     pos += 10

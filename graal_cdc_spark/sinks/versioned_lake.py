@@ -1264,8 +1264,10 @@ def _predicate_ranges(predicate: str) -> dict[str, tuple]:
     conjunct; and a column whose conjuncts carry MIXED-TYPE bounds
     (``k >= '100' AND k >= 50`` — legal in Spark via implicit casts)
     is dropped from derivation entirely, since Python comparisons on
-    the mixed values are ill-defined."""
-    if '"' in predicate or "\\" in predicate:
+    the mixed values are ill-defined. SQL comments (``--``, ``/*``)
+    bail out the same way — Spark strips them, this lexer would read
+    the commented-out text as live conjuncts (review r13 #2)."""
+    if any(t in predicate for t in ('"', "\\", "--", "/*")):
         return {}
     conjuncts = _split_top_and(predicate)
     if conjuncts is None:
@@ -1871,12 +1873,16 @@ def commit_optimize(
     if small_file_rows is not None:
         # incremental: select the small-file tail from the LOG's
         # per-file row counts — zero I/O to decide, zero I/O for
-        # every file left in place
+        # every file left in place. The no-op bound is n_files, not
+        # 2: a tail already at <= n_files files cannot shrink, and
+        # re-folding it forever would write an unbounded stream of
+        # dataChange:false commits from a cron (review r13 #3 — the
+        # n_files=1 case happened to converge, n_files>1 did not)
         files = {
             p: r for p, r in files.items() if r < small_file_rows
         }
-        if len(files) < 2:
-            return base  # nothing to bin-pack; no commit written
+        if len(files) <= max(1, n_files):
+            return base  # tail cannot shrink; no commit written
     df = _read_data(spark, table, list(files), fields)
     if zorder_cols:
         from graal_cdc_spark.operators.layout import (

@@ -985,3 +985,33 @@ def test_gif_fixture_pixels_match_generative_arithmetic(spark):
         codes = np.array([ord(c) % 256 for c in text], dtype=np.uint8)
         want = codes[np.arange(h * w) % len(codes)].reshape(h, w)
         assert np.array_equal(px, want)
+
+
+def test_lzw_eoi_at_width_boundary_and_descriptor_truncation():
+    """Review r13: (a) the encoder mirrors the decoder's phantom
+    final-entry width growth, so an EOI landing flush on a byte
+    boundary still decodes (the 2x127 reproduction case + an
+    exhaustive short-length sweep over the first growth boundary);
+    (b) a payload truncated INSIDE the image descriptor raises
+    ValueError, never struct.error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graal_cdc_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    px = np.random.default_rng(42).integers(0, 256, (2, 127), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+    rng = np.random.default_rng(1)
+    for n in range(240, 280):  # brackets the 9->10 bit boundary
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data)) == data, n
+    payload = encode_gif(rng.integers(0, 256, (6, 6), dtype=np.uint8))
+    # cut inside the 10-byte image descriptor (after the 0x2C marker)
+    cut = 6 + 7 + 768 + 4
+    with _pytest.raises(ValueError, match="gif"):
+        decode_gif(payload[:cut])

@@ -1720,3 +1720,39 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     # and the change feed holds exactly the one deleted row
     feed = VL.read_changes(spark, t, 1, 1).collect()
     assert {(r.id, r._change_type) for r in feed} == {(1, "delete")}
+
+
+def test_predicate_ranges_bail_on_sql_comments():
+    """Review r13: Spark strips -- and /* */ comments from predicate
+    strings; this lexer would read the commented-out text as live
+    conjuncts, so any predicate containing a comment marker derives
+    NOTHING."""
+    pr = VL._predicate_ranges
+    assert pr("k = 5 -- AND j = 3") == {}
+    assert pr("k = 5 /* AND j = 3 */") == {}
+
+
+def test_optimize_incremental_idempotent_with_multiple_files(
+    spark, tmp_path
+):
+    """Review r13: with n_files > 1, a fold whose outputs each stay
+    under small_file_rows must still converge — a tail already at
+    <= n_files files is a commit-free no-op, not an endless re-fold."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        VL.commit_append(
+            spark,
+            spark.createDataFrame(
+                [(i * 10 + j, "x") for j in range(10)], "k long, v string"
+            ),
+            t,
+            n_files=1,
+        )
+    v = VL.commit_optimize(spark, t, n_files=2, small_file_rows=100)
+    assert len(VL.live_files(t)) == 2
+    # both outputs are still < 100 rows; the rerun must not re-fold
+    assert VL.commit_optimize(
+        spark, t, n_files=2, small_file_rows=100
+    ) == v
+    assert VL.latest_version(t) == v
+    assert VL.read_table(spark, t).count() == 40
