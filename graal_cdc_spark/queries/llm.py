@@ -7236,8 +7236,11 @@ ORDER BY event_type
 # contaminated count (round(sim,4) >= 0.9) per band.
 #
 # Scale shape: the eval side is always the small side (a few MB of
-# eval vectors broadcast); the corpus scans ONCE with per-vector
-# norms hoisted. At 100 TB the same query rides the IVF-PQ index
+# eval vectors) — it collects into ONE broadcast float64 matrix and
+# the corpus scans ONCE through Arrow-batched mapInPandas, each
+# batch a queries x batch BLAS matmul emitting per-query partial
+# maxima (cosine_max_sim; the interpreted higher-order dot measured
+# ~4x slower). At 100 TB the same query rides the IVF-PQ index
 # (l80/l89) — this is the exact audit the index's recall is measured
 # against.
 # ---------------------------------------------------------------------------
@@ -7246,10 +7249,9 @@ ORDER BY event_type
 def _l97(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 19 == 0
-    top1 = S.cosine_topk_exact(
-        emb.filter(~is_eval), emb.filter(is_eval), k=1,
-        exclude_self=False,
-    )
+    top1 = S.cosine_max_sim(
+        emb.filter(~is_eval), emb.filter(is_eval)
+    ).withColumn("sim", F.round(F.col("sim_raw"), 4) + F.lit(0.0))
     per_eval = top1.select(
         "qid",
         F.floor(F.col("sim") * 10).cast("int").alias("band"),
@@ -7268,7 +7270,8 @@ _l(
     "l97_semantic_decontamination",
     "embedding-based decontamination: exact top-1 cosine of each "
     "held-out eval vector against the training corpus (broadcast "
-    "eval x one corpus scan), deciles census + contaminated count",
+    "eval matrix x one BLAS-blocked corpus scan), deciles census + "
+    "contaminated count",
     _l97,
     """
 WITH q AS (

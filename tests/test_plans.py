@@ -58,10 +58,6 @@ _BNLJ_OK = {
     "l84_bm25_topk",
     "l85_dsir_importance",
     "l86_ann_recall_audit",
-    # l97 rides the same cosine_topk_exact broadcast-cross shape as
-    # l04/l86 (eval side broadcast onto one corpus scan — the exact
-    # audit twin; the deployment path is the IVF-PQ index)
-    "l97_semantic_decontamination",
     # l87 cross-broadcasts the 1-row Bloom set-bit array
     "l87_bloom_dedup_probe",
     # round 8: l89's exact side broadcasts the bounded n_queries batch
