@@ -1559,3 +1559,38 @@ def test_hilbert_curve_bijective_and_adjacent(spark):
         abs(got[d][0] - got[d + 1][0]) + abs(got[d][1] - got[d + 1][1]) == 1
         for d in range(n * n - 1)
     )
+
+
+def test_cosine_max_sim_equals_topk_exact(spark):
+    """The BLAS-blocked max-sim probe (l97's operator) must agree
+    with the JVM-expression exact top-1 on the same data — the two
+    paths differ only in execution strategy, never in result (at the
+    round(.,4) grain both gates use)."""
+    import numpy as np
+
+    from graal_cdc_spark.operators.similarity import (
+        cosine_max_sim,
+        cosine_topk_exact,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=16)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.filter("vec_id % 11 = 0")
+    c = emb.filter("vec_id % 11 != 0")
+    got = {
+        r.qid: round(r.sim_raw, 4)
+        for r in cosine_max_sim(c, q).collect()
+    }
+    want = {
+        r.qid: r.sim
+        for r in cosine_topk_exact(c, q, k=1, exclude_self=False).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
