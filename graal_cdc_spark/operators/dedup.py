@@ -1222,22 +1222,29 @@ def simhash_portable_pairs(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.md5(F.col("tok"))
-    digit = [
-        F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")
-        for d in range(4)
-    ]
+    # Project the md5-derived 16-bit token value ONCE into a real
+    # column (one md5 + one conv per token), then derive every bit by
+    # integer shift/mask from it: hex digit d of md5(tok) is
+    # (v >> (4·(3−d))) & 15 for v = conv(first 4 hex digits), so bit
+    # b = (v >> (4·(3 − b/4) + b%4)) & 1 — value-identical to the old
+    # per-digit conv(substr(md5(tok), d+1, 1)) spelling, but the
+    # per-digit form re-embedded the md5 in all 16 aggregate inputs
+    # (r13 opt round; the expressions are emitted as ONE parsed SQL
+    # string each — the int_array_lit py4j-latency rule).
+    hashed = toks.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"
+        ).alias("__v"),
+    )
     bit_sums = [
-        F.sum(
-            (
-                F.shiftright(digit[b // 4], b % 4).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).cast("long")
+        F.expr(
+            f"SUM(CAST(((shiftright(__v, {4 * (3 - b // 4) + b % 4}) & 1)"
+            " * 2 - 1) AS BIGINT))"
         ).alias(f"s{b}")
         for b in range(16)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     sketch = None
     for b in range(16):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)

@@ -131,14 +131,25 @@ def pq_encode(
     m = len(books)
     sub = len(books[0][0])
     pts = quantize_points(emb, id_col, vec_col, scale)
+    # Hoist each subspace slice into a REAL column before the argmin
+    # references it: an expression captured inside a higher-order
+    # lambda is re-evaluated PER OUTPUT ELEMENT (the word_gram_array
+    # rule), so an inline slice was re-sliced once per CODEWORD (k×
+    # per subspace) instead of once per row (r13 opt round).
+    sliced = pts.select(
+        "pid",
+        *[
+            F.slice(F.col("x"), s * sub + 1, sub).alias(f"__xs{s}")
+            for s in range(m)
+        ],
+    )
     bests = [
-        _subspace_best(books[s], F.slice(F.col("x"), s * sub + 1, sub))
-        for s in range(m)
+        _subspace_best(books[s], F.col(f"__xs{s}")) for s in range(m)
     ]
     cols = [F.array(*[b["j"] for b in bests]).alias("codes")]
     if return_dists:
         cols.append(F.array(*[b["d"] for b in bests]).alias("d2s"))
-    return pts.select("pid", *cols)
+    return sliced.select("pid", *cols)
 
 
 def _adc_tables(

@@ -362,11 +362,22 @@ def int8_quantize(
 
     Returns ``(id_col, q ARRAY<INT>, scale DOUBLE)``.
     """
+    # Project the scale into a REAL column before the quantize
+    # transform: an expression captured inside a higher-order lambda
+    # is re-evaluated PER OUTPUT ELEMENT (the word_gram_array rule),
+    # so the old inline `safe` — which embeds
+    # array_max(transform(v, abs)) — made the quantize O(d²)
+    # interpreted work per row instead of O(d). `scale` stays in the
+    # output, so CollapseProject cannot re-inline it (it never
+    # duplicates a non-trivial alias referenced more than once).
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-    q = F.transform(v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"))
-    return df.select(F.col(id_col), q.alias("q"), scale.alias("scale"))
+    staged = df.select(F.col(id_col), v.alias("__v"), scale.alias("scale"))
+    safe = F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(F.col("scale"))
+    q = F.transform(
+        F.col("__v"), lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int")
+    )
+    return staged.select(F.col(id_col), q.alias("q"), F.col("scale"))
 
 
 def ivf_topk(

@@ -251,11 +251,17 @@ def ngram_contamination(
     """
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            word_ngrams_exploded(df, id_col, text_col, n, out_col="gram")
-            .withColumnRenamed(id_col, out_id)
-            .distinct()
-        )
+        # per-doc distinctness INSIDE the row (array_distinct before
+        # the explode): the old global .distinct() keyed on
+        # (id, gram) — exactly per-document distinctness — and paid a
+        # FULL exchange of the corpus gram stream for it. The
+        # broadcast join + count_distinct/collect_set tail is
+        # duplicate-insensitive anyway, so the row set is identical
+        # and the corpus side now reaches the join with ZERO
+        # shuffles (r13 opt round; guide §2.4).
+        return word_ngrams_exploded(
+            df, id_col, text_col, n, out_col="gram", per_doc_distinct=True
+        ).withColumnRenamed(id_col, out_id)
 
     corpus_g = grams(corpus, "corpus_id")
     eval_g = grams(eval_set, "eval_id")

@@ -2488,12 +2488,14 @@ def _l52(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams(df):
         from graal_cdc_spark.operators.text import word_ngrams_exploded
 
-        # once-projected tokens + shifted-slice build: a split()
-        # referenced inside the transform lambda re-tokenizes the doc
-        # per gram (see word_gram_array)
+        # once-projected tokens + shifted-slice build (word_gram_array
+        # rule); distinctness is per-DOC by construction, so it rides
+        # array_distinct inside the row — the old global .distinct()
+        # keyed on (doc_id, gram) bought the same rows for a full
+        # exchange of the gram stream (r13 opt round; guide §2.4)
         return word_ngrams_exploded(
-            df, "doc_id", "text", n, out_col="gram"
-        ).distinct()
+            df, "doc_id", "text", n, out_col="gram", per_doc_distinct=True
+        )
 
     eval_g = grams(docs.filter(F.col("doc_id") % 7 == 0))
     corpus_g = grams(docs.filter(F.col("doc_id") % 7 != 0)).select("gram")
@@ -3112,17 +3114,26 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with label retained — joining the quantize output back to labels
     # on vec_id would shuffle the corpus against itself for nothing
     v = F.col("embedding")
+    # Hoist the max-abs scale into a REAL column before the quantize
+    # lambda references it: an expression captured inside a
+    # higher-order lambda is re-evaluated PER OUTPUT ELEMENT (the
+    # word_gram_array rule), so the old inline `safe` — embedding
+    # array_max(transform(v, abs)) — made the quantize+fold O(d²)
+    # interpreted work per row. `__mx` is also in the projection
+    # output, so CollapseProject cannot re-inline it.
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    safe = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx)
+    staged = emb.select("vec_id", "label", v.alias("__v"), mx.alias("__mx"))
+    safe = F.when(F.col("__mx") == 0.0, F.lit(1.0)).otherwise(F.col("__mx"))
     qcol = F.transform(
-        v, lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int")
+        F.col("__v"),
+        lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"),
     )
     # normsq feeds FOUR consumers (the stats broadcast, devs via the
     # join, the outlier filter, and the final census) — without
     # lineage truncation each broadcast materialization re-evaluates
     # the interpreted quantize+fold over the corpus (the l75 rule);
     # one lazy checkpoint runs it once per execution
-    normsq = emb.select(
+    normsq = staged.select(
         "vec_id",
         "label",
         F.aggregate(
@@ -3450,8 +3461,22 @@ def _l66(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    # docs containing each gram (distinct doc per gram, one aggregate)
-    df_per_gram = grams.distinct().groupBy("g").agg(
+    # docs containing each gram: per-doc distinctness rides
+    # array_distinct INSIDE the row (no (doc_id, g) dedup exchange —
+    # the old grams.distinct() shuffled the full gram stream once
+    # just to dedup within documents; r13 opt round, guide §2.4),
+    # then one hash aggregate on the gram
+    distinct_g = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_gram_array(F.col("__t"), k), lambda s: F.md5(s)
+                )
+            )
+        ).alias("g"),
+    )
+    df_per_gram = distinct_g.groupBy("g").agg(
         F.count(F.lit(1)).alias("ndocs")
     )
     return (
