@@ -7280,9 +7280,13 @@ ORDER BY event_type
 
 
 def _l97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _par_table: the corpus side feeds a mapInPandas BLAS scan — a
-    # single-partition scan would run the whole matmul on one worker
-    emb = _par_table(spark, sf_dir, "embeddings")
+    # plain scan, NOT _par_table (measured r13 opt round): the BLAS
+    # block matmul is microseconds per batch, so the pass is
+    # scheduling-bound locally — 32 python partitions cost ~3x the
+    # whole query in task overhead (warm-med 0.58 -> 2.01 s in the
+    # closing bench; the l90 rule). On real multi-block cluster data
+    # the mapInPandas scan parallelizes naturally.
+    emb = load_table(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 19 == 0
     top1 = S.cosine_max_sim(
         emb.filter(~is_eval), emb.filter(is_eval)
