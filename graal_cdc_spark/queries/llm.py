@@ -5899,10 +5899,20 @@ ORDER BY media_id, channel, bin
 def _mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graal_cdc_spark.operators.multimodal import png_pipeline_stats
 
-    # _par_table: the fused codec pass is per-row Python — a 1-
-    # partition local scan would serialize it on one core (r12)
-    docs = _par_table(spark, sf_dir, "documents").filter(
-        (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+    # byte-bounded python fan-out (r14; was cores-keyed _par_table):
+    # the fused codec pass is per-row Python — a 1-partition local
+    # scan would serialize it on one core (r12), but 32 python tasks
+    # for a ~600 KB slice is pure worker fan-out the driver's
+    # contended r13 run measured at 13.4 s (quiet-box cost: 0.4 s).
+    # with_python_parallelism sizes the exchange by input bytes
+    # (~3 tasks here), a no-op on well-blocked cluster data.
+    from graal_cdc_spark.sources.tables import with_python_parallelism
+
+    docs = with_python_parallelism(
+        spark,
+        load_table(spark, sf_dir, "documents").filter(
+            (F.length("text") > 0) & (F.col("doc_id") % 3 == 1)
+        ),
     )
     # fused single-stage census: encode->decode inside one Python
     # worker pass (same real codec legs; no per-stage Arrow shipping
@@ -6269,20 +6279,26 @@ def _l90(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters_exact_chargrams,
     )
 
-    # plain scan, NOT _par_table: the packed-int batch counter does
-    # ~3 ns/char of numpy, so the pass is scheduling-bound locally —
-    # inflating to 32 python partitions cost 2x the whole query in
-    # task overhead (measured r12: 32-way warm 2.0 s vs scan-blocked
-    # 1.1 s); at cluster scale the scan is well-blocked anyway
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # byte-bounded python fan-out (r14 re-measure of the r12 "plain
+    # scan" decision — VERDICT r13 #4): on the regenerated heavier
+    # data the single-partition sketch+verify passes serialize ~1 s of
+    # numpy on one core (interleaved A/B: plain 0.98 s vs repartition
+    # 2 = 0.67 s, repartition 32 still loses to 2-8). Sizing by input
+    # bytes lands at 2-3 tasks locally, caps at defaultParallelism,
+    # and stays a no-op on well-blocked cluster scans.
+    from graal_cdc_spark.sources.tables import with_python_parallelism
+
+    docs_plain = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
+    docs = with_python_parallelism(spark, docs_plain)
     # trigram count is derivable from doc lengths — the gram stream
     # itself is NEVER materialized: sketch and verify both count
     # n-grams inside the Arrow batches (VERDICT r11 #3 — the old
     # explode+localCheckpoint build wrote a 3.4M-row frame, 13.9 s
-    # cold, just to be counted twice)
-    total = docs.agg(
+    # cold, just to be counted twice). The JVM length-sum reads the
+    # plain scan — it must not pay the python-stage repartition.
+    total = docs_plain.agg(
         F.sum(F.length("text") - 2).cast("long").alias("n_total")
     )
     return ordered_result(

@@ -5392,20 +5392,30 @@ def _r99_tables(spark: SparkSession, sf_dir: str):
     db = f"r99_{digest}"
     loc = tempfile.mkdtemp(prefix="r99-bucketed-")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # Bound the write fan-out (r14; guide §6, VERDICT r13 #5): an
+    # unbounded bucketed write emits one file per (task x bucket) —
+    # scan_partitions x 8 ≈ 128 files here, and the driver's r13 run
+    # measured the build FS-bound and SLOWER at 32 cores than at 8.
+    # Hash-repartitioning each input by the bucket key into the bucket
+    # count first makes every task hold exactly one bucket's rows
+    # (repartition and bucketBy share the Murmur3 pmod placement), so
+    # the build writes exactly 8 files per table — file count ∝ data
+    # layout, not cores. Rows, bucket contents and the downstream
+    # zero-shuffle join plan are unchanged (test_plans pins it).
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(f"{db}.orders_b")
+    ).repartition(8, "o_orderkey").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(f"{db}.orders_b")
     load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_quantity").cast("long").alias("qty"),
         (F.floor(F.col("l_extendedprice") * 100)).cast("long").alias(
             "price_cents"
         ),
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(f"{db}.lineitem_b")
+    ).repartition(8, "o_orderkey").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(f"{db}.lineitem_b")
     _R99_MEMO[key] = db
     return db
 

@@ -560,6 +560,40 @@ def test_r93_capped_scan_equals_naive(spark, rows, cap):
     assert got == _naive_capped_scan(rows, cap)
 
 
+def test_r93_capped_scan_carry_across_arrow_batches(spark):
+    """The r14 mapInPandas rewrite walks each partition with a per-key
+    carry; a key's rows can span Arrow batch boundaries. Force tiny
+    batches so every multi-row key straddles at least one boundary and
+    pin the result against the naive per-key loop."""
+    from graal_cdc_spark.operators.ledger import capped_running_balance
+
+    # 6 keys x 25 rows, amounts alternating so clamps fire at both ends
+    rows = [
+        (k, pos, (1 if (pos + k) % 3 else -2) * (40 + 7 * k + pos))
+        for k in range(6)
+        for pos in range(25)
+    ]
+    data = [(k, pos, i, amt) for i, (k, pos, amt) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, pos long, seq long, amt long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["k"]: (r["final_balance"], r["n_capped"], r["n_floored"])
+            for r in capped_running_balance(
+                df, "k", ["pos", "seq"], "amt", cap=60
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    assert got == _naive_capped_scan(rows, 60)
+
+
 # ---------------------------------------------------------------------------
 # r92: ordered-edge triangle join == brute-force combinations count
 # ---------------------------------------------------------------------------
