@@ -116,6 +116,14 @@ def jaccard_pairs_from_shingles(
     allowed and deduped HERE. Shared tail of the char-shingle and
     token-n-gram exact dedup operators.
 
+    NULL shingles are dropped (explicit filter below): the per-doc
+    set size n_sh comes from the inner rarity equi-join, which never
+    matches nulls — without the filter a null-emitting caller would
+    see nulls counted by a size aggregate but invisible to the join
+    (ADVICE r13). Current producers (char shingles, word n-grams)
+    never emit nulls, so the filter is a no-op on every declared
+    query.
+
     PREFIX-FILTERED exact algorithm (r13 optimization round; the
     All-Pairs/PPJoin candidate bound — Bayardo et al. 2007, Xiao et
     al. 2008): instead of joining the FULL (id, shingle) table with
@@ -166,7 +174,8 @@ def jaccard_pairs_from_shingles(
     # df aggregate and the rarity join (the l75 rule).
     n_par = sh.sparkSession.sparkContext.defaultParallelism
     sh = (
-        sh.repartition(n_par, "shingle")
+        sh.filter(F.col("shingle").isNotNull())
+        .repartition(n_par, "shingle")
         .dropDuplicates([id_col, "shingle"])
         .localCheckpoint(eager=False)
     )
@@ -906,6 +915,16 @@ def connected_components(
         # whole upstream edge pipeline (e.g. the MinHash-LSH candidate
         # generation) through the join lineage. Lazy: the first round's
         # action materializes it.
+        #
+        # r14 negative result (VERDICT r13 #6, measured then REVERTED):
+        # persisting sym hash-partitioned by dst — so the per-round
+        # join reuses the partitioning instead of re-exchanging the
+        # edge frame (InMemoryRelation preserves it; localCheckpoint
+        # does not) — read 3.41 s vs 2.30 s old, interleaved medians
+        # over 5 alternations on l23's real sf0.1 edge set (6 rounds/
+        # 3 probes per execution, scripts/r14_cc_ab.py). The cache
+        # write + per-round InMemoryRelation scan costs more than the
+        # saved exchange at this shuffle width; the checkpoint stays.
         .localCheckpoint(eager=False)
     )
     # init label(v) = min(v, min neighbor) — one grouped aggregate that

@@ -3119,8 +3119,11 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order lambda is re-evaluated PER OUTPUT ELEMENT (the
     # word_gram_array rule), so the old inline `safe` — embedding
     # array_max(transform(v, abs)) — made the quantize+fold O(d²)
-    # interpreted work per row. `__mx` is also in the projection
-    # output, so CollapseProject cannot re-inline it.
+    # interpreted work per row. What keeps `__mx` from being
+    # re-inlined is CollapseProject's rule against duplicating a
+    # non-cheap alias referenced more than once (safe reads it twice
+    # via when/otherwise) — not output membership (normsq's select
+    # drops it; ADVICE r13).
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     staged = emb.select("vec_id", "label", v.alias("__v"), mx.alias("__mx"))
     safe = F.when(F.col("__mx") == 0.0, F.lit(1.0)).otherwise(F.col("__mx"))

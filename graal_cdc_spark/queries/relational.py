@@ -3715,7 +3715,6 @@ def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
-        .distinct()
     )
     # The invariant edge frame feeds BOTH unrolled iterations — the
     # canonical Spark iterative-graph pattern is to CACHE it,
@@ -3734,11 +3733,32 @@ def _r79(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         edges, deg = hit
     else:
+        # Symmetrize with ONE in-row explode instead of the old
+        # union-of-two-branches (r14; guide §2.4): a union's branches
+        # are planned independently, so `pairs ⋈ pairs.swap` executed
+        # the orders⋈lineitem join TWICE and paid two wide exchanges
+        # (the (a,b) distinct, then repartition("a")). Exploding
+        # [(a,b),(b,a)] per row runs the join once, and the dedup
+        # rides the single HashPartitioning("a") exchange —
+        # ClusteredDistribution((a,b)) is satisfied by any
+        # partitioning on a subset of its keys, so dropDuplicates
+        # plans no second exchange. Same edge set: dedup-then-swap ≡
+        # swap-then-dedup (swapping is a bijection, and the two
+        # direction sets are disjoint by node parity).
         edges = (
-            pairs.unionByName(
-                pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(
+                            F.col("b").alias("a"), F.col("a").alias("b")
+                        ),
+                    )
+                ).alias("__e")
             )
+            .select("__e.a", "__e.b")
             .repartition("a")
+            .dropDuplicates(["a", "b"])
             .persist()
         )
         # deg reuses the edge partitioning (groupBy on the partition

@@ -10,8 +10,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="graal-cdc-spark-tests", master="local[8]",
-                      shuffle_partitions=8)
+    import os
+
+    spark = get_spark(
+        app_name="graal-cdc-spark-tests",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")
+        ),
+    )
     yield spark
     spark.stop()
 

@@ -21,7 +21,6 @@ import pytest
 from graal_cdc_spark.queries import all_specs
 from graal_cdc_spark.testing import (
     _oracle_nonportable,
-    _spark_nonportable,
     oracle_result_types,
 )
 
@@ -46,16 +45,10 @@ def test_oracle_surface_portable(name):
     )
 
 
-def test_spark_surface_no_decimal(spark):
-    # Schema-only: building the DataFrame is lazy, no execution needed.
-    bad = []
-    for name, spec in _SPECS.items():
-        bad += [
-            f"{name}.{b}" for b in _spark_nonportable(
-                spec.spark(spark, SF_SMOKE)
-            )
-        ]
-    assert not bad, (
-        f"Spark result columns typed decimal (gate hash cannot "
-        f"canonicalize): {bad} — use .cast('string') on the surface"
-    )
+# The Spark-side decimal lint lives in
+# tests/test_plans.py::test_no_slow_paths (r14): "building the
+# DataFrame is lazy" was wrong for the eager builders (lake
+# lifecycles, CC probe counts, build-once tables) — the standalone
+# all-specs loop here cost 160 s of pure duplicated construction,
+# while test_no_slow_paths already builds every query's DataFrame
+# for the plan audit. Same assertion, same surface, one construction.

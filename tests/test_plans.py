@@ -78,7 +78,8 @@ _PYTHON_OK = {"r47_python_udtf", "r67_cogrouped_pandas", "r72_map_in_arrow"}
 
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_no_slow_paths(spark, name):
-    a = _audit(spark, name)
+    df = all_specs()[name].spark(spark, SF)
+    a = audit(df)
     if name not in _PYTHON_OK:
         assert a.python_evals == 0, f"{name}: row-at-a-time Python UDF in plan"
     assert not a.has("CartesianProduct"), f"{name}: cartesian product"
@@ -86,6 +87,18 @@ def test_no_slow_paths(spark, name):
         assert not a.has("BroadcastNestedLoopJoin"), (
             f"{name}: unexpected nested-loop join"
         )
+    # Portable-result-type lint (folded in from test_oracle_types,
+    # r14: the standalone all-specs loop re-CONSTRUCTED every query —
+    # 160 s of duplicated eager builders; the schema is sf-independent
+    # and this test already built the DataFrame). The oracle-side
+    # lint stays in test_oracle_types.
+    from graal_cdc_spark.testing import _spark_nonportable
+
+    bad = _spark_nonportable(df)
+    assert not bad, (
+        f"{name}: result columns typed decimal (gate hash cannot "
+        f"canonicalize): {bad} — use .cast('string') on the surface"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -23,8 +23,15 @@ from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+# max_examples 12 → 6 (r14, VERDICT r13 #2): each example is a full
+# Spark round-trip and several operators here run eager two-pass
+# driver-literal scans during CONSTRUCTION (~2.6 s/example measured
+# for mad_outlier_profile), so this file alone cost 333 s of the
+# 34-minute suite — past the driver's verify window. 6 random
+# examples per property still exercise the strategy bounds each run
+# (and hypothesis replays any previously-found failure from its DB).
 _SETTINGS = settings(
-    max_examples=12,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

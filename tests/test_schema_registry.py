@@ -120,7 +120,10 @@ def test_property_split_merge_equals_batch(spark):
         st.sampled_from(field_sets),
     )
 
-    @settings(max_examples=12, deadline=None)
+    # 12 → 6 examples (r14 suite-budget pass, VERDICT r13 #2): each
+    # example replays a chunked silver evolution through a streaming
+    # restart (~4 s); 6 keeps the cut-point coverage per run.
+    @settings(max_examples=6, deadline=None)
     @given(
         events=st.lists(ev, min_size=1, max_size=14),
         cut=st.integers(min_value=0, max_value=14),
