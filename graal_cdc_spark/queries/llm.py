@@ -3131,11 +3131,6 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__v"),
         lambda x: F.round(x.cast("double") * 127.0 / safe).cast("int"),
     )
-    # normsq feeds FOUR consumers (the stats broadcast, devs via the
-    # join, the outlier filter, and the final census) — without
-    # lineage truncation each broadcast materialization re-evaluates
-    # the interpreted quantize+fold over the corpus (the l75 rule);
-    # one lazy checkpoint runs it once per execution
     normsq = staged.select(
         "vec_id",
         "label",
@@ -3144,38 +3139,45 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
         ).alias("nsq"),
-    ).localCheckpoint(eager=False)
-    stats = normsq.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("nsq").alias("s"),
     )
-    j = normsq.join(F.broadcast(stats), "label")
-    # integer-exact deviation test: |nsq*n - s| > 2 * sum|nsq*n - s|/n
-    #   i.e. n * |nsq*n - s| * n > 2 * n * sum|...| — keep both sides
-    # integral: dev = |nsq*n - s| (scaled by n); mad_sum = sum(dev)
-    dev = F.abs(F.col("nsq") * F.col("n") - F.col("s"))
-    devs = j.select("label", "n", dev.alias("dev"))
-    mad = devs.groupBy("label").agg(
-        F.max("n").alias("n"),
-        F.sum("dev").alias("dev_sum"),
-        F.max("dev").alias("max_dev"),
-    )
-    out = devs.join(
-        F.broadcast(mad.select("label", F.col("dev_sum").alias("ds"))),
-        "label",
-    ).filter(F.col("dev") * F.col("n") > F.col("ds") * 2)
-    outliers = out.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_outliers")
+    from pyspark.sql import Window
+
+    # ONE label-keyed exchange end-to-end (r14 opt round; guide §2.4).
+    # The old shape fanned normsq into FOUR consumers — a lazy
+    # checkpoint, two per-label hash aggregates, two BROADCAST builds
+    # (each its own driver job) and two joins: ~0.85 s of pure stage/
+    # broadcast latency around a 0.30 s nsq compute (isolated,
+    # scripts/r14_l62_ab.py). Unbounded windows over the same
+    # partitionBy("label") reuse one exchange with no sort, and the
+    # final per-label aggregate rides that partitioning too — a single
+    # linear job, no checkpoint, no broadcasts. Arithmetic is the
+    # IDENTICAL integer protocol: dev = |nsq·n − s| with the strict
+    # 2×-MAD test dev·n > dev_sum·2; a label with zero outliers sums
+    # 0 literals, reproducing the old coalesce(n_outliers, 0).
+    w = Window.partitionBy("label")
+    devs = (
+        normsq.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("nsq").over(w))
+        .withColumn("dev", F.abs(F.col("nsq") * F.col("n") - F.col("s")))
+        .withColumn("dev_sum", F.sum("dev").over(w))
     )
     return (
-        ordered_result(mad.join(outliers, "label", "left")
-        .select(
+        ordered_result(
+            devs.groupBy("label").agg(
+                F.max("n").alias("n"),
+                F.max("dev_sum").alias("dev_sum"),
+                F.max("dev").alias("max_dev"),
+                F.sum(
+                    F.when(
+                        F.col("dev") * F.col("n") > F.col("dev_sum") * 2,
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_outliers"),
+            ),
             "label",
-            "n",
-            "dev_sum",
-            "max_dev",
-            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
-        ), "label")
+        )
     )
 
 
