@@ -3142,24 +3142,36 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # ONE label-keyed exchange end-to-end (r14 opt round; guide §2.4).
-    # The old shape fanned normsq into FOUR consumers — a lazy
-    # checkpoint, two per-label hash aggregates, two BROADCAST builds
-    # (each its own driver job) and two joins: ~0.85 s of pure stage/
-    # broadcast latency around a 0.30 s nsq compute (isolated,
-    # scripts/r14_l62_ab.py). Unbounded windows over the same
-    # partitionBy("label") reuse one exchange with no sort, and the
-    # final per-label aggregate rides that partitioning too — a single
-    # linear job, no checkpoint, no broadcasts. Arithmetic is the
-    # IDENTICAL integer protocol: dev = |nsq·n − s| with the strict
-    # 2×-MAD test dev·n > dev_sum·2; a label with zero outliers sums
+    # One linear job, no checkpoint, no broadcasts (r14 opt round;
+    # guide §2.4). The old shape fanned normsq into FOUR consumers —
+    # a lazy checkpoint, two per-label hash aggregates, two BROADCAST
+    # builds (each its own driver job) and two joins: ~0.85 s of pure
+    # stage/broadcast latency around a 0.30 s nsq compute (isolated,
+    # scripts/r14_l62_ab.py). Scale shape: rows with equal (label,
+    # nsq) are interchangeable for every statistic below, and nsq
+    # lives in the BOUNDED domain [0, d·127²] — so the per-row frame
+    # first compresses to (label, nsq, weight) through an ordinary
+    # hash aggregate (map-side combinable; the exchange carries at
+    # most the value domain per mapper, never the corpus), and only
+    # the compressed frame — ≤ |domain| rows per label — flows into
+    # the label-partitioned windows. A window directly over the raw
+    # rows would put an entire label on ONE task (labels are
+    # low-cardinality); over the compressed frame the per-task row
+    # count is domain-bounded regardless of corpus size. The final
+    # per-label aggregate rides the window's partitioning. Arithmetic
+    # is the IDENTICAL integer protocol, weighted: n = Σw,
+    # s = Σ nsq·w, dev = |nsq·n − s| per distinct nsq,
+    # dev_sum = Σ dev·w, and the strict 2×-MAD test dev·n > dev_sum·2
+    # counts w per qualifying value; a label with zero outliers sums
     # 0 literals, reproducing the old coalesce(n_outliers, 0).
     w = Window.partitionBy("label")
     devs = (
-        normsq.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s", F.sum("nsq").over(w))
+        normsq.groupBy("label", "nsq")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .withColumn("n", F.sum("__w").over(w))
+        .withColumn("s", F.sum(F.col("nsq") * F.col("__w")).over(w))
         .withColumn("dev", F.abs(F.col("nsq") * F.col("n") - F.col("s")))
-        .withColumn("dev_sum", F.sum("dev").over(w))
+        .withColumn("dev_sum", F.sum(F.col("dev") * F.col("__w")).over(w))
     )
     return (
         ordered_result(
@@ -3170,7 +3182,7 @@ def _l62(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         F.col("dev") * F.col("n") > F.col("dev_sum") * 2,
-                        F.lit(1),
+                        F.col("__w"),
                     ).otherwise(F.lit(0))
                 )
                 .cast("bigint")
